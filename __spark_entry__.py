@@ -1,38 +1,521 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (synthesized Common-Crawl-style
+pages -> vectorized extraction -> 1m rollup -> 1h cascade). ``queries()``
+exposes one entry per implemented operator from SURVEY.md §2 /
+§2.3-§2.4; ``oracle_sql()`` gives the DuckDB-equivalent SQL for each
+(rows-only checks where SQL cannot express the operator).
+
+Column-name contract: every computed column is aliased identically in the
+Spark plan and the oracle SQL. Float aggregates that accumulate in
+engine-specific order (sum, mean and their derivatives) are quantized to
+1e-6 via floor(x * 1e6) on BOTH sides (see ``_quant6``); identity-preserving
+aggregates (min/max/count/last) stay exact.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from json_time_series_extractor_spark.operators.chunks import (
+    compress_chunks,
+    decompress_chunks,
+)
+from json_time_series_extractor_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from json_time_series_extractor_spark.operators.extract import (
+    extract_samples,
+    extract_samples_fixed,
+)
+from json_time_series_extractor_spark.operators.gapfill import (
+    gapfill_linear,
+    gapfill_locf,
+)
+from json_time_series_extractor_spark.operators.rollup import (
+    rollup,
+    rollup_cascade,
+    rollup_salted,
+)
+from json_time_series_extractor_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    lsh_topk,
+)
+from json_time_series_extractor_spark.operators.textstats import (
+    with_fingerprints,
+    with_lang_id,
+    with_quality_score,
+    with_token_counts,
+)
+from json_time_series_extractor_spark.sources.pages import (
+    PAGES_EXTRACT_OPTIONS,
+    synthesize_pages,
+)
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _events_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.props is a JSON document column; present it in the engine's
+    page shape (url, warc_ts, text)."""
+    return _events(spark, sf_dir).select(
+        F.col("event_id").cast("string").alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.col("props").alias("text"))
+
+
+def _event_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a raw sample stream keyed by event_type."""
+    return _events(spark, sf_dir).select(
+        F.col("event_type").alias("series_key"),
+        F.col("ts").alias("ts"),
+        F.col("value").alias("value_double"))
+
+
+def _quant6(df: DataFrame, *cols: str) -> DataFrame:
+    """Quantize float-accumulating columns to 1e-6 via floor(x * 1e6).
+
+    Engine-comparison pitfalls this sidesteps:
+    - round(x, 6): engines disagree on exact .xxxxxx5 halves (interpolated
+      values land there constantly);
+    - floor(x * 1e6): sums of low-decimal data sit exactly on 1e-6 integers,
+      so the accumulation-order ulp decides the floor.
+    floor(x * 1e6 + 0.5) is deterministic on exact halves (same IEEE ops on
+    the same double) and absorbs ulp noise near integers.
+    """
+    for c in cols:
+        df = df.withColumn(c, F.floor(F.col(c) * 1e6 + 0.5).cast("long"))
+    return df
+
+
+def _rollup_select(df: DataFrame) -> DataFrame:
+    cols = ["series_key", "bucket_ts", "min", "max", "sum",
+            F.col("count").alias("cnt"), "mean", "last", "last_ts"]
+    return _quant6(df.select(*cols), "sum", "mean")
+
+
+_ORACLE_ROLLUP_TIER = """
+SELECT event_type AS series_key,
+       date_trunc('{unit}', ts) AS bucket_ts,
+       min(value) AS min,
+       max(value) AS max,
+       CAST(floor(sum(value) * 1000000 + 0.5) AS BIGINT) AS sum,
+       count(value) AS cnt,
+       CAST(floor(sum(value) / count(value) * 1000000 + 0.5) AS BIGINT) AS mean,
+       first(value ORDER BY ts DESC, value DESC) AS last,
+       max(ts) AS last_ts
+FROM events
+GROUP BY 1, 2
+"""
+
+_ORACLE_ROLLUP_CTE = """
+WITH r AS (
+    SELECT event_type AS series_key,
+           date_trunc('minute', ts) AS bucket_ts,
+           sum(value) / count(value) AS mean
+    FROM events GROUP BY 1, 2),
+grid AS (
+    SELECT series_key,
+           unnest(generate_series(min(bucket_ts), max(bucket_ts),
+                                  INTERVAL 1 minute)) AS bucket_ts
+    FROM r GROUP BY series_key),
+j AS (
+    SELECT g.series_key, g.bucket_ts, r.mean
+    FROM grid g LEFT JOIN r ON g.series_key = r.series_key
+                            AND g.bucket_ts = r.bucket_ts)
+"""
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_extract_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O5/O14 + O4 fallback: general vectorized extraction (mapInPandas)
+    over a flat JSON column; document has no /time -> warc_ts fallback."""
+    out = extract_samples(_events_as_pages(spark, sf_dir), {})
+    return out.select("url", "warc_ts", "series_key", "ts", "value_double",
+                      "value_kind", "ts_source")
+
+
+def q_extract_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-pointer JVM fast path (get_json_object, no Python)."""
+    out = extract_samples_fixed(_events_as_pages(spark, sf_dir),
+                                [("k", "/k")], timestamp_pointer=None)
+    return out.select("url", "warc_ts", "series_key", "ts", "value_double",
+                      "value_kind", "ts_source")
+
+
+def q_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-minute continuous aggregate (min/max/sum/count/mean/last)."""
+    return _rollup_select(rollup(_event_samples(spark, sf_dir), "1 minute",
+                                 deterministic_last=True))
+
+
+def q_rollup_1h_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier cascade 1m -> 1h from mergeable state; oracle aggregates raw
+    data directly, proving cascade mergeability."""
+    r1m = rollup(_event_samples(spark, sf_dir), "1 minute",
+                 deterministic_last=True)
+    return _rollup_select(rollup_cascade(r1m, "1 hour"))
+
+
+def q_rollup_1d_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase (salted) rollup; result identical to plain."""
+    return _rollup_select(rollup_salted(_event_samples(spark, sf_dir),
+                                        "1 day", salt_buckets=8))
+
+
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 1-minute grid per series with last-observation-carried-forward."""
+    r1m = rollup(_event_samples(spark, sf_dir), "1 minute")
+    out = gapfill_locf(r1m, "1 minute", value_col="mean")
+    return _quant6(out, "value")
+
+
+def q_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 1-minute grid with linear interpolation between neighbours."""
+    r1m = rollup(_event_samples(spark, sf_dir), "1 minute")
+    out = gapfill_linear(r1m, "1 minute", value_col="mean")
+    return _quant6(out, "value")
+
+
+def _pages_scale(sf_dir: str) -> int:
+    if "0.001" in sf_dir:
+        return 2_000
+    if "0.01" in sf_dir:
+        return 20_000
+    return 200_000
+
+
+def q_pages_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline: synthesized Common-Crawl-style pages (F6 payloads,
+    zipf host skew) -> recursive extraction with nested timestamps + MQTT
+    include -> 1m rollup -> 1h cascade. Not SQL-expressible (dynamic JSON
+    walk): rows-only check."""
+    pages = synthesize_pages(spark, _pages_scale(sf_dir))
+    samples = extract_samples(pages, PAGES_EXTRACT_OPTIONS)
+    r1m = rollup(samples, "1 minute")
+    return rollup_cascade(r1m, "1 hour").select(
+        "series_key", "bucket_ts", "min", "max", "sum",
+        F.col("count").alias("cnt"), "mean", "last", "last_ts")
+
+
+
+# ---------------------------------------------------------------------------
+# training-data-pipeline queries (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex variants (JVM-only)."""
+    return with_token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_tokens_bpe")
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: punct/stopword/word-length signals + composite."""
+    out = with_quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars_calc", "n_tokens", "punct_ratio",
+        "stopword_ratio", "mean_word_len", "quality_score")
+    # The operator rounds to 6dp for human use; re-quantize for comparison.
+    return _quant6(out, "punct_ratio", "stopword_ratio", "mean_word_len",
+                   "quality_score")
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic marker-word language ID with deterministic tie-break."""
+    return with_lang_id(_docs(spark, sf_dir)).select(
+        "doc_id", "lang_score_en", "lang_score_de", "lang_score_fr",
+        "lang_score_es", "lang_pred")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-md5 document fingerprint."""
+    return with_fingerprints(_docs(spark, sf_dir)).select(
+        "doc_id", "fingerprint_md5")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalized hash-groupBy, min-id survivor."""
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force word-3-gram Jaccard pairs >= 0.3 (exact baseline)."""
+    out = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
+    return _quant6(out, "jaccard")
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates verified by exact Jaccard >= 0.5.
+    xxhash64-based — rows-only check (DuckDB has no xxhash64)."""
+    out = minhash_lsh_dedup_pairs(_docs(spark, sf_dir), num_hashes=32,
+                                  bands=16, threshold=0.5)
+    return _quant6(out, "jaccard")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 16) via the block trick.
+    xxhash64-based — rows-only check."""
+    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=16)
+
+
+def q_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine scores for query vectors vec_id < 5 (exact ANN
+    baseline, order-insensitively comparable)."""
+    emb = _embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("_qv"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.transform("embedding", lambda x: x.cast("double"))
+                   .alias("_cv"))
+    out = (c.crossJoin(F.broadcast(q))
+           .where(F.col("query_id") != F.col("neighbor_id"))
+           .select("query_id", "neighbor_id",
+                   cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim")))
+    return _quant6(out, "cosine_sim")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for query vectors vec_id < 5
+    (ranking path; rows-only check)."""
+    emb = _embeddings(spark, sf_dir)
+    out = cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+    return _quant6(out, "cosine_sim")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via hyperplane LSH buckets (scale path;
+    rows-only check)."""
+    emb = _embeddings(spark, sf_dir)
+    out = lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=10,
+                   bits=4, tables=8)
+    return _quant6(out, "cosine_sim")
+
+
+def q_chunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla chunk compression round-trip: the oracle is the original
+    event stream itself — decode(encode(x)) must equal x bit-exactly."""
+    samples = _event_samples(spark, sf_dir)
+    chunks = compress_chunks(samples, "1 hour")
+    return decompress_chunks(chunks)
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query at smoke scale; driver checks rows>0 + stable schema."""
+    return q_pages_extract_rollup(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_flat": q_extract_flat,
+        "extract_fixed": q_extract_fixed,
+        "rollup_1m": q_rollup_1m,
+        "rollup_1h_cascade": q_rollup_1h_cascade,
+        "rollup_1d_salted": q_rollup_1d_salted,
+        "gapfill_locf": q_gapfill_locf,
+        "gapfill_linear": q_gapfill_linear,
+        "pages_extract_rollup": q_pages_extract_rollup,
+        "doc_token_count": q_doc_token_count,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "cosine_scores": q_cosine_scores,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "chunk_roundtrip": q_chunk_roundtrip,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    extract_oracle = """
+SELECT CAST(event_id AS VARCHAR) AS url,
+       ts AS warc_ts,
+       'k' AS series_key,
+       ts AS ts,
+       CAST(props ->> '$.k' AS DOUBLE) AS value_double,
+       CAST(1 AS TINYINT) AS value_kind,
+       CAST(2 AS TINYINT) AS ts_source
+FROM events
+"""
+    return {
+        "extract_flat": extract_oracle,
+        "extract_fixed": extract_oracle,
+        "rollup_1m": _ORACLE_ROLLUP_TIER.format(unit="minute"),
+        "rollup_1h_cascade": _ORACLE_ROLLUP_TIER.format(unit="hour"),
+        "rollup_1d_salted": _ORACLE_ROLLUP_TIER.format(unit="day"),
+        "gapfill_locf": _ORACLE_ROLLUP_CTE + """
+SELECT series_key, bucket_ts,
+       CAST(floor(last_value(mean IGNORE NULLS) OVER (
+           PARTITION BY series_key ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+           + 0.5) AS BIGINT) AS value,
+       mean IS NULL AS filled
+FROM j
+""",
+        "gapfill_linear": _ORACLE_ROLLUP_CTE + """,
+w AS (
+    SELECT series_key, bucket_ts, mean,
+           last_value(mean IGNORE NULLS) OVER past AS prev_v,
+           last_value(CASE WHEN mean IS NOT NULL THEN bucket_ts END
+                      IGNORE NULLS) OVER past AS prev_t,
+           first_value(mean IGNORE NULLS) OVER fut AS next_v,
+           first_value(CASE WHEN mean IS NOT NULL THEN bucket_ts END
+                       IGNORE NULLS) OVER fut AS next_t
+    FROM j
+    WINDOW past AS (PARTITION BY series_key ORDER BY bucket_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           fut AS (PARTITION BY series_key ORDER BY bucket_ts
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT series_key, bucket_ts,
+       CAST(floor(CASE
+           WHEN mean IS NOT NULL THEN mean
+           WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+               prev_v + (next_v - prev_v)
+                   * (epoch(bucket_ts) - epoch(prev_t))
+                   / (epoch(next_t) - epoch(prev_t))
+       END * 1000000 + 0.5) AS BIGINT) AS value,
+       mean IS NULL AS filled
+FROM w
+""",
+        # pages_extract_rollup: dynamic JSON walk over synthesized pages —
+        # not expressible in portable SQL; driver records rows-only check.
+        "doc_token_count": """
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+           AS n_tokens_bpe
+FROM documents
+""",
+        "doc_quality": """
+WITH m AS (
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS n_tokens,
+           len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+           len(regexp_extract_all(lower(text),
+               '\\b(the|and|of|to|a|in|is|it|that|for)\\b')) AS n_stop
+    FROM documents),
+r AS (
+    SELECT doc_id, n_chars_calc, n_tokens,
+           CASE WHEN n_chars_calc > 0 THEN n_punct / n_chars_calc
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN n_tokens > 0 THEN n_stop / n_tokens
+                ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN n_tokens > 0 THEN n_chars_calc / n_tokens
+                ELSE 0.0 END AS mean_word_len
+    FROM m)
+SELECT doc_id, n_chars_calc, n_tokens,
+       CAST(floor(punct_ratio * 1000000 + 0.5) AS BIGINT) AS punct_ratio,
+       CAST(floor(stopword_ratio * 1000000 + 0.5) AS BIGINT)
+           AS stopword_ratio,
+       CAST(floor(mean_word_len * 1000000 + 0.5) AS BIGINT)
+           AS mean_word_len,
+       CAST(floor((least(stopword_ratio * 2.0, 1.0) * 0.5
+           + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                   THEN 1.0 ELSE 0.0 END) * 0.3
+           + (CASE WHEN punct_ratio < 0.1 THEN 1.0 ELSE 0.0 END) * 0.2)
+           * 1000000 + 0.5) AS BIGINT) AS quality_score
+FROM r
+""",
+        "doc_lang_id": """
+WITH s AS (
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text),
+               '\\b(the|and|of|to|in|is)\\b')) AS lang_score_en,
+           len(regexp_extract_all(lower(text),
+               '\\b(der|die|und|das|ist|nicht)\\b')) AS lang_score_de,
+           len(regexp_extract_all(lower(text),
+               '\\b(le|la|les|et|est|une)\\b')) AS lang_score_fr,
+           len(regexp_extract_all(lower(text),
+               '\\b(el|los|las|es|una|que)\\b')) AS lang_score_es
+    FROM documents)
+SELECT doc_id, lang_score_en, lang_score_de, lang_score_fr, lang_score_es,
+       CASE WHEN lang_score_en <= 0 AND lang_score_de <= 0
+                 AND lang_score_fr <= 0 AND lang_score_es <= 0 THEN 'und'
+            WHEN lang_score_en >= lang_score_de
+                 AND lang_score_en >= lang_score_fr
+                 AND lang_score_en >= lang_score_es THEN 'en'
+            WHEN lang_score_de >= lang_score_fr
+                 AND lang_score_de >= lang_score_es THEN 'de'
+            WHEN lang_score_fr >= lang_score_es THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM s
+""",
+        "doc_fingerprint": """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           AS fingerprint_md5
+FROM documents
+""",
+        "dedup_exact": """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           AS fingerprint,
+       min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents
+GROUP BY 1
+""",
+        "ngram_jaccard": """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+    FROM documents),
+s AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> array_to_string(toks[i:i+2], ' ')))
+           ELSE [array_to_string(toks, ' ')] END AS sh
+    FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.sh, b.sh)))
+           * 1000000 + 0.5) AS BIGINT) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
+""",
+        "cosine_scores": """
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       CAST(floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                         CAST(c.embedding AS DOUBLE[]))
+           * 1000000 + 0.5) AS BIGINT) AS cosine_sim
+FROM embeddings q, embeddings c
+WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+""",
+        "chunk_roundtrip": """
+SELECT event_type AS series_key, ts, value AS value_double FROM events
+""",
+    }

@@ -59,12 +59,17 @@ class TimestampSource(IntEnum):
 
 
 class TimeSeriesSample(NamedTuple):
-    """Mirror of ``TimeSeriesSample`` (``TimeSeriesSample.cs:8-53``)."""
+    """Mirror of ``TimeSeriesSample`` (``TimeSeriesSample.cs:8-53``), plus
+    ``value_kind`` — the JSON kind of the source element (the reference
+    encodes this implicitly in the runtime type of ``Value``; Spark's
+    tagged-union schema needs it explicit). 0=null, 1=number, 2=string,
+    3=bool, 4=object, 5=array."""
 
     key: str
     timestamp: datetime
     value: Any
     timestamp_source: TimestampSource = TimestampSource.UNSPECIFIED
+    value_kind: int = 0
 
 
 class _ParsedTimestamp(NamedTuple):
@@ -258,7 +263,7 @@ def _build_sample(ctx: _Context, ptr: Pointer, element: Any,
         return None
     ts = ctx.timestamp_stack[-1]
     return TimeSeriesSample(key, ts.timestamp, coerce_value(ctx, ptr, element),
-                            ts.source)
+                            ts.source, value_kind(element))
 
 
 def coerce_value(ctx: _Context, ptr: Pointer, element: Any) -> Any:

@@ -1,0 +1,83 @@
+"""Chunk compression operator: samples -> binary Gorilla chunks and back.
+
+Spark has no native Gorilla codec, so this is the engine's second (and
+last) Python boundary: ``applyInPandas`` per (series_key, chunk_start)
+group — numpy arrays in, two small ``BinaryType`` blobs out. Chunking is
+by tumbling window on the timestamp (default 1 hour, mirroring Gorilla's
+2h blocks), so chunk size is bounded and group state fits memory at any
+table scale.
+
+Scale notes: the groupBy shuffles once on (series_key, chunk_start) — the
+same key domain as the rollup, so co-partitioning with rollup outputs is
+possible. Chunks are idempotent (same input -> byte-identical blob),
+making the write MERGE/resume-safe.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from json_time_series_extractor_spark.core import gorilla
+
+CHUNK_SCHEMA = (
+    "series_key string, chunk_start timestamp, n int, "
+    "ts_blob binary, val_blob binary"
+)
+
+DECODED_SCHEMA = "series_key string, ts timestamp, value_double double"
+
+
+def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("ts", kind="mergesort")  # stable: ties keep order
+    ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    values = pdf["value_double"].to_numpy(dtype="float64")
+    ts_blob, val_blob = gorilla.encode_chunk(ts_us, values)
+    return pd.DataFrame({
+        "series_key": [pdf["series_key"].iloc[0]],
+        "chunk_start": [pdf["chunk_start"].iloc[0]],
+        "n": [len(pdf)],
+        "ts_blob": [ts_blob],
+        "val_blob": [val_blob],
+    })
+
+
+def compress_chunks(samples: DataFrame, chunk_interval: str = "1 hour",
+                    *, key_col: str = "series_key", ts_col: str = "ts",
+                    value_col: str = "value_double") -> DataFrame:
+    """Pack numeric samples into per-(series, window) Gorilla chunks."""
+    prepared = (samples
+                .where(F.col(value_col).isNotNull())
+                .select(F.col(key_col).alias("series_key"),
+                        F.col(ts_col).alias("ts"),
+                        F.col(value_col).alias("value_double"),
+                        F.window(ts_col, chunk_interval)["start"]
+                        .alias("chunk_start")))
+    return (prepared
+            .groupBy("series_key", "chunk_start")
+            .applyInPandas(_encode_group, CHUNK_SCHEMA))
+
+
+def _decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    frames = []
+    for row in pdf.itertuples(index=False):
+        ts_us, values = gorilla.decode_chunk(bytes(row.ts_blob),
+                                             bytes(row.val_blob))
+        frames.append(pd.DataFrame({
+            "series_key": row.series_key,
+            "ts": pd.Series(ts_us, dtype="int64").astype("datetime64[us]"),
+            "value_double": values,
+        }))
+    if not frames:
+        return pd.DataFrame({"series_key": pd.Series(dtype="object"),
+                             "ts": pd.Series(dtype="datetime64[us]"),
+                             "value_double": pd.Series(dtype="float64")})
+    return pd.concat(frames, ignore_index=True)
+
+
+def decompress_chunks(chunks: DataFrame) -> DataFrame:
+    """Inverse of :func:`compress_chunks`: chunks -> (series_key, ts, value)."""
+    return (chunks
+            .groupBy("series_key", "chunk_start")
+            .applyInPandas(lambda pdf: _decode_group(pdf), DECODED_SCHEMA))

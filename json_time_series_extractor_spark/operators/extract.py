@@ -1,0 +1,233 @@
+"""Vectorized extraction operator: pages -> samples (the engine's UDTF).
+
+One input row (a JSON document in a string column) fans out to N sample
+rows. The dynamic document shape forces a Python walk (Catalyst cannot see
+inside arbitrary JSON), so this is the engine's single JVM->Python boundary
+on the hot path: an Arrow-batched ``mapInPandas`` running the pure-Python
+core (``..core.extractor``) per batch — never a row-at-a-time Python UDF.
+
+Scale notes (100 TB / 10^12 docs):
+- The operator is **map-only**: no shuffle. Parallelism = input splits.
+- Columns are pruned *before* the UDF (only id cols + the text column cross
+  the Arrow boundary; ``html`` is never read unless asked for).
+- The match-rule delegate is compiled once per task, not per document.
+- Output schema is narrow and fixed (tagged-union value columns), so the
+  downstream rollup shuffle moves minimal bytes.
+
+Fixed-pointer fast path: for non-recursive extraction of known scalar
+pointers with a document-level timestamp, :func:`extract_samples_fixed`
+compiles the whole operator to JVM-side ``get_json_object`` expressions —
+zero Python in the plan.
+"""
+
+from __future__ import annotations
+
+from datetime import timezone
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple, Union
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from json_time_series_extractor_spark.core.extractor import (
+    TimestampSource,
+    get_samples,
+)
+from json_time_series_extractor_spark.core.matcher import compile_match_delegate
+from json_time_series_extractor_spark.core.options import ExtractorOptions
+
+#: Output schema of the extraction operator (see FIXTURES.md F9).
+SAMPLE_SCHEMA = (
+    "url string, warc_ts timestamp, series_key string, ts timestamp, "
+    "value_double double, value_str string, value_bool boolean, "
+    "value_kind tinyint, ts_source tinyint"
+)
+
+_UTC = timezone.utc
+
+
+def extract_samples(
+    pages: DataFrame,
+    options: Union[ExtractorOptions, dict, None] = None,
+    *,
+    text_col: str = "text",
+    url_col: str = "url",
+    fallback_ts_col: Optional[str] = "warc_ts",
+) -> DataFrame:
+    """Extract time-series samples from every page.
+
+    ``fallback_ts_col`` (default ``warc_ts``) supplies the per-document
+    fallback timestamp — the reference's ``GetDefaultTimestamp`` delegate
+    (``TimeSeriesExtractorOptions.cs:142``) bound to the page's capture
+    time, so extraction stays deterministic (no wall-clock on executors).
+    """
+    if options is None:
+        options = ExtractorOptions()
+    elif isinstance(options, dict):
+        options = ExtractorOptions.from_dict(options)
+    # Fail fast on the driver; workers re-validate implicitly.
+    options.validate()
+    opts_dict = options.to_dict()
+    # Non-configurable callables (tests/advanced API) ship via cloudpickle.
+    callables = (options.get_template_replacement, options.timestamp_parser,
+                 options.can_process_element)
+
+    cols = [url_col, fallback_ts_col, text_col] if fallback_ts_col else [
+        url_col, text_col]
+
+    def extract_batches(batches: Iterable[pd.DataFrame],
+                        ) -> Iterator[pd.DataFrame]:
+        opts = ExtractorOptions.from_dict(opts_dict)
+        (opts.get_template_replacement, opts.timestamp_parser,
+         opts.can_process_element) = callables
+        # Compile the pointer-rule delegate once per task (the reference
+        # compiles once per configuration, TimeSeriesExtractor.cs:92-119).
+        if opts.can_process_element is None and (
+                opts.pointers_to_include is not None
+                or opts.pointers_to_exclude is not None):
+            opts.can_process_element = compile_match_delegate(
+                opts.pointers_to_include, opts.pointers_to_exclude,
+                opts.allow_wildcard_expressions)
+        for pdf in batches:
+            yield process_batch(pdf, opts, text_col=text_col,
+                                url_col=url_col,
+                                fallback_ts_col=fallback_ts_col)
+
+    return pages.select(*cols).mapInPandas(extract_batches, SAMPLE_SCHEMA)
+
+
+def process_batch(pdf: pd.DataFrame, opts: ExtractorOptions, *,
+                  text_col: str = "text", url_col: str = "url",
+                  fallback_ts_col: Optional[str] = "warc_ts",
+                  ) -> pd.DataFrame:
+    """Run the extraction core over one Arrow batch of pages.
+
+    Module-level (not a closure) so it is unit-testable without a cluster;
+    :func:`extract_samples` wraps it in ``mapInPandas``.
+    """
+    # Per-document fallback timestamp through a mutable cell (the
+    # reference's GetDefaultTimestamp delegate, bound per document).
+    cell: List[object] = [None]
+    opts.get_default_timestamp = lambda: cell[0]
+
+    urls: List[str] = []
+    warc: List[object] = []
+    keys: List[str] = []
+    ts_out: List[object] = []
+    v_dbl: List[Optional[float]] = []
+    v_str: List[Optional[str]] = []
+    v_bool: List[Optional[bool]] = []
+    v_kind: List[int] = []
+    ts_src: List[int] = []
+
+    text_vals = pdf[text_col].values
+    url_vals = pdf[url_col].values
+    fb_vals = pdf[fallback_ts_col] if fallback_ts_col else None
+    for i in range(len(pdf)):
+        text = text_vals[i]
+        if text is None:
+            continue
+        warc_naive = None
+        cell[0] = None
+        if fb_vals is not None:
+            fb = fb_vals.iloc[i]
+            if not pd.isnull(fb):
+                warc_naive = fb.to_pydatetime()
+                cell[0] = warc_naive.replace(tzinfo=_UTC)
+        url = url_vals[i]
+        for sample in get_samples(text, opts):
+            urls.append(url)
+            warc.append(warc_naive)
+            keys.append(sample.key)
+            ts = sample.timestamp
+            ts_out.append(ts.astimezone(_UTC).replace(tzinfo=None)
+                          if ts.tzinfo is not None else ts)
+            value = sample.value
+            kind = sample.value_kind
+            v_kind.append(kind)
+            ts_src.append(int(sample.timestamp_source))
+            if kind == 1:
+                v_dbl.append(float(value))
+                v_str.append(None)
+                v_bool.append(None)
+            elif kind == 3:
+                v_dbl.append(None)
+                v_str.append(None)
+                v_bool.append(bool(value))
+            elif kind == 0:
+                v_dbl.append(None)
+                v_str.append(None)
+                v_bool.append(None)
+            else:  # string / raw-text object / raw-text array
+                v_dbl.append(None)
+                v_str.append(str(value))
+                v_bool.append(None)
+
+    return pd.DataFrame({
+        "url": pd.Series(urls, dtype="object"),
+        "warc_ts": pd.Series(warc, dtype="datetime64[us]"),
+        "series_key": pd.Series(keys, dtype="object"),
+        "ts": pd.Series(ts_out, dtype="datetime64[us]"),
+        "value_double": pd.Series(v_dbl, dtype="float64"),
+        "value_str": pd.Series(v_str, dtype="object"),
+        "value_bool": pd.Series(v_bool, dtype="object"),
+        "value_kind": pd.Series(v_kind, dtype="int8"),
+        "ts_source": pd.Series(ts_src, dtype="int8"),
+    })
+
+
+def extract_samples_fixed(
+    pages: DataFrame,
+    pointers: Sequence[Tuple[str, str]],
+    *,
+    timestamp_pointer: Optional[str] = "/time",
+    text_col: str = "text",
+    url_col: str = "url",
+    fallback_ts_col: str = "warc_ts",
+) -> DataFrame:
+    """JVM-only fast path for *fixed scalar pointers* (no recursion, no
+    wildcards): each ``(series_key, json_pointer)`` compiles to a
+    ``get_json_object`` projection + ``explode`` — whole-stage codegen,
+    no Python workers.
+
+    Semantics parity with the general operator for this restricted shape:
+    numbers -> double, document-level timestamp with warc_ts fallback.
+    """
+    def jpath(pointer: str) -> str:
+        segs = [s for s in pointer.split("/") if s != ""]
+        return "$." + ".".join(segs)
+
+    ts_doc = (F.to_timestamp(F.get_json_object(F.col(text_col),
+                                               jpath(timestamp_pointer)))
+              if timestamp_pointer else F.lit(None).cast("timestamp"))
+
+    entries = F.array(*[
+        F.struct(
+            F.lit(key).alias("series_key"),
+            F.get_json_object(F.col(text_col), jpath(ptr)).cast("double")
+            .alias("value_double"),
+        )
+        for key, ptr in pointers
+    ])
+
+    return (pages
+            .select(
+                F.col(url_col).alias("url"),
+                F.col(fallback_ts_col).alias("warc_ts"),
+                ts_doc.alias("_doc_ts"),
+                F.explode(entries).alias("kv"))
+            .select(
+                "url", "warc_ts",
+                F.col("kv.series_key").alias("series_key"),
+                F.coalesce(F.col("_doc_ts"), F.col(fallback_ts_col))
+                .alias("ts"),
+                F.col("kv.value_double").alias("value_double"),
+                F.lit(None).cast("string").alias("value_str"),
+                F.lit(None).cast("boolean").alias("value_bool"),
+                F.when(F.col("kv.value_double").isNotNull(), F.lit(1))
+                .otherwise(F.lit(0)).cast("tinyint").alias("value_kind"),
+                F.when(F.col("_doc_ts").isNotNull(),
+                       F.lit(int(TimestampSource.DOCUMENT)))
+                .otherwise(F.lit(int(TimestampSource.FALLBACK_PROVIDER)))
+                .cast("tinyint").alias("ts_source"),
+            ))

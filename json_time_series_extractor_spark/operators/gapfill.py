@@ -1,0 +1,103 @@
+"""Gap-fill over rollup tiers: LOCF and linear interpolation.
+
+Both are expressed with stock Catalyst primitives:
+
+1. Build the dense per-series bucket grid with
+   ``sequence(min_bucket, max_bucket, interval)`` + ``explode`` — generated
+   distributed, sized per series (never a driver-side loop or a global
+   calendar cross-join).
+2. Left-join the rollup onto the grid on (series_key, bucket_ts). The join
+   keys share the partitioning of the rollup output, and AQE picks
+   broadcast when the grid is small.
+3. Fill with window functions over each series ordered by bucket:
+   - LOCF: ``last(value, ignorenulls) over (unbounded preceding .. current)``
+   - linear: previous/next known (bucket, value) pairs via
+     ``last/first ignorenulls`` + slope arithmetic; buckets outside the
+     known range stay null (standard ``interpolate`` semantics — LOCF is
+     the operator that extends the last value forward).
+
+Scale notes: the window is partitioned by series_key — no global sort. A
+single series' grid must fit a partition, which holds for any realistic
+retention (e.g. 1-minute buckets x 90 days = 130k rows/series).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _grid(rollup_df: DataFrame, interval: str) -> DataFrame:
+    return (
+        rollup_df
+        .groupBy("series_key")
+        .agg(F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi"))
+        .select(
+            "series_key",
+            F.explode(F.expr(f"sequence(_lo, _hi, interval {interval})"))
+            .alias("bucket_ts"))
+    )
+
+
+def gapfill_locf(rollup_df: DataFrame, interval: str = "1 minute",
+                 value_col: str = "mean") -> DataFrame:
+    """Dense grid with last-observation-carried-forward values.
+
+    Output: (series_key, bucket_ts, value, filled) where ``filled`` marks
+    grid buckets that had no data.
+    """
+    grid = _grid(rollup_df, interval)
+    joined = grid.join(
+        rollup_df.select("series_key", "bucket_ts",
+                         F.col(value_col).alias("_v")),
+        on=["series_key", "bucket_ts"], how="left")
+    w = (Window.partitionBy("series_key").orderBy("bucket_ts")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return joined.select(
+        "series_key", "bucket_ts",
+        F.last("_v", ignorenulls=True).over(w).alias("value"),
+        F.col("_v").isNull().alias("filled"),
+    )
+
+
+def gapfill_linear(rollup_df: DataFrame, interval: str = "1 minute",
+                   value_col: str = "mean") -> DataFrame:
+    """Dense grid with linear interpolation between neighbouring known
+    points; leading/trailing buckets (no neighbour on one side) stay null.
+    """
+    grid = _grid(rollup_df, interval)
+    joined = grid.join(
+        rollup_df.select("series_key", "bucket_ts",
+                         F.col(value_col).alias("_v")),
+        on=["series_key", "bucket_ts"], how="left")
+
+    # Both "previous known" and "next known" are running (unbounded
+    # PRECEDING) frames — the next-known side simply orders descending.
+    # An unbounded-FOLLOWING frame would be O(n^2) per partition in Spark
+    # (the frame is re-scanned per row); the running frame is O(n).
+    past = (Window.partitionBy("series_key").orderBy("bucket_ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    future = (Window.partitionBy("series_key")
+              .orderBy(F.col("bucket_ts").desc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    known_ts = F.when(F.col("_v").isNotNull(), F.col("bucket_ts"))
+    prev_v = F.last("_v", ignorenulls=True).over(past)
+    prev_t = F.last(known_ts, ignorenulls=True).over(past)
+    next_v = F.last("_v", ignorenulls=True).over(future)
+    next_t = F.last(known_ts, ignorenulls=True).over(future)
+
+    t = F.unix_timestamp("bucket_ts")
+    t0 = F.unix_timestamp(prev_t)
+    t1 = F.unix_timestamp(next_t)
+
+    interpolated = (
+        F.when(F.col("_v").isNotNull(), F.col("_v"))
+        .when(prev_v.isNotNull() & next_v.isNotNull(),
+              prev_v + (next_v - prev_v) * (t - t0) / (t1 - t0))
+        .otherwise(F.lit(None)))
+
+    return joined.select(
+        "series_key", "bucket_ts",
+        interpolated.alias("value"),
+        F.col("_v").isNull().alias("filled"),
+    )

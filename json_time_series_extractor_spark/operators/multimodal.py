@@ -1,0 +1,140 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with a typed metadata struct;
+the Spark-side plumbing (schemas, partition-friendly batch iteration,
+Arrow-batched UDF signatures) is real and tested. The actual media codecs
+(PIL/ffmpeg/librosa) are NOT in this container, so the decode kernels are
+stubbed: ``decode_stub="fake"`` derives deterministic features from the
+bytes (so pipelines are testable end-to-end), while ``decode_stub="raise"``
+marks where a real decoder plugs in.
+
+At 100 TB scale the iterator-of-batches ``mapInPandas`` shape matters:
+one media blob can be tens of MB, so the UDF must stream batches rather
+than materialize a partition, and the metadata struct lets Catalyst prune
+the blob column entirely for metadata-only queries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+#: Typed metadata carried alongside every media blob.
+MEDIA_META_SCHEMA = (
+    "media_type string, mime string, width int, height int, "
+    "duration_ms int, size_bytes long"
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, width int, height int, n_channels int, "
+    "mean_luma double, phash long"
+)
+
+FRAME_SAMPLE_SCHEMA = (
+    "media_id long, frame_index int, frame_ts_ms int, frame binary"
+)
+
+
+def attach_media_metadata(df: DataFrame, blob_col: str = "media",
+                          media_type: str = "image",
+                          mime: str = "application/octet-stream") -> DataFrame:
+    """Derive the typed metadata struct from the blob (cheap JVM-side:
+    size from ``length``; intrinsic dims unknown until decode -> null)."""
+    return df.withColumn("media_meta", F.struct(
+        F.lit(media_type).alias("media_type"),
+        F.lit(mime).alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.length(F.col(blob_col)).cast("long").alias("size_bytes")))
+
+
+def _fake_image_features(blob: bytes) -> tuple:
+    """Deterministic stand-in for a real image decode: features derived
+    from a sha256 of the bytes. Replaces PIL decode in this container."""
+    digest = hashlib.sha256(blob).digest()
+    width = 64 + digest[0]
+    height = 64 + digest[1]
+    n_channels = 1 + (digest[2] % 4)
+    mean_luma = digest[3] / 255.0
+    phash = int.from_bytes(digest[4:12], "big", signed=True)
+    return width, height, n_channels, mean_luma, phash
+
+
+def extract_image_features(df: DataFrame, *, id_col: str = "media_id",
+                           blob_col: str = "media",
+                           decode_stub: str = "fake") -> DataFrame:
+    """Decode + feature-extract images via Arrow-batched ``mapInPandas``.
+
+    ``decode_stub='fake'``: deterministic hash-derived features (testable
+    plumbing). ``decode_stub='raise'``: placeholder for a real decoder.
+    """
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "real image decode requires PIL/opencv — not available "
+                    "in this container; plug the decoder in here")
+            rows = [(_fake_image_features(bytes(b))) for b in pdf[blob_col]]
+            feats = pd.DataFrame(
+                rows, columns=["width", "height", "n_channels",
+                               "mean_luma", "phash"])
+            feats.insert(0, "media_id", pdf[id_col].values)
+            yield feats
+
+    return df.select(id_col, blob_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000, *,
+                        id_col: str = "media_id", blob_col: str = "media",
+                        duration_col: str = "duration_ms",
+                        decode_stub: str = "fake") -> DataFrame:
+    """Frame-sampling plumbing: one video row -> N frame rows (UDTF shape).
+
+    The fake decoder emits one deterministic pseudo-frame per sample point;
+    a real implementation would seek with ffmpeg at the same points.
+    """
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "real video decode requires ffmpeg — not available in "
+                    "this container; plug the decoder in here")
+            out_id, out_idx, out_ts, out_frame = [], [], [], []
+            for mid, blob, dur in zip(pdf[id_col], pdf[blob_col],
+                                      pdf[duration_col]):
+                dur = int(dur) if not pd.isnull(dur) else 0
+                for idx, t in enumerate(range(0, max(dur, 1), every_ms)):
+                    seed = hashlib.sha256(
+                        bytes(blob) + t.to_bytes(8, "big")).digest()
+                    out_id.append(mid)
+                    out_idx.append(idx)
+                    out_ts.append(t)
+                    out_frame.append(seed)
+            yield pd.DataFrame({
+                "media_id": pd.Series(out_id, dtype="int64"),
+                "frame_index": pd.Series(out_idx, dtype="int32"),
+                "frame_ts_ms": pd.Series(out_ts, dtype="int32"),
+                "frame": pd.Series(out_frame, dtype="object"),
+            })
+
+    return df.select(id_col, blob_col, duration_col).mapInPandas(
+        run, FRAME_SAMPLE_SCHEMA)
+
+
+def synthesize_media(spark, n: int, kind: str = "image") -> DataFrame:
+    """Deterministic fake media table for tests/benchmarks: blob bytes are
+    a hash-seeded function of the row id (no randomness, no files)."""
+    df = spark.range(n)
+    blob = F.sha2(F.col("id").cast("string"), 512).cast("binary")
+    out = df.select(
+        F.col("id").alias("media_id"),
+        blob.alias("media"),
+        (F.pmod(F.xxhash64("id"), F.lit(30_000)) + 1000).cast("int")
+        .alias("duration_ms"))
+    return attach_media_metadata(out, "media", media_type=kind)

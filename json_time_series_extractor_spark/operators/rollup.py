@@ -1,0 +1,159 @@
+"""Tiered continuous-aggregate rollups (raw -> 1m -> 1h -> 1d).
+
+TimescaleDB-style continuous aggregates expressed as stock Catalyst
+aggregations — everything here is JVM-side whole-stage codegen; no Python.
+
+Mergeability across tiers (the cascade re-aggregates the child tier, never
+the raw data):
+
+- ``min``/``max``: min of mins / max of maxes,
+- ``count``: sum of counts,
+- ``sum``: sum of sums — kept so ``mean`` = sum/count stays exact,
+- ``last``: ``max_by(value, ts)`` — value at the greatest timestamp. In the
+  cascade this is always deterministic (child buckets have distinct
+  ``last_ts``). In the raw rollup, ties on *exactly equal* timestamps within
+  one (key, window) are implementation-defined; pass
+  ``deterministic_last=True`` to break ties by value via
+  ``max(struct(ts, value))`` instead — exact for oracle comparison and
+  resume idempotency, but it forces a SortAggregate (struct-typed buffers
+  are not hash-aggregable), so the fast hash-agg path is the default.
+
+Scale notes: the 1m rollup is the first shuffle of the pipeline, hash
+partitioned on (series_key, window). Hot keys are handled by the salted
+two-phase variant (:func:`rollup_salted`): partial aggregate per
+(key, salt, window) — a manual map-side combine for the pathological case —
+then a final merge over the tiny partial table. Tier cascades shuffle
+progressively less data (1m -> 1h is a 60x reduction).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Canonical tier windows, child -> parent.
+TIERS = ("1 minute", "1 hour", "1 day")
+
+
+def _bucket(ts_col: str, tier: str) -> Column:
+    """Tumbling-window bucket start. Epoch-aligned, identical to
+    ``date_trunc`` for the canonical tiers (minute/hour/day)."""
+    return F.window(ts_col, tier)["start"]
+
+
+def _last_agg(ts_col: Column, v: Column, deterministic: bool) -> Column:
+    if deterministic:
+        return F.max(F.struct(ts_col.alias("t"), v.alias("v")))["v"]
+    return F.max_by(v, ts_col)
+
+
+def rollup(
+    samples: DataFrame,
+    tier: str = "1 minute",
+    *,
+    key_col: str = "series_key",
+    ts_col: str = "ts",
+    value_col: str = "value_double",
+    deterministic_last: bool = False,
+) -> DataFrame:
+    """Aggregate raw samples into one tier:
+    (series_key, bucket_ts, min, max, sum, count, mean, last, last_ts).
+
+    Null values (non-numeric samples) are excluded, like an aggregate over
+    a measure column in SQL.
+    """
+    v = F.col(value_col)
+    return (
+        samples
+        .where(v.isNotNull())
+        .groupBy(F.col(key_col).alias("series_key"),
+                 _bucket(ts_col, tier).alias("bucket_ts"))
+        .agg(
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+            F.sum(v).alias("sum"),
+            F.count(v).alias("count"),
+            (F.sum(v) / F.count(v)).alias("mean"),
+            _last_agg(F.col(ts_col), v, deterministic_last).alias("last"),
+            F.max(ts_col).alias("last_ts"),
+        )
+    )
+
+
+def rollup_cascade(child: DataFrame, tier: str) -> DataFrame:
+    """Re-aggregate a finer tier into a coarser one using only mergeable
+    state (never touches raw data). ``max_by(last, last_ts)`` is
+    deterministic here: child buckets have pairwise-distinct ``last_ts``."""
+    return (
+        child
+        .groupBy("series_key", _bucket("bucket_ts", tier).alias("bucket_ts"))
+        .agg(
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.sum("sum").alias("sum"),
+            F.sum("count").alias("count"),
+            (F.sum("sum") / F.sum("count")).alias("mean"),
+            F.max_by("last", "last_ts").alias("last"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )
+
+
+def rollup_salted(
+    samples: DataFrame,
+    tier: str = "1 minute",
+    *,
+    key_col: str = "series_key",
+    ts_col: str = "ts",
+    value_col: str = "value_double",
+    salt_buckets: int = 16,
+    hot_keys: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Skew-safe two-phase rollup.
+
+    Phase 1 aggregates per (key, window, salt) — the salt spreads a hot
+    (key, window) over ``salt_buckets`` reducers; phase 2 merges the salted
+    partials (tiny) into final buckets. With ``hot_keys`` (a one-column
+    DataFrame of known-heavy keys, broadcast) only hot keys are salted and
+    cold keys keep salt 0, so the second shuffle stays minimal.
+
+    Results are identical to :func:`rollup` (all aggregates are mergeable).
+    """
+    v = F.col(value_col)
+    salt = F.pmod(F.xxhash64(ts_col, F.lit(7)), F.lit(salt_buckets))
+    if hot_keys is not None:
+        hot = F.broadcast(
+            hot_keys.select(F.col(hot_keys.columns[0]).alias(key_col))
+            .withColumn("_hot", F.lit(True)))
+        samples = samples.join(hot, on=key_col, how="left")
+        salt = F.when(F.col("_hot").isNotNull(), salt).otherwise(F.lit(0))
+
+    partial = (
+        samples
+        .where(v.isNotNull())
+        .groupBy(F.col(key_col).alias("series_key"),
+                 _bucket(ts_col, tier).alias("bucket_ts"),
+                 salt.alias("_salt"))
+        .agg(
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+            F.sum(v).alias("sum"),
+            F.count(v).alias("count"),
+            F.max_by(v, ts_col).alias("last"),
+            F.max(ts_col).alias("last_ts"),
+        )
+    )
+    return (
+        partial
+        .groupBy("series_key", "bucket_ts")
+        .agg(
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.sum("sum").alias("sum"),
+            F.sum("count").alias("count"),
+            (F.sum("sum") / F.sum("count")).alias("mean"),
+            F.max_by("last", "last_ts").alias("last"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )

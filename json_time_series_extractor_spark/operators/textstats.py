@@ -1,0 +1,129 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions — JVM-side, whole-stage codegen, no Python
+workers anywhere. Each function adds columns to a documents DataFrame
+(``doc_id``, ``text``-shaped input; any extra columns pass through).
+
+Operators:
+- token counting (whitespace + a BPE-ish regex variant),
+- quality scoring (length / punctuation / stopword / word-length signals),
+- language ID (marker-word n-gram heuristic with deterministic tie-break),
+- document fingerprinting (normalized md5 + a shingle-based rolling hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Marker words per language for the heuristic language ID.
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|in|is)\b",
+    "de": r"\b(der|die|und|das|ist|nicht)\b",
+    "fr": r"\b(le|la|les|et|est|une)\b",
+    "es": r"\b(el|los|las|es|una|que)\b",
+}
+
+#: BPE-ish token pattern: word pieces, numbers, or single non-space symbols.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Non-empty whitespace-separated tokens."""
+    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Tokens under a BPE-ish regex (letters / digits / single symbols)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def with_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return (docs
+            .withColumn("n_tokens", token_count(t))
+            .withColumn("n_tokens_bpe", bpe_ish_token_count(t)))
+
+
+def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword-ratio quality signals + composite score.
+
+    The composite is a simple bounded heuristic: high stopword presence and
+    moderate word length are good; extreme punctuation density is bad.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tok = token_count(t)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
+    n_stop = F.size(F.regexp_extract_all(
+        F.lower(t), F.lit(r"\b(the|and|of|to|a|in|is|it|that|for)\b"), 0))
+    mean_word_len = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    score = (
+        F.least(stop_ratio * 2.0, F.lit(1.0)) * 0.5
+        + F.when((mean_word_len >= 3.0) & (mean_word_len <= 10.0),
+                 F.lit(1.0)).otherwise(F.lit(0.0)) * 0.3
+        + F.when(punct_ratio < 0.1, F.lit(1.0)).otherwise(F.lit(0.0)) * 0.2)
+    return (docs
+            .withColumn("n_chars_calc", n_chars)
+            .withColumn("n_tokens", n_tok)
+            .withColumn("punct_ratio", F.round(punct_ratio, 6))
+            .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+            .withColumn("mean_word_len", F.round(mean_word_len, 6))
+            .withColumn("quality_score", F.round(score, 6)))
+
+
+def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language scores + argmax prediction (ties break by the
+    fixed preference order en > de > fr > es; 'und' = undetermined when all
+    scores are zero)."""
+    t = F.lower(F.col(text_col))
+    scores = {lang: F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+              for lang, pat in LANG_MARKERS.items()}
+    s = {k: F.col(f"lang_score_{k}") for k in LANG_MARKERS}
+    pred = (
+        F.when((s["en"] <= 0) & (s["de"] <= 0) & (s["fr"] <= 0)
+               & (s["es"] <= 0), F.lit("und"))
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["fr"])
+              & (s["en"] >= s["es"]), F.lit("en"))
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), F.lit("de"))
+        .when(s["fr"] >= s["es"], F.lit("fr"))
+        .otherwise(F.lit("es")))
+    out = docs
+    for lang, score in scores.items():
+        out = out.withColumn(f"lang_score_{lang}", score)
+    return out.withColumn("lang_pred", pred)
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    """md5 of casefolded, whitespace-collapsed text — near-dup-robust to
+    spacing/case-only edits."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def rolling_shingle_fingerprint(text: Column, n: int = 3) -> Column:
+    """Order-sensitive document fingerprint: xor-fold of hashed word
+    ``n``-grams (a rolling-hash analog that is pure-expression friendly)."""
+    toks = tokens(F.lower(text))
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.xxhash64(F.concat_ws(" ",
+                                                     F.slice(toks, i + 1, n)))),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+    # xor-fold via aggregate: order-insensitive-safe reduction of the
+    # shingle hash multiset (xor is associative/commutative).
+    return F.aggregate(shingles, F.lit(0).cast("long"),
+                       lambda acc, x: acc.bitwiseXOR(x))
+
+
+def with_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return (docs
+            .withColumn("fingerprint_md5", normalized_fingerprint(t))
+            .withColumn("fingerprint_shingle",
+                        rolling_shingle_fingerprint(t)))

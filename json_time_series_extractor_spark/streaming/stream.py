@@ -1,0 +1,73 @@
+"""Structured Streaming wrapper for the extract -> rollup pipeline.
+
+The engine is batch-first (the north rule asks for batch + resumable
+checkpoints); streaming is a thin shell that reuses the exact same
+operators — ``extract_samples`` (mapInPandas works unchanged on streaming
+DataFrames) and the same aggregate expressions as ``operators.rollup`` —
+with a watermark for late data. Late rows beyond the watermark are dropped
+by Spark; the watermark column is the sample timestamp.
+
+``last`` uses ``max_by(value, ts)`` which is supported in streaming
+aggregations; the tier cascade applies downstream of the sink in batch
+(streaming-to-streaming cascades would need multiple queries sharing a
+sink — out of scope for the shell).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from json_time_series_extractor_spark.core.options import ExtractorOptions
+from json_time_series_extractor_spark.operators.extract import extract_samples
+
+PAGES_DDL = ("url string, warc_ts timestamp, html binary, text string, "
+             "lang string")
+
+
+def read_pages_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 16) -> DataFrame:
+    """File-based streaming source over a pages directory (parquet).
+    On a real deployment this is Kafka/Kinesis with the same schema."""
+    return (spark.readStream
+            .schema(PAGES_DDL)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(path))
+
+
+def streaming_rollup(pages_stream: DataFrame,
+                     options: Union[ExtractorOptions, dict, None],
+                     tier: str = "1 minute",
+                     watermark: str = "10 minutes") -> DataFrame:
+    """extract -> watermark -> tumbling-window rollup, append-mode ready."""
+    samples = extract_samples(pages_stream, options)
+    v = F.col("value_double")
+    return (samples
+            .where(v.isNotNull())
+            .withWatermark("ts", watermark)
+            .groupBy("series_key", F.window("ts", tier))
+            .agg(F.min(v).alias("min"),
+                 F.max(v).alias("max"),
+                 F.sum(v).alias("sum"),
+                 F.count(v).alias("count"),
+                 (F.sum(v) / F.count(v)).alias("mean"),
+                 F.max_by(v, F.col("ts")).alias("last"),
+                 F.max("ts").alias("last_ts"))
+            .select("series_key", F.col("window.start").alias("bucket_ts"),
+                    "min", "max", "sum", "count", "mean", "last", "last_ts"))
+
+
+def run_to_memory_sink(rollup_stream: DataFrame, query_name: str,
+                       checkpoint_dir: Optional[str] = None):
+    """Drive a streaming rollup to a memory sink synchronously (tests /
+    smoke); returns the StreamingQuery after draining available input."""
+    writer = (rollup_stream.writeStream
+              .outputMode("append")
+              .format("memory")
+              .queryName(query_name))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    query = writer.start()
+    query.processAllAvailable()
+    return query

@@ -1,0 +1,98 @@
+"""Round-trip and property tests for the Gorilla chunk codec + operator."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from json_time_series_extractor_spark.core import gorilla
+
+
+def roundtrip_ts(ts):
+    return gorilla.decode_timestamps(gorilla.encode_timestamps(ts))
+
+
+def roundtrip_vals(vals):
+    return gorilla.decode_values(gorilla.encode_values(vals))
+
+
+def test_timestamps_regular_interval_compress_well():
+    ts = np.arange(0, 3600, 60, dtype=np.int64) * 1_000_000
+    blob = gorilla.encode_timestamps(ts)
+    assert list(roundtrip_ts(ts)) == list(ts)
+    # 60 timestamps x 8 bytes = 480 raw; DoD==0 after the first two -> tiny.
+    assert len(blob) < 30
+
+
+def test_timestamps_irregular():
+    ts = [0, 1, 10, 11, 1_000_000_000, 1_000_000_001, 2**40, 2**40 + 7]
+    assert list(roundtrip_ts(ts)) == ts
+
+
+def test_timestamps_empty_single():
+    assert list(roundtrip_ts([])) == []
+    assert list(roundtrip_ts([1234567])) == [1234567]
+    assert list(roundtrip_ts([-5, -3])) == [-5, -3]
+
+
+def test_values_repeated_compress_to_one_bit_each():
+    vals = [42.5] * 1000
+    blob = gorilla.encode_values(vals)
+    assert list(roundtrip_vals(vals)) == vals
+    assert len(blob) < 4 + 8 + 1000 // 8 + 2
+
+
+def test_values_specials_bit_exact():
+    vals = [0.0, -0.0, math.nan, math.inf, -math.inf, 1e-300, -1e300]
+    out = roundtrip_vals(vals)
+    assert (np.asarray(vals).view(np.uint64) == out.view(np.uint64)).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=True,
+                          width=64), max_size=60))
+def test_values_roundtrip_property(vals):
+    out = roundtrip_vals(vals)
+    assert (np.asarray(vals, dtype=np.float64).view(np.uint64)
+            == out.view(np.uint64)).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-2**62, max_value=2**62), max_size=60))
+def test_timestamps_roundtrip_property(deltas):
+    ts = np.cumsum(np.asarray(deltas, dtype=np.int64))
+    # Keep within int64 after cumsum (hypothesis values bounded above).
+    assert list(roundtrip_ts(ts)) == list(ts)
+
+
+def test_chunk_operator_roundtrip(spark):
+    from json_time_series_extractor_spark.operators.chunks import (
+        compress_chunks,
+        decompress_chunks,
+    )
+
+    def ts(minute, second=0):
+        return datetime(2024, 2, 5, 16 + minute // 60, minute % 60, second)
+
+    rows = [("a", ts(i), float(np.sin(i)) * 100) for i in range(150)] + \
+           [("b", ts(i, 30), 7.0) for i in range(150)]
+    samples = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+    chunks = compress_chunks(samples, "1 hour")
+    got_chunks = chunks.collect()
+    # 150 minutes spans 3 distinct hours per key.
+    assert len(got_chunks) == 6
+    assert all(r.n > 0 for r in got_chunks)
+    # Compression works: blobs much smaller than 16 bytes/point.
+    total_blob = sum(len(r.ts_blob) + len(r.val_blob) for r in got_chunks)
+    assert total_blob < 300 * 16 * 0.7
+
+    decoded = sorted(
+        (r.series_key, r.ts, r.value_double)
+        for r in decompress_chunks(chunks).collect())
+    assert decoded == sorted(rows)

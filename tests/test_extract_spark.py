@@ -1,0 +1,102 @@
+"""End-to-end tests for the Spark extraction operator and synthetic pages."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from json_time_series_extractor_spark.core.extractor import TimestampSource
+from json_time_series_extractor_spark.operators.extract import (
+    extract_samples,
+    extract_samples_fixed,
+)
+from json_time_series_extractor_spark.sources.pages import (
+    PAGES_EXTRACT_OPTIONS,
+    synthesize_pages,
+)
+
+UTC = timezone.utc
+
+
+def dumps(obj) -> str:
+    return json.dumps(obj, separators=(",", ":"))
+
+
+def test_extract_matches_pure_core(spark):
+    """The Spark operator must produce exactly the pure core's samples."""
+    doc = dumps({"body": {"data": [
+        {"t": "Instrument-1", "ts": "2024-02-05T16:13:50.4156498Z", "v": 20476},
+        {"t": "Instrument-2", "ts": "2024-02-05T16:13:50Z", "v": 2047.5999999999995},
+        {"t": "Instrument-2", "ts": "2024-02-05T16:13:55Z", "v": 2050},
+    ]}})
+    pages = spark.createDataFrame(
+        [("https://a.example/1", datetime(2024, 2, 5, 16, 0, 0), doc)],
+        "url string, warc_ts timestamp, text string")
+    out = extract_samples(pages, PAGES_EXTRACT_OPTIONS).collect()
+    assert [(r.series_key, r.value_double) for r in out] == [
+        ("Instrument-1", 20476.0),
+        ("Instrument-2", 2047.5999999999995),
+        ("Instrument-2", 2050.0),
+    ]
+    assert out[0].ts == datetime(2024, 2, 5, 16, 13, 50, 415649)
+    assert all(r.ts_source == int(TimestampSource.DOCUMENT) for r in out)
+    assert all(r.value_kind == 1 for r in out)
+
+
+def test_extract_fallback_timestamp_uses_warc_ts(spark):
+    pages = spark.createDataFrame(
+        [("u1", datetime(2024, 2, 5, 12, 0, 0), dumps({"value": 99})),
+         ("u2", datetime(2024, 2, 5, 13, 0, 0), dumps({"value": 1}))],
+        "url string, warc_ts timestamp, text string")
+    out = {r.url: r for r in extract_samples(pages, {}).collect()}
+    assert out["u1"].ts == datetime(2024, 2, 5, 12, 0, 0)
+    assert out["u2"].ts == datetime(2024, 2, 5, 13, 0, 0)
+    assert out["u1"].ts_source == int(TimestampSource.FALLBACK_PROVIDER)
+
+
+def test_extract_tagged_union_value_columns(spark):
+    doc = dumps({"time": "2024-02-05T16:00:00Z", "n": 1.5, "s": "x",
+                 "b": True, "z": None, "o": {"a": 1}})
+    pages = spark.createDataFrame(
+        [("u", datetime(2024, 2, 5), doc)],
+        "url string, warc_ts timestamp, text string")
+    rows = {r.series_key: r for r in extract_samples(pages, {}).collect()}
+    assert rows["n"].value_double == 1.5 and rows["n"].value_kind == 1
+    assert rows["s"].value_str == "x" and rows["s"].value_kind == 2
+    assert rows["b"].value_bool is True and rows["b"].value_kind == 3
+    assert rows["z"].value_kind == 0
+    assert rows["o"].value_str == '{"a":1}' and rows["o"].value_kind == 4
+
+
+def test_synthesized_pages_are_deterministic_and_extractable(spark):
+    a = synthesize_pages(spark, 50).collect()
+    b = synthesize_pages(spark, 50).collect()
+    assert a == b
+    assert all(r.url.startswith("https://host") for r in a)
+    assert all(r.text.startswith('{"body":{"data":[') for r in a)
+    # 3 measurements per page
+    samples = extract_samples(
+        synthesize_pages(spark, 50), PAGES_EXTRACT_OPTIONS)
+    assert samples.count() == 150
+    keys = {r.series_key for r in samples.select("series_key").distinct().collect()}
+    assert keys == {"fetch_latency_ms", "page_size_bytes", "lang_count"}
+
+
+def test_fixed_pointer_fast_path_has_no_python(spark):
+    pages = spark.createDataFrame(
+        [("u", datetime(2024, 2, 5), dumps(
+            {"time": "2024-02-05T16:00:00Z", "a": {"b": 2.5}, "c": 7}))],
+        "url string, warc_ts timestamp, text string")
+    out = extract_samples_fixed(
+        pages, [("ab", "/a/b"), ("c", "/c")], timestamp_pointer="/time")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan and "Python" not in plan
+    rows = {r.series_key: r for r in out.collect()}
+    assert rows["ab"].value_double == 2.5
+    assert rows["c"].value_double == 7.0
+    assert rows["ab"].ts == datetime(2024, 2, 5, 16, 0, 0)
+    assert rows["ab"].ts_source == int(TimestampSource.DOCUMENT)

@@ -1,0 +1,131 @@
+"""Resume/lineage and streaming-shell tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from json_time_series_extractor_spark.operators.rollup import rollup
+from json_time_series_extractor_spark.plans.pipeline import (
+    LineageStore,
+    run_partitioned_stage,
+)
+from json_time_series_extractor_spark.sources.pages import (
+    PAGES_EXTRACT_OPTIONS,
+    synthesize_pages,
+)
+from json_time_series_extractor_spark.operators.extract import extract_samples
+
+
+@pytest.fixture()
+def pages_small(spark):
+    return synthesize_pages(spark, 300).withColumn("dt",
+                                                   F.to_date("warc_ts"))
+
+
+def _transform(pages):
+    samples = extract_samples(
+        pages.withColumnRenamed("dt", "_dt"), PAGES_EXTRACT_OPTIONS)
+    out = rollup(samples, "1 hour")
+    return out.withColumn("dt", F.to_date("bucket_ts"))
+
+
+def test_stage_runs_then_resumes_noop(spark, pages_small, tmp_path):
+    out_path = str(tmp_path / "rollup_1h")
+    lineage_path = str(tmp_path / "lineage")
+
+    r1 = run_partitioned_stage(
+        spark, stage="rollup_1h", input_df=pages_small, partition_col="dt",
+        transform=_transform, output_path=out_path,
+        lineage_path=lineage_path)
+    assert len(r1.processed) >= 2 and not r1.skipped
+    first = sorted(spark.read.parquet(out_path).collect())
+
+    # Re-run: everything already DONE -> no work, identical output.
+    r2 = run_partitioned_stage(
+        spark, stage="rollup_1h", input_df=pages_small, partition_col="dt",
+        transform=_transform, output_path=out_path,
+        lineage_path=lineage_path)
+    assert not r2.processed
+    assert sorted(r2.skipped) == sorted(r1.processed)
+    assert sorted(spark.read.parquet(out_path).collect()) == first
+
+
+def test_stage_resumes_partially_after_simulated_crash(spark, pages_small,
+                                                       tmp_path):
+    """Simulate a crash after partition 1 of N committed: pre-seed lineage
+    with one DONE row, then run — only the remaining partitions process,
+    and the final output equals a from-scratch run."""
+    out_path = str(tmp_path / "out")
+    lineage_path = str(tmp_path / "lineage")
+    full_path = str(tmp_path / "full")
+
+    # Ground truth: full run into a separate location.
+    run_partitioned_stage(
+        spark, stage="s", input_df=pages_small, partition_col="dt",
+        transform=_transform, output_path=full_path,
+        lineage_path=str(tmp_path / "lineage_full"))
+    truth = sorted(spark.read.parquet(full_path).collect())
+
+    parts = sorted(str(r[0]) for r in
+                   pages_small.select("dt").distinct().collect())
+    crashed_done = parts[0]
+
+    # "Crashed" state: first partition written + committed, rest missing.
+    subset = pages_small.where(F.col("dt").cast("string") == crashed_done)
+    _transform(subset).write.mode("overwrite").partitionBy("dt") \
+        .parquet(out_path)
+    LineageStore(spark, lineage_path).append(
+        [("s", crashed_done, "run-crashed", 0, 0, 0, "DONE")])
+
+    r = run_partitioned_stage(
+        spark, stage="s", input_df=pages_small, partition_col="dt",
+        transform=_transform, output_path=out_path,
+        lineage_path=lineage_path)
+    assert crashed_done in r.skipped
+    assert sorted(r.processed) == parts[1:]
+    assert sorted(spark.read.parquet(out_path).collect()) == truth
+
+    # Lineage counters recorded for resumed partitions.
+    lin = spark.read.parquet(lineage_path).where(
+        F.col("run_id") != "run-crashed").collect()
+    assert all(row.output_count > 0 and row.status == "DONE" for row in lin)
+
+
+def test_streaming_rollup_smoke(spark, tmp_path):
+    from json_time_series_extractor_spark.streaming.stream import (
+        read_pages_stream,
+        run_to_memory_sink,
+        streaming_rollup,
+    )
+    pages_dir = str(tmp_path / "pages_stream")
+    synthesize_pages(spark, 200).write.parquet(pages_dir)
+
+    stream = read_pages_stream(spark, pages_dir, max_files_per_trigger=4)
+    assert stream.isStreaming
+    agg = streaming_rollup(stream, PAGES_EXTRACT_OPTIONS, "1 hour",
+                           watermark="1 minute")
+    query = run_to_memory_sink(agg, "rollup_smoke_test",
+                               str(tmp_path / "ckpt"))
+    try:
+        # Append mode only emits windows the watermark has passed; with a
+        # bounded file source the final windows stay open, so just check
+        # the query ran and the in-flight state is consistent.
+        progress = query.lastProgress
+        assert progress is not None
+        assert query.exception() is None
+    finally:
+        query.stop()
+
+    # Completeness check via complete-mode into memory (small data).
+    q2 = (agg.writeStream.outputMode("complete").format("memory")
+          .queryName("rollup_complete_test").start())
+    q2.processAllAvailable()
+    try:
+        rows = spark.sql("SELECT * FROM rollup_complete_test").collect()
+        keys = {r.series_key for r in rows}
+        assert keys == {"fetch_latency_ms", "page_size_bytes", "lang_count"}
+        assert all(r["count"] > 0 for r in rows)
+    finally:
+        q2.stop()

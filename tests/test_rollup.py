@@ -1,0 +1,137 @@
+"""Golden tests for tiered rollups, cascade mergeability, salting, gap-fill."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from json_time_series_extractor_spark.operators.gapfill import (
+    gapfill_linear,
+    gapfill_locf,
+)
+from json_time_series_extractor_spark.operators.rollup import (
+    rollup,
+    rollup_cascade,
+    rollup_salted,
+)
+
+
+def ts(minute, second=0, hour=16):
+    return datetime(2024, 2, 5, hour, minute, second)
+
+
+@pytest.fixture(scope="module")
+def samples(spark):
+    rows = [
+        # key a, minute 0: values 1, 5, 3 (last at :50 = 3)
+        ("a", ts(0, 10), 1.0),
+        ("a", ts(0, 20), 5.0),
+        ("a", ts(0, 50), 3.0),
+        # key a, minute 2 (gap at minute 1): single value
+        ("a", ts(2, 5), 7.0),
+        # key b, minute 0
+        ("b", ts(0, 0), 10.0),
+        # key b, next hour
+        ("b", ts(0, 0, hour=17), 20.0),
+        # null value must be ignored
+        ("a", ts(0, 30), None),
+    ]
+    return spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+
+
+def test_rollup_1m_golden(samples):
+    out = {(r.series_key, r.bucket_ts): r
+           for r in rollup(samples, "1 minute").collect()}
+    a0 = out[("a", ts(0))]
+    assert (a0.min, a0.max, a0.sum, a0["count"]) == (1.0, 5.0, 9.0, 3)
+    assert a0.mean == 3.0
+    assert a0.last == 3.0 and a0.last_ts == ts(0, 50)
+    a2 = out[("a", ts(2))]
+    assert (a2.min, a2.max, a2["count"], a2.last) == (7.0, 7.0, 1, 7.0)
+    assert ("b", ts(0)) in out and ("b", ts(0, 0, 17)) in out
+    assert len(out) == 4
+
+
+def test_rollup_cascade_matches_direct(samples):
+    """1m -> 1h cascade must equal a direct 1h rollup of the raw samples."""
+    direct = {(r.series_key, r.bucket_ts): r
+              for r in rollup(samples, "1 hour").collect()}
+    cascaded = {(r.series_key, r.bucket_ts): r
+                for r in rollup_cascade(rollup(samples, "1 minute"),
+                                        "1 hour").collect()}
+    assert direct.keys() == cascaded.keys()
+    for key, d in direct.items():
+        c = cascaded[key]
+        assert (d.min, d.max, d.sum, d["count"], d.mean, d.last, d.last_ts) == \
+               (c.min, c.max, c.sum, c["count"], c.mean, c.last, c.last_ts)
+
+
+def test_rollup_salted_matches_plain(samples):
+    plain = sorted(rollup(samples, "1 minute").collect())
+    salted = sorted(rollup_salted(samples, "1 minute",
+                                  salt_buckets=4).collect())
+    assert plain == salted
+    hot = samples.sparkSession.createDataFrame([("a",)], "series_key string")
+    salted_hot = sorted(rollup_salted(samples, "1 minute", salt_buckets=4,
+                                      hot_keys=hot).collect())
+    assert plain == salted_hot
+
+
+def test_rollup_last_deterministic_on_ts_tie(spark):
+    """Equal timestamps break by value (max of (ts, value) pair)."""
+    df = spark.createDataFrame(
+        [("k", ts(0, 10), 2.0), ("k", ts(0, 10), 9.0), ("k", ts(0, 10), 4.0)],
+        "series_key string, ts timestamp, value_double double")
+    rows = rollup(df, "1 minute", deterministic_last=True).collect()
+    assert rows[0].last == 9.0
+
+
+def test_gapfill_locf_golden(samples):
+    r = rollup(samples, "1 minute")
+    out = {(row.series_key, row.bucket_ts): row
+           for row in gapfill_locf(r, "1 minute").collect()}
+    # key a grid: minutes 0..2; minute 1 filled with minute 0's mean (3.0)
+    assert out[("a", ts(0))].value == 3.0
+    assert out[("a", ts(0))].filled is False
+    assert out[("a", ts(1))].value == 3.0
+    assert out[("a", ts(1))].filled is True
+    assert out[("a", ts(2))].value == 7.0
+    # key b grid spans 16:00..17:00 -> 61 buckets, 59 filled
+    b_rows = [v for k, v in out.items() if k[0] == "b"]
+    assert len(b_rows) == 61
+    assert sum(1 for r_ in b_rows if r_.filled) == 59
+
+
+def test_gapfill_linear_golden(spark):
+    df = spark.createDataFrame(
+        [("k", ts(0), 1.0, 1.0), ("k", ts(4), 9.0, 9.0)],
+        "series_key string, bucket_ts timestamp, mean double, min double")
+    out = {r.bucket_ts: r.value
+           for r in gapfill_linear(df, "1 minute").collect()}
+    assert out[ts(0)] == 1.0
+    assert out[ts(1)] == 3.0
+    assert out[ts(2)] == 5.0
+    assert out[ts(3)] == 7.0
+    assert out[ts(4)] == 9.0
+
+
+def test_gapfill_single_point_series(spark):
+    df = spark.createDataFrame(
+        [("k", ts(0), 5.0)],
+        "series_key string, bucket_ts timestamp, mean double")
+    locf = gapfill_locf(df, "1 minute").collect()
+    lin = gapfill_linear(df, "1 minute").collect()
+    assert len(locf) == 1 and locf[0].value == 5.0
+    assert len(lin) == 1 and lin[0].value == 5.0
+
+
+def test_rollup_plan_is_whole_stage_codegen(samples):
+    """The rollup must stay JVM-side: partial + final hash aggregate, one
+    shuffle, no Python in the plan."""
+    plan = rollup(samples, "1 minute")._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "Python" not in plan

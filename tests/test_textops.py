@@ -1,0 +1,161 @@
+"""Tests for textstats, dedup, similarity, multimodal operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog and the cat"),
+        (2, "The quick brown fox jumps over the lazy dog and the cat"),
+        (3, "the  QUICK brown fox jumps over the lazy dog and the cat"),
+        (4, "Der Hund und die Katze und der Vogel sind nicht da"),
+        (5, "completely different words about spark and data engines here"),
+        (6, "The quick brown fox jumps over the lazy dog and the bird"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_counts(spark, docs):
+    from json_time_series_extractor_spark.operators.textstats import (
+        with_token_counts,
+    )
+    out = {r.doc_id: r for r in with_token_counts(docs).collect()}
+    assert out[1].n_tokens == 12
+    assert out[3].n_tokens == 12  # double space produces no empty token
+    assert out[1].n_tokens_bpe == 12
+
+
+def test_quality_score_bounded(spark, docs):
+    from json_time_series_extractor_spark.operators.textstats import (
+        with_quality_score,
+    )
+    rows = with_quality_score(docs).collect()
+    assert all(0.0 <= r.quality_score <= 1.0 for r in rows)
+    # English prose with stopwords beats the stopword-free doc 5.
+    scores = {r.doc_id: r.quality_score for r in rows}
+    assert scores[1] > scores[4]
+
+
+def test_lang_id(spark, docs):
+    from json_time_series_extractor_spark.operators.textstats import (
+        with_lang_id,
+    )
+    out = {r.doc_id: r.lang_pred for r in with_lang_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[4] == "de"
+
+
+def test_fingerprints(spark, docs):
+    from json_time_series_extractor_spark.operators.textstats import (
+        with_fingerprints,
+    )
+    out = {r.doc_id: r for r in with_fingerprints(docs).collect()}
+    # Case/whitespace-insensitive md5: docs 1-3 identical.
+    assert out[1].fingerprint_md5 == out[2].fingerprint_md5
+    assert out[1].fingerprint_md5 == out[3].fingerprint_md5
+    assert out[1].fingerprint_md5 != out[5].fingerprint_md5
+    # Shingle fingerprint is order-sensitive content hash.
+    assert out[1].fingerprint_shingle == out[2].fingerprint_shingle
+    assert out[1].fingerprint_shingle != out[6].fingerprint_shingle
+
+
+def test_dedup_exact(spark, docs):
+    from json_time_series_extractor_spark.operators.dedup import dedup_exact
+    out = dedup_exact(docs).collect()
+    groups = {r.keep_id: r.n_dups for r in out}
+    assert groups[1] == 3  # docs 1,2,3 collapse; min id kept
+    assert groups[4] == 1 and groups[5] == 1 and groups[6] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    from json_time_series_extractor_spark.operators.dedup import (
+        minhash_lsh_dedup_pairs,
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in minhash_lsh_dedup_pairs(
+                 docs, num_hashes=32, bands=16, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    # 1 vs 6 differ in the final word -> high but < 1 jaccard.
+    assert (1, 6) in pairs and 0.5 <= pairs[(1, 6)] < 1.0
+    assert all(a != 5 and b != 5 for a, b in pairs)
+
+
+def test_ngram_jaccard_bruteforce(spark, docs):
+    from json_time_series_extractor_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 5) not in pairs
+
+
+def test_simhash_near_dups(spark, docs):
+    from json_time_series_extractor_spark.operators.dedup import (
+        simhash64,
+        simhash_near_dup_pairs,
+    )
+    sh = {r.doc_id: r.s for r in docs.select(
+        "doc_id", simhash64(F.col("text")).alias("s")).collect()}
+    assert sh[1] == sh[2]  # identical text -> identical simhash
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_near_dup_pairs(docs, max_hamming=16).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 6) in pairs  # one word changed -> small hamming distance
+
+
+def test_cosine_topk_exact(spark):
+    from json_time_series_extractor_spark.operators.similarity import (
+        cosine_topk,
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [1.0, 0.05])],
+        "vec_id long, embedding array<float>")
+    out = cosine_topk(vecs, vecs.where(F.col("vec_id") == 1), k=2)
+    rows = out.orderBy("rank").collect()
+    assert [r.neighbor_id for r in rows] == [4, 2]
+    assert rows[0].cosine_sim > rows[1].cosine_sim > 0.9
+
+
+def test_lsh_topk_recall_on_clustered_data(spark):
+    from json_time_series_extractor_spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(5)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = lsh_topk(emb, queries, k=5, bits=4, tables=8)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_multimodal_plumbing(spark):
+    from json_time_series_extractor_spark.operators.multimodal import (
+        extract_image_features,
+        sample_video_frames,
+        synthesize_media,
+    )
+    media = synthesize_media(spark, 20)
+    assert media.schema["media_meta"].dataType.names == [
+        "media_type", "mime", "width", "height", "duration_ms", "size_bytes"]
+    feats = extract_image_features(media).collect()
+    assert len(feats) == 20
+    assert all(r.width >= 64 and 0 <= r.mean_luma <= 1 for r in feats)
+    # Deterministic: same input -> same features.
+    feats2 = extract_image_features(synthesize_media(spark, 20)).collect()
+    assert sorted(feats) == sorted(feats2)
+
+    frames = sample_video_frames(media, every_ms=5000).collect()
+    assert len(frames) > 20  # multiple frames per video on average
+    assert all(len(bytes(r.frame)) == 32 for r in frames)
+
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_image_features(media, decode_stub="raise").collect()

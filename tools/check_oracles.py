@@ -1,0 +1,79 @@
+"""Local replica of the driver's correctness gate: run each queries() entry
+on Spark and its oracle_sql() on DuckDB at sf0.01, compare row counts and
+order-insensitive values (column-name-sorted, like the driver)."""
+
+from __future__ import annotations
+
+import math
+import sys
+from datetime import datetime
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from json_time_series_extractor_spark.plans.session import get_spark
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    """Strict: no float rounding here — quantization must happen inside the
+    queries themselves (the driver compares raw values)."""
+    if isinstance(v, float) and math.isnan(v):
+        return "nan"
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    return v
+
+
+def main() -> None:
+    spark = get_spark(master="local[8]", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        sdf = fn(spark, SF_DIR)
+        scols = sorted(sdf.columns)
+        srows = sorted(tuple(norm(row[c]) for c in scols)
+                       for row in sdf.collect())
+        if name not in oracles:
+            print(f"{name}: rows-only check, {len(srows)} rows "
+                  f"({'OK' if len(srows) > 0 else 'EMPTY!'})")
+            continue
+        odf = con.sql(oracles[name]).df()
+        ocols = sorted(odf.columns)
+        if ocols != scols:
+            print(f"{name}: SCHEMA MISMATCH spark={scols} oracle={ocols}")
+            failures += 1
+            continue
+        orows = sorted(
+            tuple(norm(v) for v in row)
+            for row in odf[scols].itertuples(index=False, name=None))
+        orows = [tuple(norm(v.to_pydatetime() if hasattr(v, "to_pydatetime")
+                            else v) for v in r) for r in orows]
+        if len(srows) != len(orows):
+            print(f"{name}: COUNT MISMATCH spark={len(srows)} oracle={len(orows)}")
+            failures += 1
+            continue
+        bad = [(a, b) for a, b in zip(srows, orows) if a != b]
+        if bad:
+            print(f"{name}: VALUE MISMATCH ({len(bad)}/{len(srows)} rows) "
+                  f"e.g. spark={bad[0][0]} oracle={bad[0][1]}")
+            failures += 1
+        else:
+            print(f"{name}: OK ({len(srows)} rows)")
+    print("FAILURES:", failures)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
