@@ -259,8 +259,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force word-3-gram Jaccard pairs >= 0.3 (exact baseline)."""
-    out = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
+    """Brute-force word-3-gram Jaccard pairs >= 0.3 (exact baseline).
+    Capped at doc_id < 500 — the brute-force path is quadratic by design;
+    the scale path is minhash_lsh_pairs."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
+    out = ngram_jaccard_pairs(docs, threshold=0.3)
     return _quant6(out, "jaccard")
 
 
@@ -316,7 +319,10 @@ def q_chunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla chunk compression round-trip: the oracle is the original
     event stream itself — decode(encode(x)) must equal x bit-exactly."""
     samples = _event_samples(spark, sf_dir)
-    chunks = compress_chunks(samples, "1 hour")
+    # 1-day chunks: the event stream is ~0.3 points/min/key, so hour-sized
+    # chunks would hold ~3 points — all applyInPandas group overhead, no
+    # compression. Chunk sizing follows point density, not wall time.
+    chunks = compress_chunks(samples, "1 day")
     return decompress_chunks(chunks)
 
 # ---------------------------------------------------------------------------
@@ -490,7 +496,7 @@ WITH t AS (
     SELECT doc_id,
            list_filter(string_split_regex(lower(text), '\\s+'),
                        x -> x <> '') AS toks
-    FROM documents),
+    FROM documents WHERE doc_id < 500),
 s AS (
     SELECT doc_id,
            CASE WHEN len(toks) >= 3 THEN

@@ -1,0 +1,166 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...,
+   "points_per_sec": ...}
+
+Extra modes:
+  python bench.py --scaling   run the flagship pipeline at local[8] and
+                              local[32] in separate JVMs (subprocesses) and
+                              write BENCH/BASELINE.md with throughput at
+                              both parallelism levels + scaling efficiency
+                              (the sandbox stand-in for N vs 4N executors).
+  SPARK_GRAFT_BENCH_ONLY=q1,q2  restrict to a subset of queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_label(sf_dir: str) -> float:
+    for token in ("0.001", "0.01", "0.1", "1"):
+        if f"sf{token}" in sf_dir:
+            return float(token)
+    return -1.0
+
+
+def _pages_count(sf_dir: str) -> int:
+    return {0.001: 2_000, 0.01: 20_000}.get(_sf_label(sf_dir), 200_000)
+
+
+def run_benchmarks() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from json_time_series_extractor_spark.plans.session import get_spark
+    from json_time_series_extractor_spark.operators.extract import (
+        extract_samples)
+    from json_time_series_extractor_spark.operators.rollup import (
+        rollup, rollup_cascade)
+    from json_time_series_extractor_spark.sources.pages import (
+        PAGES_EXTRACT_OPTIONS, synthesize_pages)
+
+    spark = get_spark(app_name="jtse-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 8))
+
+    n_docs = _pages_count(SF_DIR)
+    timings: dict = {}
+    extras: dict = {}
+
+    def timed(name: str, fn) -> None:
+        only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+        if only and name not in only.split(","):
+            return
+        t0 = time.perf_counter()
+        result = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        if isinstance(result, dict):
+            extras.update(result)
+
+    # Headline: the flagship page pipeline (extract -> 1m -> 1h).
+    def flagship():
+        pages = synthesize_pages(spark, n_docs)
+        samples = extract_samples(pages, PAGES_EXTRACT_OPTIONS)
+        r1m = rollup(samples, "1 minute")
+        r1h = rollup_cascade(r1m, "1 hour")
+        n_buckets = r1h.count()
+        return {"flagship_docs": n_docs, "flagship_points": n_docs * 3,
+                "flagship_buckets": n_buckets}
+
+    timed("pages_extract_rollup", flagship)
+    if "pages_extract_rollup" in timings:
+        dt = timings["pages_extract_rollup"]
+        extras["docs_per_sec"] = round(n_docs / dt, 1)
+        extras["points_per_sec"] = round(n_docs * 3 / dt, 1)
+
+    # Driver-contract queries over the provided test tables.
+    queries = entry.queries()
+    for name in ["extract_flat", "extract_fixed", "rollup_1m",
+                 "rollup_1h_cascade", "rollup_1d_salted", "gapfill_locf",
+                 "gapfill_linear", "chunk_roundtrip", "doc_token_count",
+                 "doc_quality", "doc_lang_id", "dedup_exact",
+                 "ngram_jaccard", "minhash_lsh_pairs", "simhash_pairs",
+                 "cosine_scores", "ann_topk", "ann_lsh_topk"]:
+        timed(name, lambda n=name: queries[n](spark, SF_DIR)
+              .write.format("noop").mode("overwrite").save())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline query wall time (extract+rollup pipeline "
+                  "+ driver-contract queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+        "cpus": CPUS,
+        **extras,
+    }))
+
+
+def run_scaling() -> None:
+    """Same flagship job at local[8] vs local[32] (separate JVMs), report
+    throughput + scaling efficiency -> BENCH/BASELINE.md."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ,
+                   SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_BENCH_ONLY="pages_extract_rollup",
+                   SPARK_GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True)
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+
+    d8 = results[8]["docs_per_sec"]
+    d32 = results[32]["docs_per_sec"]
+    eff = (d32 / d8) / (32 / 8)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    sf = _sf_label(SF_DIR)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write(f"""# BENCH baseline — scaling evidence
+
+Flagship pipeline (synthesize pages -> vectorized extraction -> 1m rollup
+-> 1h cascade), identical input ({results[8]['flagship_docs']} docs,
+{results[8]['flagship_points']} points, sf={sf}), same machine, two
+parallelism levels (the sandbox stand-in for N vs 4N executors per
+BASELINE.json).
+
+| parallelism | wall sec | docs/sec | points/sec |
+|---|---|---|---|
+| local[8]  | {results[8]['queries']['pages_extract_rollup']} | {d8:,.0f} | {results[8]['points_per_sec']:,.0f} |
+| local[32] | {results[32]['queries']['pages_extract_rollup']} | {d32:,.0f} | {results[32]['points_per_sec']:,.0f} |
+
+**Scaling efficiency (throughput32 / throughput8) / 4 = {eff:.3f}**
+(target >= 0.8 per BASELINE.json)
+
+Method: `python bench.py --scaling`; each level runs in its own JVM via a
+fresh `local[N]` session; the job is map-heavy (extraction) + two small
+shuffles (rollup tiers), so efficiency tracks the embarrassingly-parallel
+fraction. Fixed per-job overhead (session + plan + JVM warmup, a few
+seconds) is *included*, which understates efficiency at small inputs.
+""")
+    print(json.dumps({"scaling_efficiency": round(eff, 3),
+                      "local8_docs_per_sec": d8,
+                      "local32_docs_per_sec": d32}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        run_benchmarks()

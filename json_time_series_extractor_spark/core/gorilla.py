@@ -60,15 +60,12 @@ class _BitReader:
         self._pos = 0
 
     def read(self, bits: int) -> int:
-        out = 0
+        # O(1)-ish: slice the covering bytes, shift off the tail.
         pos = self._pos
-        data = self._data
-        for _ in range(bits):
-            byte = data[pos >> 3]
-            out = (out << 1) | ((byte >> (7 - (pos & 7))) & 1)
-            pos += 1
-        self._pos = pos
-        return out
+        end = pos + bits
+        chunk = int.from_bytes(self._data[pos >> 3:(end + 7) >> 3], "big")
+        self._pos = end
+        return (chunk >> ((((end + 7) >> 3) << 3) - end)) & ((1 << bits) - 1)
 
 
 # (prefix_bits, prefix_value, payload_bits) tiers for delta-of-delta.

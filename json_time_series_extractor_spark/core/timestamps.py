@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import re
 from datetime import datetime, timedelta, timezone
+from functools import lru_cache
 from typing import Any, Optional
 
 from json_time_series_extractor_spark.core.jsondoc import JsonNumber
@@ -35,8 +36,11 @@ _ISO_RE = re.compile(
 )
 
 
+@lru_cache(maxsize=4096)
 def parse_iso_timestamp(text: str) -> Optional[datetime]:
-    """Parse an ISO-8601 timestamp string to an aware ``datetime`` or ``None``."""
+    """Parse an ISO-8601 timestamp string to an aware ``datetime`` or
+    ``None``. Memoized: documents typically repeat the same timestamp
+    string across sibling measurements."""
     m = _ISO_RE.match(text)
     if not m:
         return None

@@ -59,25 +59,34 @@ def compress_chunks(samples: DataFrame, chunk_interval: str = "1 hour",
             .applyInPandas(_encode_group, CHUNK_SCHEMA))
 
 
-def _decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    frames = []
+def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    keys, tss, vals = [], [], []
     for row in pdf.itertuples(index=False):
         ts_us, values = gorilla.decode_chunk(bytes(row.ts_blob),
                                              bytes(row.val_blob))
-        frames.append(pd.DataFrame({
-            "series_key": row.series_key,
-            "ts": pd.Series(ts_us, dtype="int64").astype("datetime64[us]"),
-            "value_double": values,
-        }))
-    if not frames:
+        keys.append(pd.Series([row.series_key]).repeat(len(ts_us)))
+        tss.append(ts_us)
+        vals.append(values)
+    if not keys:
         return pd.DataFrame({"series_key": pd.Series(dtype="object"),
                              "ts": pd.Series(dtype="datetime64[us]"),
                              "value_double": pd.Series(dtype="float64")})
-    return pd.concat(frames, ignore_index=True)
+    import numpy as np
+    return pd.DataFrame({
+        "series_key": pd.concat(keys, ignore_index=True),
+        "ts": pd.Series(np.concatenate(tss)).astype("datetime64[us]"),
+        "value_double": np.concatenate(vals),
+    })
 
 
 def decompress_chunks(chunks: DataFrame) -> DataFrame:
-    """Inverse of :func:`compress_chunks`: chunks -> (series_key, ts, value)."""
-    return (chunks
-            .groupBy("series_key", "chunk_start")
-            .applyInPandas(lambda pdf: _decode_group(pdf), DECODED_SCHEMA))
+    """Inverse of :func:`compress_chunks`: chunks -> (series_key, ts, value).
+
+    Map-only: every chunk row decodes independently, so this is a
+    ``mapInPandas`` — no shuffle, unlike a grouped decode."""
+    def run(batches):
+        for pdf in batches:
+            yield _decode_batch(pdf)
+
+    return chunks.select("series_key", "ts_blob", "val_blob").mapInPandas(
+        run, DECODED_SCHEMA)

@@ -60,12 +60,21 @@ def minhash_signatures(docs: DataFrame, *, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 64,
                        shingle_n: int = 3) -> DataFrame:
     """Per-document MinHash signature: ``sig[i] = min(xxhash64(s, i))``
-    over the shingle set. Map-only; signature is an ``array<bigint>``."""
+    over the shingle set. Map-only; signature is an ``array<bigint>``.
+
+    Shaped as ONE ``aggregate`` over the shingle array folding an
+    elementwise-min accumulator — the shingle expression appears once in
+    the plan (a per-seed ``array_min(transform(...))`` comprehension would
+    inline and re-evaluate the shingling ``num_hashes`` times)."""
     sh = word_shingles(F.col(text_col), shingle_n)
-    sig = F.array(*[
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ])
+    max_long = (1 << 63) - 1
+    sig = F.aggregate(
+        sh,
+        F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b)))
     return docs.select(F.col(id_col).alias("doc_id"), sig.alias("signature"))
 
 
