@@ -25,9 +25,18 @@ from json_time_series_extractor_spark.operators.chunks import (
 )
 from json_time_series_extractor_spark.operators.dedup import (
     dedup_exact,
+    embedding_neardup_pairs,
     minhash_lsh_dedup_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
+)
+from json_time_series_extractor_spark.operators.multimodal import (
+    extract_image_features,
+    sample_video_frames,
+    synthesize_media,
+)
+from json_time_series_extractor_spark.operators.retention import (
+    expire_partitions,
 )
 from json_time_series_extractor_spark.operators.extract import (
     extract_samples,
@@ -315,6 +324,62 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quant6(out, "cosine_sim")
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline).
+    Threshold 0.4 fits the synthetic embedding distribution (max pairwise
+    cosine ~0.51) — the operator, not the threshold, is under test."""
+    out = embedding_neardup_pairs(_embeddings(spark, sf_dir), threshold=0.4)
+    return _quant6(out, "cosine_sim")
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via hyperplane-LSH candidates (scale path;
+    approximate recall — rows-only check)."""
+    out = embedding_neardup_pairs(_embeddings(spark, sf_dir), threshold=0.4,
+                                  use_lsh=True, bits=4, tables=8)
+    return _quant6(out, "cosine_sim")
+
+
+def q_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered-retention partition expiry: write events day-partitioned,
+    drop partitions before 2024-01-15 (metadata/filesystem only), return
+    per-day counts+sums of what survives."""
+    import os
+    import shutil
+    from datetime import date
+
+    base = f"/tmp/jtse_retention_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    (_events(spark, sf_dir)
+     .withColumn("dt", F.date_format(F.date_trunc("day", "ts"),
+                                     "yyyy-MM-dd"))
+     .write.mode("overwrite").partitionBy("dt").parquet(base))
+    expire_partitions(spark, base, date(2024, 1, 15))
+    out = (spark.read.parquet(base)
+           .groupBy(F.col("dt").cast("string").alias("dt"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("sum_value")))
+    return _quant6(out, "sum_value")
+
+
+def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: deterministic fake image decode over binary
+    blobs via mapInPandas; features are sha256-derived so the oracle can
+    reproduce them exactly (real codecs are stubbed per container limits)."""
+    media = synthesize_media(spark, 500)
+    out = extract_image_features(media)
+    return _quant6(out, "mean_luma")
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal UDTF shape: one video row -> N sampled frames
+    (xxhash64-derived durations — rows-only check)."""
+    media = synthesize_media(spark, 200, kind="video")
+    frames = sample_video_frames(media, every_ms=5000)
+    return frames.select("media_id", "frame_index", "frame_ts_ms",
+                         F.length("frame").alias("frame_bytes"))
+
+
 def q_chunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla chunk compression round-trip: the oracle is the original
     event stream itself — decode(encode(x)) must equal x bit-exactly."""
@@ -352,6 +417,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "retention_expiry": q_retention_expiry,
+        "media_image_features": q_media_image_features,
+        "media_frame_sample": q_media_frame_sample,
         "cosine_scores": q_cosine_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -513,6 +583,47 @@ FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
 """,
+        "embedding_neardup": """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5)
+           AS BIGINT) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+""",
+        # embedding_neardup_lsh: approximate recall — rows-only check.
+        "retention_expiry": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
+       count(*) AS n,
+       CAST(floor(sum(value) * 1000000 + 0.5) AS BIGINT) AS sum_value
+FROM events
+WHERE date_trunc('day', ts) >= DATE '2024-01-15'
+GROUP BY 1
+""",
+        "media_image_features": """
+WITH t AS (
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           sha256(sha256(CAST(media_id AS VARCHAR))) AS h
+    FROM range(500) r(media_id)),
+u AS (
+    SELECT media_id, h,
+           CAST(CAST(concat('0x', substr(h, 9, 8)) AS BIGINT) AS HUGEINT)
+               * 4294967296
+             + CAST(concat('0x', substr(h, 17, 8)) AS BIGINT) AS ph
+    FROM t)
+SELECT media_id,
+       64 + CAST(concat('0x', substr(h, 1, 2)) AS INT) AS width,
+       64 + CAST(concat('0x', substr(h, 3, 2)) AS INT) AS height,
+       1 + CAST(concat('0x', substr(h, 5, 2)) AS INT) % 4 AS n_channels,
+       CAST(floor(CAST(concat('0x', substr(h, 7, 2)) AS INT) / 255.0
+           * 1000000 + 0.5) AS BIGINT) AS mean_luma,
+       CAST(CASE WHEN ph >= 9223372036854775808::HUGEINT
+            THEN ph - 18446744073709551616::HUGEINT
+            ELSE ph END AS BIGINT) AS phash
+FROM u
+""",
+        # media_frame_sample: xxhash64-derived durations — rows-only check.
         "cosine_scores": """
 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        CAST(floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),

@@ -1,0 +1,221 @@
+"""spark-submit entrypoint: the full resumable pipeline as a CLI.
+
+North-rule requirement: the engine runs via ``spark-submit --py-files`` on
+multi-executor clusters. This module is that surface::
+
+    zip -r jtse.zip json_time_series_extractor_spark
+    spark-submit --py-files jtse.zip runner.py pipeline \
+        --input /data/pages --output-root /data/out --run-id r1 \
+        --retention-today 2024-02-20
+
+(or in-process: ``python -m json_time_series_extractor_spark pipeline ...``).
+
+Stages (each resumable via the lineage protocol in ``plans.pipeline``; a
+re-run with the same ``--output-root`` skips DONE partitions):
+
+1. **extract**  — pages -> samples (``mapInPandas``), partitioned by capture
+   day ``dt``; per-day lineage rows + counters.
+2. **rollup_1m / rollup_1h / rollup_1d** — tier cascade. Day-partition
+   resume is sound because canonical tiers (<= 1 day) never cross a day
+   boundary, so re-aggregating only pending days is exact.
+3. **gapfill** (optional) — per-series dense grid spans days, so it runs as
+   one global partition (lineage value ``__global__``).
+4. **compress** (optional) — Gorilla/DoD chunks, day-partitioned.
+5. **retention** — per-tier partition expiry driven by ``--retention-today``
+   (explicit date, never wall-clock).
+
+All stage boundaries are parquet directories in this sandbox; on a real
+cluster the same protocol maps to Iceberg tables (see ``plans.pipeline``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from datetime import date
+from typing import List, Optional
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="json_time_series_extractor_spark",
+        description="PySpark-native JSON time-series extraction + rollup "
+                    "+ retention engine")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    syn = sub.add_parser("synthesize",
+                         help="write a deterministic synthetic pages table "
+                              "(bucket(url), days(warc_ts) partition spec)")
+    syn.add_argument("--n-docs", type=int, required=True)
+    syn.add_argument("--output", required=True)
+    syn.add_argument("--hosts", type=int, default=1000)
+    syn.add_argument("--url-buckets", type=int, default=32)
+
+    pipe = sub.add_parser("pipeline", help="run the resumable pipeline")
+    pipe.add_argument("--input", required=True,
+                      help="pages table path (parquet dir)")
+    pipe.add_argument("--output-root", required=True)
+    pipe.add_argument("--run-id", default="run")
+    pipe.add_argument("--options-json", default=None,
+                      help="ExtractorOptions as a JSON object (default: the "
+                           "synthetic-pages F6 options)")
+    pipe.add_argument("--tiers", default="1m,1h,1d")
+    pipe.add_argument("--gapfill", choices=["none", "locf", "linear"],
+                      default="none")
+    pipe.add_argument("--compress", action="store_true",
+                      help="write Gorilla/delta-of-delta chunk table")
+    pipe.add_argument("--chunk-window", default="1 day")
+    pipe.add_argument("--retention-today", default=None,
+                      help="YYYY-MM-DD; enables tiered retention relative "
+                           "to this date (explicit, never wall-clock)")
+    pipe.add_argument("--salt-buckets", type=int, default=0,
+                      help=">0 uses the skew-safe salted two-phase rollup "
+                           "for the 1m tier")
+    return p
+
+
+TIER_WINDOWS = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
+
+
+def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
+    from json_time_series_extractor_spark.operators.chunks import (
+        compress_chunks)
+    from json_time_series_extractor_spark.operators.extract import (
+        extract_samples)
+    from json_time_series_extractor_spark.operators.gapfill import (
+        gapfill_linear, gapfill_locf)
+    from json_time_series_extractor_spark.operators.retention import (
+        apply_tiered_retention)
+    from json_time_series_extractor_spark.operators.rollup import (
+        rollup, rollup_cascade, rollup_salted)
+    from json_time_series_extractor_spark.plans.pipeline import (
+        LineageStore, run_partitioned_stage)
+    from json_time_series_extractor_spark.sources.pages import (
+        PAGES_EXTRACT_OPTIONS)
+
+    root = args.output_root.rstrip("/")
+    lineage_path = f"{root}/lineage"
+    options = (json.loads(args.options_json) if args.options_json
+               else dict(PAGES_EXTRACT_OPTIONS))
+    tiers = [t.strip() for t in args.tiers.split(",") if t.strip()]
+    unknown = [t for t in tiers if t not in TIER_WINDOWS]
+    if unknown:
+        raise SystemExit(f"unknown tiers: {unknown} (have 1m/1h/1d)")
+
+    report: dict = {"run_id": args.run_id, "stages": {}}
+
+    def record(res) -> None:
+        report["stages"][res.stage] = {
+            "processed": len(res.processed), "skipped": len(res.skipped),
+            "output_rows": res.output_count}
+
+    # 1. extract ------------------------------------------------------
+    pages = spark.read.parquet(args.input)
+    if "dt" not in pages.columns:
+        pages = pages.withColumn("dt", F.to_date("warc_ts"))
+    res = run_partitioned_stage(
+        spark, stage="extract", input_df=pages, partition_col="dt",
+        transform=lambda df: extract_samples(df, options)
+        .withColumn("dt", F.to_date("warc_ts")),
+        output_path=f"{root}/samples", lineage_path=lineage_path,
+        run_id=args.run_id)
+    record(res)
+
+    # 2. rollup tiers --------------------------------------------------
+    samples = spark.read.parquet(f"{root}/samples")
+    child_path = None
+    for tier in tiers:
+        window = TIER_WINDOWS[tier]
+        if child_path is None:
+            if args.salt_buckets > 0:
+                tf = lambda df, w=window: (
+                    rollup_salted(df, w, salt_buckets=args.salt_buckets)
+                    .withColumn("dt", F.to_date("bucket_ts")))
+            else:
+                tf = lambda df, w=window: (
+                    rollup(df, w).withColumn("dt", F.to_date("bucket_ts")))
+            stage_in = samples
+        else:
+            # Cascade from the previous tier's mergeable state.
+            tf = lambda df, w=window: (
+                rollup_cascade(df.drop("dt"), w)
+                .withColumn("dt", F.to_date("bucket_ts")))
+            stage_in = spark.read.parquet(child_path)
+        res = run_partitioned_stage(
+            spark, stage=f"rollup_{tier}", input_df=stage_in,
+            partition_col="dt", transform=tf,
+            output_path=f"{root}/rollup_{tier}", lineage_path=lineage_path,
+            run_id=args.run_id)
+        record(res)
+        child_path = f"{root}/rollup_{tier}"
+
+    # 3. gapfill (global per-series grids cross day partitions) --------
+    if args.gapfill != "none" and tiers:
+        fine = spark.read.parquet(f"{root}/rollup_{tiers[0]}")
+        fn = gapfill_locf if args.gapfill == "locf" else gapfill_linear
+        lineage = LineageStore(spark, lineage_path)
+        stage = f"gapfill_{args.gapfill}"
+        if "__global__" not in lineage.completed_partitions(stage):
+            out = fn(fine.drop("dt"), TIER_WINDOWS[tiers[0]],
+                     value_col="mean")
+            out.write.mode("overwrite").parquet(f"{root}/{stage}")
+            n = spark.read.parquet(f"{root}/{stage}").count()
+            lineage.append([(stage, "__global__", args.run_id,
+                             0, int(n), 0, "DONE")])
+            report["stages"][stage] = {"processed": 1, "skipped": 0,
+                                       "output_rows": int(n)}
+        else:
+            report["stages"][stage] = {"processed": 0, "skipped": 1,
+                                       "output_rows": 0}
+
+    # 4. compression ----------------------------------------------------
+    if args.compress:
+        res = run_partitioned_stage(
+            spark, stage="compress", input_df=samples, partition_col="dt",
+            transform=lambda df: compress_chunks(
+                df.drop("dt"), args.chunk_window)
+            .withColumn("dt", F.to_date("chunk_start")),
+            output_path=f"{root}/chunks", lineage_path=lineage_path,
+            run_id=args.run_id)
+        record(res)
+
+    # 5. retention -------------------------------------------------------
+    if args.retention_today:
+        today = date.fromisoformat(args.retention_today)
+        tier_paths = [("raw", f"{root}/samples")] + [
+            (t, f"{root}/rollup_{t}") for t in tiers]
+        dropped = apply_tiered_retention(
+            spark, tier_paths, today, lineage_path=lineage_path)
+        report["stages"]["retention"] = {
+            tier: len(parts) for tier, parts in dropped.items()}
+
+    return report
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    from json_time_series_extractor_spark.plans.session import get_spark
+    from json_time_series_extractor_spark.sources.pages import (
+        synthesize_pages, write_pages_partitioned)
+
+    args = _build_parser().parse_args(argv)
+    # Under spark-submit the master/conf come from the submit command and
+    # getOrCreate picks them up; standalone runs fall back to local[N].
+    spark = get_spark(app_name=f"jtse-{args.command}")
+
+    if args.command == "synthesize":
+        pages = synthesize_pages(spark, args.n_docs, hosts=args.hosts)
+        write_pages_partitioned(pages, args.output,
+                                url_buckets=args.url_buckets)
+        print(json.dumps({"command": "synthesize", "n_docs": args.n_docs,
+                          "output": args.output}))
+        return
+
+    report = run_pipeline(spark, args)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -14,6 +14,10 @@ Four families, all designed for the 100 TB regime:
 - **N-gram Jaccard** (:func:`ngram_jaccard_pairs`): exact verification of
   candidate pairs (array_intersect/array_union on distinct shingle sets);
   used standalone at small scale or as the LSH verify stage.
+- **Embedding-cosine near-dup** (:func:`embedding_neardup_pairs`): pairs of
+  documents whose embedding cosine similarity exceeds a threshold — exact
+  all-pairs as the verification baseline, hyperplane-LSH bucketed candidates
+  as the scale path (reuses the ANN machinery in ``similarity``).
 
 All hashes derive from ``xxhash64`` with fixed seeds — deterministic across
 runs and executors.
@@ -160,6 +164,57 @@ def ngram_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",
                          F.col("b.doc_id").alias("id_b"),
                          jac.alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
+
+
+def embedding_neardup_pairs(embeddings: DataFrame, *,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.9,
+                            use_lsh: bool = False,
+                            bits: int = 8, tables: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine_sim) with
+    ``id_a < id_b`` and ``cosine_sim >= threshold``.
+
+    ``use_lsh=False`` (exact): all-pairs self-join — the verification
+    baseline, O(N^2) dot products, JVM-side only. ``use_lsh=True`` (scale
+    path): random-hyperplane buckets (any of ``tables`` signature tables)
+    generate candidates, exact cosine verifies — same-bucket join keys keep
+    the pair count near-linear for clustered near-dups at 100 TB scale.
+    """
+    from json_time_series_extractor_spark.operators.similarity import (
+        cosine, hyperplane_signature)
+
+    base = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))
+
+    if use_lsh:
+        first = base.select(F.size("_v").alias("d")).first()
+        dim = int(first["d"]) if first else 64
+        sigs = F.array(*[hyperplane_signature(F.col("_v"), bits, t, dim)
+                         for t in range(tables)])
+        banded = base.select(
+            "_id", "_v", F.posexplode(sigs).alias("_table", "_sig"))
+        a, b = banded.alias("a"), banded.alias("b")
+        cands = (a.join(b, (F.col("a._table") == F.col("b._table"))
+                        & (F.col("a._sig") == F.col("b._sig"))
+                        & (F.col("a._id") < F.col("b._id")))
+                 .groupBy(F.col("a._id").alias("id_a"),
+                          F.col("b._id").alias("id_b"))
+                 .agg(F.first("a._v").alias("_va"),
+                      F.first("b._v").alias("_vb")))
+    else:
+        a, b = base.alias("a"), base.alias("b")
+        cands = (a.join(b, F.col("a._id") < F.col("b._id"))
+                 .select(F.col("a._id").alias("id_a"),
+                         F.col("b._id").alias("id_b"),
+                         F.col("a._v").alias("_va"),
+                         F.col("b._v").alias("_vb")))
+
+    return (cands
+            .select("id_a", "id_b",
+                    cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"))
+            .where(F.col("cosine_sim") >= threshold))
 
 
 def simhash64(text: Column) -> Column:

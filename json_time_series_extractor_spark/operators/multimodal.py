@@ -129,9 +129,13 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, *,
 
 def synthesize_media(spark, n: int, kind: str = "image") -> DataFrame:
     """Deterministic fake media table for tests/benchmarks: blob bytes are
-    a hash-seeded function of the row id (no randomness, no files)."""
+    a hash-seeded function of the row id (no randomness, no files).
+
+    sha-256 (not 512) so the oracle side can reproduce the blob: the fake
+    feature chain is then ``sha256(hex(sha256(str(id))))``, expressible in
+    DuckDB for exact value checks of the decode plumbing."""
     df = spark.range(n)
-    blob = F.sha2(F.col("id").cast("string"), 512).cast("binary")
+    blob = F.sha2(F.col("id").cast("string"), 256).cast("binary")
     out = df.select(
         F.col("id").alias("media_id"),
         blob.alias("media"),

@@ -137,6 +137,52 @@ def test_lsh_topk_recall_on_clustered_data(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_embedding_neardup_exact_vs_numpy(spark):
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    rng = [[((i * 7 + j * 3) % 13) / 13.0 + 0.1 for j in range(8)]
+           for i in range(12)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rng)],
+        "vec_id long, embedding array<float>")
+    got = {(r.id_a, r.id_b): r.cosine_sim
+           for r in embedding_neardup_pairs(df, threshold=0.95).collect()}
+
+    vecs = np.array(rng, dtype=np.float64)
+    # Replicate the operator's float32 storage cast before the double math.
+    vecs = np.array(np.array(rng, dtype=np.float32), dtype=np.float64)
+    expect = {}
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            c = float(vecs[i] @ vecs[j]
+                      / (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[j])))
+            if c >= 0.95:
+                expect[(i, j)] = c
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-9
+
+
+def test_embedding_neardup_lsh_subset_of_exact(spark):
+    from json_time_series_extractor_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.id_a, r.id_b)
+             for r in embedding_neardup_pairs(emb, threshold=0.4).collect()}
+    approx = {(r.id_a, r.id_b)
+              for r in embedding_neardup_pairs(
+                  emb, threshold=0.4, use_lsh=True, bits=4,
+                  tables=8).collect()}
+    assert approx <= exact
+    assert len(approx) > 0
+
+
 def test_multimodal_plumbing(spark):
     from json_time_series_extractor_spark.operators.multimodal import (
         extract_image_features,
