@@ -71,8 +71,18 @@ from json_time_series_extractor_spark.sources.pages import (
 # helpers
 # ---------------------------------------------------------------------------
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """The sf* test tables are single-row-group parquet files, so Spark
+    scans them as ONE split — every downstream map runs single-threaded.
+    A real 100 TB table has thousands of splits; this round-robin
+    repartition restores representative parallelism locally (results are
+    partitioning-agnostic; on a real table it would be a no-op to remove).
+    """
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _events_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,11 +236,11 @@ def q_pages_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,11 +278,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force word-3-gram Jaccard pairs >= 0.3 (exact baseline).
-    Capped at doc_id < 500 — the brute-force path is quadratic by design;
-    the scale path is minhash_lsh_pairs."""
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
-    out = ngram_jaccard_pairs(docs, threshold=0.3)
+    """Exact word-3-gram Jaccard pairs >= 0.3 via the inverted-index plan
+    (explode -> equi-join on shingle hash -> per-pair co-occurrence count):
+    no N^2 pair enumeration, so the whole corpus runs uncapped."""
+    out = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
     return _quant6(out, "jaccard")
 
 
@@ -566,7 +575,7 @@ WITH t AS (
     SELECT doc_id,
            list_filter(string_split_regex(lower(text), '\\s+'),
                        x -> x <> '') AS toks
-    FROM documents WHERE doc_id < 500),
+    FROM documents),
 s AS (
     SELECT doc_id,
            CASE WHEN len(toks) >= 3 THEN

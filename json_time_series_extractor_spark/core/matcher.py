@@ -92,13 +92,21 @@ def compile_match_delegate(
     exclude = (_compile_rules(pointers_to_exclude, allow_wildcard_expressions)
                if pointers_to_exclude is not None else None)
 
+    # Specialized compositions: the predicate runs twice per emitted sample
+    # on the extraction hot path, so avoid dead call layers.
     if include is None and exclude is None:
         return lambda ctx, ptr, el: True
+    if exclude is None:
+        return include  # type: ignore[return-value]
+    if include is None:
+        def not_excluded(ctx: Any, ptr: Pointer, el: Any) -> bool:
+            return not exclude(ctx, ptr, el)
+        return not_excluded
 
     def predicate(ctx: Any, ptr: Pointer, el: Any) -> bool:
-        if exclude is not None and exclude(ctx, ptr, el):
+        if exclude(ctx, ptr, el):
             return False
-        return include is None or include(ctx, ptr, el)
+        return include(ctx, ptr, el)
 
     return predicate
 
@@ -122,6 +130,10 @@ def _compile_rules(rules: Sequence[str], allow_wildcards: bool) -> MatchDelegate
             wildcard_preds.append(_compile_pattern(rule.raw))
         else:
             wildcard_preds.append(_compile_mqtt(rule.segments))  # type: ignore[arg-type]
+
+    # Single-wildcard-rule fast path (common config shape): no loop frame.
+    if not literal_pointers and len(wildcard_preds) == 1:
+        return wildcard_preds[0]
 
     def predicate(ctx: Any, ptr: Pointer, el: Any) -> bool:
         for match_segs in literal_pointers:

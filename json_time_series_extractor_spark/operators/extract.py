@@ -122,7 +122,14 @@ def process_batch(pdf: pd.DataFrame, opts: ExtractorOptions, *,
 
     text_vals = pdf[text_col].values
     url_vals = pdf[url_col].values
-    fb_vals = pdf[fallback_ts_col] if fallback_ts_col else None
+    if fallback_ts_col:
+        # One vectorized conversion per batch (datetime64 -> Timestamp
+        # objects; Timestamp subclasses datetime) instead of per-row
+        # .iloc/.isnull/.to_pydatetime.
+        fb_vals = pdf[fallback_ts_col].to_numpy(dtype=object)
+    else:
+        fb_vals = None
+    NaT = pd.NaT
     for i in range(len(pdf)):
         text = text_vals[i]
         if text is None:
@@ -130,9 +137,9 @@ def process_batch(pdf: pd.DataFrame, opts: ExtractorOptions, *,
         warc_naive = None
         cell[0] = None
         if fb_vals is not None:
-            fb = fb_vals.iloc[i]
-            if not pd.isnull(fb):
-                warc_naive = fb.to_pydatetime()
+            fb = fb_vals[i]
+            if fb is not NaT:
+                warc_naive = fb
                 cell[0] = warc_naive.replace(tzinfo=_UTC)
         url = url_vals[i]
         for sample in get_samples(text, opts):

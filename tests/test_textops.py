@@ -137,6 +137,30 @@ def test_lsh_topk_recall_on_clustered_data(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_simhash_agg_equals_expression_path(spark):
+    from pyspark.sql import functions as F
+
+    from json_time_series_extractor_spark.operators.dedup import (
+        simhash64,
+        simhash64_agg,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(100)
+    expr_path = {r.doc_id: r.sh for r in docs.select(
+        "doc_id", simhash64(F.col("text")).alias("sh")).collect()}
+    agg_path = {r.doc_id: r.simhash
+                for r in simhash64_agg(docs).collect()}
+    assert agg_path == expr_path
+
+    # Tokenless documents: both paths produce simhash 0.
+    empty = spark.createDataFrame([(1, ""), (2, "   ")],
+                                  "doc_id long, text string")
+    assert {r.simhash for r in simhash64_agg(empty).collect()} == {0}
+    assert {r.sh for r in empty.select(
+        simhash64(F.col("text")).alias("sh")).collect()} == {0}
+
+
 def test_embedding_neardup_exact_vs_numpy(spark):
     import numpy as np
 
