@@ -52,7 +52,7 @@ from json_time_series_extractor_spark.operators.rollup import (
     rollup_salted,
 )
 from json_time_series_extractor_spark.operators.similarity import (
-    cosine,
+    cosine_flat,
     cosine_topk,
     lsh_topk,
 )
@@ -312,7 +312,8 @@ def q_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (c.crossJoin(F.broadcast(q))
            .where(F.col("query_id") != F.col("neighbor_id"))
            .select("query_id", "neighbor_id",
-                   cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim")))
+                   cosine_flat(F.col("_qv"), F.col("_cv"), 64)
+                   .alias("cosine_sim")))
     return _quant6(out, "cosine_sim")
 
 

@@ -74,8 +74,13 @@ def minhash_signatures(docs: DataFrame, *, text_col: str = "text",
     input partition, so map-side partial aggregation collapses to ~1 row
     per document before the (tiny) shuffle."""
     sh = word_shingles(F.col(text_col), shingle_n)
+    # explode_outer, NOT explode: plain explode makes Generate inject a
+    # pre-filter (size>0 AND isnotnull) that re-evaluates the whole shingle
+    # HOF expression twice more per row — ~6x slower (HOFs get no codegen
+    # subexpression elimination). word_shingles is never empty/null, so the
+    # two are result-identical here.
     exploded = docs.select(F.col(id_col).alias("doc_id"),
-                           F.explode(sh).alias("_s"))
+                           F.explode_outer(sh).alias("_s"))
     mins = [F.min(F.xxhash64("_s", F.lit(i))).alias(f"_m{i}")
             for i in range(num_hashes)]
     return (exploded.groupBy("doc_id").agg(*mins)
@@ -98,7 +103,7 @@ def lsh_candidate_pairs(signatures: DataFrame, *, bands: int = 16,
             num_hashes = None  # length is data-dependent; trust caller
     banded = signatures.select(
         "doc_id",
-        F.posexplode(_band_hashes(F.col("signature"), bands))
+        F.posexplode_outer(_band_hashes(F.col("signature"), bands))
         .alias("band_id", "band_hash"))
     left = banded.alias("l")
     right = banded.alias("r")
@@ -173,8 +178,9 @@ def ngram_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",
                            word_shingles(F.col(text_col), shingle_n)
                            .alias("sh"))
     sizes = shingled.select("doc_id", F.size("sh").alias("sz"))
+    # explode_outer: see minhash_signatures for the Generate-filter trap.
     postings = shingled.select(
-        "doc_id", F.explode("sh").alias("_s")).select(
+        "doc_id", F.explode_outer("sh").alias("_s")).select(
         "doc_id", F.xxhash64("_s").alias("_h"))
     a, b = postings.alias("a"), postings.alias("b")
     inter = (a.join(b, (F.col("a._h") == F.col("b._h"))
@@ -206,38 +212,48 @@ def embedding_neardup_pairs(embeddings: DataFrame, *,
     the pair count near-linear for clustered near-dups at 100 TB scale.
     """
     from json_time_series_extractor_spark.operators.similarity import (
-        cosine, hyperplane_signature)
+        dot_flat, hyperplane_signature_table)
 
     base = embeddings.select(
         F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))
+    first = base.select(F.size("_v").alias("d")).first()
+    dim = int(first["d"]) if first else 64
+    # Per-vector norm computed once, before any pairing (1 dot per pair).
+    base = base.withColumn(
+        "_n", F.sqrt(dot_flat(F.col("_v"), F.col("_v"), dim)))
 
     if use_lsh:
-        first = base.select(F.size("_v").alias("d")).first()
-        dim = int(first["d"]) if first else 64
-        sigs = F.array(*[hyperplane_signature(F.col("_v"), bits, t, dim)
-                         for t in range(tables)])
-        banded = base.select(
-            "_id", "_v", F.posexplode(sigs).alias("_table", "_sig"))
+        banded = hyperplane_signature_table(base, "_id", "_v", bits=bits,
+                                            tables=tables, dim=dim)
         a, b = banded.alias("a"), banded.alias("b")
-        cands = (a.join(b, (F.col("a._table") == F.col("b._table"))
-                        & (F.col("a._sig") == F.col("b._sig"))
-                        & (F.col("a._id") < F.col("b._id")))
-                 .groupBy(F.col("a._id").alias("id_a"),
-                          F.col("b._id").alias("id_b"))
-                 .agg(F.first("a._v").alias("_va"),
-                      F.first("b._v").alias("_vb")))
+        pair_ids = (a.join(b, (F.col("a._table") == F.col("b._table"))
+                           & (F.col("a._sig") == F.col("b._sig"))
+                           & (F.col("a._id") < F.col("b._id")))
+                    .select(F.col("a._id").alias("id_a"),
+                            F.col("b._id").alias("id_b"))
+                    .distinct())
+        va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+                         F.col("_n").alias("_na"))
+        vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+                         F.col("_n").alias("_nb"))
+        cands = pair_ids.join(va, "id_a").join(vb, "id_b")
     else:
         a, b = base.alias("a"), base.alias("b")
         cands = (a.join(b, F.col("a._id") < F.col("b._id"))
                  .select(F.col("a._id").alias("id_a"),
                          F.col("b._id").alias("id_b"),
                          F.col("a._v").alias("_va"),
-                         F.col("b._v").alias("_vb")))
+                         F.col("b._v").alias("_vb"),
+                         F.col("a._n").alias("_na"),
+                         F.col("b._n").alias("_nb")))
 
+    denom = F.col("_na") * F.col("_nb")
+    cos = F.when(denom > 0,
+                 dot_flat(F.col("_va"), F.col("_vb"), dim) / denom) \
+           .otherwise(F.lit(0.0))
     return (cands
-            .select("id_a", "id_b",
-                    cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"))
+            .select("id_a", "id_b", cos.alias("cosine_sim"))
             .where(F.col("cosine_sim") >= threshold))
 
 
@@ -311,7 +327,7 @@ def simhash_near_dup_pairs(docs: DataFrame, *, text_col: str = "text",
     sh = simhash64_agg(docs, text_col=text_col, id_col=id_col)
     chunked = sh.select(
         "doc_id", "simhash",
-        F.posexplode(F.array(*[
+        F.posexplode_outer(F.array(*[
             F.shiftright(F.col("simhash"), b * width)
             .bitwiseAND(F.lit((1 << width) - 1))
             for b in range(blocks)]))

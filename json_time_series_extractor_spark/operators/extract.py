@@ -200,6 +200,10 @@ def extract_samples_fixed(
     Semantics parity with the general operator for this restricted shape:
     numbers -> double, document-level timestamp with warc_ts fallback.
     """
+    if not pointers:
+        raise ValueError("extract_samples_fixed requires at least one "
+                         "(series_key, pointer) pair")
+
     def jpath(pointer: str) -> str:
         segs = [s for s in pointer.split("/") if s != ""]
         return "$." + ".".join(segs)
@@ -222,7 +226,10 @@ def extract_samples_fixed(
                 F.col(url_col).alias("url"),
                 F.col(fallback_ts_col).alias("warc_ts"),
                 ts_doc.alias("_doc_ts"),
-                F.explode(entries).alias("kv"))
+                # explode_outer: plain explode adds a Generate pre-filter
+                # re-evaluating every get_json_object twice more per row;
+                # the literal entries array is never null/empty anyway.
+                F.explode_outer(entries).alias("kv"))
             .select(
                 "url", "warc_ts",
                 F.col("kv.series_key").alias("series_key"),

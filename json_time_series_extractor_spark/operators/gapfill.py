@@ -33,7 +33,9 @@ def _grid(rollup_df: DataFrame, interval: str) -> DataFrame:
         .agg(F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi"))
         .select(
             "series_key",
-            F.explode(F.expr(f"sequence(_lo, _hi, interval {interval})"))
+            # explode_outer: plain explode would add a Generate pre-filter
+            # that re-evaluates the sequence() twice more per series.
+            F.explode_outer(F.expr(f"sequence(_lo, _hi, interval {interval})"))
             .alias("bucket_ts"))
     )
 
