@@ -28,8 +28,20 @@ from __future__ import annotations
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from json_time_series_extractor_spark.operators.textstats import tokens
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Persist a derived table that the plan reuses (self-joins, verify
+    stages). Spark does not reuse non-exchange subplans, so without this
+    the expensive derivation (shingling, signature aggregation) re-executes
+    once per reference — measured 3-5x on the near-dup operators. At
+    10^12-row scale the same intermediate would be written to its own table
+    between stages (exactly what the CLI pipeline does); within one job,
+    MEMORY_AND_DISK persist plays that role."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -131,15 +143,24 @@ def _band_hashes(signature: Column, bands: int) -> Column:
 def minhash_lsh_dedup_pairs(docs: DataFrame, *, text_col: str = "text",
                             id_col: str = "doc_id", num_hashes: int = 64,
                             bands: int = 16, shingle_n: int = 3,
-                            threshold: float = 0.8) -> DataFrame:
+                            threshold: float = 0.8,
+                            materialize: bool = True) -> DataFrame:
     """Full near-dup pipeline: signatures -> LSH candidates -> exact
-    Jaccard verify (>= threshold). Output: (id_a, id_b, jaccard)."""
+    Jaccard verify (>= threshold). Output: (id_a, id_b, jaccard).
+
+    ``materialize`` persists the signature and shingle tables, which the
+    self-join and verify stages each read twice (see :func:`_materialize`).
+    """
     sigs = minhash_signatures(docs, text_col=text_col, id_col=id_col,
                               num_hashes=num_hashes, shingle_n=shingle_n)
+    if materialize:
+        sigs = _materialize(sigs)
     cands = lsh_candidate_pairs(sigs, bands=bands)
     shingled = docs.select(F.col(id_col).alias("doc_id"),
                            word_shingles(F.col(text_col), shingle_n)
                            .alias("sh"))
+    if materialize:
+        shingled = _materialize(shingled)
     a = shingled.alias("a")
     b = shingled.alias("b")
     joined = (cands
@@ -162,7 +183,8 @@ def _jaccard(sh_a: Column, sh_b: Column) -> Column:
 
 def ngram_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        materialize: bool = True) -> DataFrame:
     """Exact n-gram Jaccard pairs (>= threshold) via an inverted index:
     explode shingles, equi-join on the shingle hash, count co-occurrences
     per pair, derive union from the per-doc set sizes.
@@ -177,11 +199,15 @@ def ngram_jaccard_pairs(docs: DataFrame, *, text_col: str = "text",
     shingled = docs.select(F.col(id_col).alias("doc_id"),
                            word_shingles(F.col(text_col), shingle_n)
                            .alias("sh"))
-    sizes = shingled.select("doc_id", F.size("sh").alias("sz"))
     # explode_outer: see minhash_signatures for the Generate-filter trap.
     postings = shingled.select(
         "doc_id", F.explode_outer("sh").alias("_s")).select(
         "doc_id", F.xxhash64("_s").alias("_h"))
+    if materialize:
+        postings = _materialize(postings)
+    # Shingles are distinct per doc, so |set| = posting count — derived
+    # from the (materialized) postings instead of re-shingling.
+    sizes = postings.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = postings.alias("a"), postings.alias("b")
     inter = (a.join(b, (F.col("a._h") == F.col("b._h"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -205,11 +231,15 @@ def embedding_neardup_pairs(embeddings: DataFrame, *,
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine_sim) with
     ``id_a < id_b`` and ``cosine_sim >= threshold``.
 
-    ``use_lsh=False`` (exact): all-pairs self-join — the verification
-    baseline, O(N^2) dot products, JVM-side only. ``use_lsh=True`` (scale
-    path): random-hyperplane buckets (any of ``tables`` signature tables)
-    generate candidates, exact cosine verifies — same-bucket join keys keep
-    the pair count near-linear for clustered near-dups at 100 TB scale.
+    ``use_lsh=False`` (exact): blocked matrix products — the corpus is
+    broadcast as one numpy matrix and each partition multiplies its block
+    against it (Arrow-batched ``mapInPandas``, BLAS inside). This is the
+    verification baseline: exact, but the broadcast side must fit in
+    executor memory, so it caps out around 10^6-10^7 vectors.
+    ``use_lsh=True`` (scale path): random-hyperplane buckets (any of
+    ``tables`` signature tables) generate candidates, exact cosine
+    verifies — same-bucket join keys keep the pair count near-linear for
+    clustered near-dups at 100 TB scale.
     """
     from json_time_series_extractor_spark.operators.similarity import (
         dot_flat, hyperplane_signature_table)
@@ -219,34 +249,28 @@ def embedding_neardup_pairs(embeddings: DataFrame, *,
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))
     first = base.select(F.size("_v").alias("d")).first()
     dim = int(first["d"]) if first else 64
+
+    if not use_lsh:
+        return _neardup_pairs_blocked(base, threshold)
+
     # Per-vector norm computed once, before any pairing (1 dot per pair).
     base = base.withColumn(
         "_n", F.sqrt(dot_flat(F.col("_v"), F.col("_v"), dim)))
-
-    if use_lsh:
-        banded = hyperplane_signature_table(base, "_id", "_v", bits=bits,
-                                            tables=tables, dim=dim)
-        a, b = banded.alias("a"), banded.alias("b")
-        pair_ids = (a.join(b, (F.col("a._table") == F.col("b._table"))
-                           & (F.col("a._sig") == F.col("b._sig"))
-                           & (F.col("a._id") < F.col("b._id")))
-                    .select(F.col("a._id").alias("id_a"),
-                            F.col("b._id").alias("id_b"))
-                    .distinct())
-        va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
-                         F.col("_n").alias("_na"))
-        vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
-                         F.col("_n").alias("_nb"))
-        cands = pair_ids.join(va, "id_a").join(vb, "id_b")
-    else:
-        a, b = base.alias("a"), base.alias("b")
-        cands = (a.join(b, F.col("a._id") < F.col("b._id"))
-                 .select(F.col("a._id").alias("id_a"),
-                         F.col("b._id").alias("id_b"),
-                         F.col("a._v").alias("_va"),
-                         F.col("b._v").alias("_vb"),
-                         F.col("a._n").alias("_na"),
-                         F.col("b._n").alias("_nb")))
+    banded = _materialize(  # self-joined below: hash each vector once
+        hyperplane_signature_table(base, "_id", "_v", bits=bits,
+                                   tables=tables, dim=dim))
+    a, b = banded.alias("a"), banded.alias("b")
+    pair_ids = (a.join(b, (F.col("a._table") == F.col("b._table"))
+                       & (F.col("a._sig") == F.col("b._sig"))
+                       & (F.col("a._id") < F.col("b._id")))
+                .select(F.col("a._id").alias("id_a"),
+                        F.col("b._id").alias("id_b"))
+                .distinct())
+    va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+                     F.col("_n").alias("_na"))
+    vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+                     F.col("_n").alias("_nb"))
+    cands = pair_ids.join(va, "id_a").join(vb, "id_b")
 
     denom = F.col("_na") * F.col("_nb")
     cos = F.when(denom > 0,
@@ -255,6 +279,49 @@ def embedding_neardup_pairs(embeddings: DataFrame, *,
     return (cands
             .select("id_a", "id_b", cos.alias("cosine_sim"))
             .where(F.col("cosine_sim") >= threshold))
+
+
+def _neardup_pairs_blocked(base: DataFrame, threshold: float) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via blocked matrix products.
+
+    The whole corpus (ids + unit-normalized float64 matrix) is broadcast;
+    each Arrow batch computes ``block @ corpus.T`` with numpy/BLAS and
+    emits the surviving (id_a < id_b) pairs. Joining the pairs relationally
+    would materialize two 64-double arrays per candidate pair — measured
+    ~10x slower than the matmul at 2k vectors, and the gap grows with N^2.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = base.collect()  # broadcast build side (verification-scale only)
+    ids = np.array([r["_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["_v"] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0.0] = 1.0  # zero vectors: cosine defined as 0
+    unit = mat / norms[:, None]
+    spark = base.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_unit = spark.sparkContext.broadcast(unit)
+
+    def run(batches):
+        all_ids = b_ids.value
+        all_unit = b_unit.value
+        for pdf in batches:
+            blk_ids = pdf["_id"].to_numpy(dtype=np.int64)
+            blk = np.array(list(pdf["_v"]), dtype=np.float64)
+            n = np.sqrt((blk * blk).sum(axis=1))
+            n[n == 0.0] = 1.0
+            sims = (blk / n[:, None]) @ all_unit.T
+            keep = (sims >= threshold) & (blk_ids[:, None] < all_ids[None, :])
+            i, j = np.nonzero(keep)
+            yield pd.DataFrame({
+                "id_a": blk_ids[i],
+                "id_b": all_ids[j],
+                "cosine_sim": sims[i, j],
+            })
+
+    return base.select("_id", "_v").mapInPandas(
+        run, "id_a long, id_b long, cosine_sim double")
 
 
 def simhash64(text: Column) -> Column:
@@ -315,7 +382,8 @@ def simhash64_agg(docs: DataFrame, *, text_col: str = "text",
 
 def simhash_near_dup_pairs(docs: DataFrame, *, text_col: str = "text",
                            id_col: str = "doc_id", max_hamming: int = 3,
-                           blocks: int = 4) -> DataFrame:
+                           blocks: int = 4,
+                           materialize: bool = True) -> DataFrame:
     """SimHash near-dup candidates via the block trick: split the 64-bit
     hash into ``blocks`` chunks — any pair within Hamming distance
     ``blocks - 1`` shares at least one exact chunk, so a self-join per
@@ -325,6 +393,8 @@ def simhash_near_dup_pairs(docs: DataFrame, *, text_col: str = "text",
     """
     width = 64 // blocks
     sh = simhash64_agg(docs, text_col=text_col, id_col=id_col)
+    if materialize:
+        sh = _materialize(sh)  # self-joined below: compute the hashes once
     chunked = sh.select(
         "doc_id", "simhash",
         F.posexplode_outer(F.array(*[

@@ -1,0 +1,108 @@
+"""Custom stateful streaming operator: incremental per-series LOCF.
+
+The batch gap-fill (``operators.gapfill``) rebuilds the dense grid from
+scratch; in streaming, the grid must extend incrementally as samples
+arrive, carrying the last observed value per series across micro-batches.
+Spark has no built-in operator for this, so it is expressed with
+``applyInPandasWithState`` (GroupState, one state row per series):
+
+- **state** = (last emitted bucket epoch-seconds, last observed value);
+- per micro-batch, for each series: sort the new buckets, emit every grid
+  bucket from the last state bucket forward, LOCF-filling holes *between*
+  micro-batches as well as within one;
+- state is updated, never timed out (a production deployment would set a
+  TTL tied to the retention horizon so dead series do not accrete state).
+
+The groupBy key is ``series_key``, so state is hash-partitioned exactly
+like the rollup shuffle — one extra state store per executor, no driver
+involvement, scales with the series cardinality not the row count.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: Output schema of the stateful LOCF operator.
+LOCF_STATE_SCHEMA = "series_key string, bucket_ts timestamp, value double, filled boolean"
+#: State: last emitted bucket (epoch seconds) + last observed value.
+STATE_SCHEMA = "last_bucket long, last_value double"
+
+
+def _locf_update(key: Tuple[str],
+                 pdfs: Iterable[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    interval = int(rows["interval_s"].iloc[0])
+    # Incoming buckets for this series, deduplicated and ordered.
+    incoming = (rows[["bucket_s", "value"]]
+                .dropna(subset=["bucket_s"])
+                .sort_values("bucket_s")
+                .groupby("bucket_s", as_index=False).last())
+
+    if state.exists:
+        last_bucket, last_value = state.get
+    else:
+        last_bucket, last_value = None, None
+
+    out_bucket: list = []
+    out_value: list = []
+    out_filled: list = []
+    for bucket_s, value in incoming.itertuples(index=False, name=None):
+        bucket_s = int(bucket_s)
+        if last_bucket is not None:
+            # LOCF-fill the hole since the previously emitted bucket.
+            for hole in range(int(last_bucket) + interval, bucket_s,
+                              interval):
+                out_bucket.append(hole)
+                out_value.append(last_value)
+                out_filled.append(True)
+        if not (isinstance(value, float) and np.isnan(value)):
+            last_value = float(value)
+        out_bucket.append(bucket_s)
+        out_value.append(last_value)
+        out_filled.append(False)
+        last_bucket = bucket_s
+
+    state.update((int(last_bucket), float(last_value)
+                  if last_value is not None else None))
+    yield pd.DataFrame({
+        "series_key": pd.Series([key[0]] * len(out_bucket), dtype="object"),
+        "bucket_ts": pd.Series(
+            pd.to_datetime(pd.Series(out_bucket, dtype="int64"), unit="s")),
+        "value": pd.Series(out_value, dtype="float64"),
+        "filled": pd.Series(out_filled, dtype="bool"),
+    })
+
+
+def stateful_locf(rollup_stream: DataFrame, interval_seconds: int = 60,
+                  value_col: str = "mean") -> DataFrame:
+    """Streaming LOCF over a (possibly sparse) streaming rollup.
+
+    Input: a streaming DataFrame with (series_key, bucket_ts, <value_col>).
+    Output: dense (series_key, bucket_ts, value, filled) — holes between
+    observed buckets are emitted with the carried-forward value, including
+    holes that span micro-batch boundaries (that cross-batch carry is the
+    state).
+    """
+    from pyspark.sql import functions as F
+
+    prepared = rollup_stream.select(
+        "series_key",
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        F.col(value_col).cast("double").alias("value"),
+        F.lit(int(interval_seconds)).alias("interval_s"))
+    return (prepared
+            .groupBy("series_key")
+            .applyInPandasWithState(
+                _locf_update,
+                outputStructType=LOCF_STATE_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -129,3 +129,56 @@ def test_streaming_rollup_smoke(spark, tmp_path):
         assert all(r["count"] > 0 for r in rows)
     finally:
         q2.stop()
+
+
+def test_stateful_locf_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState LOCF: holes within AND between micro-batches
+    are filled from per-series state."""
+    import os
+
+    from json_time_series_extractor_spark.streaming.stateful import (
+        stateful_locf,
+    )
+
+    src = str(tmp_path / "rollup_stream")
+    os.makedirs(src)
+    # Two micro-batches (one file each, maxFilesPerTrigger=1). Series "a"
+    # has a hole inside batch 1 (00:00 -> 00:02) and a hole spanning the
+    # batch boundary (00:02 -> 00:05).
+    batch1 = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0),
+         ("a", "2024-01-01 00:02:00", 3.0),
+         ("b", "2024-01-01 00:00:00", 10.0)],
+        "series_key string, bucket_ts string, mean double",
+    ).withColumn("bucket_ts", F.to_timestamp("bucket_ts"))
+    batch2 = spark.createDataFrame(
+        [("a", "2024-01-01 00:05:00", 6.0)],
+        "series_key string, bucket_ts string, mean double",
+    ).withColumn("bucket_ts", F.to_timestamp("bucket_ts"))
+    batch1.coalesce(1).write.parquet(src + "/f1")
+    import time as _time
+    _time.sleep(0.2)  # distinct mtimes: the file source triggers oldest-first
+    batch2.coalesce(1).write.parquet(src + "/f2")
+
+    stream = (spark.readStream
+              .schema("series_key string, bucket_ts timestamp, mean double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src + "/*"))
+    dense = stateful_locf(stream, interval_seconds=60)
+    q = (dense.writeStream.outputMode("append").format("memory")
+         .queryName("locf_state_test")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.processAllAvailable()
+    try:
+        rows = {(r.series_key, r.bucket_ts.strftime("%H:%M"), r.value,
+                 r.filled)
+                for r in spark.sql(
+                    "SELECT * FROM locf_state_test").collect()}
+    finally:
+        q.stop()
+
+    a = sorted((t, v, f) for (k, t, v, f) in rows if k == "a")
+    assert a == [("00:00", 1.0, False), ("00:01", 1.0, True),
+                 ("00:02", 3.0, False), ("00:03", 3.0, True),
+                 ("00:04", 3.0, True), ("00:05", 6.0, False)]
+    assert ("b", "00:00", 10.0, False) in rows
