@@ -54,6 +54,7 @@ from json_time_series_extractor_spark.operators.rollup import (
 from json_time_series_extractor_spark.operators.similarity import (
     cosine_flat,
     cosine_topk,
+    ivf_topk,
     lsh_topk,
 )
 from json_time_series_extractor_spark.operators.textstats import (
@@ -390,6 +391,15 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.length("frame").alias("frame_bytes"))
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF-flat cells (alternative scale path;
+    rows-only check)."""
+    emb = _embeddings(spark, sf_dir)
+    out = ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=10,
+                   n_centroids=16, n_probe=4)
+    return _quant6(out, "cosine_sim")
+
+
 def q_chunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla chunk compression round-trip: the oracle is the original
     event stream itself — decode(encode(x)) must equal x bit-exactly."""
@@ -435,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_scores": q_cosine_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "chunk_roundtrip": q_chunk_roundtrip,
     }
 

@@ -88,9 +88,14 @@ def run_benchmarks() -> None:
             # operator throughput; without this they dominate sub-second
             # queries and swing +-10s run to run.
             warm()
+            # Drop DATA caches the warm run persisted (codegen/JIT caches
+            # survive): leaked persists accumulate across queries and the
+            # eviction churn contaminates later timings.
+            spark.catalog.clearCache()
         t0 = time.perf_counter()
         result = fn()
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
         if isinstance(result, dict):
             extras.update(result)
 
@@ -125,7 +130,8 @@ def run_benchmarks() -> None:
                  "simhash_pairs", "embedding_neardup",
                  "embedding_neardup_lsh", "retention_expiry",
                  "media_image_features", "media_frame_sample",
-                 "cosine_scores", "ann_topk", "ann_lsh_topk"]:
+                 "cosine_scores", "ann_topk", "ann_lsh_topk",
+                 "ann_ivf_topk"]:
         timed(name,
               lambda n=name: queries[n](spark, SF_DIR)
               .write.format("noop").mode("overwrite").save(),

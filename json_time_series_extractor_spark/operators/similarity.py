@@ -143,6 +143,87 @@ def hyperplane_signature(vec: Column, bits: int, table: int = 0,
     return sig
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
+             n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "vec_id",
+             query_vec_col: str = "embedding",
+             dim: Optional[int] = None) -> DataFrame:
+    """IVF-flat approximate top-k: partition the corpus into ``n_centroids``
+    inverted cells, probe each query against its ``n_probe`` nearest cells,
+    exact cosine re-rank within the probed cells.
+
+    Centroids are the first ``n_centroids`` corpus vectors by id —
+    deterministic and model-free (a k-means refinement would plug in where
+    the centroid matrix is built, changing nothing downstream). Cell
+    assignment is a blocked matmul against the broadcast centroid matrix
+    (numpy/BLAS in ``mapInPandas``, map-only, no shuffle); the candidate
+    join is an equi-join on ``cell``, so per-query work is
+    ~N * n_probe / n_centroids instead of N.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if dim is None:
+        dim = _probe_dim(corpus, vec_col)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("_cv"))
+    c = c.withColumn("_cn", F.sqrt(dot_flat(F.col("_cv"), F.col("_cv"), dim)))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       _as_double(F.col(query_vec_col)).alias("_qv"))
+    q = q.withColumn("_qn", F.sqrt(dot_flat(F.col("_qv"), F.col("_qv"), dim)))
+
+    cents = (corpus.select(F.col(id_col).alias("_i"),
+                           _as_double(F.col(vec_col)).alias("_v"))
+             .orderBy("_i").limit(n_centroids).collect())
+    cmat = np.array([r["_v"] for r in cents], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cnorm[cnorm == 0.0] = 1.0
+    cunit = cmat / cnorm[:, None]
+    spark = corpus.sparkSession
+    b_cunit = spark.sparkContext.broadcast(cunit)
+
+    def assign(top: int, vcol: str):
+        def run(batches):
+            cu = b_cunit.value
+            for pdf in batches:
+                m = np.array(list(pdf[vcol]), dtype=np.float64)
+                n = np.sqrt((m * m).sum(axis=1))
+                n[n == 0.0] = 1.0
+                sims = (m / n[:, None]) @ cu.T
+                # top cells per row, deterministic tie-break by cell index
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :top]
+                reps = np.repeat(np.arange(len(pdf)), top)
+                out = pdf.iloc[reps].reset_index(drop=True)
+                out["cell"] = order.ravel().astype("int32")
+                yield out
+
+        return run
+
+    c_cells = c.mapInPandas(
+        assign(1, "_cv"),
+        "neighbor_id long, _cv array<double>, _cn double, cell int")
+    q_cells = q.mapInPandas(
+        assign(n_probe, "_qv"),
+        "query_id long, _qv array<double>, _qn double, cell int")
+
+    # Each corpus vector lives in exactly one cell and a query probes
+    # n_probe distinct cells, so (query, neighbor) pairs are already unique.
+    denom = F.col("_qn") * F.col("_cn")
+    scored = (c_cells.join(F.broadcast(q_cells), "cell")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      F.when(denom > 0,
+                             dot_flat(F.col("_qv"), F.col("_cv"), dim)
+                             / denom)
+                      .otherwise(F.lit(0.0)).alias("cosine_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def hyperplane_signature_table(df: DataFrame, id_col: str, vec_col: str, *,
                                bits: int, tables: int, dim: int) -> DataFrame:
     """``(id, _table, _sig)`` — every row's hyperplane bucket in each of

@@ -137,6 +137,27 @@ def test_lsh_topk_recall_on_clustered_data(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ivf_topk_recall_on_clustered_data(spark):
+    from json_time_series_extractor_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(5)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # Scores of overlapping pairs are exact (re-rank is exact cosine).
+    es = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact.collect()}
+    for r in approx.collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in es:
+            assert abs(es[key] - r.cosine_sim) < 1e-9
+
+
 def test_simhash_agg_equals_expression_path(spark):
     from pyspark.sql import functions as F
 
