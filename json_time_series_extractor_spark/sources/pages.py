@@ -90,6 +90,20 @@ def synthesize_pages(
     )
 
 
+#: Markers the synthetic html wraps the JSON payload in (see
+#: :func:`synthesize_pages`) — the Common-Crawl-style stand-in for a WARC
+#: record's extracted-text step.
+_PAYLOAD_RE = r'(?s)<script type="application/json">(.*)</script>'
+
+
+def html_payload_text(html: Column) -> Column:
+    """Extract the embedded JSON payload text from the ``html`` binary
+    column — **byte-identical** to the page's ``text`` column (the
+    input_hint invariant: identical extracted text per url). Pure JVM
+    expressions: decode + anchored regexp, no Python."""
+    return F.regexp_extract(F.decode(html, "UTF-8"), _PAYLOAD_RE, 1)
+
+
 def write_pages_partitioned(pages: DataFrame, path: str,
                             url_buckets: int = 32) -> None:
     """Materialize with the explicit partition spec from the north rule:

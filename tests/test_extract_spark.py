@@ -100,3 +100,29 @@ def test_fixed_pointer_fast_path_has_no_python(spark):
     assert rows["c"].value_double == 7.0
     assert rows["ab"].ts == datetime(2024, 2, 5, 16, 0, 0)
     assert rows["ab"].ts_source == int(TimestampSource.DOCUMENT)
+
+
+def test_html_payload_text_byte_identical(spark):
+    """input_hint invariant: text extracted from the html binary equals the
+    page's text column byte-for-byte, for every url."""
+    from pyspark.sql import functions as F
+
+    from json_time_series_extractor_spark.sources.pages import (
+        html_payload_text,
+        synthesize_pages,
+    )
+
+    pages = synthesize_pages(spark, 500)
+    mismatches = (pages
+                  .select(F.col("url"),
+                          (html_payload_text(F.col("html"))
+                           == F.col("text")).alias("same"))
+                  .where(~F.col("same"))
+                  .count())
+    assert mismatches == 0
+    # And the extracted text is non-empty (regex actually matched).
+    empties = (pages
+               .select(F.length(html_payload_text(F.col("html")))
+                       .alias("n"))
+               .where(F.col("n") == 0).count())
+    assert empties == 0
