@@ -43,6 +43,12 @@ SAMPLE_SCHEMA = (
     "value_kind tinyint, ts_source tinyint"
 )
 
+#: Extended schema carrying the offset-preserving raw timestamp. Spark
+#: timestamps are UTC-normalized, losing the reference's DateTimeOffset
+#: fidelity (TimeSeriesSample.cs:8-53); ``ts_raw`` is the ISO-8601 render
+#: of the sample timestamp with its original offset intact.
+SAMPLE_SCHEMA_TS_RAW = SAMPLE_SCHEMA + ", ts_raw string"
+
 _UTC = timezone.utc
 
 
@@ -53,6 +59,7 @@ def extract_samples(
     text_col: str = "text",
     url_col: str = "url",
     fallback_ts_col: Optional[str] = "warc_ts",
+    include_ts_raw: bool = False,
 ) -> DataFrame:
     """Extract time-series samples from every page.
 
@@ -60,6 +67,11 @@ def extract_samples(
     fallback timestamp — the reference's ``GetDefaultTimestamp`` delegate
     (``TimeSeriesExtractorOptions.cs:142``) bound to the page's capture
     time, so extraction stays deterministic (no wall-clock on executors).
+
+    ``include_ts_raw`` adds a ``ts_raw`` string column with the ISO-8601
+    timestamp *including its original UTC offset* — the reference's
+    ``DateTimeOffset`` fidelity that Spark's UTC-normalized TimestampType
+    cannot carry.
     """
     if options is None:
         options = ExtractorOptions()
@@ -91,14 +103,17 @@ def extract_samples(
         for pdf in batches:
             yield process_batch(pdf, opts, text_col=text_col,
                                 url_col=url_col,
-                                fallback_ts_col=fallback_ts_col)
+                                fallback_ts_col=fallback_ts_col,
+                                include_ts_raw=include_ts_raw)
 
-    return pages.select(*cols).mapInPandas(extract_batches, SAMPLE_SCHEMA)
+    schema = SAMPLE_SCHEMA_TS_RAW if include_ts_raw else SAMPLE_SCHEMA
+    return pages.select(*cols).mapInPandas(extract_batches, schema)
 
 
 def process_batch(pdf: pd.DataFrame, opts: ExtractorOptions, *,
                   text_col: str = "text", url_col: str = "url",
                   fallback_ts_col: Optional[str] = "warc_ts",
+                  include_ts_raw: bool = False,
                   ) -> pd.DataFrame:
     """Run the extraction core over one Arrow batch of pages.
 
@@ -119,6 +134,7 @@ def process_batch(pdf: pd.DataFrame, opts: ExtractorOptions, *,
     v_bool: List[Optional[bool]] = []
     v_kind: List[int] = []
     ts_src: List[int] = []
+    ts_raw: List[Optional[str]] = []
 
     text_vals = pdf[text_col].values
     url_vals = pdf[url_col].values
@@ -149,6 +165,8 @@ def process_batch(pdf: pd.DataFrame, opts: ExtractorOptions, *,
             ts = sample.timestamp
             ts_out.append(ts.astimezone(_UTC).replace(tzinfo=None)
                           if ts.tzinfo is not None else ts)
+            if include_ts_raw:
+                ts_raw.append(ts.isoformat())
             value = sample.value
             kind = sample.value_kind
             v_kind.append(kind)
@@ -170,7 +188,7 @@ def process_batch(pdf: pd.DataFrame, opts: ExtractorOptions, *,
                 v_str.append(str(value))
                 v_bool.append(None)
 
-    return pd.DataFrame({
+    out = {
         "url": pd.Series(urls, dtype="object"),
         "warc_ts": pd.Series(warc, dtype="datetime64[us]"),
         "series_key": pd.Series(keys, dtype="object"),
@@ -180,7 +198,10 @@ def process_batch(pdf: pd.DataFrame, opts: ExtractorOptions, *,
         "value_bool": pd.Series(v_bool, dtype="object"),
         "value_kind": pd.Series(v_kind, dtype="int8"),
         "ts_source": pd.Series(ts_src, dtype="int8"),
-    })
+    }
+    if include_ts_raw:
+        out["ts_raw"] = pd.Series(ts_raw, dtype="object")
+    return pd.DataFrame(out)
 
 
 def extract_samples_fixed(

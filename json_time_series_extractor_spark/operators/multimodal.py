@@ -90,6 +90,77 @@ def extract_image_features(df: DataFrame, *, id_col: str = "media_id",
     return df.select(id_col, blob_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = ("media_id long, media binary, width int, height int, "
+                  "size_bytes long")
+
+AUDIO_FEATURES_SCHEMA = ("media_id long, duration_ms int, sample_rate int, "
+                         "rms double, audio_fp long")
+
+
+def resize_images(df: DataFrame, width: int, height: int, *,
+                  id_col: str = "media_id", blob_col: str = "media",
+                  decode_stub: str = "fake") -> DataFrame:
+    """Resize plumbing: blob in -> (resized blob, target dims) out.
+
+    The fake kernel derives the output bytes deterministically from
+    (input bytes, target dims); a real implementation decodes, resamples
+    and re-encodes at the same call site. Arrow-batched, map-only.
+    """
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "real image resize requires PIL/opencv — not available "
+                    "in this container; plug the resampler in here")
+            blobs = [hashlib.sha256(
+                bytes(b) + f"{width}x{height}".encode()).digest()
+                for b in pdf[blob_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].values,
+                "media": pd.Series(blobs, dtype="object"),
+                "width": pd.Series([width] * len(pdf), dtype="int32"),
+                "height": pd.Series([height] * len(pdf), dtype="int32"),
+                "size_bytes": pd.Series([len(b) for b in blobs],
+                                        dtype="int64"),
+            })
+
+    return df.select(id_col, blob_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+def extract_audio_features(df: DataFrame, *, id_col: str = "media_id",
+                           blob_col: str = "media",
+                           duration_col: str = "duration_ms",
+                           decode_stub: str = "fake") -> DataFrame:
+    """Audio feature plumbing: duration/sample-rate/RMS/fingerprint.
+
+    The fake kernel derives features from a sha256 of the bytes (librosa/
+    ffmpeg are not in this container); the Spark-side shape — metadata
+    passthrough, Arrow batching, map-only plan — is the real contract.
+    """
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "real audio decode requires librosa/ffmpeg — not "
+                    "available in this container; plug the decoder in here")
+            rows = []
+            for mid, blob, dur in zip(pdf[id_col], pdf[blob_col],
+                                      pdf[duration_col]):
+                d = hashlib.sha256(bytes(blob)).digest()
+                rows.append((
+                    mid,
+                    int(dur) if not pd.isnull(dur) else 0,
+                    8000 * (1 + d[0] % 6),          # fake sample rate
+                    d[1] / 255.0,                    # fake RMS
+                    int.from_bytes(d[2:10], "big", signed=True)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "duration_ms", "sample_rate",
+                               "rms", "audio_fp"])
+
+    return df.select(id_col, blob_col, duration_col).mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA)
+
+
 def sample_video_frames(df: DataFrame, every_ms: int = 1000, *,
                         id_col: str = "media_id", blob_col: str = "media",
                         duration_col: str = "duration_ms",

@@ -126,3 +126,21 @@ def test_html_payload_text_byte_identical(spark):
                        .alias("n"))
                .where(F.col("n") == 0).count())
     assert empties == 0
+
+
+def test_extract_ts_raw_preserves_offset(spark):
+    """DateTimeOffset fidelity: ts is UTC-normalized, ts_raw keeps the
+    document's original offset (reference TimeSeriesSample.Timestamp)."""
+    from json_time_series_extractor_spark.operators.extract import (
+        extract_samples,
+    )
+
+    pages = spark.createDataFrame(
+        [("u", datetime(2024, 2, 5),
+          '{"time":"2021-05-28T17:41:09.7031076+03:00","temp":19.3}')],
+        "url string, warc_ts timestamp, text string")
+    rows = extract_samples(pages, {}, include_ts_raw=True).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.ts_raw == "2021-05-28T17:41:09.703107+03:00"
+    assert r.ts == datetime(2021, 5, 28, 14, 41, 9, 703107)  # UTC-normalized

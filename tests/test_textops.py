@@ -250,3 +250,49 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         extract_image_features(media, decode_stub="raise").collect()
+
+
+def test_resize_and_audio_stubs(spark):
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.multimodal import (
+        extract_audio_features,
+        resize_images,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 10, kind="audio")
+    resized = resize_images(media, 32, 24).collect()
+    assert len(resized) == 10
+    assert all(r.width == 32 and r.height == 24 for r in resized)
+    # Deterministic: same input -> same resized bytes.
+    again = resize_images(synthesize_media(spark, 10), 32, 24).collect()
+    assert {bytes(r.media) for r in resized} == {bytes(r.media) for r in again}
+
+    feats = extract_audio_features(media).collect()
+    assert len(feats) == 10
+    assert all(f.sample_rate % 8000 == 0 and 0 <= f.rms <= 1 for f in feats)
+
+    with _pytest.raises(Exception):
+        resize_images(media, 8, 8, decode_stub="raise").collect()
+
+
+def test_iceberg_helpers_gate_cleanly(spark):
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.sources import iceberg as ice
+
+    assert not ice.iceberg_available(spark)
+    ddl = ice.pages_table_ddl("lake.db.pages", url_buckets=64)
+    assert "bucket(64, url)" in ddl and "days(warc_ts)" in ddl
+    assert "days(bucket_ts)" in ice.rollup_table_ddl("lake.db.r1m")
+    assert "expire_snapshots" in ice.retention_sql("lake.db.pages",
+                                                   "2024-02-01")
+    with _pytest.raises(ice.IcebergUnavailable) as ei:
+        ice.create_table(spark, ddl)
+    assert "CREATE TABLE" in ei.value.sql
+    df = spark.range(1)
+    with _pytest.raises(ice.IcebergUnavailable):
+        ice.append(df, "lake.db.pages")
+    with _pytest.raises(ice.IcebergUnavailable):
+        ice.read_table(spark, "lake.db.pages")
