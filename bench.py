@@ -141,6 +141,35 @@ def run_benchmarks() -> None:
               warm=lambda n=name: queries[n](spark, WARM_SF_DIR)
               .write.format("noop").mode("overwrite").save())
 
+    # Compression-ratio metric: Gorilla/DoD chunk bytes per point vs the
+    # 16-byte raw (ts int64 + value float64) representation.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if not only or "chunk_roundtrip" in only.split(","):
+        from json_time_series_extractor_spark.operators.chunks import (
+            compress_chunks)
+        ev = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+              .selectExpr("event_type AS series_key", "ts",
+                          "value AS value_double"))
+        stats = (compress_chunks(ev, "1 day")
+                 .agg(F.sum(F.length("ts_blob") + F.length("val_blob"))
+                      .alias("bytes"), F.sum("n").alias("points"))
+                 .first())
+        extras["chunk_bytes_per_point"] = round(
+            stats["bytes"] / max(stats["points"], 1), 2)
+        extras["chunk_compression_ratio_vs_raw16"] = round(
+            16.0 / (stats["bytes"] / max(stats["points"], 1)), 2)
+        # Regular-interval series (a rollup tier) — the TSDB sweet spot:
+        # delta-of-delta collapses the timestamps to ~0 bits.
+        r1m = (rollup(ev, "1 minute")
+               .selectExpr("series_key", "bucket_ts AS ts",
+                           "count AS value_double"))
+        rstats = (compress_chunks(r1m, "30 days")
+                  .agg(F.sum(F.length("ts_blob") + F.length("val_blob"))
+                       .alias("bytes"), F.sum("n").alias("points"))
+                  .first())
+        extras["chunk_bytes_per_point_regular"] = round(
+            rstats["bytes"] / max(rstats["points"], 1), 2)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline query wall time (extract+rollup pipeline "

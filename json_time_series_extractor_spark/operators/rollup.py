@@ -100,6 +100,33 @@ def rollup_cascade(child: DataFrame, tier: str) -> DataFrame:
     )
 
 
+def detect_hot_keys(
+    samples: DataFrame,
+    *,
+    key_col: str = "series_key",
+    min_share: float = 0.01,
+    sample_fraction: float = 0.01,
+    seed: int = 7,
+) -> DataFrame:
+    """Heavy-hitter detection for :func:`rollup_salted`'s ``hot_keys``.
+
+    Counts keys on a deterministic Bernoulli sample (one map-side pass +
+    a tiny shuffle of per-partition partials) and returns the keys whose
+    sampled share exceeds ``min_share`` — at 10^12 rows a 1% sample still
+    sees every key that matters for skew, and the output is small enough
+    to broadcast. Run it once per input partition-range and reuse; skew
+    profiles shift slowly relative to job cadence.
+    """
+    sampled = samples.sample(fraction=sample_fraction, seed=seed)
+    total = sampled.count()
+    cutoff = max(1, int(total * min_share))
+    return (sampled
+            .groupBy(key_col)
+            .count()
+            .where(F.col("count") >= cutoff)
+            .select(key_col))
+
+
 def rollup_salted(
     samples: DataFrame,
     tier: str = "1 minute",

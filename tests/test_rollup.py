@@ -135,3 +135,63 @@ def test_rollup_plan_is_whole_stage_codegen(samples):
     plan = rollup(samples, "1 minute")._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan
     assert "Python" not in plan
+
+
+def test_detect_hot_keys_feeds_salted_rollup(spark):
+    from json_time_series_extractor_spark.operators.extract import (
+        extract_samples,
+    )
+    from json_time_series_extractor_spark.operators.rollup import (
+        detect_hot_keys,
+        rollup,
+        rollup_salted,
+    )
+    from json_time_series_extractor_spark.sources.pages import (
+        PAGES_EXTRACT_OPTIONS,
+        synthesize_pages,
+    )
+
+    samples = extract_samples(synthesize_pages(spark, 2000),
+                              PAGES_EXTRACT_OPTIONS)
+    # All three series keys appear in every doc -> all are "hot" at 1%.
+    hot = detect_hot_keys(samples, min_share=0.01, sample_fraction=0.5)
+    hot_keys = {r.series_key for r in hot.collect()}
+    assert hot_keys == {"fetch_latency_ms", "page_size_bytes", "lang_count"}
+
+    plain = {(r.series_key, r.bucket_ts): (r["min"], r["max"], r["count"])
+             for r in rollup(samples, "1 hour").collect()}
+    salted = {(r.series_key, r.bucket_ts): (r["min"], r["max"], r["count"])
+              for r in rollup_salted(samples, "1 hour", salt_buckets=8,
+                                     hot_keys=hot).collect()}
+    assert plain == salted
+
+
+def test_rollup_over_decompressed_chunks_matches_raw(spark):
+    """Lossless integration: compress -> decompress -> rollup equals the
+    rollup of the raw samples at every tier (north rule: identical rolled-up
+    points at each retention tier)."""
+    from json_time_series_extractor_spark.operators.chunks import (
+        compress_chunks,
+        decompress_chunks,
+    )
+    from json_time_series_extractor_spark.operators.rollup import (
+        rollup,
+        rollup_cascade,
+    )
+
+    samples = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+               .selectExpr("event_type AS series_key", "ts",
+                           "value AS value_double"))
+    direct_1m = rollup(samples, "1 minute", deterministic_last=True)
+    via_chunks = rollup(
+        decompress_chunks(compress_chunks(samples, "1 day")),
+        "1 minute", deterministic_last=True)
+
+    def key(df):
+        return {(r.series_key, r.bucket_ts):
+                (r["min"], r["max"], r["sum"], r["count"], r["last"],
+                 r["last_ts"]) for r in df.collect()}
+
+    assert key(direct_1m) == key(via_chunks)
+    assert key(rollup_cascade(direct_1m, "1 hour")) == key(
+        rollup_cascade(via_chunks, "1 hour"))
