@@ -78,10 +78,13 @@ class _ParsedTimestamp(NamedTuple):
     pointer: Optional[Pointer]  # absolute pointer of the matched ts property
 
 
-class _StackEntry(NamedTuple):
-    key: Optional[str]
-    element: Any
-    is_array_item: bool
+# Element-stack entry: (key, element, is_array_item) as a plain tuple —
+# the stack is pushed/popped for every JSON node on the extraction hot
+# path, and NamedTuple construction + attribute access measure ~10% of the
+# whole walk. Index layout: [0]=key, [1]=element, [2]=is_array_item.
+def _StackEntry(key: Optional[str], element: Any,
+                is_array_item: bool) -> tuple:
+    return (key, element, is_array_item)
 
 
 _PLACEHOLDER_RE = re.compile(r"\{([^\}]+?)\}", re.DOTALL)
@@ -209,12 +212,24 @@ def _document(root: dict, options: ExtractorOptions,
 
 def _walk(ctx: _Context, depth: int, ptr: Pointer,
           ) -> Iterator[TimeSeriesSample]:
-    """Depth-first walk (``TimeSeriesExtractor.cs:501-541``)."""
-    element = ctx.element_stack[-1].element
-    if not ctx.can_process(ptr, element):
+    """Depth-first walk (``TimeSeriesExtractor.cs:501-541``).
+
+    The filter check is ``_Context.can_process`` inlined — one method call
+    per JSON node is measurable at 10^5 docs/sec/core. ``depth >=
+    ctx.max_depth`` also covers the non-recursive mode: the context pins
+    ``max_depth`` to 1 when ``recursive`` is off, so depth 1 (every
+    top-level property) already emits.
+    """
+    stack = ctx.element_stack
+    element = stack[-1][1]
+    ts_entry = ctx.timestamp_stack[-1]
+    if ts_entry.pointer is not None and ptr == ts_entry.pointer:
+        return
+    can = ctx._can_process
+    if can is not None and not can(ctx, ptr, element):
         return
 
-    if not ctx.options.recursive or depth >= ctx.max_depth:
+    if depth >= ctx.max_depth:
         sample = _build_sample(ctx, ptr, element)
         if sample is not None:
             yield sample
@@ -233,17 +248,20 @@ def _walk(ctx: _Context, depth: int, ptr: Pointer,
                     ts, TimestampSource.DOCUMENT,
                     ptr + opts._timestamp_segments))
                 pushed = True
+        next_depth = depth + 1
         for name, value in element.items():
-            ctx.element_stack.append(_StackEntry(name, value, False))
-            yield from _walk(ctx, depth + 1, ptr + (name,))
-            ctx.element_stack.pop()
+            stack.append((name, value, False))
+            yield from _walk(ctx, next_depth, ptr + (name,))
+            stack.pop()
         if pushed:
             ctx.timestamp_stack.pop()
     elif isinstance(element, list):
+        next_depth = depth + 1
         for i, item in enumerate(element):
-            ctx.element_stack.append(_StackEntry(str(i), item, True))
-            yield from _walk(ctx, depth + 1, ptr + (str(i),))
-            ctx.element_stack.pop()
+            key = str(i)
+            stack.append((key, item, True))
+            yield from _walk(ctx, next_depth, ptr + (key,))
+            stack.pop()
     else:
         sample = _build_sample(ctx, ptr, element)
         if sample is not None:
@@ -334,7 +352,7 @@ def _build_key(ctx: _Context, ptr: Pointer) -> str:
             # defines the property, root -> leaf (``:721-751``).
             values = []
             for i, entry in enumerate(ctx.element_stack):
-                el = entry.element
+                el = entry[1]
                 if isinstance(el, dict) and name in el:
                     values.append(_display_value(ctx, ptr, i, name, el[name]))
             if values:
@@ -344,10 +362,10 @@ def _build_key(ctx: _Context, ptr: Pointer) -> str:
             # (``:752-760``; ``ElementStack.FirstOrDefault`` iterates from
             # the root, ``ElementStack.cs:147-159``).
             for i, entry in enumerate(ctx.element_stack):
-                if isinstance(entry.element, dict):
-                    if name in entry.element:
+                if isinstance(entry[1], dict):
+                    if name in entry[1]:
                         return _display_value(ctx, ptr, i, name,
-                                              entry.element[name])
+                                              entry[1][name])
                     break
 
         replacement = (options.get_template_replacement(name)
@@ -379,7 +397,7 @@ def _display_value(ctx: _Context, ptr: Pointer, stack_index: int,
 
 
 def _stack_has_array_items(ctx: _Context) -> bool:
-    return any(entry.is_array_item for entry in ctx.element_stack)
+    return any(entry[2] for entry in ctx.element_stack)
 
 
 def _full_property_name(ctx: _Context, ptr: Pointer, force_local: bool) -> str:
@@ -400,8 +418,8 @@ def _full_property_name(ctx: _Context, ptr: Pointer, force_local: bool) -> str:
 
     # Rebuild from the element stack, skipping array entries, so numeric
     # *object* keys survive (``:822-836``).
-    parts = [entry.key for entry in ctx.element_stack
-             if entry.key is not None and not entry.is_array_item]
+    parts = [entry[0] for entry in ctx.element_stack
+             if entry[0] is not None and not entry[2]]
     return options.path_separator.join(parts)
 
 
@@ -422,6 +440,6 @@ def _property_path(ctx: _Context, ptr: Pointer) -> str:
             return rendered[1:] if rendered.startswith("/") else rendered
         return options.path_separator.join(ancestor)
 
-    parts = [entry.key for entry in ctx.element_stack[:-1]
-             if entry.key is not None and not entry.is_array_item]
+    parts = [entry[0] for entry in ctx.element_stack[:-1]
+             if entry[0] is not None and not entry[2]]
     return options.path_separator.join(parts)
