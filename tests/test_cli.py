@@ -59,6 +59,28 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
         assert st2[stage]["skipped"] > 0, stage
 
 
+def test_pipeline_salted_rollup_matches_plain(spark, tmp_path):
+    from json_time_series_extractor_spark.cli import run_pipeline
+    from json_time_series_extractor_spark.sources.pages import (
+        synthesize_pages, write_pages_partitioned)
+
+    pages_path = str(tmp_path / "pages")
+    write_pages_partitioned(synthesize_pages(spark, 300), pages_path)
+    run_pipeline(spark, _pipeline_args(
+        pages_path, str(tmp_path / "plain"), tiers="1m", gapfill="none",
+        compress=False))
+    run_pipeline(spark, _pipeline_args(
+        pages_path, str(tmp_path / "salted"), tiers="1m", gapfill="none",
+        compress=False, salt_buckets=8))
+
+    def rows(root):
+        return {(r.series_key, r.bucket_ts):
+                (r["min"], r["max"], r["count"])
+                for r in spark.read.parquet(f"{root}/rollup_1m").collect()}
+
+    assert rows(str(tmp_path / "plain")) == rows(str(tmp_path / "salted"))
+
+
 def test_pipeline_retention_drops_old_days(spark, tmp_path):
     from json_time_series_extractor_spark.cli import run_pipeline
     from json_time_series_extractor_spark.sources.pages import (
