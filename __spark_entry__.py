@@ -331,7 +331,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check)."""
     emb = _embeddings(spark, sf_dir)
     out = lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=10,
-                   bits=4, tables=8)
+                   bits=6, tables=8)
     return _quant6(out, "cosine_sim")
 
 
@@ -345,9 +345,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via hyperplane-LSH candidates (scale path;
-    approximate recall — rows-only check)."""
+    approximate recall — rows-only check). bits=6 keeps the random-pair
+    collision rate at 2^-6 per table (candidate volume ~17% of all pairs
+    across 12 tables) while retaining ~half the true pairs at the low 0.4
+    threshold this synthetic distribution forces."""
     out = embedding_neardup_pairs(_embeddings(spark, sf_dir), threshold=0.4,
-                                  use_lsh=True, bits=4, tables=8)
+                                  use_lsh=True, bits=6, tables=12)
     return _quant6(out, "cosine_sim")
 
 
@@ -364,6 +367,7 @@ def q_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_events(spark, sf_dir)
      .withColumn("dt", F.date_format(F.date_trunc("day", "ts"),
                                      "yyyy-MM-dd"))
+     .repartition("dt")  # one file per day partition, not one per task
      .write.mode("overwrite").partitionBy("dt").parquet(base))
     expire_partitions(spark, base, date(2024, 1, 15))
     out = (spark.read.parquet(base)
