@@ -43,6 +43,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_WAREHOUSE",
+                               "/tmp/jtse_spark_warehouse"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     if extra_conf:

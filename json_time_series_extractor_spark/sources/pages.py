@@ -104,6 +104,29 @@ def html_payload_text(html: Column) -> Column:
     return F.regexp_extract(F.decode(html, "UTF-8"), _PAYLOAD_RE, 1)
 
 
+def write_samples_bucketed(samples: DataFrame, table: str,
+                           buckets: int = 32) -> None:
+    """Materialize a samples table bucketed by ``series_key`` (sorted by
+    ``ts`` within buckets).
+
+    Bucketing pre-pays the rollup shuffle at write time: a groupBy on
+    (series_key, window) over a table hash-bucketed by series_key satisfies
+    the aggregate's clustering requirement, so every subsequent rollup —
+    all tiers, every re-run, gap-fill grids, chunk compression groups —
+    runs with NO exchange (asserted in
+    tests/test_rollup.py::test_bucketed_rollup_has_no_exchange). At 10^12
+    rows this converts the dominant recurring shuffle into a one-time
+    write-side sort. Parquet bucketed tables here; Iceberg's bucket()
+    partition transform is the same contract at cluster scale.
+    """
+    (samples
+     .write.mode("overwrite")
+     .bucketBy(buckets, "series_key")
+     .sortBy("series_key", "ts")
+     .format("parquet")
+     .saveAsTable(table))
+
+
 def write_pages_partitioned(pages: DataFrame, path: str,
                             url_buckets: int = 32) -> None:
     """Materialize with the explicit partition spec from the north rule:

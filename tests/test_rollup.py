@@ -195,3 +195,29 @@ def test_rollup_over_decompressed_chunks_matches_raw(spark):
     assert key(direct_1m) == key(via_chunks)
     assert key(rollup_cascade(direct_1m, "1 hour")) == key(
         rollup_cascade(via_chunks, "1 hour"))
+
+
+def test_bucketed_rollup_has_no_exchange(spark):
+    """A samples table bucketed by series_key satisfies the rollup
+    aggregate's clustering requirement: no shuffle in any tier."""
+    from json_time_series_extractor_spark.operators.rollup import rollup
+    from json_time_series_extractor_spark.sources.pages import (
+        write_samples_bucketed,
+    )
+
+    samples = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+               .selectExpr("event_type AS series_key", "ts",
+                           "value AS value_double"))
+    spark.sql("DROP TABLE IF EXISTS samples_bucketed_test")
+    write_samples_bucketed(samples, "samples_bucketed_test", buckets=8)
+
+    bucketed = spark.table("samples_bucketed_test")
+    r = rollup(bucketed, "1 hour")
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # And the results equal the unbucketed rollup.
+    expect = {(x.series_key, x.bucket_ts): x["count"]
+              for x in rollup(samples, "1 hour").collect()}
+    got = {(x.series_key, x.bucket_ts): x["count"] for x in r.collect()}
+    assert got == expect
+    spark.sql("DROP TABLE samples_bucketed_test")
