@@ -272,13 +272,31 @@ def embedding_neardup_pairs(embeddings: DataFrame, *,
                      F.col("_n").alias("_nb"))
     cands = pair_ids.join(va, "id_a").join(vb, "id_b")
 
-    denom = F.col("_na") * F.col("_nb")
-    cos = F.when(denom > 0,
-                 dot_flat(F.col("_va"), F.col("_vb"), dim) / denom) \
-           .otherwise(F.lit(0.0))
-    return (cands
-            .select("id_a", "id_b", cos.alias("cosine_sim"))
-            .where(F.col("cosine_sim") >= threshold))
+    # Vectorized verify: one einsum per Arrow batch over the joined pair
+    # vectors (the join stays relational — the scale path never broadcasts
+    # the corpus; only the per-pair scoring drops into numpy).
+    def verify(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.array(list(pdf["_va"]), dtype=np.float64)
+            b = np.array(list(pdf["_vb"]), dtype=np.float64)
+            denom = pdf["_na"].to_numpy() * pdf["_nb"].to_numpy()
+            dots = np.einsum("ij,ij->i", a, b)
+            cos = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0),
+                           0.0)
+            keep = cos >= threshold
+            yield pd.DataFrame({
+                "id_a": pdf["id_a"].to_numpy()[keep],
+                "id_b": pdf["id_b"].to_numpy()[keep],
+                "cosine_sim": cos[keep],
+            })
+
+    return cands.mapInPandas(verify,
+                             "id_a long, id_b long, cosine_sim double")
 
 
 def _neardup_pairs_blocked(base: DataFrame, threshold: float) -> DataFrame:
