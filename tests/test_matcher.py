@@ -157,3 +157,44 @@ def test_options_validation():
         ExtractorOptions(path_separator="")
     with pytest.raises(ValueError):
         ExtractorOptions(start_at="not-a-pointer")
+
+
+# --- ConfigurationBinder parity (ConfigurationBinderTests.cs:11-126) -------
+
+def test_binder_valid_start_at_pointer():
+    opts = ExtractorOptions.from_dict({"StartAt": "/foo/bar"})
+    assert opts.start_at == "/foo/bar"
+    assert opts._start_at_segments == ("foo", "bar")
+
+
+def test_binder_invalid_start_at_pointer_raises():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ExtractorOptions.from_dict({"StartAt": "invalid"}).validate()
+
+
+def test_binder_null_and_empty_match_rules_dropped():
+    from json_time_series_extractor_spark.core.matcher import (
+        compile_match_delegate,
+    )
+
+    # Null/empty rules bind to nothing (ShouldNotBindNullValue/EmptyValue):
+    # a list of only blank rules behaves like an empty include list.
+    pred = compile_match_delegate(["", None], None, True)
+    ctx = type("C", (), {"options": ExtractorOptions(recursive=True),
+                         "max_depth": 5, "element_stack": []})()
+    assert pred(ctx, ("foo",), 1.0) is False
+
+
+def test_binder_rule_classification_literal_mqtt_pattern():
+    from json_time_series_extractor_spark.core.matcher import MatchRule
+
+    literal = MatchRule("/foo/bar")
+    assert not literal.is_wildcard
+
+    mqtt = MatchRule("/foo/bar/+/baz/#")
+    assert mqtt.is_wildcard and mqtt.is_mqtt and not mqtt.is_pattern
+
+    pattern = MatchRule("*/bar")
+    assert pattern.is_wildcard and pattern.is_pattern and not pattern.is_mqtt
