@@ -45,6 +45,7 @@ from json_time_series_extractor_spark.operators.extract import (
 from json_time_series_extractor_spark.operators.gapfill import (
     gapfill_linear,
     gapfill_locf,
+    gapfill_locf_partitioned,
 )
 from json_time_series_extractor_spark.operators.rollup import (
     rollup,
@@ -200,6 +201,16 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense 1-minute grid per series with last-observation-carried-forward."""
     r1m = rollup(_event_samples(spark, sf_dir), "1 minute")
     out = gapfill_locf(r1m, "1 minute", value_col="mean")
+    return _quant6(out, "value")
+
+
+def q_gapfill_locf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-partitioned LOCF: bounded (series, day) window partitions,
+    two-pass carry — result-identical to the whole-series window (same
+    oracle), but survives multi-year series at warehouse scale."""
+    r1m = rollup(_event_samples(spark, sf_dir), "1 minute")
+    out = gapfill_locf_partitioned(r1m, "1 minute", value_col="mean",
+                                   segment="1 day")
     return _quant6(out, "value")
 
 
@@ -431,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_salted": q_rollup_1d_salted,
         "gapfill_locf": q_gapfill_locf,
+        "gapfill_locf_partitioned": q_gapfill_locf_partitioned,
         "gapfill_linear": q_gapfill_linear,
         "pages_extract_rollup": q_pages_extract_rollup,
         "doc_token_count": q_doc_token_count,
@@ -472,6 +484,15 @@ FROM events
         "rollup_1h_cascade": _ORACLE_ROLLUP_TIER.format(unit="hour"),
         "rollup_1d_salted": _ORACLE_ROLLUP_TIER.format(unit="day"),
         "gapfill_locf": _ORACLE_ROLLUP_CTE + """
+SELECT series_key, bucket_ts,
+       CAST(floor(last_value(mean IGNORE NULLS) OVER (
+           PARTITION BY series_key ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+           + 0.5) AS BIGINT) AS value,
+       mean IS NULL AS filled
+FROM j
+""",
+        "gapfill_locf_partitioned": _ORACLE_ROLLUP_CTE + """
 SELECT series_key, bucket_ts,
        CAST(floor(last_value(mean IGNORE NULLS) OVER (
            PARTITION BY series_key ORDER BY bucket_ts

@@ -40,6 +40,19 @@ def _grid(rollup_df: DataFrame, interval: str) -> DataFrame:
     )
 
 
+_INTERVAL_UNIT_SECONDS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _interval_seconds(spec: str) -> int:
+    """'1 day' / '15 minutes' -> seconds (fixed-length units only)."""
+    num, unit = spec.strip().split()
+    return int(num) * _INTERVAL_UNIT_SECONDS[unit.lower()]
+
+
 def gapfill_locf(rollup_df: DataFrame, interval: str = "1 minute",
                  value_col: str = "mean") -> DataFrame:
     """Dense grid with last-observation-carried-forward values.
@@ -57,6 +70,79 @@ def gapfill_locf(rollup_df: DataFrame, interval: str = "1 minute",
     return joined.select(
         "series_key", "bucket_ts",
         F.last("_v", ignorenulls=True).over(w).alias("value"),
+        F.col("_v").isNull().alias("filled"),
+    )
+
+
+def gapfill_locf_partitioned(rollup_df: DataFrame,
+                             interval: str = "1 minute",
+                             value_col: str = "mean",
+                             segment: str = "1 day") -> DataFrame:
+    """LOCF gap-fill whose window partitions are (series, segment) instead
+    of whole series — result-identical to :func:`gapfill_locf`.
+
+    :func:`gapfill_locf` puts an entire series' grid in one window
+    partition; at warehouse scale a multi-year 1-minute series is millions
+    of rows in a single task. This variant bounds every partition to one
+    ``segment`` (default: 1 day = 1440 rows) with a classic two-pass carry:
+
+    1. per (series, segment): the segment's last observed value — a tiny
+       summary table (one row per series-day);
+    2. LOCF over the *summaries* (window partitioned by series over days —
+       thousands of rows, not millions) gives each segment its carry-in;
+    3. per (series, segment): dense bucket grid + within-segment LOCF,
+       seeded by the carry-in for buckets before the segment's first
+       observation.
+    """
+    r = rollup_df.select("series_key", "bucket_ts",
+                         F.col(value_col).alias("_v"))
+    seg_s = _interval_seconds(segment)
+
+    def seg_start(col):
+        # Epoch-aligned truncation — identical to window(col, segment).start
+        # for second/minute/hour/day segments, and usable multiple times in
+        # one expression (window() is not).
+        return F.timestamp_seconds(
+            F.floor(F.unix_timestamp(col) / seg_s) * seg_s)
+
+    bounds = (r.groupBy("series_key")
+              .agg(F.min("bucket_ts").alias("_lo"),
+                   F.max("bucket_ts").alias("_hi")))
+    seg_grid = bounds.select(
+        "series_key", "_lo", "_hi",
+        F.explode_outer(F.sequence(
+            seg_start(F.col("_lo")), seg_start(F.col("_hi")),
+            F.expr(f"interval {segment}")))
+        .alias("_seg"))
+
+    summary = (r.groupBy("series_key", seg_start(F.col("bucket_ts"))
+                         .alias("_seg"))
+               .agg(F.max(F.struct(F.col("bucket_ts").alias("t"),
+                                   F.col("_v").alias("v")))["v"]
+                    .alias("_seg_last")))
+
+    carry_w = (Window.partitionBy("series_key").orderBy("_seg")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    with_carry = (seg_grid
+                  .join(summary, ["series_key", "_seg"], "left")
+                  .withColumn("_carry",
+                              F.last("_seg_last", ignorenulls=True)
+                              .over(carry_w)))
+
+    buckets = with_carry.select(
+        "series_key", "_seg", "_carry",
+        F.explode_outer(F.expr(
+            f"sequence(greatest(_seg, _lo), "
+            f"least(_seg + interval {segment} - interval {interval}, _hi), "
+            f"interval {interval})")).alias("bucket_ts"))
+
+    joined = buckets.join(r, ["series_key", "bucket_ts"], "left")
+    in_seg = (Window.partitionBy("series_key", "_seg").orderBy("bucket_ts")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return joined.select(
+        "series_key", "bucket_ts",
+        F.coalesce(F.last("_v", ignorenulls=True).over(in_seg),
+                   F.col("_carry")).alias("value"),
         F.col("_v").isNull().alias("filled"),
     )
 

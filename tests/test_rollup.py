@@ -221,3 +221,29 @@ def test_bucketed_rollup_has_no_exchange(spark):
     got = {(x.series_key, x.bucket_ts): x["count"] for x in r.collect()}
     assert got == expect
     spark.sql("DROP TABLE samples_bucketed_test")
+
+
+def test_gapfill_locf_partitioned_matches_global(spark):
+    """The segment-partitioned LOCF (bounded window partitions) equals the
+    whole-series LOCF on real data, including cross-segment carries."""
+    from json_time_series_extractor_spark.operators.gapfill import (
+        gapfill_locf,
+        gapfill_locf_partitioned,
+    )
+    from json_time_series_extractor_spark.operators.rollup import rollup
+
+    samples = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+               .selectExpr("event_type AS series_key", "ts",
+                           "value AS value_double"))
+    r1m = rollup(samples, "1 minute")
+    base = {(r.series_key, r.bucket_ts): (r.value, r.filled)
+            for r in gapfill_locf(r1m, "1 minute").collect()}
+    part = {(r.series_key, r.bucket_ts): (r.value, r.filled)
+            for r in gapfill_locf_partitioned(
+                r1m, "1 minute", segment="1 day").collect()}
+    assert part == base
+    # Hour-sized segments force many cross-segment carries; still equal.
+    part_h = {(r.series_key, r.bucket_ts): (r.value, r.filled)
+              for r in gapfill_locf_partitioned(
+                  r1m, "1 minute", segment="1 hour").collect()}
+    assert part_h == base
