@@ -44,6 +44,7 @@ from json_time_series_extractor_spark.operators.extract import (
 )
 from json_time_series_extractor_spark.operators.gapfill import (
     gapfill_linear,
+    gapfill_linear_partitioned,
     gapfill_locf,
     gapfill_locf_partitioned,
 )
@@ -227,6 +228,15 @@ def _pages_scale(sf_dir: str) -> int:
     if "0.01" in sf_dir:
         return 20_000
     return 200_000
+
+
+def q_gapfill_linear_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-partitioned linear interpolation (bidirectional carry over
+    per-segment summaries); result-identical to the whole-series window."""
+    r1m = rollup(_event_samples(spark, sf_dir), "1 minute")
+    out = gapfill_linear_partitioned(r1m, "1 minute", value_col="mean",
+                                     segment="1 day")
+    return _quant6(out, "value")
 
 
 def q_pages_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf": q_gapfill_locf,
         "gapfill_locf_partitioned": q_gapfill_locf_partitioned,
         "gapfill_linear": q_gapfill_linear,
+        "gapfill_linear_partitioned": q_gapfill_linear_partitioned,
         "pages_extract_rollup": q_pages_extract_rollup,
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
@@ -502,6 +513,32 @@ SELECT series_key, bucket_ts,
 FROM j
 """,
         "gapfill_linear": _ORACLE_ROLLUP_CTE + """,
+w AS (
+    SELECT series_key, bucket_ts, mean,
+           last_value(mean IGNORE NULLS) OVER past AS prev_v,
+           last_value(CASE WHEN mean IS NOT NULL THEN bucket_ts END
+                      IGNORE NULLS) OVER past AS prev_t,
+           first_value(mean IGNORE NULLS) OVER fut AS next_v,
+           first_value(CASE WHEN mean IS NOT NULL THEN bucket_ts END
+                       IGNORE NULLS) OVER fut AS next_t
+    FROM j
+    WINDOW past AS (PARTITION BY series_key ORDER BY bucket_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           fut AS (PARTITION BY series_key ORDER BY bucket_ts
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT series_key, bucket_ts,
+       CAST(floor(CASE
+           WHEN mean IS NOT NULL THEN mean
+           WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+               prev_v + (next_v - prev_v)
+                   * (epoch(bucket_ts) - epoch(prev_t))
+                   / (epoch(next_t) - epoch(prev_t))
+       END * 1000000 + 0.5) AS BIGINT) AS value,
+       mean IS NULL AS filled
+FROM w
+""",
+        "gapfill_linear_partitioned": _ORACLE_ROLLUP_CTE + """,
 w AS (
     SELECT series_key, bucket_ts, mean,
            last_value(mean IGNORE NULLS) OVER past AS prev_v,

@@ -147,6 +147,96 @@ def gapfill_locf_partitioned(rollup_df: DataFrame,
     )
 
 
+def gapfill_linear_partitioned(rollup_df: DataFrame,
+                               interval: str = "1 minute",
+                               value_col: str = "mean",
+                               segment: str = "1 day") -> DataFrame:
+    """Linear-interpolation gap-fill with (series, segment)-bounded window
+    partitions — result-identical to :func:`gapfill_linear`.
+
+    Like :func:`gapfill_locf_partitioned` but the carry is bidirectional:
+    each segment needs the nearest known point *before* it (from earlier
+    segments) and *after* it (from later segments). Both carries come from
+    the per-segment summary table (first/last known (ts, value) per
+    segment — one row per series-day), so the only whole-series windows run
+    over summaries, never over the dense grid.
+    """
+    r = rollup_df.select("series_key", "bucket_ts",
+                         F.col(value_col).alias("_v"))
+    seg_s = _interval_seconds(segment)
+
+    def seg_start(col):
+        return F.timestamp_seconds(
+            F.floor(F.unix_timestamp(col) / seg_s) * seg_s)
+
+    bounds = (r.groupBy("series_key")
+              .agg(F.min("bucket_ts").alias("_lo"),
+                   F.max("bucket_ts").alias("_hi")))
+    seg_grid = bounds.select(
+        "series_key", "_lo", "_hi",
+        F.explode_outer(F.sequence(
+            seg_start(F.col("_lo")), seg_start(F.col("_hi")),
+            F.expr(f"interval {segment}")))
+        .alias("_seg"))
+
+    known = r.where(F.col("_v").isNotNull())
+    pt = F.struct(F.col("bucket_ts").alias("t"), F.col("_v").alias("v"))
+    summary = (known.groupBy("series_key", seg_start(F.col("bucket_ts"))
+                            .alias("_seg"))
+               .agg(F.min(pt).alias("_first_pt"),
+                    F.max(pt).alias("_last_pt")))
+
+    prev_w = (Window.partitionBy("series_key").orderBy("_seg")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    next_w = (Window.partitionBy("series_key").orderBy(F.col("_seg").desc())
+              .rowsBetween(Window.unboundedPreceding, -1))
+    with_carry = (seg_grid
+                  .join(summary, ["series_key", "_seg"], "left")
+                  .withColumn("_prev_carry",
+                              F.last("_last_pt", ignorenulls=True)
+                              .over(prev_w))
+                  .withColumn("_next_carry",
+                              F.last("_first_pt", ignorenulls=True)
+                              .over(next_w)))
+
+    buckets = with_carry.select(
+        "series_key", "_seg", "_prev_carry", "_next_carry",
+        F.explode_outer(F.expr(
+            f"sequence(greatest(_seg, _lo), "
+            f"least(_seg + interval {segment} - interval {interval}, _hi), "
+            f"interval {interval})")).alias("bucket_ts"))
+
+    joined = buckets.join(r, ["series_key", "bucket_ts"], "left")
+    past = (Window.partitionBy("series_key", "_seg").orderBy("bucket_ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    future = (Window.partitionBy("series_key", "_seg")
+              .orderBy(F.col("bucket_ts").desc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    known_pt = F.when(F.col("_v").isNotNull(),
+                      F.struct(F.col("bucket_ts").alias("t"),
+                               F.col("_v").alias("v")))
+    prev_pt = F.coalesce(F.last(known_pt, ignorenulls=True).over(past),
+                         F.col("_prev_carry"))
+    next_pt = F.coalesce(F.last(known_pt, ignorenulls=True).over(future),
+                         F.col("_next_carry"))
+
+    t = F.unix_timestamp("bucket_ts")
+    t0 = F.unix_timestamp(prev_pt["t"])
+    t1 = F.unix_timestamp(next_pt["t"])
+    interpolated = (
+        F.when(F.col("_v").isNotNull(), F.col("_v"))
+        .when(prev_pt.isNotNull() & next_pt.isNotNull(),
+              prev_pt["v"] + (next_pt["v"] - prev_pt["v"])
+              * (t - t0) / (t1 - t0))
+        .otherwise(F.lit(None)))
+
+    return joined.select(
+        "series_key", "bucket_ts",
+        interpolated.alias("value"),
+        F.col("_v").isNull().alias("filled"),
+    )
+
+
 def gapfill_linear(rollup_df: DataFrame, interval: str = "1 minute",
                    value_col: str = "mean") -> DataFrame:
     """Dense grid with linear interpolation between neighbouring known

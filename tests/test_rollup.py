@@ -247,3 +247,23 @@ def test_gapfill_locf_partitioned_matches_global(spark):
               for r in gapfill_locf_partitioned(
                   r1m, "1 minute", segment="1 hour").collect()}
     assert part_h == base
+
+
+def test_gapfill_linear_partitioned_matches_global(spark):
+    from json_time_series_extractor_spark.operators.gapfill import (
+        gapfill_linear,
+        gapfill_linear_partitioned,
+    )
+    from json_time_series_extractor_spark.operators.rollup import rollup
+
+    samples = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+               .selectExpr("event_type AS series_key", "ts",
+                           "value AS value_double"))
+    r1m = rollup(samples, "1 minute")
+    base = {(r.series_key, r.bucket_ts): (r.value, r.filled)
+            for r in gapfill_linear(r1m, "1 minute").collect()}
+    for seg in ("1 day", "1 hour"):
+        part = {(r.series_key, r.bucket_ts): (r.value, r.filled)
+                for r in gapfill_linear_partitioned(
+                    r1m, "1 minute", segment=seg).collect()}
+        assert part == base, seg
