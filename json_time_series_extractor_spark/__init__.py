@@ -23,13 +23,19 @@ from json_time_series_extractor_spark.core.extractor import (
     TimeSeriesSample,
     TimestampSource,
     get_samples,
+    get_samples_from_value,
+)
+from json_time_series_extractor_spark.core.matcher import (
+    compile_match_delegate,
 )
 
 __all__ = [
     "ExtractorOptions",
     "TimeSeriesSample",
     "TimestampSource",
+    "compile_match_delegate",
     "get_samples",
+    "get_samples_from_value",
 ]
 
 __version__ = "0.1.0"

@@ -165,6 +165,23 @@ def get_samples(json_text: str,
     yield from _from_root(doc, options, resolver, abs_prefix)
 
 
+def get_samples_from_value(value: Any,
+                           options: Optional[ExtractorOptions] = None,
+                           ) -> Iterator[TimeSeriesSample]:
+    """Extract samples from an already-parsed JSON value (dict / list).
+
+    Entry-point parity: ``TimeSeriesExtractor.GetSamples(JsonElement, ...)``
+    (``TimeSeriesExtractor.cs:382-402``). Raw-text sample values (container
+    subtrees, template number rendering) are sliced from the canonical
+    compact ``json.dumps`` serialization of *value* — the reference's
+    ``GetRawText`` equally reflects however its ``JsonElement`` was built.
+    """
+    import json as _json
+
+    text = _json.dumps(value, separators=(",", ":"), ensure_ascii=False)
+    yield from get_samples(text, options)
+
+
 def _from_root(element: Any, options: ExtractorOptions,
                resolver: RawTextResolver, abs_prefix: Pointer,
                ) -> Iterator[TimeSeriesSample]:

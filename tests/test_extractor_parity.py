@@ -521,3 +521,21 @@ def test_raw_text_number_formats_preserved_in_template():
     assert len(samples) == 1
     assert samples[0].key == "5e2/value"
     assert samples[0].value == 1.0
+
+
+def test_get_samples_from_value_parity():
+    """GetSamples(JsonElement) overload parity (TimeSeriesExtractor.cs:382):
+    parsed-value input behaves like its canonical serialization."""
+    from json_time_series_extractor_spark.core.extractor import (
+        get_samples_from_value,
+    )
+
+    doc = {"time": "2024-01-01T00:00:00Z", "a": 1.5,
+           "nested": {"b": True, "c": "x"}}
+    via_value = list(get_samples_from_value(
+        doc, ExtractorOptions(recursive=True)))
+    via_text = list(get_samples(
+        json.dumps(doc, separators=(",", ":")),
+        ExtractorOptions(recursive=True)))
+    assert via_value == via_text
+    assert [s.key for s in via_value] == ["a", "nested/b", "nested/c"]
