@@ -74,6 +74,10 @@ def _build_parser() -> argparse.ArgumentParser:
     pipe.add_argument("--salt-buckets", type=int, default=0,
                       help=">0 uses the skew-safe salted two-phase rollup "
                            "for the 1m tier")
+    pipe.add_argument("--detect-hot-keys", action="store_true",
+                      help="with --salt-buckets: sample-detect heavy-hitter "
+                           "series and salt only those (cold keys skip the "
+                           "extra shuffle fan-out)")
     return p
 
 
@@ -90,7 +94,7 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
     from json_time_series_extractor_spark.operators.retention import (
         apply_tiered_retention)
     from json_time_series_extractor_spark.operators.rollup import (
-        rollup, rollup_cascade, rollup_salted)
+        detect_hot_keys, rollup, rollup_cascade, rollup_salted)
     from json_time_series_extractor_spark.plans.pipeline import (
         LineageStore, run_partitioned_stage)
     from json_time_series_extractor_spark.sources.pages import (
@@ -131,8 +135,11 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
         window = TIER_WINDOWS[tier]
         if child_path is None:
             if args.salt_buckets > 0:
-                tf = lambda df, w=window: (
-                    rollup_salted(df, w, salt_buckets=args.salt_buckets)
+                hot = (detect_hot_keys(samples)
+                       if getattr(args, "detect_hot_keys", False) else None)
+                tf = lambda df, w=window, h=hot: (
+                    rollup_salted(df, w, salt_buckets=args.salt_buckets,
+                                  hot_keys=h)
                     .withColumn("dt", F.to_date("bucket_ts")))
             else:
                 tf = lambda df, w=window: (

@@ -22,7 +22,8 @@ def _pipeline_args(input_path: str, out_root: str, **over) -> argparse.Namespace
     base = dict(command="pipeline", input=input_path, output_root=out_root,
                 run_id="t1", options_json=None, tiers="1m,1h",
                 gapfill="locf", compress=True, chunk_window="1 day",
-                retention_today=None, salt_buckets=0)
+                retention_today=None, salt_buckets=0,
+                detect_hot_keys=False)
     base.update(over)
     return argparse.Namespace(**base)
 
@@ -71,7 +72,7 @@ def test_pipeline_salted_rollup_matches_plain(spark, tmp_path):
         compress=False))
     run_pipeline(spark, _pipeline_args(
         pages_path, str(tmp_path / "salted"), tiers="1m", gapfill="none",
-        compress=False, salt_buckets=8))
+        compress=False, salt_buckets=8, detect_hot_keys=True))
 
     def rows(root):
         return {(r.series_key, r.bucket_ts):

@@ -182,3 +182,33 @@ def test_stateful_locf_across_microbatches(spark, tmp_path):
                  ("00:02", 3.0, False), ("00:03", 3.0, True),
                  ("00:04", 3.0, True), ("00:05", 6.0, False)]
     assert ("b", "00:00", 10.0, False) in rows
+
+
+def test_streaming_tier_sink_foreachbatch(spark, tmp_path):
+    """foreachBatch tier sink: day-partitioned output + per-batch lineage."""
+    from json_time_series_extractor_spark.streaming.sink import (
+        write_rollup_stream,
+    )
+    from json_time_series_extractor_spark.streaming.stream import (
+        read_pages_stream,
+        streaming_rollup,
+    )
+
+    pages_dir = str(tmp_path / "pages_sink")
+    synthesize_pages(spark, 200).write.parquet(pages_dir)
+    stream = read_pages_stream(spark, pages_dir, max_files_per_trigger=8)
+    agg = streaming_rollup(stream, PAGES_EXTRACT_OPTIONS, "1 hour",
+                           watermark="1 minute")
+    out_dir = str(tmp_path / "tier_1h")
+    lineage = str(tmp_path / "lineage")
+    q = write_rollup_stream(agg, out_dir, lineage_path=lineage,
+                            checkpoint_dir=str(tmp_path / "ckpt"),
+                            trigger_once=True)
+    q.awaitTermination(120)
+    assert q.exception() is None
+
+    written = spark.read.parquet(out_dir)
+    assert written.count() > 0
+    assert "dt" in written.columns
+    lin = spark.read.parquet(lineage)
+    assert lin.where("stage = 'stream_rollup' AND status = 'DONE'").count() > 0
