@@ -95,10 +95,18 @@ def run_benchmarks() -> None:
             # survive): leaked persists accumulate across queries and the
             # eviction churn contaminates later timings.
             spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        result = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+        # Best of 2 runs: this host is shared (load spikes swing 2-8s
+        # queries by 3x between runs); the minimum is the steady-state
+        # estimator for a deterministic workload.
+        best = None
+        result = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            result = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         if isinstance(result, dict):
             extras.update(result)
 
@@ -127,7 +135,9 @@ def run_benchmarks() -> None:
     queries = entry.queries()
     for name in ["extract_flat", "extract_fixed", "rollup_1m",
                  "rollup_1h_cascade", "rollup_1d_salted", "gapfill_locf",
-                 "gapfill_linear", "chunk_roundtrip", "doc_token_count",
+                 "gapfill_locf_partitioned", "gapfill_linear",
+                 "gapfill_linear_partitioned", "chunk_roundtrip",
+                 "doc_token_count",
                  "doc_quality", "doc_lang_id", "doc_fingerprint",
                  "dedup_exact", "ngram_jaccard", "minhash_lsh_pairs",
                  "simhash_pairs", "embedding_neardup",
