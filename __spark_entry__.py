@@ -42,6 +42,7 @@ from json_time_series_extractor_spark.operators.extract import (
     extract_samples,
     extract_samples_fixed,
 )
+from json_time_series_extractor_spark.operators.joins import asof_join
 from json_time_series_extractor_spark.operators.gapfill import (
     gapfill_linear,
     gapfill_linear_partitioned,
@@ -237,6 +238,21 @@ def q_gapfill_linear_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = gapfill_linear_partitioned(r1m, "1 minute", value_col="mean",
                                      segment="1 day")
     return _quant6(out, "value")
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every 1-minute bucket, the latest raw event value
+    at-or-before the bucket start (union-and-carry plan, no range join).
+    Oracle: DuckDB's native ASOF JOIN."""
+    samples = _event_samples(spark, sf_dir)
+    probes = (rollup(samples, "1 minute")
+              .select("series_key", F.col("bucket_ts").alias("ts")))
+    out = asof_join(probes, samples).where(F.col("asof_ts").isNotNull())
+    return _quant6(
+        out.select("series_key", F.col("ts").alias("bucket_ts"),
+                   "asof_ts",
+                   F.col("asof_value_double").alias("asof_value")),
+        "asof_value")
 
 
 def q_pages_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf_partitioned": q_gapfill_locf_partitioned,
         "gapfill_linear": q_gapfill_linear,
         "gapfill_linear_partitioned": q_gapfill_linear_partitioned,
+        "asof_join": q_asof_join,
         "pages_extract_rollup": q_pages_extract_rollup,
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
@@ -566,6 +583,15 @@ FROM w
 """,
         # pages_extract_rollup: dynamic JSON walk over synthesized pages —
         # not expressible in portable SQL; driver records rows-only check.
+        "asof_join": """
+WITH probes AS (
+    SELECT event_type AS series_key, date_trunc('minute', ts) AS bucket_ts
+    FROM events GROUP BY 1, 2)
+SELECT p.series_key, p.bucket_ts, e.ts AS asof_ts,
+       CAST(floor(e.value * 1000000 + 0.5) AS BIGINT) AS asof_value
+FROM probes p ASOF JOIN events e
+  ON p.series_key = e.event_type AND e.ts <= p.bucket_ts
+""",
         "doc_token_count": """
 SELECT doc_id,
        len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))

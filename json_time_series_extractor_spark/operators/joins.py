@@ -1,0 +1,86 @@
+"""As-of join — the time-series join Spark lacks as a builtin.
+
+``asof_join(left, right)`` attaches, to every left row, the most recent
+right row at-or-before its timestamp within the same key (optionally
+bounded by a tolerance) — TimescaleDB/kdb/pandas ``merge_asof`` semantics.
+
+Construction is the union-and-carry plan, not a range join:
+
+1. union the two inputs with a source tag (right rows sort *before* left
+   rows at equal timestamps, so ties match, like ``ASOF JOIN ... ON
+   r.ts <= l.ts``);
+2. one window per key ordered by (ts, tag) carrying the last right-side
+   payload forward;
+3. keep only left rows.
+
+Cost: one shuffle on the key + a linear window pass — versus a range join,
+which Spark would plan as a broadcast-nested-loop or an inequality
+sort-merge that re-scans right candidates per left row. The same carry
+trick underlies the gap-fill operators; at warehouse scale the window
+partitions bound by (key, segment) the same way (see
+``gapfill.gapfill_locf_partitioned``) if single keys outgrow a partition.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key_col: str = "series_key",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Optional[Sequence[str]] = None,
+    tolerance: Optional[str] = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row: columns ``{prefix}<value_col>`` from the latest
+    right row with ``right.ts <= left.ts`` in the same key (ties match),
+    plus ``{prefix}ts``; nulls when no right row qualifies. ``tolerance``
+    (e.g. ``"15 minutes"``) nulls matches older than ``left.ts -
+    tolerance``. Left schema passes through unchanged.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns
+                      if c not in (key_col, right_ts)]
+
+    l_tag = left.select(
+        F.col(key_col).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).cast("timestamp").alias("_rt"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}")
+          for c in value_cols])
+    r_tag = right.select(
+        F.col(key_col).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
+        F.col(right_ts).alias("_rt"),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols])
+
+    # Right rows order before left rows at equal _t (tag 0 < 1): ties match.
+    w = (Window.partitionBy("_k").orderBy("_t", "_is_left")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    unioned = l_tag.unionByName(r_tag)
+    carried = unioned.select(
+        "_is_left", "_l", "_t",
+        F.last("_rt", ignorenulls=True).over(w).alias("_m_ts"),
+        *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+          for c in value_cols])
+
+    in_tol = (F.col("_m_ts")
+              >= F.col("_t") - F.expr(f"interval {tolerance}")
+              if tolerance else F.lit(True))
+    keep = F.col("_m_ts").isNotNull() & in_tol
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
+    out_cols.append(F.when(keep, F.col("_m_ts")).alias(f"{prefix}ts"))
+    out_cols.extend(F.when(keep, F.col(f"_m_{c}")).alias(f"{prefix}{c}")
+                    for c in value_cols)
+    return carried.where(F.col("_is_left") == 1).select(*out_cols)

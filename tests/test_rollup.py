@@ -267,3 +267,36 @@ def test_gapfill_linear_partitioned_matches_global(spark):
                 for r in gapfill_linear_partitioned(
                     r1m, "1 minute", segment=seg).collect()}
         assert part == base, seg
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from json_time_series_extractor_spark.operators.joins import asof_join
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame(
+        [("a", t(10)), ("a", t(20)), ("a", t(5)), ("b", t(10))],
+        "series_key string, ts timestamp")
+    right = spark.createDataFrame(
+        [("a", t(10), 1.0), ("a", t(15), 2.0), ("b", t(11), 9.0)],
+        "series_key string, ts timestamp, value_double double")
+
+    out = {(r.series_key, r.ts.minute): (r.asof_value_double,
+                                         r.asof_ts.minute if r.asof_ts
+                                         else None)
+           for r in asof_join(left, right).collect()}
+    assert out[("a", 10)] == (1.0, 10)   # tie matches
+    assert out[("a", 20)] == (2.0, 15)   # latest at-or-before
+    assert out[("a", 5)] == (None, None)  # nothing before
+    assert out[("b", 10)] == (None, None)  # right row is after
+
+    # Tolerance: the minute-20 probe only sees values from minute >= 12.
+    tol = {(r.series_key, r.ts.minute): r.asof_value_double
+           for r in asof_join(left, right, tolerance="8 minutes").collect()}
+    assert tol[("a", 20)] == 2.0
+    tol2 = {(r.series_key, r.ts.minute): r.asof_value_double
+            for r in asof_join(left, right, tolerance="4 minutes").collect()}
+    assert tol2[("a", 20)] is None  # 15 < 20-4=16: match out of tolerance

@@ -43,8 +43,13 @@ def main() -> None:
     for name, fn in queries.items():
         sdf = fn(spark, SF_DIR)
         scols = sorted(sdf.columns)
-        srows = sorted(tuple(norm(row[c]) for c in scols)
-                       for row in sdf.collect())
+
+        def _key(row):
+            # None-safe total order (gap-fill/as-of rows carry nulls).
+            return tuple((v is None, str(type(v)), str(v)) for v in row)
+
+        srows = sorted((tuple(norm(row[c]) for c in scols)
+                        for row in sdf.collect()), key=_key)
         if name not in oracles:
             print(f"{name}: rows-only check, {len(srows)} rows "
                   f"({'OK' if len(srows) > 0 else 'EMPTY!'})")
@@ -55,11 +60,10 @@ def main() -> None:
             print(f"{name}: SCHEMA MISMATCH spark={scols} oracle={ocols}")
             failures += 1
             continue
-        orows = sorted(
-            tuple(norm(v) for v in row)
-            for row in odf[scols].itertuples(index=False, name=None))
         orows = [tuple(norm(v.to_pydatetime() if hasattr(v, "to_pydatetime")
-                            else v) for v in r) for r in orows]
+                            else v) for v in row)
+                 for row in odf[scols].itertuples(index=False, name=None)]
+        orows.sort(key=_key)
         if len(srows) != len(orows):
             print(f"{name}: COUNT MISMATCH spark={len(srows)} oracle={len(orows)}")
             failures += 1
