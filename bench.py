@@ -136,8 +136,8 @@ def run_benchmarks() -> None:
     for name in ["extract_flat", "extract_fixed", "rollup_1m",
                  "rollup_1h_cascade", "rollup_1d_salted", "gapfill_locf",
                  "gapfill_locf_partitioned", "gapfill_linear",
-                 "gapfill_linear_partitioned", "chunk_roundtrip",
-                 "doc_token_count",
+                 "gapfill_linear_partitioned", "asof_join",
+                 "chunk_roundtrip", "doc_token_count",
                  "doc_quality", "doc_lang_id", "doc_fingerprint",
                  "dedup_exact", "ngram_jaccard", "minhash_lsh_pairs",
                  "simhash_pairs", "embedding_neardup",
@@ -239,6 +239,26 @@ def run_scaling() -> None:
                                       "4000000"))
     n_lo, n_hi = [int(x) for x in os.environ.get(
         "SPARK_GRAFT_SCALING_CPUS", "4,16").split(",")]
+
+    # Deploy exactly as the north rule prescribes: the package shipped as
+    # a --py-files zip through spark-submit, one submission per cluster
+    # size (local[N] standing in for an N-executor cluster).
+    import shutil
+    import tempfile
+    import zipfile
+
+    tmp = tempfile.mkdtemp(prefix="jtse_scaling_")
+    pkg_zip = os.path.join(tmp, "jtse.zip")
+    pkg_root = os.path.join(REPO, "json_time_series_extractor_spark")
+    with zipfile.ZipFile(pkg_zip, "w") as zf:
+        for dirpath, _d, filenames in os.walk(pkg_root):
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, REPO))
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(sys.executable), "spark-submit")
+
     results = {}
     for cpus in (n_lo, n_hi):
         env = dict(os.environ,
@@ -247,11 +267,15 @@ def run_scaling() -> None:
                    SPARK_GRAFT_PAGES_DOCS=str(scaling_docs),
                    SPARK_GRAFT_SF_DIR=SF_DIR)
         out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
+            [spark_submit, "--master", f"local[{cpus}]",
+             "--conf", f"spark.sql.shuffle.partitions={max(cpus, 8)}",
+             "--py-files", pkg_zip,
+             os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True)
         line = [ln for ln in out.stdout.splitlines()
                 if ln.startswith("{")][-1]
         results[cpus] = json.loads(line)
+    shutil.rmtree(tmp, ignore_errors=True)
 
     d_lo = results[n_lo]["docs_per_sec"]
     d_hi = results[n_hi]["docs_per_sec"]
@@ -283,9 +307,10 @@ hosts downclock as cores load up, so even perfect code cannot reach 1.0;
 the engine's efficiency relative to that ceiling is
 **{eff / ceiling:.3f}**.
 
-Method: `python bench.py --scaling`; each level runs in its own JVM via a
-fresh `local[N]` session, with Python workers and codegen warmed before
-timing (long-lived executors); the job is map-heavy (extraction) + two
+Method: `python bench.py --scaling`; each level is a separate
+`spark-submit --master local[N] --py-files jtse.zip bench.py` submission
+(the north rule's deployment path), with Python workers and codegen warmed
+before timing (long-lived executors); the job is map-heavy (extraction) + two
 small shuffles (rollup tiers), so efficiency tracks the embarrassingly-
 parallel fraction. The input is sized ({results[n_lo]['flagship_docs']:,}
 docs) so compute dominates the ~2s fixed per-job cost; fixed overhead is
