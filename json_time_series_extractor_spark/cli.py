@@ -88,13 +88,14 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
     from json_time_series_extractor_spark.operators.chunks import (
         compress_chunks)
     from json_time_series_extractor_spark.operators.extract import (
-        extract_samples)
+        SAMPLE_SCHEMA, extract_samples)
     from json_time_series_extractor_spark.operators.gapfill import (
         gapfill_linear, gapfill_locf)
     from json_time_series_extractor_spark.operators.retention import (
         apply_tiered_retention)
     from json_time_series_extractor_spark.operators.rollup import (
-        detect_hot_keys, rollup, rollup_cascade, rollup_salted)
+        ROLLUP_SCHEMA, detect_hot_keys, rollup, rollup_cascade,
+        rollup_salted)
     from json_time_series_extractor_spark.plans.pipeline import (
         LineageStore, run_partitioned_stage)
     from json_time_series_extractor_spark.sources.pages import (
@@ -129,7 +130,11 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
     record(res)
 
     # 2. rollup tiers --------------------------------------------------
-    samples = spark.read.parquet(f"{root}/samples")
+    # Explicit schemas on every read-back: retention can expire EVERY
+    # partition of a stage output, and schema inference on an empty
+    # directory fails — a resumed run must read it as an empty DataFrame.
+    samples = spark.read.schema(SAMPLE_SCHEMA + ", dt date").parquet(
+        f"{root}/samples")
     child_path = None
     for tier in tiers:
         window = TIER_WINDOWS[tier]
@@ -150,7 +155,8 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
             tf = lambda df, w=window: (
                 rollup_cascade(df.drop("dt"), w)
                 .withColumn("dt", F.to_date("bucket_ts")))
-            stage_in = spark.read.parquet(child_path)
+            stage_in = spark.read.schema(ROLLUP_SCHEMA + ", dt date") \
+                .parquet(child_path)
         res = run_partitioned_stage(
             spark, stage=f"rollup_{tier}", input_df=stage_in,
             partition_col="dt", transform=tf,
@@ -161,7 +167,8 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
 
     # 3. gapfill (global per-series grids cross day partitions) --------
     if args.gapfill != "none" and tiers:
-        fine = spark.read.parquet(f"{root}/rollup_{tiers[0]}")
+        fine = spark.read.schema(ROLLUP_SCHEMA + ", dt date").parquet(
+            f"{root}/rollup_{tiers[0]}")
         fn = gapfill_locf if args.gapfill == "locf" else gapfill_linear
         lineage = LineageStore(spark, lineage_path)
         stage = f"gapfill_{args.gapfill}"

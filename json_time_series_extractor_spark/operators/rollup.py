@@ -35,6 +35,15 @@ from pyspark.sql import Column, DataFrame, functions as F
 #: Canonical tier windows, child -> parent.
 TIERS = ("1 minute", "1 hour", "1 day")
 
+#: Output schema of :func:`rollup` / :func:`rollup_cascade` (DDL string) —
+#: callers reading tier tables back should pass it explicitly so empty
+#: (fully-expired) directories read as empty DataFrames instead of failing
+#: schema inference.
+ROLLUP_SCHEMA = (
+    "series_key string, bucket_ts timestamp, min double, max double, "
+    "sum double, count bigint, mean double, last double, last_ts timestamp"
+)
+
 
 def _bucket(ts_col: str, tier: str) -> Column:
     """Tumbling-window bucket start. Epoch-aligned, identical to

@@ -137,3 +137,26 @@ def test_spark_submit_py_files(tmp_path):
     line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
     assert json.loads(line)["n_docs"] == 100
     assert os.path.isdir(out_dir)
+
+
+def test_resume_after_full_retention(spark, tmp_path):
+    """Retention can expire EVERY raw-sample partition; a later resume must
+    read the emptied stage outputs as empty (explicit schemas), not fail
+    schema inference."""
+    from json_time_series_extractor_spark.cli import run_pipeline
+    from json_time_series_extractor_spark.sources.pages import (
+        synthesize_pages, write_pages_partitioned)
+
+    pages_path = str(tmp_path / "pages")
+    out_root = str(tmp_path / "out")
+    write_pages_partitioned(synthesize_pages(spark, 200), pages_path)
+    args = _pipeline_args(pages_path, out_root, tiers="1m,1h",
+                          gapfill="locf", compress=True,
+                          retention_today="2024-02-20")
+    run_pipeline(spark, args)        # raw horizon 7d -> all days expire
+    report = run_pipeline(spark, args)   # resume over emptied samples dir
+    st = report["stages"]
+    assert st["extract"]["processed"] == 0 and st["extract"]["skipped"] > 0
+    assert st["rollup_1m"]["processed"] == 0
+    # 1m tier (90d horizon) survives both runs.
+    assert spark.read.parquet(f"{out_root}/rollup_1m").count() > 0
