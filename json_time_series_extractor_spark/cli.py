@@ -97,7 +97,7 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
         ROLLUP_SCHEMA, detect_hot_keys, rollup, rollup_cascade,
         rollup_salted)
     from json_time_series_extractor_spark.plans.pipeline import (
-        LineageStore, run_partitioned_stage)
+        LineageStore, run_event_day_stage, run_partitioned_stage)
     from json_time_series_extractor_spark.sources.pages import (
         PAGES_EXTRACT_OPTIONS)
 
@@ -109,6 +109,13 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
     unknown = [t for t in tiers if t not in TIER_WINDOWS]
     if unknown:
         raise SystemExit(f"unknown tiers: {unknown} (have 1m/1h/1d)")
+    order = list(TIER_WINDOWS)
+    if [order.index(t) for t in tiers] != sorted(
+            order.index(t) for t in tiers):
+        # A coarse tier cascaded into a finer one would produce one
+        # midnight bucket per day carrying day-level aggregates — garbage.
+        raise SystemExit(f"tiers must go fine->coarse (e.g. 1m,1h,1d); "
+                         f"got {args.tiers!r}")
 
     report: dict = {"run_id": args.run_id, "stages": {}}
 
@@ -139,6 +146,12 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
     for tier in tiers:
         window = TIER_WINDOWS[tier]
         if child_path is None:
+            # Raw -> first tier: output partitions key on the SAMPLE day
+            # (bucket_ts), but resume tracks the CAPTURE day (a late
+            # sample's bucket-day partition draws from several capture
+            # days) — run_event_day_stage recomputes affected sample-days
+            # wholesale so partial aggregates never overwrite complete
+            # partitions.
             if args.salt_buckets > 0:
                 hot = (detect_hot_keys(samples)
                        if getattr(args, "detect_hot_keys", False) else None)
@@ -149,19 +162,25 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
             else:
                 tf = lambda df, w=window: (
                     rollup(df, w).withColumn("dt", F.to_date("bucket_ts")))
-            stage_in = samples
+            res = run_event_day_stage(
+                spark, stage=f"rollup_{tier}", input_df=samples,
+                capture_col="dt", event_day=lambda df: F.to_date(df["ts"]),
+                transform=tf, output_path=f"{root}/rollup_{tier}",
+                lineage_path=lineage_path, run_id=args.run_id)
         else:
-            # Cascade from the previous tier's mergeable state.
+            # Cascade from the previous tier's mergeable state. Bucket-days
+            # align across tiers (canonical windows never cross a day), so
+            # the plain capture==event partitioned stage is sound here.
             tf = lambda df, w=window: (
                 rollup_cascade(df.drop("dt"), w)
                 .withColumn("dt", F.to_date("bucket_ts")))
             stage_in = spark.read.schema(ROLLUP_SCHEMA + ", dt date") \
                 .parquet(child_path)
-        res = run_partitioned_stage(
-            spark, stage=f"rollup_{tier}", input_df=stage_in,
-            partition_col="dt", transform=tf,
-            output_path=f"{root}/rollup_{tier}", lineage_path=lineage_path,
-            run_id=args.run_id)
+            res = run_partitioned_stage(
+                spark, stage=f"rollup_{tier}", input_df=stage_in,
+                partition_col="dt", transform=tf,
+                output_path=f"{root}/rollup_{tier}",
+                lineage_path=lineage_path, run_id=args.run_id)
         record(res)
         child_path = f"{root}/rollup_{tier}"
 
@@ -187,8 +206,20 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
 
     # 4. compression ----------------------------------------------------
     if args.compress:
-        res = run_partitioned_stage(
-            spark, stage="compress", input_df=samples, partition_col="dt",
+        from json_time_series_extractor_spark.operators.gapfill import (
+            _interval_seconds)
+
+        chunk_s = _interval_seconds(args.chunk_window)
+        if chunk_s > 86400 or 86400 % chunk_s != 0:
+            raise SystemExit(
+                f"--chunk-window {args.chunk_window!r} must evenly divide "
+                "one day: the incremental compress stage recomputes whole "
+                "sample-days, so chunks must not cross day boundaries")
+        # Chunks key on sample time too (chunk_start) — same capture-day
+        # vs event-day treatment as the first rollup tier.
+        res = run_event_day_stage(
+            spark, stage="compress", input_df=samples, capture_col="dt",
+            event_day=lambda df: F.to_date(df["ts"]),
             transform=lambda df: compress_chunks(
                 df.drop("dt"), args.chunk_window)
             .withColumn("dt", F.to_date("chunk_start")),

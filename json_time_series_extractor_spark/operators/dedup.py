@@ -109,10 +109,6 @@ def lsh_candidate_pairs(signatures: DataFrame, *, bands: int = 16,
     (band_id, band_hash): hot buckets are real near-dup clusters, which is
     inherent to LSH, not key skew.
     """
-    num_hashes = None
-    for f in signatures.schema.fields:
-        if f.name == "signature":
-            num_hashes = None  # length is data-dependent; trust caller
     banded = signatures.select(
         "doc_id",
         F.posexplode_outer(_band_hashes(F.col("signature"), bands))

@@ -240,18 +240,40 @@ def extract_samples_fixed(
                          "(series_key, pointer) pair")
 
     def jpath(pointer: str) -> str:
-        segs = [s for s in pointer.split("/") if s != ""]
-        return "$." + ".".join(segs)
+        """RFC 6901 pointer -> get_json_object JSONPath. Array indexes use
+        [n] (dot-numeric silently returns null), non-identifier keys use
+        ['...'] bracket form, ~0/~1 escapes are decoded."""
+        import re as _re
 
-    ts_doc = (F.to_timestamp(F.get_json_object(F.col(text_col),
-                                               jpath(timestamp_pointer)))
-              if timestamp_pointer else F.lit(None).cast("timestamp"))
+        out = "$"
+        for seg in pointer.split("/"):
+            if seg == "":
+                continue
+            seg = seg.replace("~1", "/").replace("~0", "~")
+            if seg.isdigit():
+                out += f"[{seg}]"
+            elif _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", seg):
+                out += f".{seg}"
+            else:
+                escaped = seg.replace("'", "\\'")
+                out += f"['{escaped}']"
+        return out
+
+    ts_raw_col = (F.get_json_object(F.col(text_col),
+                                    jpath(timestamp_pointer))
+                  if timestamp_pointer else F.lit(None).cast("string"))
+    # Document-level timestamp rules (TimeSeriesExtractor.cs:660-671):
+    # ISO-8601 string, else integral epoch-milliseconds. try_* forms:
+    # under ANSI mode a plain cast THROWS on non-conforming values.
+    ts_doc = F.coalesce(
+        F.try_to_timestamp(ts_raw_col),
+        F.timestamp_millis(ts_raw_col.try_cast("bigint")))
 
     entries = F.array(*[
         F.struct(
             F.lit(key).alias("series_key"),
-            F.get_json_object(F.col(text_col), jpath(ptr)).cast("double")
-            .alias("value_double"),
+            F.get_json_object(F.col(text_col), jpath(ptr))
+            .try_cast("double").alias("value_double"),
         )
         for key, ptr in pointers
     ])

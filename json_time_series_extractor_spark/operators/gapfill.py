@@ -115,8 +115,12 @@ def gapfill_locf_partitioned(rollup_df: DataFrame,
             F.expr(f"interval {segment}")))
         .alias("_seg"))
 
-    summary = (r.groupBy("series_key", seg_start(F.col("bucket_ts"))
-                         .alias("_seg"))
+    # Nulls excluded BEFORE the summary: gapfill_locf's carry window skips
+    # nulls (ignorenulls), so a segment whose latest bucket holds null must
+    # contribute its latest NON-null value, not null.
+    summary = (r.where(F.col("_v").isNotNull())
+               .groupBy("series_key", seg_start(F.col("bucket_ts"))
+                        .alias("_seg"))
                .agg(F.max(F.struct(F.col("bucket_ts").alias("t"),
                                    F.col("_v").alias("v")))["v"]
                     .alias("_seg_last")))

@@ -66,7 +66,15 @@ def asof_join(
         *[F.col(c).alias(f"_rv_{c}") for c in value_cols])
 
     # Right rows order before left rows at equal _t (tag 0 < 1): ties match.
-    w = (Window.partitionBy("_k").orderBy("_t", "_is_left")
+    # Orderable value columns complete the total order so duplicate right
+    # (key, ts) rows resolve deterministically (largest payload wins) —
+    # resume replays must re-produce identical rows for lineage checksums.
+    from pyspark.sql.types import MapType
+
+    tiebreak = [F.col(f"_rv_{c}") for c in value_cols
+                if not isinstance(right.schema[c].dataType, MapType)]
+    w = (Window.partitionBy("_k")
+         .orderBy("_t", "_is_left", *tiebreak)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     unioned = l_tag.unionByName(r_tag)
     carried = unioned.select(

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: Canonical tier windows, child -> parent.
 TIERS = ("1 minute", "1 hour", "1 day")
@@ -126,13 +126,16 @@ def detect_hot_keys(
     to broadcast. Run it once per input partition-range and reuse; skew
     profiles shift slowly relative to job cadence.
     """
-    sampled = samples.sample(fraction=sample_fraction, seed=seed)
-    total = sampled.count()
-    cutoff = max(1, int(total * min_share))
-    return (sampled
-            .groupBy(key_col)
-            .count()
-            .where(F.col("count") >= cutoff)
+    counts = (samples.sample(fraction=sample_fraction, seed=seed)
+              .groupBy(key_col).count())
+    # One scan of the input: the grouped result (one row per key) is tiny,
+    # so the total comes from a window over it rather than a second pass.
+    total_w = Window.partitionBy()
+    return (counts
+            .withColumn("_total", F.sum("count").over(total_w))
+            .where(F.col("count")
+                   >= F.greatest(F.lit(1), (F.col("_total")
+                                            * min_share).cast("long")))
             .select(key_col))
 
 

@@ -85,6 +85,93 @@ def _content_checksum(df: DataFrame, partition_col: str) -> DataFrame:
                  F.bit_xor(F.xxhash64(*df.columns)).alias("_sum")))
 
 
+def run_event_day_stage(
+    spark: SparkSession,
+    *,
+    stage: str,
+    input_df: DataFrame,
+    capture_col: str = "dt",
+    event_day,
+    transform: Callable[[DataFrame], DataFrame],
+    output_path: str,
+    lineage_path: str,
+    run_id: Optional[str] = None,
+) -> StageResult:
+    """Incremental stage whose OUTPUT partitions key on the *event* day
+    (derived from data timestamps) while resume tracks *capture* days
+    (the input's arrival partitioning).
+
+    A late sample (event day != its page's capture day) means one event-day
+    output partition draws from several capture days; replaying a pending
+    capture-day subset through a plain partition overwrite would clobber a
+    complete event-day partition with a partial aggregate. Protocol:
+
+    1. pending capture days = input partitions without a DONE ``capture:``
+       lineage row;
+    2. affected event days = distinct ``event_day`` over the pending
+       capture days' rows;
+    3. recompute those event days from ALL input rows (any capture day) —
+       on Iceberg, step 3 prunes with partition metadata plus a bounded
+       lateness horizon (capture in [event_day, event_day + L]);
+    4. dynamically overwrite exactly those event-day partitions;
+    5. lineage commits ``capture:<d>`` resume tokens and ``event:<d>``
+       rows carrying the output counters.
+
+    ``event_day`` is a function DataFrame -> Column giving each input
+    row's event day; ``transform`` must emit a ``dt`` column equal to it.
+
+    Retention interaction: recomputing an event day REBUILDS it from the
+    raw rows present *now* — event days older than the raw retention
+    horizon must not be reopened (their contributors are expired), so late
+    data beyond that horizon is dead-lettered upstream, exactly like a
+    streaming watermark.
+    """
+    run_id = run_id or f"{stage}-{int(time.time())}"
+    lineage = LineageStore(spark, lineage_path)
+    done = {v[len("capture:"):]
+            for v in lineage.completed_partitions(stage)
+            if v.startswith("capture:")}
+
+    capture_values = [str(r[0]) for r in
+                      input_df.select(capture_col).distinct().collect()]
+    pending = sorted(v for v in capture_values if v not in done)
+    skipped = sorted(v for v in capture_values if v in done)
+    if not pending:
+        return StageResult(stage, [], skipped, 0)
+
+    pending_rows = input_df.where(
+        F.col(capture_col).cast("string").isin(pending))
+    affected = sorted(str(r[0]) for r in
+                      pending_rows.select(event_day(input_df)
+                                          .alias("_ed"))
+                      .distinct().collect())
+
+    recompute_in = input_df.where(
+        event_day(input_df).cast("string").isin(affected))
+    out = transform(recompute_in)
+    if "dt" not in out.columns:
+        raise ValueError(f"stage {stage!r}: transform must emit 'dt'")
+    (out.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("dt").parquet(output_path))
+
+    written = spark.read.parquet(output_path).where(
+        F.col("dt").cast("string").isin(affected))
+    stats = {str(r[0]): (r["_n"], r["_sum"]) for r in
+             _content_checksum(written, "dt").collect()}
+
+    rows = [(stage, f"capture:{v}", run_id, 0, 0, 0, "DONE")
+            for v in pending]
+    total_out = 0
+    for value in affected:
+        n, checksum = stats.get(value, (0, 0))
+        total_out += n
+        rows.append((stage, f"event:{value}", run_id, 0, int(n),
+                     int(checksum or 0), "DONE"))
+    lineage.append(rows)
+    return StageResult(stage, pending, skipped, total_out)
+
+
 def run_partitioned_stage(
     spark: SparkSession,
     *,
@@ -124,8 +211,11 @@ def run_partitioned_stage(
             f"stage {stage!r}: transform dropped partition column "
             f"{partition_col!r}")
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    out.write.mode("overwrite").partitionBy(partition_col).parquet(output_path)
+    # Writer-scoped option, NOT spark.conf.set: a session-wide default
+    # would silently change unrelated overwrite writes elsewhere.
+    (out.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy(partition_col).parquet(output_path))
 
     # Counters + checksum from what was durably written (read-back, so the
     # lineage row attests the files on disk, not the in-flight plan).

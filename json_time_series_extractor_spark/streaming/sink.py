@@ -1,21 +1,18 @@
-"""Streaming tier sink: rollup micro-batches -> day-partitioned storage.
+"""Streaming tier sink: rollup micro-batches -> an upsert-log tier table.
 
-``foreachBatch`` bridges the streaming rollup onto the SAME batch sink
-protocol the pipeline uses (dynamic partition overwrite + lineage commit
-markers, ``plans.pipeline``): each micro-batch's affected day-partitions
-are rewritten wholesale from the batch's complete output, and a lineage
-row per (partition, batch_id) commits afterwards.
+``foreachBatch`` writes each micro-batch's rows under
+``dt=<day>/p_batch=<batch_id>`` with dynamic partition overwrite, plus a
+lineage commit marker per (day, batch_id):
 
-Exactly-once reasoning: the streaming engine guarantees each batch_id is
-replayed with identical content after a crash; dynamic overwrite makes the
-replay idempotent at partition granularity; the lineage row is the commit
-marker, so an observer (or the batch cascade picking up the 1m tier)
-treats un-marked partitions as in-flight. This is the parquet analog of
-Iceberg's ``overwritePartitions`` under a WAP transaction.
-
-Output mode must be "update"-capable: with a watermark + append mode the
-windows arrive once, closed; with complete mode each batch re-emits
-everything and the overwrite still converges. Both compose with this sink.
+- **exactly-once**: the engine replays a crashed batch_id with identical
+  content; the overwrite replaces exactly that batch's sub-partitions, so
+  replay is idempotent and rows from OTHER batches in the same day are
+  untouched (a plain per-day overwrite would delete them — update-mode
+  batches carry only the windows that changed);
+- **upsert semantics**: update mode re-emits a window whenever it changes,
+  so the freshest aggregate for a (series, bucket) is the row with the
+  greatest ``p_batch`` — :func:`read_rollup_tier` resolves it. On Iceberg
+  this whole file is ``MERGE INTO`` keyed on (series_key, bucket_ts).
 """
 
 from __future__ import annotations
@@ -37,10 +34,17 @@ def write_rollup_stream(rollup_stream: DataFrame, output_path: str, *,
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        out = batch_df.withColumn("dt", F.to_date("bucket_ts"))
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       "dynamic")
-        out.write.mode("overwrite").partitionBy("dt").parquet(output_path)
+        out = (batch_df
+               .withColumn("dt", F.to_date("bucket_ts"))
+               .withColumn("p_batch", F.lit(int(batch_id))))
+        # Partitioned by (dt, p_batch): a REPLAY of the same batch_id
+        # overwrites exactly its own sub-partitions (exactly-once), while
+        # other batches' rows in the same day survive. Readers take the
+        # row with the greatest p_batch per (series_key, bucket_ts) — an
+        # upsert log, see read_rollup_tier().
+        (out.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("dt", "p_batch").parquet(output_path))
         if lineage_path:
             days = [str(r[0]) for r in out.select("dt").distinct().collect()]
             LineageStore(spark, lineage_path).append([
@@ -55,3 +59,17 @@ def write_rollup_stream(rollup_stream: DataFrame, output_path: str, *,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_rollup_tier(spark, output_path: str) -> DataFrame:
+    """Current state of a streamed tier: latest ``p_batch`` wins per
+    (series_key, bucket_ts) — update-mode batches re-emit a window whenever
+    it changes, so the greatest batch id holds the freshest aggregate."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(output_path)
+    w = Window.partitionBy("series_key", "bucket_ts").orderBy(
+        F.col("p_batch").desc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "p_batch"))

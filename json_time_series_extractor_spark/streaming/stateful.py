@@ -51,6 +51,23 @@ def _locf_update(key: Tuple[str],
     else:
         last_bucket, last_value = None, None
 
+    # Late/replayed buckets (<= the last emitted bucket) are dropped: the
+    # append-mode output cannot be retracted, and accepting them would
+    # regress the carry state. Upstream should be a watermarked append-mode
+    # rollup (each window emitted once, closed); anything later than the
+    # watermark is dead-lettered here by design.
+    if last_bucket is not None:
+        incoming = incoming[incoming["bucket_s"] > last_bucket]
+    if incoming.empty:
+        # Nothing new (all late, or all-null buckets): leave state as-is.
+        yield pd.DataFrame({
+            "series_key": pd.Series([], dtype="object"),
+            "bucket_ts": pd.Series([], dtype="datetime64[ns]"),
+            "value": pd.Series([], dtype="float64"),
+            "filled": pd.Series([], dtype="bool"),
+        })
+        return
+
     out_bucket: list = []
     out_value: list = []
     out_filled: list = []

@@ -144,3 +144,39 @@ def test_extract_ts_raw_preserves_offset(spark):
     r = rows[0]
     assert r.ts_raw == "2021-05-28T17:41:09.703107+03:00"
     assert r.ts == datetime(2021, 5, 28, 14, 41, 9, 703107)  # UTC-normalized
+
+
+def test_fixed_pointer_arrays_dotted_keys_and_epoch_ts(spark):
+    """jpath must bracket array indexes and non-identifier keys, and the
+    document timestamp accepts epoch-millis ints; non-numeric values and
+    malformed timestamps must not throw under ANSI mode."""
+    from json_time_series_extractor_spark.operators.extract import (
+        extract_samples,
+    )
+
+    doc = dumps({"time": 1707148800000,
+                 "body": {"data": [{"v": 1.5}, {"v": 2.5}]},
+                 "a.b": {"x": 7},
+                 "s": "not-a-number"})
+    pages = spark.createDataFrame(
+        [("u", datetime(2024, 2, 1), doc)],
+        "url string, warc_ts timestamp, text string")
+    out = extract_samples_fixed(
+        pages, [("v0", "/body/data/0/v"), ("v1", "/body/data/1/v"),
+                ("ab", "/a.b/x"), ("s", "/s")],
+        timestamp_pointer="/time")
+    rows = {r.series_key: r for r in out.collect()}
+    assert rows["v0"].value_double == 1.5
+    assert rows["v1"].value_double == 2.5
+    assert rows["ab"].value_double == 7.0
+    assert rows["s"].value_double is None and rows["s"].value_kind == 0
+    assert rows["v0"].ts == datetime(2024, 2, 5, 16, 0, 0)  # epoch millis
+    assert rows["v0"].ts_source == int(TimestampSource.DOCUMENT)
+
+    # Parity with the general operator on the same pointers.
+    gen = extract_samples(pages, {"pointers_to_include":
+                                  ["/body/data/0/v", "/body/data/1/v"],
+                                  "recursive": True})
+    gen_rows = {r.series_key: r.value_double for r in gen.collect()}
+    assert gen_rows["body/data/0/v"] == 1.5
+    assert gen_rows["body/data/1/v"] == 2.5

@@ -194,9 +194,32 @@ def test_streaming_tier_sink_foreachbatch(spark, tmp_path):
         streaming_rollup,
     )
 
+    from json_time_series_extractor_spark.streaming.sink import (
+        read_rollup_tier,
+    )
+
+    import os as _os
+    import time as _time
+
     pages_dir = str(tmp_path / "pages_sink")
-    synthesize_pages(spark, 200).write.parquet(pages_dir)
-    stream = read_pages_stream(spark, pages_dir, max_files_per_trigger=8)
+    # One file per capture day, written in time order (distinct mtimes) ->
+    # several micro-batches, chronological, so nothing falls behind the
+    # watermark; consecutive batches update windows in the same days and
+    # earlier batches' rows must survive later overwrites.
+    _os.makedirs(pages_dir)
+    pages_all = synthesize_pages(spark, 200)
+    days = sorted(r[0].isoformat() for r in
+                  pages_all.selectExpr("to_date(warc_ts) d")
+                  .distinct().collect())
+    for i, d in enumerate(days):
+        (pages_all.where(F.to_date("warc_ts") == d).coalesce(1)
+         .write.parquet(f"{pages_dir}/f{i}"))
+        _time.sleep(0.2)
+    stream = (spark.readStream
+              .schema("url string, warc_ts timestamp, html binary, "
+                      "text string, lang string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(pages_dir + "/*"))
     agg = streaming_rollup(stream, PAGES_EXTRACT_OPTIONS, "1 hour",
                            watermark="1 minute")
     out_dir = str(tmp_path / "tier_1h")
@@ -204,11 +227,77 @@ def test_streaming_tier_sink_foreachbatch(spark, tmp_path):
     q = write_rollup_stream(agg, out_dir, lineage_path=lineage,
                             checkpoint_dir=str(tmp_path / "ckpt"),
                             trigger_once=True)
-    q.awaitTermination(120)
+    q.awaitTermination(180)
     assert q.exception() is None
 
-    written = spark.read.parquet(out_dir)
-    assert written.count() > 0
-    assert "dt" in written.columns
+    raw = spark.read.parquet(out_dir)
+    assert raw.count() > 0
+    assert "dt" in raw.columns and "p_batch" in raw.columns
+    n_batches = raw.select("p_batch").distinct().count()
+    assert n_batches >= 2  # multiple micro-batches hit the same days
+
+    # Latest-batch-wins view equals a batch rollup over all pages.
+    from json_time_series_extractor_spark.operators.extract import (
+        extract_samples,
+    )
+    current = read_rollup_tier(spark, out_dir)
+    expect = rollup(extract_samples(spark.read.parquet(pages_dir + "/*"),
+                                    PAGES_EXTRACT_OPTIONS), "1 hour")
+    got = {(r.series_key, r.bucket_ts): r["count"]
+           for r in current.collect()}
+    want = {(r.series_key, r.bucket_ts): r["count"]
+            for r in expect.collect()}
+    assert got == want
+
     lin = spark.read.parquet(lineage)
     assert lin.where("stage = 'stream_rollup' AND status = 'DONE'").count() > 0
+
+
+def test_event_day_stage_handles_late_samples(spark, tmp_path):
+    """A sample whose event day differs from its capture day: incremental
+    runs must rebuild the affected event-day partition from ALL capture
+    days, never overwrite it with a partial aggregate."""
+    from datetime import datetime
+
+    from json_time_series_extractor_spark.plans.pipeline import (
+        run_event_day_stage,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "series_key string, ts timestamp, value_double double, "
+                  "dt date").withColumn("dt", F.col("dt"))
+
+    d5, d6 = datetime(2024, 2, 5, 23, 59), datetime(2024, 2, 6, 0, 1)
+    cap5 = [("s", d5, 1.0, datetime(2024, 2, 5).date())]
+    # Captured on the 6th, but one sample's timestamp is late (on the 5th).
+    cap6 = [("s", d6, 2.0, datetime(2024, 2, 6).date()),
+            ("s", datetime(2024, 2, 5, 23, 59, 30), 3.0,
+             datetime(2024, 2, 6).date())]
+
+    out_path = str(tmp_path / "r1m")
+    lineage = str(tmp_path / "lineage")
+
+    def tf(df):
+        return rollup(df, "1 minute").withColumn(
+            "dt", F.to_date("bucket_ts"))
+
+    r1 = run_event_day_stage(
+        spark, stage="r1m", input_df=mk(cap5), capture_col="dt",
+        event_day=lambda df: F.to_date(df["ts"]), transform=tf,
+        output_path=out_path, lineage_path=lineage)
+    assert r1.processed == ["2024-02-05"]
+
+    r2 = run_event_day_stage(
+        spark, stage="r1m", input_df=mk(cap5 + cap6), capture_col="dt",
+        event_day=lambda df: F.to_date(df["ts"]), transform=tf,
+        output_path=out_path, lineage_path=lineage)
+    assert r2.processed == ["2024-02-06"]
+    assert r2.skipped == ["2024-02-05"]
+
+    # The 23:59 bucket on the 5th must aggregate BOTH the original sample
+    # (capture day 5) and the late one (capture day 6).
+    got = {r.bucket_ts.isoformat(): (r["count"], r["min"], r["max"])
+           for r in spark.read.parquet(out_path).collect()}
+    assert got["2024-02-05T23:59:00"] == (2, 1.0, 3.0)
+    assert got["2024-02-06T00:01:00"] == (1, 2.0, 2.0)
