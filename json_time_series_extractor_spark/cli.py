@@ -15,12 +15,16 @@ re-run with the same ``--output-root`` skips DONE partitions):
 
 1. **extract**  — pages -> samples (``mapInPandas``), partitioned by capture
    day ``dt``; per-day lineage rows + counters.
-2. **rollup_1m / rollup_1h / rollup_1d** — tier cascade. Day-partition
-   resume is sound because canonical tiers (<= 1 day) never cross a day
-   boundary, so re-aggregating only pending days is exact.
-3. **gapfill** (optional) — per-series dense grid spans days, so it runs as
-   one global partition (lineage value ``__global__``).
-4. **compress** (optional) — Gorilla/DoD chunks, day-partitioned.
+2. **rollup_1m** — incremental by EVENT day (``run_event_day_stage``):
+   late samples whose timestamp day differs from the capture day rebuild
+   the affected sample-day partitions from all capture days; event days
+   older than the raw retention horizon are dead-lettered. **rollup_1h /
+   rollup_1d** cascade day-aligned, force-refreshing any bucket-day the
+   previous tier rewrote this run.
+3. **gapfill** (optional) — per-series dense grid spans days, so it runs
+   globally; it refreshes whenever the fine tier rewrote partitions.
+4. **compress** (optional) — Gorilla/DoD chunks, day-partitioned, same
+   event-day protocol as rollup_1m.
 5. **retention** — per-tier partition expiry driven by ``--retention-today``
    (explicit date, never wall-clock).
 
@@ -117,12 +121,30 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
         raise SystemExit(f"tiers must go fine->coarse (e.g. 1m,1h,1d); "
                          f"got {args.tiers!r}")
 
+    # Lateness horizon: when retention is active, event days whose raw
+    # contributors may already be expired must not be rebuilt (a recompute
+    # would see only the new late rows). Late data older than the raw
+    # horizon is dead-lettered by the event-day stages.
+    min_event_day = None
+    if args.retention_today:
+        from datetime import timedelta
+
+        from json_time_series_extractor_spark.operators.retention import (
+            DEFAULT_RETENTION_DAYS)
+
+        raw_days = DEFAULT_RETENTION_DAYS.get("raw")
+        if raw_days is not None:
+            min_event_day = (date.fromisoformat(args.retention_today)
+                             - timedelta(days=raw_days)).isoformat()
+
     report: dict = {"run_id": args.run_id, "stages": {}}
 
     def record(res) -> None:
         report["stages"][res.stage] = {
             "processed": len(res.processed), "skipped": len(res.skipped),
-            "output_rows": res.output_count}
+            "output_rows": res.output_count,
+            "rewritten_partitions": len(res.output_partitions),
+            "dead_lettered": len(res.dead_lettered)}
 
     # 1. extract ------------------------------------------------------
     pages = spark.read.parquet(args.input)
@@ -143,6 +165,7 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
     samples = spark.read.schema(SAMPLE_SCHEMA + ", dt date").parquet(
         f"{root}/samples")
     child_path = None
+    prev_rewritten: list = []
     for tier in tiers:
         window = TIER_WINDOWS[tier]
         if child_path is None:
@@ -153,12 +176,22 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
             # wholesale so partial aggregates never overwrite complete
             # partitions.
             if args.salt_buckets > 0:
-                hot = (detect_hot_keys(samples)
-                       if getattr(args, "detect_hot_keys", False) else None)
-                tf = lambda df, w=window, h=hot: (
-                    rollup_salted(df, w, salt_buckets=args.salt_buckets,
-                                  hot_keys=h)
-                    .withColumn("dt", F.to_date("bucket_ts")))
+                # Hot-key detection runs lazily, inside the transform: a
+                # no-op resume (nothing pending) must not pay the sampling
+                # scan just to throw the result away.
+                hot_memo: list = []
+
+                def tf(df, w=window):
+                    if getattr(args, "detect_hot_keys", False):
+                        if not hot_memo:
+                            hot_memo.append(detect_hot_keys(samples))
+                        h = hot_memo[0]
+                    else:
+                        h = None
+                    return (rollup_salted(df, w,
+                                          salt_buckets=args.salt_buckets,
+                                          hot_keys=h)
+                            .withColumn("dt", F.to_date("bucket_ts")))
             else:
                 tf = lambda df, w=window: (
                     rollup(df, w).withColumn("dt", F.to_date("bucket_ts")))
@@ -166,7 +199,8 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
                 spark, stage=f"rollup_{tier}", input_df=samples,
                 capture_col="dt", event_day=lambda df: F.to_date(df["ts"]),
                 transform=tf, output_path=f"{root}/rollup_{tier}",
-                lineage_path=lineage_path, run_id=args.run_id)
+                lineage_path=lineage_path, run_id=args.run_id,
+                min_event_day=min_event_day)
         else:
             # Cascade from the previous tier's mergeable state. Bucket-days
             # align across tiers (canonical windows never cross a day), so
@@ -176,12 +210,16 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
                 .withColumn("dt", F.to_date("bucket_ts")))
             stage_in = spark.read.schema(ROLLUP_SCHEMA + ", dt date") \
                 .parquet(child_path)
+            # force: bucket-days the previous tier rewrote this run must
+            # cascade even when this tier marked them DONE earlier.
             res = run_partitioned_stage(
                 spark, stage=f"rollup_{tier}", input_df=stage_in,
                 partition_col="dt", transform=tf,
                 output_path=f"{root}/rollup_{tier}",
-                lineage_path=lineage_path, run_id=args.run_id)
+                lineage_path=lineage_path, run_id=args.run_id,
+                force=set(prev_rewritten))
         record(res)
+        prev_rewritten = res.output_partitions
         child_path = f"{root}/rollup_{tier}"
 
     # 3. gapfill (global per-series grids cross day partitions) --------
@@ -191,7 +229,11 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
         fn = gapfill_locf if args.gapfill == "locf" else gapfill_linear
         lineage = LineageStore(spark, lineage_path)
         stage = f"gapfill_{args.gapfill}"
-        if "__global__" not in lineage.completed_partitions(stage):
+        fine_changed = (report["stages"]
+                        .get(f"rollup_{tiers[0]}", {})
+                        .get("rewritten_partitions", 0) > 0)
+        if fine_changed or (
+                "__global__" not in lineage.completed_partitions(stage)):
             out = fn(fine.drop("dt"), TIER_WINDOWS[tiers[0]],
                      value_col="mean")
             out.write.mode("overwrite").parquet(f"{root}/{stage}")
@@ -224,7 +266,7 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
                 df.drop("dt"), args.chunk_window)
             .withColumn("dt", F.to_date("chunk_start")),
             output_path=f"{root}/chunks", lineage_path=lineage_path,
-            run_id=args.run_id)
+            run_id=args.run_id, min_event_day=min_event_day)
         record(res)
 
     # 5. retention -------------------------------------------------------

@@ -49,21 +49,25 @@ def asof_join(
         value_cols = [c for c in right.columns
                       if c not in (key_col, right_ts)]
 
+    # The right payload rides as ONE struct so the carry picks a whole
+    # right row atomically — per-column last(ignorenulls) would pair
+    # column values from DIFFERENT right rows whenever a right value is
+    # null (a frankenrow), and stale columns could outlive the tolerance.
+    r_struct = F.struct(F.col(right_ts).alias("_rt"),
+                        *[F.col(c).alias(c) for c in value_cols])
     l_tag = left.select(
         F.col(key_col).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_is_left"),
         F.struct(*left.columns).alias("_l"),
-        F.lit(None).cast("timestamp").alias("_rt"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}")
-          for c in value_cols])
+        F.lit(None).cast(right.select(r_struct).schema[0].dataType)
+        .alias("_r"))
     r_tag = right.select(
         F.col(key_col).alias("_k"),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_is_left"),
         F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
-        F.col(right_ts).alias("_rt"),
-        *[F.col(c).alias(f"_rv_{c}") for c in value_cols])
+        r_struct.alias("_r"))
 
     # Right rows order before left rows at equal _t (tag 0 < 1): ties match.
     # Orderable value columns complete the total order so duplicate right
@@ -71,7 +75,7 @@ def asof_join(
     # resume replays must re-produce identical rows for lineage checksums.
     from pyspark.sql.types import MapType
 
-    tiebreak = [F.col(f"_rv_{c}") for c in value_cols
+    tiebreak = [F.col("_r")[c] for c in value_cols
                 if not isinstance(right.schema[c].dataType, MapType)]
     w = (Window.partitionBy("_k")
          .orderBy("_t", "_is_left", *tiebreak)
@@ -79,16 +83,14 @@ def asof_join(
     unioned = l_tag.unionByName(r_tag)
     carried = unioned.select(
         "_is_left", "_l", "_t",
-        F.last("_rt", ignorenulls=True).over(w).alias("_m_ts"),
-        *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
-          for c in value_cols])
+        F.last("_r", ignorenulls=True).over(w).alias("_m"))
 
-    in_tol = (F.col("_m_ts")
-              >= F.col("_t") - F.expr(f"interval {tolerance}")
+    m_ts = F.col("_m")["_rt"]
+    in_tol = (m_ts >= F.col("_t") - F.expr(f"interval {tolerance}")
               if tolerance else F.lit(True))
-    keep = F.col("_m_ts").isNotNull() & in_tol
+    keep = F.col("_m").isNotNull() & in_tol
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
-    out_cols.append(F.when(keep, F.col("_m_ts")).alias(f"{prefix}ts"))
-    out_cols.extend(F.when(keep, F.col(f"_m_{c}")).alias(f"{prefix}{c}")
+    out_cols.append(F.when(keep, m_ts).alias(f"{prefix}ts"))
+    out_cols.extend(F.when(keep, F.col("_m")[c]).alias(f"{prefix}{c}")
                     for c in value_cols)
     return carried.where(F.col("_is_left") == 1).select(*out_cols)

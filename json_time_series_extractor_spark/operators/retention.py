@@ -13,9 +13,11 @@ allows it:
   directories below the cutoff via the Hadoop FileSystem API — no data
   rewrite, the same O(partitions) cost profile as the Iceberg path.
 
-Retention is lineage-aware: dropped partitions get an ``EXPIRED`` lineage
-row so a resume never re-processes them (an expired partition is DONE
-forever, not missing).
+Retention is lineage-audited: dropped partitions get an ``EXPIRED``
+lineage row recording what was removed and when. Resume protection itself
+comes from the processing stages' original ``DONE`` rows (which outlive
+the data); the EXPIRED rows are the audit trail an operator reads to
+distinguish "expired by policy" from "never arrived".
 """
 
 from __future__ import annotations

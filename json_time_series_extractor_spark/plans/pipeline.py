@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Callable, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -45,6 +45,11 @@ class StageResult:
     processed: List[str]
     skipped: List[str]
     output_count: int
+    #: Output (event-day) partitions this run rewrote — downstream stages
+    #: keyed on the same days must reprocess exactly these.
+    output_partitions: List[str] = field(default_factory=list)
+    #: Event days dropped by the lateness horizon (see run_event_day_stage).
+    dead_lettered: List[str] = field(default_factory=list)
 
 
 class LineageStore:
@@ -76,13 +81,17 @@ class LineageStore:
 
 
 def _content_checksum(df: DataFrame, partition_col: str) -> DataFrame:
-    """Order-insensitive per-partition checksum + count: bit_xor of
-    xxhash64 over every column of every row (cheap, distributed,
-    deterministic, and overflow-free under ANSI mode)."""
+    """Order-insensitive per-partition checksum + count: SUM of xxhash64
+    over every row (decimal accumulator, folded back to int64). Sum, not
+    xor: xor cancels rows that repeat an even number of times, hiding
+    exactly the duplicate-row nondeterminism the checksum exists to
+    expose."""
+    total = F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)"))
+    modulus = F.lit(str(1 << 63)).cast("decimal(38,0)")  # > long range
     return (df
             .groupBy(partition_col)
             .agg(F.count(F.lit(1)).alias("_n"),
-                 F.bit_xor(F.xxhash64(*df.columns)).alias("_sum")))
+                 F.pmod(total, modulus).cast("long").alias("_sum")))
 
 
 def run_event_day_stage(
@@ -96,6 +105,7 @@ def run_event_day_stage(
     output_path: str,
     lineage_path: str,
     run_id: Optional[str] = None,
+    min_event_day: Optional[str] = None,
 ) -> StageResult:
     """Incremental stage whose OUTPUT partitions key on the *event* day
     (derived from data timestamps) while resume tracks *capture* days
@@ -128,9 +138,11 @@ def run_event_day_stage(
     """
     run_id = run_id or f"{stage}-{int(time.time())}"
     lineage = LineageStore(spark, lineage_path)
+    lineage_done = lineage.completed_partitions(stage)
     done = {v[len("capture:"):]
-            for v in lineage.completed_partitions(stage)
-            if v.startswith("capture:")}
+            for v in lineage_done if v.startswith("capture:")}
+    done_events = {v[len("event:"):]
+                   for v in lineage_done if v.startswith("event:")}
 
     capture_values = [str(r[0]) for r in
                       input_df.select(capture_col).distinct().collect()]
@@ -145,6 +157,18 @@ def run_event_day_stage(
                       pending_rows.select(event_day(input_df)
                                           .alias("_ed"))
                       .distinct().collect())
+    dead_lettered: List[str] = []
+    if min_event_day is not None:
+        # Lateness horizon: a PREVIOUSLY BUILT event day beyond the raw
+        # retention horizon must not be rebuilt — its original contributors
+        # may be expired, so the recompute would see only the new late rows
+        # and overwrite a complete partition with a partial aggregate.
+        # Never-built old days are still computed (their raw rows are the
+        # full population right now). Late rows for protected days are
+        # dead-lettered, like a streaming watermark.
+        dead_lettered = [d for d in affected
+                         if d < min_event_day and d in done_events]
+        affected = [d for d in affected if d not in dead_lettered]
 
     recompute_in = input_df.where(
         event_day(input_df).cast("string").isin(affected))
@@ -155,7 +179,9 @@ def run_event_day_stage(
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("dt").parquet(output_path))
 
-    written = spark.read.parquet(output_path).where(
+    # Explicit schema: a transform can legitimately emit zero rows, and
+    # schema inference on a parquet dir holding only _SUCCESS throws.
+    written = spark.read.schema(out.schema).parquet(output_path).where(
         F.col("dt").cast("string").isin(affected))
     stats = {str(r[0]): (r["_n"], r["_sum"]) for r in
              _content_checksum(written, "dt").collect()}
@@ -169,7 +195,9 @@ def run_event_day_stage(
         rows.append((stage, f"event:{value}", run_id, 0, int(n),
                      int(checksum or 0), "DONE"))
     lineage.append(rows)
-    return StageResult(stage, pending, skipped, total_out)
+    return StageResult(stage, pending, skipped, total_out,
+                       output_partitions=affected,
+                       dead_lettered=dead_lettered)
 
 
 def run_partitioned_stage(
@@ -182,16 +210,20 @@ def run_partitioned_stage(
     output_path: str,
     lineage_path: str,
     run_id: Optional[str] = None,
+    force: Optional[set] = None,
 ) -> StageResult:
     """Execute ``transform`` over all not-yet-DONE partitions of the input.
 
     The transform must preserve ``partition_col`` in its output. Output is
     written with dynamic partition overwrite (idempotent replay); lineage
-    rows commit each partition afterwards.
+    rows commit each partition afterwards. ``force`` reprocesses the given
+    partition values even when DONE — the cascade hook for upstream stages
+    that rewrote those partitions this run.
     """
     run_id = run_id or f"{stage}-{int(time.time())}"
+    force = force or set()
     lineage = LineageStore(spark, lineage_path)
-    done = lineage.completed_partitions(stage)
+    done = lineage.completed_partitions(stage) - force
 
     part_values = [str(r[0]) for r in
                    input_df.select(partition_col).distinct().collect()]
@@ -219,7 +251,9 @@ def run_partitioned_stage(
 
     # Counters + checksum from what was durably written (read-back, so the
     # lineage row attests the files on disk, not the in-flight plan).
-    written = spark.read.parquet(output_path).where(
+    # Explicit schema: zero-row transforms write only _SUCCESS and schema
+    # inference on that throws.
+    written = spark.read.schema(out.schema).parquet(output_path).where(
         F.col(partition_col).cast("string").isin(pending))
     stats = {str(r[0]): (r["_n"], r["_sum"]) for r in
              _content_checksum(written, partition_col).collect()}
@@ -233,4 +267,5 @@ def run_partitioned_stage(
                      int(in_counts.get(value, 0)), int(n),
                      int(checksum or 0), "DONE"))
     lineage.append(rows)
-    return StageResult(stage, pending, skipped, total_out)
+    return StageResult(stage, pending, skipped, total_out,
+                       output_partitions=pending)

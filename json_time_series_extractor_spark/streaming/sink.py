@@ -34,6 +34,24 @@ def write_rollup_stream(rollup_stream: DataFrame, output_path: str, *,
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if batch_id == 0:
+            # Freshness resolution is "greatest p_batch wins", and batch
+            # ids restart at 0 with a NEW checkpoint. Pointing a fresh
+            # checkpoint at an output that already has higher batch ids
+            # would make stale rows permanently shadow new ones — fail
+            # loudly instead of silently serving old data.
+            try:
+                existing = (spark.read.parquet(output_path)
+                            .agg(F.max("p_batch")).first()[0])
+            except Exception:
+                existing = None
+            if existing is not None and existing > 0:
+                raise RuntimeError(
+                    f"{output_path} already holds batches up to "
+                    f"p_batch={existing}; resuming with a fresh checkpoint "
+                    "would shadow newer data behind stale batch ids. Reuse "
+                    "the original checkpointLocation or start a new "
+                    "output path.")
         out = (batch_df
                .withColumn("dt", F.to_date("bucket_ts"))
                .withColumn("p_batch", F.lit(int(batch_id))))

@@ -110,6 +110,17 @@ def stateful_locf(rollup_stream: DataFrame, interval_seconds: int = 60,
     """
     from pyspark.sql import functions as F
 
+    # The state kernel round-trips epoch seconds through naive pandas
+    # datetimes, which is only identity when the session renders
+    # timestamps in UTC (plans.session.get_spark pins this).
+    tz = rollup_stream.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            f"stateful_locf requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): bucket timestamps would shift by the UTC "
+            "offset across the Arrow boundary")
+
     prepared = rollup_stream.select(
         "series_key",
         F.unix_timestamp("bucket_ts").alias("bucket_s"),

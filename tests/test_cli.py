@@ -160,3 +160,48 @@ def test_resume_after_full_retention(spark, tmp_path):
     assert st["rollup_1m"]["processed"] == 0
     # 1m tier (90d horizon) survives both runs.
     assert spark.read.parquet(f"{out_root}/rollup_1m").count() > 0
+
+
+def test_late_sample_refreshes_cascaded_tiers(spark, tmp_path):
+    """A late sample rewrites its 1m event-day partition; the 1h cascade
+    must refresh the same day instead of serving stale DONE aggregates."""
+    import json as _json
+    from datetime import datetime
+
+    from json_time_series_extractor_spark.cli import run_pipeline
+
+    def page(url, warc_ts, sample_ts, value):
+        text = _json.dumps({"time": sample_ts, "v": value})
+        return (url, warc_ts, bytearray(b"x"), text, "en")
+
+    schema = ("url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+    pages_path = str(tmp_path / "pages")
+    out_root = str(tmp_path / "out")
+    args = _pipeline_args(pages_path, out_root, tiers="1m,1h",
+                          gapfill="none", compress=False,
+                          options_json=_json.dumps(
+                              {"timestamp_property": "/time"}))
+
+    # Run 1: one page captured on the 5th, sample on the 5th.
+    spark.createDataFrame(
+        [page("u1", datetime(2024, 2, 5, 10), "2024-02-05T10:00:00Z", 1.0)],
+        schema).write.mode("overwrite").parquet(pages_path)
+    run_pipeline(spark, args)
+
+    # Run 2: a page captured on the 6th carrying a LATE sample (on the 5th,
+    # same hour) plus an on-time one.
+    spark.createDataFrame(
+        [page("u1", datetime(2024, 2, 5, 10), "2024-02-05T10:00:00Z", 1.0),
+         page("u2", datetime(2024, 2, 6, 9), "2024-02-05T10:00:30Z", 5.0),
+         page("u3", datetime(2024, 2, 6, 9), "2024-02-06T09:00:00Z", 2.0)],
+        schema).write.mode("overwrite").parquet(pages_path)
+    report = run_pipeline(spark, args)
+
+    r1h = {(r.series_key, r.bucket_ts.isoformat()): (r["count"], r["max"])
+           for r in spark.read.parquet(f"{out_root}/rollup_1h").collect()}
+    # The 10:00 hour on the 5th must include BOTH the original and the
+    # late sample — a stale cascade would still show count=1.
+    assert r1h[("v", "2024-02-05T10:00:00")] == (2, 5.0)
+    assert r1h[("v", "2024-02-06T09:00:00")] == (1, 2.0)
+    assert report["stages"]["rollup_1h"]["rewritten_partitions"] >= 1

@@ -300,3 +300,29 @@ def test_asof_join_semantics(spark):
     tol2 = {(r.series_key, r.ts.minute): r.asof_value_double
             for r in asof_join(left, right, tolerance="4 minutes").collect()}
     assert tol2[("a", 20)] is None  # 15 < 20-4=16: match out of tolerance
+
+
+def test_asof_join_no_frankenrows(spark):
+    """The match is one whole right row: a null value column in the latest
+    right row must NOT backfill from an older right row, and tolerance
+    applies to the row, not per column."""
+    from datetime import datetime
+
+    from json_time_series_extractor_spark.operators.joins import asof_join
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame([("k", t(30))],
+                                 "series_key string, ts timestamp")
+    right = spark.createDataFrame(
+        [("k", t(1), 1.0, None), ("k", t(29), None, 2.0)],
+        "series_key string, ts timestamp, a double, b double")
+
+    r = asof_join(left, right).collect()[0]
+    assert r.asof_ts.minute == 29
+    assert r.asof_a is None  # no backfill from the t(1) row
+    assert r.asof_b == 2.0
+
+    r2 = asof_join(left, right, tolerance="5 minutes").collect()[0]
+    assert r2.asof_a is None and r2.asof_b == 2.0  # t(29) inside tolerance
