@@ -332,9 +332,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming <= 16) via the block trick.
-    xxhash64-based — rows-only check."""
-    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=16)
+    """SimHash near-dup pairs via the block trick. max_hamming=16 with
+    4 blocks opts into approximate recall (the exact guarantee covers
+    Hamming <= blocks-1); xxhash64-based — rows-only check."""
+    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=16,
+                                  approximate=True)
 
 
 def q_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

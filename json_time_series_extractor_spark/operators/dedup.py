@@ -63,8 +63,10 @@ def dedup_exact(docs: DataFrame, *, text_col: str = "text",
 
     Output: (fingerprint, keep_id, n_dups).
     """
-    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
-                                       r"\s+", " ")))
+    from json_time_series_extractor_spark.operators.textstats import (
+        normalized_fingerprint)
+
+    fp = normalized_fingerprint(F.col(text_col))
     return (docs
             .select(fp.alias("fingerprint"), F.col(id_col).alias("_id"))
             .groupBy("fingerprint")
@@ -147,6 +149,12 @@ def minhash_lsh_dedup_pairs(docs: DataFrame, *, text_col: str = "text",
     ``materialize`` persists the signature and shingle tables, which the
     self-join and verify stages each read twice (see :func:`_materialize`).
     """
+    if num_hashes % bands != 0 or bands > num_hashes:
+        # _band_hashes slices rows = num_hashes/bands per band: a remainder
+        # silently ignores trailing hashes; bands > num_hashes degenerates
+        # to empty slices (every doc in one bucket -> all-pairs join).
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}")
     sigs = minhash_signatures(docs, text_col=text_col, id_col=id_col,
                               num_hashes=num_hashes, shingle_n=shingle_n)
     if materialize:
@@ -243,8 +251,10 @@ def embedding_neardup_pairs(embeddings: DataFrame, *,
     base = embeddings.select(
         F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))
-    first = base.select(F.size("_v").alias("d")).first()
-    dim = int(first["d"]) if first else 64
+    from json_time_series_extractor_spark.operators.similarity import (
+        _probe_dim)
+
+    dim = _probe_dim(base, "_v")
 
     if not use_lsh:
         return _neardup_pairs_blocked(base, threshold)
@@ -396,7 +406,7 @@ def simhash64_agg(docs: DataFrame, *, text_col: str = "text",
 
 def simhash_near_dup_pairs(docs: DataFrame, *, text_col: str = "text",
                            id_col: str = "doc_id", max_hamming: int = 3,
-                           blocks: int = 4,
+                           blocks: int = 4, approximate: bool = False,
                            materialize: bool = True) -> DataFrame:
     """SimHash near-dup candidates via the block trick: split the 64-bit
     hash into ``blocks`` chunks — any pair within Hamming distance
@@ -405,6 +415,15 @@ def simhash_near_dup_pairs(docs: DataFrame, *, text_col: str = "text",
 
     Output: (id_a, id_b, hamming).
     """
+    if max_hamming > blocks - 1 and not approximate:
+        # The block trick only guarantees completeness for Hamming distance
+        # <= blocks - 1 (pigeonhole: beyond that a pair can differ in every
+        # chunk and never share a join key). approximate=True opts into the
+        # candidate-recall trade instead of silently under-reporting.
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the block-trick guarantee "
+            f"(blocks - 1 = {blocks - 1}); raise blocks or pass "
+            "approximate=True to accept reduced recall")
     width = 64 // blocks
     sh = simhash64_agg(docs, text_col=text_col, id_col=id_col)
     if materialize:

@@ -53,6 +53,18 @@ def _interval_seconds(spec: str) -> int:
     return int(num) * _INTERVAL_UNIT_SECONDS[unit.lower()]
 
 
+def _require_divides(interval: str, segment: str) -> None:
+    """Partitioned gap-fill builds each segment's bucket grid as
+    sequence(seg_start, seg_start + segment - interval, interval): a
+    non-dividing interval would misalign the per-segment grid ends
+    (sequence with start > stop throws; earlier buckets silently drift)."""
+    i_s, s_s = _interval_seconds(interval), _interval_seconds(segment)
+    if s_s % i_s != 0:
+        raise ValueError(
+            f"interval {interval!r} must evenly divide segment {segment!r} "
+            f"({s_s} % {i_s} != 0) for segment-partitioned gap-fill")
+
+
 def gapfill_locf(rollup_df: DataFrame, interval: str = "1 minute",
                  value_col: str = "mean") -> DataFrame:
     """Dense grid with last-observation-carried-forward values.
@@ -97,6 +109,7 @@ def gapfill_locf_partitioned(rollup_df: DataFrame,
     r = rollup_df.select("series_key", "bucket_ts",
                          F.col(value_col).alias("_v"))
     seg_s = _interval_seconds(segment)
+    _require_divides(interval, segment)
 
     def seg_start(col):
         # Epoch-aligned truncation — identical to window(col, segment).start
@@ -168,6 +181,7 @@ def gapfill_linear_partitioned(rollup_df: DataFrame,
     r = rollup_df.select("series_key", "bucket_ts",
                          F.col(value_col).alias("_v"))
     seg_s = _interval_seconds(segment)
+    _require_divides(interval, segment)
 
     def seg_start(col):
         return F.timestamp_seconds(

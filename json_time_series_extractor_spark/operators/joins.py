@@ -73,10 +73,19 @@ def asof_join(
     # Orderable value columns complete the total order so duplicate right
     # (key, ts) rows resolve deterministically (largest payload wins) —
     # resume replays must re-produce identical rows for lineage checksums.
-    from pyspark.sql.types import MapType
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _orderable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
 
     tiebreak = [F.col("_r")[c] for c in value_cols
-                if not isinstance(right.schema[c].dataType, MapType)]
+                if _orderable(right.schema[c].dataType)]
     w = (Window.partitionBy("_k")
          .orderBy("_t", "_is_left", *tiebreak)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

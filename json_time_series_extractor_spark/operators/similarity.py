@@ -186,14 +186,18 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
     def assign(top: int, vcol: str):
         def run(batches):
             cu = b_cunit.value
+            # A tiny corpus can yield fewer centroids than n_probe.
+            eff_top = min(top, len(cu))
             for pdf in batches:
+                if not len(pdf):
+                    continue
                 m = np.array(list(pdf[vcol]), dtype=np.float64)
                 n = np.sqrt((m * m).sum(axis=1))
                 n[n == 0.0] = 1.0
                 sims = (m / n[:, None]) @ cu.T
                 # top cells per row, deterministic tie-break by cell index
-                order = np.argsort(-sims, axis=1, kind="stable")[:, :top]
-                reps = np.repeat(np.arange(len(pdf)), top)
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :eff_top]
+                reps = np.repeat(np.arange(len(pdf)), eff_top)
                 out = pdf.iloc[reps].reset_index(drop=True)
                 out["cell"] = order.ravel().astype("int32")
                 yield out
@@ -281,8 +285,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
     :func:`cosine_topk` (plus recall is approximate). ``dim`` defaults to
     probing one corpus row at plan time."""
     if dim is None:
-        first = corpus.select(F.size(vec_col).alias("d")).first()
-        dim = int(first["d"]) if first else 64
+        dim = _probe_dim(corpus, vec_col)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(F.col(vec_col)).alias("_cv"))
     c = c.withColumn("_cn", F.sqrt(dot_flat(F.col("_cv"), F.col("_cv"), dim)))

@@ -69,12 +69,14 @@ def rollup_table_ddl(table: str) -> str:
     )
 
 
-def retention_sql(table: str, cutoff_iso_day: str) -> str:
+def retention_sql(table: str, cutoff_iso_day: str,
+                  ts_col: str = "warc_ts") -> str:
     """Metadata-only expiry: DELETE aligned to the partition spec prunes
     whole partitions without rewriting data files, then snapshot expiry
-    reclaims storage."""
+    reclaims storage. ``ts_col`` is the table's partition time column —
+    ``warc_ts`` for pages/samples, ``bucket_ts`` for rollup tiers."""
     return (
-        f"DELETE FROM {table} WHERE warc_ts < DATE '{cutoff_iso_day}';\n"
+        f"DELETE FROM {table} WHERE {ts_col} < DATE '{cutoff_iso_day}';\n"
         f"CALL system.expire_snapshots(table => '{table}', "
         "retain_last => 1)"
     )

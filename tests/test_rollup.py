@@ -326,3 +326,26 @@ def test_asof_join_no_frankenrows(spark):
 
     r2 = asof_join(left, right, tolerance="5 minutes").collect()[0]
     assert r2.asof_a is None and r2.asof_b == 2.0  # t(29) inside tolerance
+
+
+def test_guards_reject_invalid_configs(spark):
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.dedup import (
+        minhash_lsh_dedup_pairs,
+        simhash_near_dup_pairs,
+    )
+    from json_time_series_extractor_spark.operators.gapfill import (
+        gapfill_locf_partitioned,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="bands"):
+        minhash_lsh_dedup_pairs(docs, num_hashes=64, bands=12)
+    with _pytest.raises(ValueError, match="block-trick"):
+        simhash_near_dup_pairs(docs, max_hamming=10, blocks=4)
+    r = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1), 1.0)],
+        "series_key string, bucket_ts timestamp, mean double")
+    with _pytest.raises(ValueError, match="divide"):
+        gapfill_locf_partitioned(r, interval="25 minutes", segment="1 day")

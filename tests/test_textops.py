@@ -104,7 +104,8 @@ def test_simhash_near_dups(spark, docs):
         "doc_id", simhash64(F.col("text")).alias("s")).collect()}
     assert sh[1] == sh[2]  # identical text -> identical simhash
     pairs = {(r.id_a, r.id_b): r.hamming
-             for r in simhash_near_dup_pairs(docs, max_hamming=16).collect()}
+             for r in simhash_near_dup_pairs(docs, max_hamming=16,
+                                            approximate=True).collect()}
     assert pairs[(1, 2)] == 0
     assert (1, 6) in pairs  # one word changed -> small hamming distance
 
