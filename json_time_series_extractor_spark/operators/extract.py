@@ -232,8 +232,14 @@ def extract_samples_fixed(
     ``get_json_object`` projection + ``explode`` — whole-stage codegen,
     no Python workers.
 
-    Semantics parity with the general operator for this restricted shape:
-    numbers -> double, document-level timestamp with warc_ts fallback.
+    Scope (vs the general operator): NUMERIC-valued pointers. Values
+    that fail ``try_cast(double)`` come out null/value_kind=0, and a
+    numeric JSON *string* ("123") is coerced to double because
+    ``get_json_object`` strips quotes — use :func:`extract_samples` when
+    string/bool typing matters. Numeric pointer segments are treated as
+    array indexes (RFC 6901 cannot distinguish them from numeric object
+    keys). Document-level timestamp: ISO-8601 string or integral epoch
+    milliseconds, with the warc_ts fallback.
     """
     if not pointers:
         raise ValueError("extract_samples_fixed requires at least one "
