@@ -81,6 +81,14 @@ class RawTextResolver:
         self._text = text
         # Cache of path -> (start, end) spans discovered so far.
         self._spans: Dict[Tuple[str, ...], Tuple[int, int]] = {}
+        # Cache of path -> value start; _descend records every sibling it
+        # walks past, so resolving k children of one container is O(n), not
+        # O(k * n) rescans from the container start.
+        self._starts: Dict[Tuple[str, ...], int] = {}
+        # Per-container scan cursor: (position, element_count) where the
+        # last walk stopped — forward iteration over children resumes here
+        # instead of rescanning from the container start.
+        self._cursor: Dict[Tuple[str, ...], Tuple[int, int]] = {}
 
     def raw(self, path: Sequence[str]) -> str:
         start, end = self._span(tuple(path))
@@ -92,7 +100,14 @@ class RawTextResolver:
         cached = self._spans.get(path)
         if cached is not None:
             return cached
-        # Find the nearest cached ancestor to start the scan from.
+        start = self._starts.get(path)
+        if start is not None:
+            # A previous sibling walk already located this value.
+            span = (start, self._value_end(start))
+            self._spans[path] = span
+            return span
+        # Find the nearest cached ancestor (resolved span or recorded
+        # value-start) to begin the scan from.
         base_start = 0
         depth = 0
         for i in range(len(path) - 1, 0, -1):
@@ -100,10 +115,14 @@ class RawTextResolver:
             if anc is not None:
                 base_start, depth = anc[0], i
                 break
+            start = self._starts.get(path[:i])
+            if start is not None:
+                base_start, depth = start, i
+                break
         pos = self._skip_ws(base_start)
         for i in range(depth, len(path)):
-            pos = self._descend(pos, path[i])
-            # Record sub-value start for future reuse (end filled on demand).
+            pos = self._descend(pos, path[i], path[:i])
+            self._starts[path[:i + 1]] = pos
         span = (pos, self._value_end(pos))
         self._spans[path] = span
         return span
@@ -114,14 +133,21 @@ class RawTextResolver:
             pos += 1
         return pos
 
-    def _descend(self, pos: int, segment: str) -> int:
+    def _descend(self, pos: int, segment: str,
+                 parent_path: Tuple[str, ...] = ()) -> int:
         """Given *pos* at the start of a container value, return the position
-        of the child value named/indexed by *segment*."""
+        of the child value named/indexed by *segment*, recording the start
+        of every sibling walked past (so later sibling lookups are O(1))."""
         text = self._text
+        starts = self._starts
         pos = self._skip_ws(pos)
         ch = text[pos]
         if ch == "{":
-            pos += 1
+            cursor = self._cursor.get(parent_path)
+            if cursor is not None:
+                pos, _ = cursor
+            else:
+                pos += 1
             while True:
                 pos = self._skip_ws(pos)
                 if text[pos] == "}":
@@ -134,6 +160,7 @@ class RawTextResolver:
                 if text[pos] != ":":
                     raise ValueError(f"expected ':' at {pos}")
                 pos = self._skip_ws(pos + 1)
+                starts[parent_path + (key,)] = pos
                 if key == segment:
                     return pos
                 pos = self._skip_ws(self._value_end(pos))
@@ -141,14 +168,20 @@ class RawTextResolver:
                     pos += 1
                 elif text[pos] == "}":
                     raise KeyError(segment)
+                self._cursor[parent_path] = (pos, 0)
         elif ch == "[":
             index = int(segment)
-            pos += 1
-            count = 0
+            cursor = self._cursor.get(parent_path)
+            if cursor is not None and cursor[1] <= index:
+                pos, count = cursor
+            else:
+                pos += 1
+                count = 0
             while True:
                 pos = self._skip_ws(pos)
                 if text[pos] == "]":
                     raise IndexError(index)
+                starts[parent_path + (str(count),)] = pos
                 if count == index:
                     return pos
                 pos = self._skip_ws(self._value_end(pos))
@@ -157,6 +190,7 @@ class RawTextResolver:
                     pos += 1
                 elif text[pos] == "]":
                     raise IndexError(index)
+                self._cursor[parent_path] = (pos, count)
         raise ValueError(f"cannot descend into scalar at {pos}")
 
     def _value_end(self, pos: int) -> int:
