@@ -354,8 +354,10 @@ def simhash64(text: Column) -> Column:
     For each bit position j, sum(+1 if bit j of xxhash64(token) else -1)
     over tokens; result bit j = 1 if the sum is positive. Expressed as one
     ``aggregate`` over tokens accumulating a 64-element counter array.
+    NULL text is treated as empty (simhash 0), matching
+    :func:`simhash64_agg`'s explode_outer path.
     """
-    toks = tokens(F.lower(text))
+    toks = tokens(F.lower(F.coalesce(text, F.lit(""))))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     # shiftright needs a literal bit count, so the 64 bit-extractors are
     # built with Python-int shifts inside the merge lambda.

@@ -22,7 +22,7 @@ zero Python in the plan.
 
 from __future__ import annotations
 
-from datetime import timezone
+from datetime import datetime, timezone
 from typing import Iterable, Iterator, List, Optional, Sequence, Tuple, Union
 
 import pandas as pd
@@ -159,7 +159,10 @@ def process_batch(pdf: pd.DataFrame, opts: ExtractorOptions, *,
         cell[0] = None
         if fb_vals is not None:
             fb = fb_vals[i]
-            if fb is not NaT:
+            # Arrow delivers timestamp columns as Timestamp/NaT, but direct
+            # process_batch callers (tools/microbench.py, tests) may hand an
+            # object column containing None or float NaN — guard all three.
+            if fb is not NaT and fb is not None and isinstance(fb, datetime):
                 warc_naive = fb
                 cell[0] = warc_naive.replace(tzinfo=_UTC)
         url = url_vals[i]

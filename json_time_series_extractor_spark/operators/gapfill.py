@@ -65,6 +65,31 @@ def _require_divides(interval: str, segment: str) -> None:
             f"({s_s} % {i_s} != 0) for segment-partitioned gap-fill")
 
 
+def _aligned_bounds(r: DataFrame, interval: str) -> DataFrame:
+    """Per-series (min, max) bucket with ``_lo`` validated epoch-aligned to
+    ``interval``. The segment-partitioned variants restart each segment's
+    grid at epoch-aligned segment starts, so they only reproduce
+    ``sequence(_lo, _hi, interval)`` when ``_lo`` itself lies on the epoch
+    interval grid — always true of rollup output (bucket_ts are window
+    starts) but not of arbitrary input, e.g. gap-filling at an interval
+    coarser than the rollup tier. Fails loudly instead of drifting."""
+    i_s = _interval_seconds(interval)
+    bounds = (r.groupBy("series_key")
+              .agg(F.min("bucket_ts").alias("_lo"),
+                   F.max("bucket_ts").alias("_hi")))
+    aligned = F.unix_timestamp("_lo") % F.lit(i_s) == 0
+    # One row per series — the check is free relative to the grid explode.
+    return bounds.select(
+        "series_key",
+        F.when(aligned, F.col("_lo")).otherwise(F.raise_error(F.concat(
+            F.lit(f"segment-partitioned gap-fill at interval {interval!r} "
+                  "requires epoch-aligned bucket_ts; series "),
+            F.col("series_key").cast("string"),
+            F.lit(" starts at "),
+            F.col("_lo").cast("string")))).alias("_lo"),
+        "_hi")
+
+
 def gapfill_locf(rollup_df: DataFrame, interval: str = "1 minute",
                  value_col: str = "mean") -> DataFrame:
     """Dense grid with last-observation-carried-forward values.
@@ -118,9 +143,7 @@ def gapfill_locf_partitioned(rollup_df: DataFrame,
         return F.timestamp_seconds(
             F.floor(F.unix_timestamp(col) / seg_s) * seg_s)
 
-    bounds = (r.groupBy("series_key")
-              .agg(F.min("bucket_ts").alias("_lo"),
-                   F.max("bucket_ts").alias("_hi")))
+    bounds = _aligned_bounds(r, interval)
     seg_grid = bounds.select(
         "series_key", "_lo", "_hi",
         F.explode_outer(F.sequence(
@@ -187,9 +210,7 @@ def gapfill_linear_partitioned(rollup_df: DataFrame,
         return F.timestamp_seconds(
             F.floor(F.unix_timestamp(col) / seg_s) * seg_s)
 
-    bounds = (r.groupBy("series_key")
-              .agg(F.min("bucket_ts").alias("_lo"),
-                   F.max("bucket_ts").alias("_hi")))
+    bounds = _aligned_bounds(r, interval)
     seg_grid = bounds.select(
         "series_key", "_lo", "_hi",
         F.explode_outer(F.sequence(

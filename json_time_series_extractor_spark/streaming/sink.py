@@ -45,7 +45,12 @@ def write_rollup_stream(rollup_stream: DataFrame, output_path: str, *,
                             .agg(F.max("p_batch")).first()[0])
             except Exception:
                 existing = None
-            if existing is not None and existing > 0:
+            if existing is not None:
+                # Any prior batch counts — even a lone p_batch=0: replaying
+                # batch 0 from a fresh checkpoint would dynamic-overwrite
+                # only the day partitions present in the NEW batch, leaving
+                # stale p_batch=0 rows for other days indistinguishable
+                # from fresh ones.
                 raise RuntimeError(
                     f"{output_path} already holds batches up to "
                     f"p_batch={existing}; resuming with a fresh checkpoint "
