@@ -143,6 +143,62 @@ def hyperplane_signature(vec: Column, bits: int, table: int = 0,
     return sig
 
 
+def ivf_centroids(corpus: DataFrame, *, n_centroids: int,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  sample_cap: int = 4096, iters: int = 8,
+                  seed: int = 13):
+    """Deterministic spherical k-means centroids for :func:`ivf_topk`.
+
+    Training sample = the ``sample_cap`` corpus rows with the smallest
+    ``xxhash64(id, seed)`` — a deterministic pseudo-random sample that a
+    TakeOrderedAndProject computes with per-partition top-k + merge (no
+    global sort, no full collect; at 10^12 rows the driver still only sees
+    ``sample_cap`` vectors). k-means++ init and Lloyd iterations run on a
+    seeded ``numpy`` Generator, so the model is bit-reproducible across
+    runs and executors with no stored state. Returns a unit-normalized
+    (n_centroids, dim) ndarray."""
+    import numpy as np
+
+    sampled = (corpus
+               .select(_as_double(F.col(vec_col)).alias("_v"),
+                       F.xxhash64(F.col(id_col).cast("string"),
+                                  F.lit(seed)).alias("_h"))
+               .orderBy("_h").limit(sample_cap)
+               .select("_v").collect())
+    m = np.array([r["_v"] for r in sampled], dtype=np.float64)
+    norms = np.sqrt((m * m).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    u = m / norms[:, None]
+    k = min(n_centroids, len(u))
+    rng = np.random.default_rng(seed)
+    # k-means++ on cosine distance: each next seed drawn proportional to
+    # distance from the closest already-chosen centroid.
+    idx = [int(rng.integers(len(u)))]
+    for _ in range(k - 1):
+        d = np.maximum(1.0 - (u @ u[idx].T).max(axis=1), 0.0)
+        total = d.sum()
+        if total <= 0:
+            idx.append(int(rng.integers(len(u))))
+        else:
+            idx.append(int(rng.choice(len(u), p=d / total)))
+    cents = u[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(u @ cents.T, axis=1)
+        for j in range(k):
+            pts = u[assign == j]
+            if len(pts):
+                v = pts.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[j] = v / n
+            else:
+                # Re-seed an empty cell at the point farthest from its
+                # centroid — deterministic (argmax ties break by index).
+                far = int(np.argmin((u @ cents.T).max(axis=1)))
+                cents[j] = u[far]
+    return cents
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
              n_centroids: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -153,12 +209,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
     inverted cells, probe each query against its ``n_probe`` nearest cells,
     exact cosine re-rank within the probed cells.
 
-    Centroids are the first ``n_centroids`` corpus vectors by id —
-    deterministic and model-free (a k-means refinement would plug in where
-    the centroid matrix is built, changing nothing downstream). Cell
-    assignment is a blocked matmul against the broadcast centroid matrix
-    (numpy/BLAS in ``mapInPandas``, map-only, no shuffle); the candidate
-    join is an equi-join on ``cell``, so per-query work is
+    Centroids come from :func:`ivf_centroids` — deterministic sampled
+    spherical k-means (seeded k-means++ + Lloyd), bit-reproducible with no
+    stored model. Cell assignment is a blocked matmul against the broadcast
+    centroid matrix (numpy/BLAS in ``mapInPandas``, map-only, no shuffle);
+    the candidate join is an equi-join on ``cell``, so per-query work is
     ~N * n_probe / n_centroids instead of N.
     """
     import numpy as np
@@ -173,13 +228,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
                        _as_double(F.col(query_vec_col)).alias("_qv"))
     q = q.withColumn("_qn", F.sqrt(dot_flat(F.col("_qv"), F.col("_qv"), dim)))
 
-    cents = (corpus.select(F.col(id_col).alias("_i"),
-                           _as_double(F.col(vec_col)).alias("_v"))
-             .orderBy("_i").limit(n_centroids).collect())
-    cmat = np.array([r["_v"] for r in cents], dtype=np.float64)
-    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
-    cnorm[cnorm == 0.0] = 1.0
-    cunit = cmat / cnorm[:, None]
+    cunit = ivf_centroids(corpus, n_centroids=n_centroids,
+                          id_col=id_col, vec_col=vec_col)
     spark = corpus.sparkSession
     b_cunit = spark.sparkContext.broadcast(cunit)
 

@@ -135,7 +135,8 @@ def test_lsh_topk_recall_on_clustered_data(spark):
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
-    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # Deterministic (sha256-derived planes): measures 0.76 on this data.
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
 
 
 def test_ivf_topk_recall_on_clustered_data(spark):
@@ -150,7 +151,8 @@ def test_ivf_topk_recall_on_clustered_data(spark):
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
-    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # Deterministic (seeded k-means centroids): measures 0.68 on this data.
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
     # Scores of overlapping pairs are exact (re-rank is exact cosine).
     es = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact.collect()}
     for r in approx.collect():

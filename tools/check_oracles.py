@@ -5,6 +5,7 @@ order-insensitive values (column-name-sorted, like the driver)."""
 from __future__ import annotations
 
 import math
+import os
 import sys
 from datetime import datetime
 
@@ -39,6 +40,10 @@ def main() -> None:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    only = os.environ.get("ONLY")
+    if only:
+        queries = {k: v for k, v in queries.items()
+                   if k in only.split(",")}
     failures = 0
     for name, fn in queries.items():
         sdf = fn(spark, SF_DIR)
