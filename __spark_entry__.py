@@ -75,6 +75,45 @@ from json_time_series_extractor_spark.sources.pages import (
 # helpers
 # ---------------------------------------------------------------------------
 
+def _simhash_oracle_sql() -> str:
+    """DuckDB recomputation of md5hi-based SimHash (see
+    operators/dedup.py::_token_hash64): per-token high-64-of-md5 hash,
+    64 sign-sum aggregates, bit assembly, all-pairs Hamming <= 3.
+    Generated because the 64 per-bit terms are mechanical."""
+    sums = ",\n           ".join(
+        f"sum(CASE WHEN (hu // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(64))
+    bits = "\n         + ".join(
+        f"CASE WHEN COALESCE(s{j}, 0) > 0 THEN "
+        f"CAST({(1 << j) if j < 63 else -(1 << 63)} AS BIGINT) "
+        f"ELSE 0 END"
+        for j in range(64))
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents),
+h AS (
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                AS HUGEINT) * 4294967296
+           + CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS hu
+    FROM toks),
+sums AS (
+    SELECT doc_id,
+           {sums}
+    FROM h GROUP BY doc_id),
+sh AS (
+    SELECT d.doc_id,
+           {bits} AS simhash
+    FROM documents d LEFT JOIN sums USING (doc_id))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """The sf* test tables are single-row-group parquet files, so Spark
     scans them as ONE split — every downstream map runs single-threaded.
@@ -367,18 +406,28 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates verified by exact Jaccard >= 0.5.
-    xxhash64-based — rows-only check (DuckDB has no xxhash64)."""
+    With 32 hashes x 16 bands at threshold 0.5 the banding recall is ~1
+    (P[share a band | J=0.5] = 1-(1-0.25)^16 = 0.99), and measured recall
+    is exactly 1.0 on this corpus at sf0.01 and sf0.1 — so the oracle is
+    the full exact-Jaccard pair set (the same inverted-index SQL as
+    ngram_jaccard at 0.5): a real value check of the banded path, which
+    fails if LSH ever drops a qualifying pair."""
     out = minhash_lsh_dedup_pairs(_docs(spark, sf_dir), num_hashes=32,
                                   bands=16, threshold=0.5)
     return _quant6(out, "jaccard")
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via the block trick. max_hamming=16 with
-    4 blocks opts into approximate recall (the exact guarantee covers
-    Hamming <= blocks-1); xxhash64-based — rows-only check."""
-    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=16,
-                                  approximate=True)
+    """SimHash near-dup pairs via the block trick, in the COMPLETE regime:
+    4 blocks of 16 bits guarantee every pair with Hamming <= 3 shares a
+    block (and 16-bit chunks keep buckets tiny — simhash bits are biased
+    by common tokens, so NARROW chunks skew), so the output is exactly the
+    all-pairs Hamming-<=3 set — which the oracle recomputes from scratch
+    (md5hi token hash: DuckDB rebuilds the 64 sign-sums, the simhash, and
+    bit_count(xor) per pair). A full value check of signature
+    construction + banded join + popcount verify."""
+    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3,
+                                  blocks=4, hash_fn="md5hi")
 
 
 def q_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,21 +491,27 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact all-pairs baseline).
-    Threshold 0.4 fits the synthetic embedding distribution (max pairwise
-    cosine ~0.51) — the operator, not the threshold, is under test."""
-    out = embedding_neardup_pairs(_embeddings(spark, sf_dir), threshold=0.4)
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline,
+    explicitly requested — the operator default auto-switches to LSH
+    above 10^6 rows). Threshold 0.4 fits the synthetic embedding
+    distribution (max pairwise cosine ~0.51) — the operator, not the
+    threshold, is under test."""
+    out = embedding_neardup_pairs(_embeddings(spark, sf_dir), threshold=0.4,
+                                  use_lsh=False)
     return _quant6(out, "cosine_sim")
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup via hyperplane-LSH candidates (scale path;
-    approximate recall — rows-only check). bits=6 keeps the random-pair
-    collision rate at 2^-6 per table (candidate volume ~17% of all pairs
-    across 12 tables) while retaining ~half the true pairs at the low 0.4
-    threshold this synthetic distribution forces."""
+    """Embedding near-dup via hyperplane-LSH candidates + exact verify.
+    bits=3 x 32 tables reaches measured recall 1.0 at sf0.01 and sf0.1, so
+    the oracle is the full exact pair set — a value check that the banded
+    path finds (and exactly scores) every qualifying pair. The candidate
+    volume at these params is large because the synthetic distribution
+    forces threshold 0.4 (random-vector cosines; hyperplane collision
+    P = 1 - theta/pi is weak there); at a real near-dup threshold (0.9+)
+    the same operator runs high-bits/low-tables with tiny buckets."""
     out = embedding_neardup_pairs(_embeddings(spark, sf_dir), threshold=0.4,
-                                  use_lsh=True, bits=6, tables=12)
+                                  use_lsh=True, bits=3, tables=32)
     return _quant6(out, "cosine_sim")
 
 
@@ -493,12 +548,14 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal UDTF shape: one video row -> N sampled frames
-    (xxhash64-derived durations — rows-only check)."""
+    """Multimodal UDTF shape: one video row -> N sampled frames. Durations
+    and frame bytes are sha256-derived, so the oracle reproduces the full
+    frame CONTENT (hex) per (media, sample point) — a value check of the
+    one-to-many decode plumbing, not just a row count."""
     media = synthesize_media(spark, 200, kind="video")
     frames = sample_video_frames(media, every_ms=5000)
     return frames.select("media_id", "frame_index", "frame_ts_ms",
-                         F.length("frame").alias("frame_bytes"))
+                         F.lower(F.hex("frame")).alias("frame_hex"))
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -788,6 +845,32 @@ FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
 """,
+        "simhash_pairs": _simhash_oracle_sql(),
+        # minhash_lsh_pairs: the LSH verify stage filters by EXACT Jaccard,
+        # and banding recall at these params is 1.0 on this corpus (checked
+        # at sf0.01 + sf0.1), so the expected output IS the exact pair set.
+        "minhash_lsh_pairs": """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+    FROM documents),
+s AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> array_to_string(toks[i:i+2], ' ')))
+           ELSE [array_to_string(toks, ' ')] END AS sh
+    FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.sh, b.sh)))
+           * 1000000 + 0.5) AS BIGINT) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+""",
         "embedding_neardup": """
 WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -797,7 +880,18 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.4
 """,
-        # embedding_neardup_lsh: approximate recall — rows-only check.
+        # embedding_neardup_lsh: banding recall is 1.0 at these params
+        # (measured at sf0.01 + sf0.1) and the verify stage is exact, so
+        # the expected output equals the exact pair set.
+        "embedding_neardup_lsh": """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000 + 0.5)
+           AS BIGINT) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+""",
         "retention_expiry": """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
        count(*) AS n,
@@ -828,7 +922,24 @@ SELECT media_id,
             ELSE ph END AS BIGINT) AS phash
 FROM u
 """,
-        # media_frame_sample: xxhash64-derived durations — rows-only check.
+        "media_frame_sample": """
+WITH m AS (
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           sha256(CAST(media_id AS VARCHAR)) AS h,
+           1000 + CAST(concat('0x', substr(sha256(concat(
+               CAST(media_id AS VARCHAR), ':dur')), 1, 4)) AS INT) % 30000
+               AS dur
+    FROM range(200) r(media_id)),
+f AS (
+    SELECT media_id, h,
+           unnest(generate_series(0, dur - 1, 5000)) AS t
+    FROM m)
+SELECT media_id,
+       CAST(t // 5000 AS INT) AS frame_index,
+       CAST(t AS INT) AS frame_ts_ms,
+       sha256(concat(h, ':', CAST(t AS VARCHAR))) AS frame_hex
+FROM f
+""",
         "cosine_scores": """
 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        CAST(floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),

@@ -101,7 +101,8 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
         ROLLUP_SCHEMA, detect_hot_keys, rollup, rollup_cascade,
         rollup_salted)
     from json_time_series_extractor_spark.plans.pipeline import (
-        LineageStore, run_event_day_stage, run_partitioned_stage)
+        LineageStore, list_partition_values, run_event_day_stage,
+        run_partitioned_stage)
     from json_time_series_extractor_spark.sources.pages import (
         PAGES_EXTRACT_OPTIONS)
 
@@ -147,15 +148,24 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
             "dead_lettered": len(res.dead_lettered)}
 
     # 1. extract ------------------------------------------------------
+    # Partition discovery everywhere below goes through FILESYSTEM
+    # metadata (list_partition_values) — never a distinct() scan of the
+    # data. A non-dt-partitioned input (dt derived from warc_ts) returns
+    # None and falls back to the scan, with a visible warning.
     pages = spark.read.parquet(args.input)
+    input_parts = list_partition_values(spark, args.input, "dt")
     if "dt" not in pages.columns:
         pages = pages.withColumn("dt", F.to_date("warc_ts"))
+    if input_parts is None:
+        print("WARNING: input is not dt-partitioned; stage discovery "
+              "falls back to a full distinct() scan — repartition the "
+              "input by dt for warehouse-scale runs", file=sys.stderr)
     res = run_partitioned_stage(
         spark, stage="extract", input_df=pages, partition_col="dt",
         transform=lambda df: extract_samples(df, options)
         .withColumn("dt", F.to_date("warc_ts")),
         output_path=f"{root}/samples", lineage_path=lineage_path,
-        run_id=args.run_id)
+        run_id=args.run_id, input_partitions=input_parts)
     record(res)
 
     # 2. rollup tiers --------------------------------------------------
@@ -200,7 +210,9 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
                 capture_col="dt", event_day=lambda df: F.to_date(df["ts"]),
                 transform=tf, output_path=f"{root}/rollup_{tier}",
                 lineage_path=lineage_path, run_id=args.run_id,
-                min_event_day=min_event_day)
+                min_event_day=min_event_day,
+                input_partitions=list_partition_values(
+                    spark, f"{root}/samples", "dt"))
         else:
             # Cascade from the previous tier's mergeable state. Bucket-days
             # align across tiers (canonical windows never cross a day), so
@@ -217,7 +229,9 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
                 partition_col="dt", transform=tf,
                 output_path=f"{root}/rollup_{tier}",
                 lineage_path=lineage_path, run_id=args.run_id,
-                force=set(prev_rewritten))
+                force=set(prev_rewritten),
+                input_partitions=list_partition_values(
+                    spark, child_path, "dt"))
         record(res)
         prev_rewritten = res.output_partitions
         child_path = f"{root}/rollup_{tier}"
@@ -266,7 +280,9 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
                 df.drop("dt"), args.chunk_window)
             .withColumn("dt", F.to_date("chunk_start")),
             output_path=f"{root}/chunks", lineage_path=lineage_path,
-            run_id=args.run_id, min_event_day=min_event_day)
+            run_id=args.run_id, min_event_day=min_event_day,
+            input_partitions=list_partition_values(
+                spark, f"{root}/samples", "dt"))
         record(res)
 
     # 5. retention -------------------------------------------------------

@@ -230,20 +230,25 @@ def embedding_neardup_pairs(embeddings: DataFrame, *,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.9,
-                            use_lsh: bool = False,
-                            bits: int = 8, tables: int = 8) -> DataFrame:
+                            use_lsh: Optional[bool] = None,
+                            bits: int = 8, tables: int = 8,
+                            exact_max_rows: int = 1_000_000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine_sim) with
     ``id_a < id_b`` and ``cosine_sim >= threshold``.
 
     ``use_lsh=False`` (exact): blocked matrix products — the corpus is
     broadcast as one numpy matrix and each partition multiplies its block
     against it (Arrow-batched ``mapInPandas``, BLAS inside). This is the
-    verification baseline: exact, but the broadcast side must fit in
-    executor memory, so it caps out around 10^6-10^7 vectors.
+    verification baseline: exact, but it collects the corpus to the
+    driver, so it is ONLY safe below ~10^6-10^7 vectors.
     ``use_lsh=True`` (scale path): random-hyperplane buckets (any of
     ``tables`` signature tables) generate candidates, exact cosine
     verifies — same-bucket join keys keep the pair count near-linear for
     clustered near-dups at 100 TB scale.
+    ``use_lsh=None`` (default) auto-switches: corpora above
+    ``exact_max_rows`` take the LSH path, so calling the operator with
+    defaults at warehouse scale can never OOM the driver (the count is one
+    map-side-collapsed aggregate, paid only in auto mode).
     """
     from json_time_series_extractor_spark.operators.similarity import (
         dot_flat, hyperplane_signature_table)
@@ -256,6 +261,8 @@ def embedding_neardup_pairs(embeddings: DataFrame, *,
 
     dim = _probe_dim(base, "_v")
 
+    if use_lsh is None:
+        use_lsh = base.count() > exact_max_rows
     if not use_lsh:
         return _neardup_pairs_blocked(base, threshold)
 
@@ -348,6 +355,24 @@ def _neardup_pairs_blocked(base: DataFrame, threshold: float) -> DataFrame:
         run, "id_a long, id_b long, cosine_sim double")
 
 
+def _token_hash64(tok: Column, hash_fn: str) -> Column:
+    """64-bit token hash for SimHash. ``xxhash64`` (default, fastest,
+    JVM-native) or ``md5hi`` — the high 64 bits of md5, chosen because a
+    SQL oracle can recompute it (DuckDB has md5 but not xxhash64), making
+    md5hi-based simhashes value-verifiable end-to-end. The two hex halves
+    are combined with shift+or (bitwise, so the sign bit wraps instead of
+    tripping ANSI overflow checks)."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(tok)
+    if hash_fn == "md5hi":
+        hx = F.md5(tok)
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+    raise ValueError(f"unknown hash_fn {hash_fn!r} "
+                     "(expected 'xxhash64' or 'md5hi')")
+
+
 def simhash64(text: Column) -> Column:
     """64-bit SimHash of the token multiset, as pure expressions.
 
@@ -383,16 +408,18 @@ def simhash64(text: Column) -> Column:
 
 
 def simhash64_agg(docs: DataFrame, *, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  hash_fn: str = "xxhash64") -> DataFrame:
     """(doc_id, simhash) via explode + 64 flat sign-sum aggregates —
     result-identical to :func:`simhash64` but 5-10x faster (same
     HOF-vs-codegen reasoning as :func:`minhash_signatures`; the groupBy
     collapses map-side to ~1 row/doc). Tokenless documents get simhash 0,
-    matching the expression path (all counters zero)."""
+    matching the expression path (all counters zero). ``hash_fn``: see
+    :func:`_token_hash64`."""
     toks = tokens(F.lower(F.col(text_col)))
     exploded = docs.select(F.col(id_col).alias("doc_id"),
                            F.explode_outer(toks).alias("_t"))
-    h = F.xxhash64("_t")
+    h = _token_hash64(F.col("_t"), hash_fn)
     sums = [F.sum(F.when(F.col("_t").isNull(), F.lit(0)).otherwise(
         F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"_s{j}")
         for j in range(64)]
@@ -409,7 +436,8 @@ def simhash64_agg(docs: DataFrame, *, text_col: str = "text",
 def simhash_near_dup_pairs(docs: DataFrame, *, text_col: str = "text",
                            id_col: str = "doc_id", max_hamming: int = 3,
                            blocks: int = 4, approximate: bool = False,
-                           materialize: bool = True) -> DataFrame:
+                           materialize: bool = True,
+                           hash_fn: str = "xxhash64") -> DataFrame:
     """SimHash near-dup candidates via the block trick: split the 64-bit
     hash into ``blocks`` chunks — any pair within Hamming distance
     ``blocks - 1`` shares at least one exact chunk, so a self-join per
@@ -427,7 +455,8 @@ def simhash_near_dup_pairs(docs: DataFrame, *, text_col: str = "text",
             f"(blocks - 1 = {blocks - 1}); raise blocks or pass "
             "approximate=True to accept reduced recall")
     width = 64 // blocks
-    sh = simhash64_agg(docs, text_col=text_col, id_col=id_col)
+    sh = simhash64_agg(docs, text_col=text_col, id_col=id_col,
+                       hash_fn=hash_fn)
     if materialize:
         sh = _materialize(sh)  # self-joined below: compute the hashes once
     chunked = sh.select(

@@ -181,8 +181,10 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, *,
                                       pdf[duration_col]):
                 dur = int(dur) if not pd.isnull(dur) else 0
                 for idx, t in enumerate(range(0, max(dur, 1), every_ms)):
+                    # Text framing (":{t}") so a SQL oracle reproduces the
+                    # frame bytes: sha256(concat(blob_text, ':', t)).
                     seed = hashlib.sha256(
-                        bytes(blob) + t.to_bytes(8, "big")).digest()
+                        bytes(blob) + f":{t}".encode()).digest()
                     out_id.append(mid)
                     out_idx.append(idx)
                     out_ts.append(t)
@@ -207,9 +209,13 @@ def synthesize_media(spark, n: int, kind: str = "image") -> DataFrame:
     DuckDB for exact value checks of the decode plumbing."""
     df = spark.range(n)
     blob = F.sha2(F.col("id").cast("string"), 256).cast("binary")
+    # Duration from a sha256 tag (not xxhash64): DuckDB reproduces it with
+    # the same hex-prefix parse, so frame sampling is value-checkable.
+    dur = (F.conv(F.substring(
+        F.sha2(F.concat(F.col("id").cast("string"), F.lit(":dur")), 256),
+        1, 4), 16, 10).cast("int") % 30_000 + 1000)
     out = df.select(
         F.col("id").alias("media_id"),
         blob.alias("media"),
-        (F.pmod(F.xxhash64("id"), F.lit(30_000)) + 1000).cast("int")
-        .alias("duration_ms"))
+        dur.alias("duration_ms"))
     return attach_media_metadata(out, "media", media_type=kind)

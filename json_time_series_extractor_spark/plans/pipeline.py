@@ -94,6 +94,47 @@ def _content_checksum(df: DataFrame, partition_col: str) -> DataFrame:
                  F.pmod(total, modulus).cast("long").alias("_sum")))
 
 
+def list_partition_values(spark: SparkSession, path: str,
+                          partition_col: str) -> Optional[List[str]]:
+    """Partition values of a directory-partitioned parquet table from
+    FILESYSTEM METADATA — one directory listing, zero data scanned.
+
+    This is how stage partition discovery must work at warehouse scale: a
+    ``distinct()`` over the input is a full scan of the table before any
+    real work (at 10^12 rows, an extra pass per stage). On Iceberg the
+    same call is one query over the ``<table>.partitions`` metadata table.
+    Returns None when the path does not exist or has no
+    ``<col>=<value>`` subdirectories (not partitioned that way), so
+    callers can fall back explicitly."""
+    from urllib.parse import unquote
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    prefix = partition_col + "="
+    values = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith(prefix):
+            # Hive-style escaping: special chars are %-encoded in dirnames.
+            values.append(unquote(name[len(prefix):]))
+    return sorted(values) if values else None
+
+
+def _discover_partitions(input_df: DataFrame, partition_col: str,
+                         input_partitions) -> List[str]:
+    """Stage partition discovery. ``input_partitions`` (from
+    :func:`list_partition_values` / catalog metadata) avoids scanning the
+    input; the ``distinct()`` fallback is for ad-hoc in-memory inputs and
+    costs a full pass — fine in tests, wrong at warehouse scale."""
+    if input_partitions is not None:
+        return [str(v) for v in input_partitions]
+    return [str(r[0]) for r in
+            input_df.select(partition_col).distinct().collect()]
+
+
 def run_event_day_stage(
     spark: SparkSession,
     *,
@@ -106,6 +147,7 @@ def run_event_day_stage(
     lineage_path: str,
     run_id: Optional[str] = None,
     min_event_day: Optional[str] = None,
+    input_partitions: Optional[Sequence[str]] = None,
 ) -> StageResult:
     """Incremental stage whose OUTPUT partitions key on the *event* day
     (derived from data timestamps) while resume tracks *capture* days
@@ -144,8 +186,8 @@ def run_event_day_stage(
     done_events = {v[len("event:"):]
                    for v in lineage_done if v.startswith("event:")}
 
-    capture_values = [str(r[0]) for r in
-                      input_df.select(capture_col).distinct().collect()]
+    capture_values = _discover_partitions(input_df, capture_col,
+                                          input_partitions)
     pending = sorted(v for v in capture_values if v not in done)
     skipped = sorted(v for v in capture_values if v in done)
     if not pending:
@@ -211,6 +253,7 @@ def run_partitioned_stage(
     lineage_path: str,
     run_id: Optional[str] = None,
     force: Optional[set] = None,
+    input_partitions: Optional[Sequence[str]] = None,
 ) -> StageResult:
     """Execute ``transform`` over all not-yet-DONE partitions of the input.
 
@@ -225,8 +268,8 @@ def run_partitioned_stage(
     lineage = LineageStore(spark, lineage_path)
     done = lineage.completed_partitions(stage) - force
 
-    part_values = [str(r[0]) for r in
-                   input_df.select(partition_col).distinct().collect()]
+    part_values = _discover_partitions(input_df, partition_col,
+                                       input_partitions)
     pending = sorted(v for v in part_values if v not in done)
     skipped = sorted(v for v in part_values if v in done)
     if not pending:

@@ -301,3 +301,48 @@ def test_event_day_stage_handles_late_samples(spark, tmp_path):
            for r in spark.read.parquet(out_path).collect()}
     assert got["2024-02-05T23:59:00"] == (2, 1.0, 3.0)
     assert got["2024-02-06T00:01:00"] == (1, 2.0, 2.0)
+
+
+def test_list_partition_values_matches_distinct_scan(spark, pages_small,
+                                                     tmp_path):
+    """Filesystem partition discovery (no data scan) returns exactly the
+    values a distinct() over the data would, including round-tripping
+    through Hive-style directory names."""
+    from json_time_series_extractor_spark.plans.pipeline import (
+        list_partition_values)
+
+    path = str(tmp_path / "pages")
+    pages_small.write.partitionBy("dt").parquet(path)
+    listed = list_partition_values(spark, path, "dt")
+    scanned = sorted(str(r[0]) for r in
+                     pages_small.select("dt").distinct().collect())
+    assert listed == scanned
+    # Missing path / wrong column -> explicit None (caller falls back).
+    assert list_partition_values(spark, str(tmp_path / "nope"), "dt") is None
+    assert list_partition_values(spark, path, "other_col") is None
+
+
+def test_stage_with_metadata_partitions_equals_scan_discovery(
+        spark, pages_small, tmp_path):
+    """A stage driven by filesystem-listed partitions resumes identically
+    to one driven by the distinct() fallback."""
+    from json_time_series_extractor_spark.plans.pipeline import (
+        list_partition_values)
+
+    src = str(tmp_path / "src")
+    pages_small.write.partitionBy("dt").parquet(src)
+    pages = spark.read.parquet(src)
+    parts = list_partition_values(spark, src, "dt")
+
+    out_path = str(tmp_path / "out")
+    lineage_path = str(tmp_path / "lineage")
+    r1 = run_partitioned_stage(
+        spark, stage="s", input_df=pages, partition_col="dt",
+        transform=_transform, output_path=out_path,
+        lineage_path=lineage_path, input_partitions=parts)
+    assert sorted(r1.processed) == parts
+    r2 = run_partitioned_stage(
+        spark, stage="s", input_df=pages, partition_col="dt",
+        transform=_transform, output_path=out_path,
+        lineage_path=lineage_path, input_partitions=parts)
+    assert not r2.processed and sorted(r2.skipped) == parts

@@ -299,3 +299,27 @@ def test_iceberg_helpers_gate_cleanly(spark):
         ice.append(df, "lake.db.pages")
     with _pytest.raises(ice.IcebergUnavailable):
         ice.read_table(spark, "lake.db.pages")
+
+
+def test_embedding_neardup_default_never_collects_large_corpora(
+        spark, monkeypatch):
+    """The operator's DEFAULT must be driver-safe: above exact_max_rows the
+    auto mode must take the LSH path (no corpus collect/broadcast)."""
+    import json_time_series_extractor_spark.operators.dedup as dd
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    calls = []
+    orig = dd._neardup_pairs_blocked
+    monkeypatch.setattr(
+        dd, "_neardup_pairs_blocked",
+        lambda *a, **k: calls.append("blocked") or orig(*a, **k))
+
+    # Corpus "larger" than the exact ceiling -> LSH path, no collect.
+    big = dd.embedding_neardup_pairs(emb, threshold=0.4, exact_max_rows=0)
+    assert big.count() >= 0
+    assert calls == []
+
+    # Small corpus under the ceiling -> exact blocked path.
+    small = dd.embedding_neardup_pairs(emb, threshold=0.4)
+    assert small.count() >= 0
+    assert calls == ["blocked"]
