@@ -211,11 +211,34 @@ def q_extract_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_extract_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-pointer JVM fast path (get_json_object, no Python)."""
-    out = extract_samples_fixed(_events_as_pages(spark, sf_dir),
-                                [("k", "/k")], timestamp_pointer=None)
-    return out.select("url", "warc_ts", "series_key", "ts", "value_double",
-                      "value_kind", "ts_source")
+    """Fixed-pointer JVM fast path (variant parse + kind-gated tagged
+    union, no Python), exercised over the FULL coercion table
+    (TimeSeriesExtractor.cs:923-938): a number, a numeric STRING (must
+    stay a string, not coerce), a text string, a bool, and a missing
+    pointer — every branch value-checked against base columns."""
+    e = _events(spark, sf_dir)
+    text = F.to_json(F.struct(
+        F.col("value").alias("k"),
+        F.col("value").cast("string").alias("nv"),
+        F.col("event_type").alias("s"),
+        (F.col("event_id") % 2 == 0).alias("b")))
+    pages = e.select(F.col("event_id").cast("string").alias("url"),
+                     F.col("ts").alias("warc_ts"), text.alias("text"))
+    out = extract_samples_fixed(
+        pages,
+        [("k", "/k"), ("nv", "/nv"), ("s", "/s"), ("b", "/b"),
+         ("zz", "/zz")],
+        timestamp_pointer=None)
+    # The union's inactive branches are null; the compare bridge conflates
+    # null and NaN on numeric columns, so every branch is coalesced to a
+    # typed sentinel on BOTH sides — value_kind disambiguates.
+    out = _quant6(out, "value_double")
+    return out.select(
+        "url", "warc_ts", "series_key", "ts",
+        F.coalesce("value_double", F.lit(-1)).alias("value_double"),
+        F.coalesce("value_str", F.lit("")).alias("value_str"),
+        F.coalesce("value_bool", F.lit(False)).alias("value_bool"),
+        "value_kind", "ts_source")
 
 
 def q_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,9 +658,39 @@ SELECT CAST(event_id AS VARCHAR) AS url,
        CAST(2 AS TINYINT) AS ts_source
 FROM events
 """
+    # extract_fixed: one row per (event, pointer) across the coercion
+    # table; ts falls back to warc_ts (ts_source=2) — no /time pointer.
+    extract_fixed_oracle = """
+WITH base AS (
+    SELECT CAST(event_id AS VARCHAR) AS url, ts AS warc_ts, ts AS ts,
+           CAST(2 AS TINYINT) AS ts_source,
+           value, event_type, event_id
+    FROM events)
+SELECT url, warc_ts, 'k' AS series_key, ts,
+       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_double,
+       '' AS value_str, false AS value_bool,
+       CAST(1 AS TINYINT) AS value_kind, ts_source
+FROM base
+UNION ALL
+SELECT url, warc_ts, 'nv', ts,
+       -1, CAST(value AS VARCHAR), false, CAST(2 AS TINYINT), ts_source
+FROM base
+UNION ALL
+SELECT url, warc_ts, 's', ts,
+       -1, event_type, false, CAST(2 AS TINYINT), ts_source
+FROM base
+UNION ALL
+SELECT url, warc_ts, 'b', ts,
+       -1, '', event_id % 2 = 0, CAST(3 AS TINYINT), ts_source
+FROM base
+UNION ALL
+SELECT url, warc_ts, 'zz', ts,
+       -1, '', false, CAST(0 AS TINYINT), ts_source
+FROM base
+"""
     return {
         "extract_flat": extract_oracle,
-        "extract_fixed": extract_oracle,
+        "extract_fixed": extract_fixed_oracle,
         "rollup_1m": _ORACLE_ROLLUP_TIER.format(unit="minute"),
         "rollup_1h_cascade": _ORACLE_ROLLUP_TIER.format(unit="hour"),
         "rollup_1d_salted": _ORACLE_ROLLUP_TIER.format(unit="day"),

@@ -231,25 +231,36 @@ def extract_samples_fixed(
     fallback_ts_col: str = "warc_ts",
 ) -> DataFrame:
     """JVM-only fast path for *fixed scalar pointers* (no recursion, no
-    wildcards): each ``(series_key, json_pointer)`` compiles to a
-    ``get_json_object`` projection + ``explode`` — whole-stage codegen,
-    no Python workers.
+    wildcards): the document is parsed ONCE into a VARIANT
+    (``try_parse_json``), then each ``(series_key, json_pointer)`` is an
+    O(path) binary access (``try_variant_get``) with per-row kind
+    detection (``schema_of_variant``) — whole-stage JVM, no Python
+    workers, and one parse per document instead of one per pointer (the
+    old ``get_json_object`` form re-parsed per pointer).
 
-    Scope (vs the general operator): NUMERIC-valued pointers. Values
-    that fail ``try_cast(double)`` come out null/value_kind=0, and a
-    numeric JSON *string* ("123") is coerced to double because
-    ``get_json_object`` strips quotes — use :func:`extract_samples` when
-    string/bool typing matters. Numeric pointer segments are treated as
-    array indexes (RFC 6901 cannot distinguish them from numeric object
-    keys). Document-level timestamp: ISO-8601 string or integral epoch
-    milliseconds, with the warc_ts fallback.
+    Emits the SAME tagged union as the general operator, with the
+    reference coercion table (``TimeSeriesExtractor.cs:923-938``):
+    numbers -> ``value_double`` (kind 1), strings pass through as
+    ``value_str`` (kind 2) — a numeric STRING is NOT coerced to double —
+    bools -> ``value_bool`` (kind 3), containers -> their JSON text in
+    ``value_str`` (kind 4/5), null/missing -> kind 0.
+
+    Deviations from the general operator, by design of the fast path:
+    container raw text is the variant's canonical compact render, not a
+    byte-identical slice of the input; a malformed document yields
+    kind-0 rows instead of raising; a missing pointer still emits its
+    kind-0 row (one row per pointer per document, always). Numeric
+    pointer segments are treated as array indexes (RFC 6901 cannot
+    distinguish them from numeric object keys). Document-level
+    timestamp: ISO-8601 string or integral epoch milliseconds, with the
+    warc_ts fallback.
     """
     if not pointers:
         raise ValueError("extract_samples_fixed requires at least one "
                          "(series_key, pointer) pair")
 
     def jpath(pointer: str) -> str:
-        """RFC 6901 pointer -> get_json_object JSONPath. Array indexes use
+        """RFC 6901 pointer -> variant_get JSONPath. Array indexes use
         [n] (dot-numeric silently returns null), non-identifier keys use
         ['...'] bracket form, ~0/~1 escapes are decoded."""
         import re as _re
@@ -268,8 +279,9 @@ def extract_samples_fixed(
                 out += f"['{escaped}']"
         return out
 
-    ts_raw_col = (F.get_json_object(F.col(text_col),
-                                    jpath(timestamp_pointer))
+    doc = F.try_parse_json(F.col(text_col))
+
+    ts_raw_col = (F.try_variant_get(doc, jpath(timestamp_pointer), "string")
                   if timestamp_pointer else F.lit(None).cast("string"))
     # Document-level timestamp rules (TimeSeriesExtractor.cs:660-671):
     # ISO-8601 string, else integral epoch-milliseconds. try_* forms:
@@ -278,14 +290,34 @@ def extract_samples_fixed(
         F.try_to_timestamp(ts_raw_col),
         F.timestamp_millis(ts_raw_col.try_cast("bigint")))
 
-    entries = F.array(*[
-        F.struct(
+    def entry(key: str, ptr: str):
+        elem = F.try_variant_get(doc, jpath(ptr), "variant")
+        sk = F.schema_of_variant(elem)
+        # schema_of_variant: numbers come back as DECIMAL(p,s)/BIGINT/
+        # DOUBLE/FLOAT/..., JSON null as VOID, a missing path / unparsable
+        # document as SQL NULL (rendered 'NULL' by some versions).
+        kind = (F.when(sk.isNull() | sk.isin("VOID", "NULL"),
+                       F.lit(0))
+                .when(sk == "STRING", F.lit(2))
+                .when(sk == "BOOLEAN", F.lit(3))
+                .when(sk.startswith("OBJECT"), F.lit(4))
+                .when(sk.startswith("ARRAY"), F.lit(5))
+                .otherwise(F.lit(1))).cast("tinyint")
+        return F.struct(
             F.lit(key).alias("series_key"),
-            F.get_json_object(F.col(text_col), jpath(ptr))
-            .try_cast("double").alias("value_double"),
+            # Gated on kind: an ungated 'double' get would coerce numeric
+            # STRINGS, and an ungated 'string' get would stringify numbers.
+            F.when(kind == 1, F.try_variant_get(elem, "$", "double"))
+            .alias("value_double"),
+            F.when(kind.isin(2, 4, 5),
+                   F.try_variant_get(elem, "$", "string"))
+            .alias("value_str"),
+            F.when(kind == 3, F.try_variant_get(elem, "$", "boolean"))
+            .alias("value_bool"),
+            kind.alias("value_kind"),
         )
-        for key, ptr in pointers
-    ])
+
+    entries = F.array(*[entry(key, ptr) for key, ptr in pointers])
 
     return (pages
             .select(
@@ -293,7 +325,7 @@ def extract_samples_fixed(
                 F.col(fallback_ts_col).alias("warc_ts"),
                 ts_doc.alias("_doc_ts"),
                 # explode_outer: plain explode adds a Generate pre-filter
-                # re-evaluating every get_json_object twice more per row;
+                # re-evaluating every entry expression twice more per row;
                 # the literal entries array is never null/empty anyway.
                 F.explode_outer(entries).alias("kv"))
             .select(
@@ -302,10 +334,9 @@ def extract_samples_fixed(
                 F.coalesce(F.col("_doc_ts"), F.col(fallback_ts_col))
                 .alias("ts"),
                 F.col("kv.value_double").alias("value_double"),
-                F.lit(None).cast("string").alias("value_str"),
-                F.lit(None).cast("boolean").alias("value_bool"),
-                F.when(F.col("kv.value_double").isNotNull(), F.lit(1))
-                .otherwise(F.lit(0)).cast("tinyint").alias("value_kind"),
+                F.col("kv.value_str").alias("value_str"),
+                F.col("kv.value_bool").alias("value_bool"),
+                F.col("kv.value_kind").alias("value_kind"),
                 F.when(F.col("_doc_ts").isNotNull(),
                        F.lit(int(TimestampSource.DOCUMENT)))
                 .otherwise(F.lit(int(TimestampSource.FALLBACK_PROVIDER)))

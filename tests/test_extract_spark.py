@@ -169,7 +169,10 @@ def test_fixed_pointer_arrays_dotted_keys_and_epoch_ts(spark):
     assert rows["v0"].value_double == 1.5
     assert rows["v1"].value_double == 2.5
     assert rows["ab"].value_double == 7.0
-    assert rows["s"].value_double is None and rows["s"].value_kind == 0
+    # Strings pass through as value_str (reference coercion table) —
+    # previously the numeric-only fast path dropped them to kind 0.
+    assert rows["s"].value_double is None and rows["s"].value_kind == 2
+    assert rows["s"].value_str == "not-a-number"
     assert rows["v0"].ts == datetime(2024, 2, 5, 16, 0, 0)  # epoch millis
     assert rows["v0"].ts_source == int(TimestampSource.DOCUMENT)
 
@@ -180,3 +183,56 @@ def test_fixed_pointer_arrays_dotted_keys_and_epoch_ts(spark):
     gen_rows = {r.series_key: r.value_double for r in gen.collect()}
     assert gen_rows["body/data/0/v"] == 1.5
     assert gen_rows["body/data/1/v"] == 2.5
+
+
+def test_fixed_pointer_full_coercion_table(spark):
+    """The fast path emits the same tagged union as the general operator
+    across the whole coercion table (TimeSeriesExtractor.cs:923-938):
+    number, numeric-string (stays string), bool, object, array, JSON
+    null, missing pointer."""
+    doc = dumps({"n": 2.5, "ns": "123", "s": "hello", "b": True,
+                 "o": {"x": 1}, "a": [1, 2], "z": None})
+    pages = spark.createDataFrame(
+        [("u", datetime(2024, 2, 1), doc)],
+        "url string, warc_ts timestamp, text string")
+    out = extract_samples_fixed(
+        pages, [("n", "/n"), ("ns", "/ns"), ("s", "/s"), ("b", "/b"),
+                ("o", "/o"), ("a", "/a"), ("z", "/z"), ("m", "/missing")],
+        timestamp_pointer=None)
+    rows = {r.series_key: r for r in out.collect()}
+    assert rows["n"].value_kind == 1 and rows["n"].value_double == 2.5
+    # Numeric JSON string must NOT coerce to double.
+    assert rows["ns"].value_kind == 2 and rows["ns"].value_str == "123"
+    assert rows["ns"].value_double is None
+    assert rows["s"].value_kind == 2 and rows["s"].value_str == "hello"
+    assert rows["b"].value_kind == 3 and rows["b"].value_bool is True
+    assert rows["o"].value_kind == 4 and json.loads(rows["o"].value_str) == {
+        "x": 1}
+    assert rows["a"].value_kind == 5 and json.loads(rows["a"].value_str) == [1, 2]
+    assert rows["z"].value_kind == 0 and rows["z"].value_double is None
+    assert rows["m"].value_kind == 0 and rows["m"].value_str is None
+    # One row per pointer per document, always.
+    assert len(rows) == 8
+
+
+def test_fixed_pointer_general_parity_on_mixed_types(spark):
+    """Fast path vs general recursive operator on the same pointers: the
+    (kind, value) union matches field-for-field on scalars."""
+    from json_time_series_extractor_spark.operators.extract import (
+        extract_samples,
+    )
+
+    doc = dumps({"n": 7.25, "ns": "42", "s": "txt", "b": False})
+    pages = spark.createDataFrame(
+        [("u", datetime(2024, 2, 1), doc)],
+        "url string, warc_ts timestamp, text string")
+    fixed = {r.series_key.lstrip("/"): r for r in extract_samples_fixed(
+        pages, [("n", "/n"), ("ns", "/ns"), ("s", "/s"), ("b", "/b")],
+        timestamp_pointer=None).collect()}
+    gen = {r.series_key: r for r in extract_samples(
+        pages, {"pointers_to_include": ["/n", "/ns", "/s", "/b"],
+                "recursive": True}).collect()}
+    for key in ("n", "ns", "s", "b"):
+        f, g = fixed[key], gen[key]
+        assert (f.value_kind, f.value_double, f.value_str, f.value_bool) \
+            == (g.value_kind, g.value_double, g.value_str, g.value_bool), key
