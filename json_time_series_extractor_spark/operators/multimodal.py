@@ -2,11 +2,13 @@
 
 Media payloads are opaque ``binary`` columns with a typed metadata struct;
 the Spark-side plumbing (schemas, partition-friendly batch iteration,
-Arrow-batched UDF signatures) is real and tested. The actual media codecs
-(PIL/ffmpeg/librosa) are NOT in this container, so the decode kernels are
-stubbed: ``decode_stub="fake"`` derives deterministic features from the
-bytes (so pipelines are testable end-to-end), while ``decode_stub="raise"``
-marks where a real decoder plugs in.
+Arrow-batched UDF signatures) is real and tested. Decode kernels come in
+three modes: ``decode_stub="real"`` actually decodes via the
+dependency-free PPM/BMP/WAV parsers in :mod:`.codecs` (PIL/ffmpeg/librosa
+are not in this container; they extend the same call sites to compressed
+formats); ``decode_stub="fake"`` derives deterministic features from a
+hash of the bytes (oracle-reproducible pipelines at any scale);
+``decode_stub="raise"`` marks the plug point explicitly.
 
 At 100 TB scale the iterator-of-batches ``mapInPandas`` shape matters:
 one media blob can be tens of MB, so the UDF must stream batches rather
@@ -72,15 +74,36 @@ def extract_image_features(df: DataFrame, *, id_col: str = "media_id",
     """Decode + feature-extract images via Arrow-batched ``mapInPandas``.
 
     ``decode_stub='fake'``: deterministic hash-derived features (testable
-    plumbing). ``decode_stub='raise'``: placeholder for a real decoder.
+    plumbing). ``decode_stub='real'``: actual decode via the pure-Python
+    PPM/BMP parsers in :mod:`.codecs` (Rec.601 mean luma + 8x8 average
+    hash); PIL/opencv extend the same call site to compressed formats.
+    ``decode_stub='raise'``: placeholder marking that call site.
     """
+    def _real_image_features(blob: bytes) -> tuple:
+        from json_time_series_extractor_spark.operators.codecs import (
+            decode_bmp, decode_ppm, image_features, sniff_media_format)
+
+        fmt = sniff_media_format(blob)
+        if fmt == "ppm":
+            pixels = decode_ppm(blob)
+        elif fmt == "bmp":
+            pixels = decode_bmp(blob)
+        else:
+            raise NotImplementedError(
+                f"no dependency-free decoder for format {fmt!r}; PIL/"
+                "opencv plug in here for compressed formats")
+        w, h, c, luma, phash = image_features(pixels)
+        return w, h, c, luma, phash
+
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode_stub == "raise":
                 raise NotImplementedError(
                     "real image decode requires PIL/opencv — not available "
                     "in this container; plug the decoder in here")
-            rows = [(_fake_image_features(bytes(b))) for b in pdf[blob_col]]
+            kernel = (_real_image_features if decode_stub == "real"
+                      else _fake_image_features)
+            rows = [kernel(bytes(b)) for b in pdf[blob_col]]
             feats = pd.DataFrame(
                 rows, columns=["width", "height", "n_channels",
                                "mean_luma", "phash"])
@@ -103,18 +126,32 @@ def resize_images(df: DataFrame, width: int, height: int, *,
     """Resize plumbing: blob in -> (resized blob, target dims) out.
 
     The fake kernel derives the output bytes deterministically from
-    (input bytes, target dims); a real implementation decodes, resamples
-    and re-encodes at the same call site. Arrow-batched, map-only.
+    (input bytes, target dims); ``decode_stub='real'`` decodes PPM/BMP via
+    :mod:`.codecs`, nearest-neighbor resamples, and re-encodes as PPM —
+    PIL's resampler plugs into the same call site for compressed formats.
+    Arrow-batched, map-only.
     """
+    def _real_resize(blob: bytes) -> bytes:
+        from json_time_series_extractor_spark.operators.codecs import (
+            decode_bmp, decode_ppm, encode_ppm, resize_nearest,
+            sniff_media_format)
+
+        fmt = sniff_media_format(blob)
+        pixels = decode_ppm(blob) if fmt == "ppm" else decode_bmp(blob)
+        return encode_ppm(resize_nearest(pixels, width, height))
+
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode_stub == "raise":
                 raise NotImplementedError(
                     "real image resize requires PIL/opencv — not available "
                     "in this container; plug the resampler in here")
-            blobs = [hashlib.sha256(
-                bytes(b) + f"{width}x{height}".encode()).digest()
-                for b in pdf[blob_col]]
+            if decode_stub == "real":
+                blobs = [_real_resize(bytes(b)) for b in pdf[blob_col]]
+            else:
+                blobs = [hashlib.sha256(
+                    bytes(b) + f"{width}x{height}".encode()).digest()
+                    for b in pdf[blob_col]]
             yield pd.DataFrame({
                 "media_id": pdf[id_col].values,
                 "media": pd.Series(blobs, dtype="object"),
@@ -133,9 +170,12 @@ def extract_audio_features(df: DataFrame, *, id_col: str = "media_id",
                            decode_stub: str = "fake") -> DataFrame:
     """Audio feature plumbing: duration/sample-rate/RMS/fingerprint.
 
-    The fake kernel derives features from a sha256 of the bytes (librosa/
-    ffmpeg are not in this container); the Spark-side shape — metadata
-    passthrough, Arrow batching, map-only plan — is the real contract.
+    The fake kernel derives features from a sha256 of the bytes;
+    ``decode_stub='real'`` parses PCM16 WAV via :mod:`.codecs` (stdlib
+    ``wave`` + numpy: true duration, rate, RMS, 64-bit window-diff
+    fingerprint); librosa/ffmpeg extend the same call site to compressed
+    audio. The Spark-side shape — metadata passthrough, Arrow batching,
+    map-only plan — is identical in all modes.
     """
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -146,6 +186,14 @@ def extract_audio_features(df: DataFrame, *, id_col: str = "media_id",
             rows = []
             for mid, blob, dur in zip(pdf[id_col], pdf[blob_col],
                                       pdf[duration_col]):
+                if decode_stub == "real":
+                    from json_time_series_extractor_spark.operators.codecs \
+                        import audio_features, decode_wav
+
+                    samples, rate = decode_wav(bytes(blob))
+                    dms, sr, rms, fp = audio_features(samples, rate)
+                    rows.append((mid, dms, sr, rms, fp))
+                    continue
                 d = hashlib.sha256(bytes(blob)).digest()
                 rows.append((
                     mid,
