@@ -399,3 +399,36 @@ def test_real_audio_decode_through_spark(spark):
     f = extract_audio_features(media, decode_stub="real").collect()[0]
     assert f.duration_ms == 1000 and f.sample_rate == 16000
     assert abs(f.rms - 0.5 / np.sqrt(2)) < 1e-3  # sine RMS = A/sqrt(2)
+
+
+def test_iceberg_sql_goldens():
+    """Pinned expected text for every SQL string the Iceberg layer emits —
+    the runtime jars are absent here, so drift in these statements (the
+    exact north-rule partition spec, the retention DELETE + snapshot
+    expiry) must be caught at the string level."""
+    from json_time_series_extractor_spark.sources.iceberg import (
+        pages_table_ddl, retention_sql, rollup_table_ddl)
+
+    assert pages_table_ddl("lake.web.pages", url_buckets=128) == (
+        "CREATE TABLE IF NOT EXISTS lake.web.pages (\n"
+        "  url string, warc_ts timestamp, html binary, text string,\n"
+        "  lang string)\n"
+        "USING iceberg\n"
+        "PARTITIONED BY (bucket(128, url), days(warc_ts))")
+
+    assert rollup_table_ddl("lake.web.rollup_1m") == (
+        "CREATE TABLE IF NOT EXISTS lake.web.rollup_1m (\n"
+        "  series_key string, bucket_ts timestamp, min double, max double,\n"
+        "  sum double, count bigint, mean double, last double,\n"
+        "  last_ts timestamp)\n"
+        "USING iceberg\n"
+        "PARTITIONED BY (days(bucket_ts))")
+
+    assert retention_sql("lake.web.pages", "2024-01-15") == (
+        "DELETE FROM lake.web.pages WHERE warc_ts < DATE '2024-01-15';\n"
+        "CALL system.expire_snapshots(table => 'lake.web.pages', "
+        "retain_last => 1)")
+    assert retention_sql("lake.web.rollup_1m", "2024-02-01",
+                         ts_col="bucket_ts").startswith(
+        "DELETE FROM lake.web.rollup_1m WHERE bucket_ts < "
+        "DATE '2024-02-01';")
