@@ -279,66 +279,81 @@ def extract_samples_fixed(
                 out += f"['{escaped}']"
         return out
 
+    # STAGED projections, one expensive expression per stage: variant
+    # expressions get no whole-stage-codegen subexpression elimination, so
+    # a single projection referencing try_parse_json / try_variant_get /
+    # schema_of_variant N times re-parses the document N times per row
+    # (measured ~17x slower). CollapseProject does not re-inline non-cheap
+    # expressions referenced more than once, so each stage below evaluates
+    # its expression exactly once per row.
     doc = F.try_parse_json(F.col(text_col))
+    staged = pages.select(
+        F.col(url_col).alias("url"),
+        F.col(fallback_ts_col).alias("warc_ts"),
+        doc.alias("_doc"))
 
-    ts_raw_col = (F.try_variant_get(doc, jpath(timestamp_pointer), "string")
+    ts_raw_col = (F.try_variant_get(F.col("_doc"),
+                                    jpath(timestamp_pointer), "string")
                   if timestamp_pointer else F.lit(None).cast("string"))
+    staged = staged.select("url", "warc_ts", "_doc",
+                           ts_raw_col.alias("_ts_raw"))
     # Document-level timestamp rules (TimeSeriesExtractor.cs:660-671):
     # ISO-8601 string, else integral epoch-milliseconds. try_* forms:
     # under ANSI mode a plain cast THROWS on non-conforming values.
     ts_doc = F.coalesce(
-        F.try_to_timestamp(ts_raw_col),
-        F.timestamp_millis(ts_raw_col.try_cast("bigint")))
+        F.try_to_timestamp(F.col("_ts_raw")),
+        F.timestamp_millis(F.col("_ts_raw").try_cast("bigint")))
+    staged = staged.select("url", "warc_ts", "_doc",
+                           ts_doc.alias("_doc_ts"))
 
-    def entry(key: str, ptr: str):
-        elem = F.try_variant_get(doc, jpath(ptr), "variant")
-        sk = F.schema_of_variant(elem)
-        # schema_of_variant: numbers come back as DECIMAL(p,s)/BIGINT/
-        # DOUBLE/FLOAT/..., JSON null as VOID, a missing path / unparsable
-        # document as SQL NULL (rendered 'NULL' by some versions).
-        kind = (F.when(sk.isNull() | sk.isin("VOID", "NULL"),
-                       F.lit(0))
-                .when(sk == "STRING", F.lit(2))
-                .when(sk == "BOOLEAN", F.lit(3))
-                .when(sk.startswith("OBJECT"), F.lit(4))
-                .when(sk.startswith("ARRAY"), F.lit(5))
-                .otherwise(F.lit(1))).cast("tinyint")
-        return F.struct(
-            F.lit(key).alias("series_key"),
-            # Gated on kind: an ungated 'double' get would coerce numeric
-            # STRINGS, and an ungated 'string' get would stringify numbers.
-            F.when(kind == 1, F.try_variant_get(elem, "$", "double"))
-            .alias("value_double"),
-            F.when(kind.isin(2, 4, 5),
-                   F.try_variant_get(elem, "$", "string"))
-            .alias("value_str"),
-            F.when(kind == 3, F.try_variant_get(elem, "$", "boolean"))
-            .alias("value_bool"),
-            kind.alias("value_kind"),
-        )
+    # One output row per (document, pointer): explode the literal key list
+    # FIRST, then a CASE on the position picks the one variant_get that
+    # applies — a single parse and a single pointer access per output row.
+    keys = F.array(*[F.lit(k) for k, _ in pointers])
+    exploded = staged.select(
+        "url", "warc_ts", "_doc", "_doc_ts",
+        F.posexplode_outer(keys).alias("_pos", "series_key"))
 
-    entries = F.array(*[entry(key, ptr) for key, ptr in pointers])
+    elem = F.when(F.lit(False), F.try_variant_get(F.col("_doc"), "$",
+                                                  "variant"))
+    for i, (_k, ptr) in enumerate(pointers):
+        elem = elem.when(F.col("_pos") == i,
+                         F.try_variant_get(F.col("_doc"), jpath(ptr),
+                                           "variant"))
+    exploded = exploded.select("url", "warc_ts", "_doc_ts", "series_key",
+                               elem.alias("_elem"))
+    # schema_of_variant: numbers come back as DECIMAL(p,s)/BIGINT/DOUBLE/
+    # FLOAT/..., JSON null as VOID, a missing path / unparsable document
+    # as SQL NULL (rendered 'NULL' by some versions).
+    exploded = exploded.select(
+        "url", "warc_ts", "_doc_ts", "series_key", "_elem",
+        F.schema_of_variant(F.col("_elem")).alias("_sk"))
+    sk = F.col("_sk")
+    kind = (F.when(sk.isNull() | sk.isin("VOID", "NULL"), F.lit(0))
+            .when(sk == "STRING", F.lit(2))
+            .when(sk == "BOOLEAN", F.lit(3))
+            .when(sk.startswith("OBJECT"), F.lit(4))
+            .when(sk.startswith("ARRAY"), F.lit(5))
+            .otherwise(F.lit(1))).cast("tinyint")
+    exploded = exploded.select("url", "warc_ts", "_doc_ts", "series_key",
+                               "_elem", kind.alias("value_kind"))
 
-    return (pages
-            .select(
-                F.col(url_col).alias("url"),
-                F.col(fallback_ts_col).alias("warc_ts"),
-                ts_doc.alias("_doc_ts"),
-                # explode_outer: plain explode adds a Generate pre-filter
-                # re-evaluating every entry expression twice more per row;
-                # the literal entries array is never null/empty anyway.
-                F.explode_outer(entries).alias("kv"))
-            .select(
-                "url", "warc_ts",
-                F.col("kv.series_key").alias("series_key"),
-                F.coalesce(F.col("_doc_ts"), F.col(fallback_ts_col))
-                .alias("ts"),
-                F.col("kv.value_double").alias("value_double"),
-                F.col("kv.value_str").alias("value_str"),
-                F.col("kv.value_bool").alias("value_bool"),
-                F.col("kv.value_kind").alias("value_kind"),
-                F.when(F.col("_doc_ts").isNotNull(),
-                       F.lit(int(TimestampSource.DOCUMENT)))
-                .otherwise(F.lit(int(TimestampSource.FALLBACK_PROVIDER)))
-                .cast("tinyint").alias("ts_source"),
-            ))
+    k = F.col("value_kind")
+    return exploded.select(
+        "url", "warc_ts", "series_key",
+        F.coalesce(F.col("_doc_ts"), F.col("warc_ts")).alias("ts"),
+        # Gated on kind: an ungated 'double' get would coerce numeric
+        # STRINGS, and an ungated 'string' get would stringify numbers.
+        F.when(k == 1, F.try_variant_get(F.col("_elem"), "$", "double"))
+        .alias("value_double"),
+        F.when(k.isin(2, 4, 5),
+               F.try_variant_get(F.col("_elem"), "$", "string"))
+        .alias("value_str"),
+        F.when(k == 3, F.try_variant_get(F.col("_elem"), "$", "boolean"))
+        .alias("value_bool"),
+        "value_kind",
+        F.when(F.col("_doc_ts").isNotNull(),
+               F.lit(int(TimestampSource.DOCUMENT)))
+        .otherwise(F.lit(int(TimestampSource.FALLBACK_PROVIDER)))
+        .cast("tinyint").alias("ts_source"),
+    )
