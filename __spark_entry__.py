@@ -49,9 +49,11 @@ from json_time_series_extractor_spark.operators.gapfill import (
     gapfill_locf,
     gapfill_locf_partitioned,
 )
+from json_time_series_extractor_spark.operators.rate import counter_rate
 from json_time_series_extractor_spark.operators.rollup import (
     rollup,
     rollup_cascade,
+    rollup_percentiles,
     rollup_salted,
 )
 from json_time_series_extractor_spark.operators.similarity import (
@@ -259,6 +261,26 @@ def q_rollup_1d_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase (salted) rollup; result identical to plain."""
     return _rollup_select(rollup_salted(_event_samples(spark, sf_dir),
                                         "1 day", salt_buckets=8))
+
+
+def q_rollup_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 latency-style rollup (terminal aggregate; exact
+    percentiles don't cascade — see rollup_percentiles)."""
+    out = rollup_percentiles(_event_samples(spark, sf_dir), "1 hour")
+    return _quant6(out, "p50", "p95", "p99")
+
+
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware counter increase + per-second rate per 1h bucket,
+    via the segment-partitioned plan (bounded (series, day) lag windows +
+    per-day carry) — oracle recomputes with a whole-series lag window,
+    proving the two plans identical."""
+    out = counter_rate(_event_samples(spark, sf_dir), "1 hour",
+                       segment="1 day")
+    out = _quant6(out, "increase")
+    # rate derived from the already-quantized increase: identical BIGINT
+    # in, identical IEEE division out on both engines.
+    return out.withColumn("rate", F.col("increase") / F.lit(3600.0))
 
 
 def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,6 +642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1m": q_rollup_1m,
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_salted": q_rollup_1d_salted,
+        "rollup_percentiles": q_rollup_percentiles,
+        "counter_rate": q_counter_rate,
         "gapfill_locf": q_gapfill_locf,
         "gapfill_locf_partitioned": q_gapfill_locf_partitioned,
         "gapfill_linear": q_gapfill_linear,
@@ -694,6 +718,40 @@ FROM base
         "rollup_1m": _ORACLE_ROLLUP_TIER.format(unit="minute"),
         "rollup_1h_cascade": _ORACLE_ROLLUP_TIER.format(unit="hour"),
         "rollup_1d_salted": _ORACLE_ROLLUP_TIER.format(unit="day"),
+        "rollup_percentiles": """
+SELECT event_type AS series_key,
+       date_trunc('hour', ts) AS bucket_ts,
+       CAST(floor(quantile_cont(value, 0.50) * 1000000 + 0.5) AS BIGINT)
+           AS p50,
+       CAST(floor(quantile_cont(value, 0.95) * 1000000 + 0.5) AS BIGINT)
+           AS p95,
+       CAST(floor(quantile_cont(value, 0.99) * 1000000 + 0.5) AS BIGINT)
+           AS p99,
+       count(value) AS cnt
+FROM events
+GROUP BY 1, 2
+""",
+        # counter_rate: oracle uses a whole-series lag window; the Spark
+        # side runs the segment-partitioned plan — equality proves the
+        # bounded-window decomposition correct, not just self-consistent.
+        "counter_rate": """
+WITH d AS (
+    SELECT event_type AS series_key, ts, value,
+           value - lag(value) OVER (PARTITION BY event_type
+                                    ORDER BY ts, value) AS delta
+    FROM events),
+g AS (
+    SELECT series_key, date_trunc('hour', ts) AS bucket_ts,
+           CAST(floor(sum(CASE WHEN delta IS NULL THEN 0
+                               WHEN delta >= 0 THEN delta
+                               ELSE value END) * 1000000 + 0.5) AS BIGINT)
+               AS increase,
+           count(*) AS n_samples
+    FROM d GROUP BY 1, 2)
+SELECT series_key, bucket_ts, increase, n_samples,
+       increase / 3600.0 AS rate
+FROM g
+""",
         "gapfill_locf": _ORACLE_ROLLUP_CTE + """
 SELECT series_key, bucket_ts,
        CAST(floor(last_value(mean IGNORE NULLS) OVER (

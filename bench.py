@@ -138,7 +138,8 @@ def run_benchmarks() -> None:
     # Driver-contract queries over the provided test tables.
     queries = entry.queries()
     for name in ["extract_flat", "extract_fixed", "rollup_1m",
-                 "rollup_1h_cascade", "rollup_1d_salted", "gapfill_locf",
+                 "rollup_1h_cascade", "rollup_1d_salted",
+                 "rollup_percentiles", "counter_rate", "gapfill_locf",
                  "gapfill_locf_partitioned", "gapfill_linear",
                  "gapfill_linear_partitioned", "asof_join",
                  "chunk_roundtrip", "doc_token_count",

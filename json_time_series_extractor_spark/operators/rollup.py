@@ -109,6 +109,34 @@ def rollup_cascade(child: DataFrame, tier: str) -> DataFrame:
     )
 
 
+def rollup_percentiles(
+    samples: DataFrame,
+    tier: str = "1 hour",
+    *,
+    key_col: str = "series_key",
+    ts_col: str = "ts",
+    value_col: str = "value_double",
+    qs: tuple = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Exact percentile tier: (series_key, bucket_ts, p50, p95, p99, cnt).
+
+    The canonical latency-rollup shape (the north-star pages carry fetch
+    latency). Uses Spark's EXACT ``percentile`` (linear interpolation on
+    the sorted bucket) — deliberately NOT mergeable: exact percentiles
+    cannot cascade from tier state, so this is a terminal aggregate over
+    raw samples at whatever tiers are needed (the group sizes are bucket-
+    bounded, so the sort-based aggregate stays partition-local; a
+    t-digest/KLL sketch column is the plug point if cascading percentiles
+    are ever required)."""
+    v = F.col(value_col)
+    aggs = [F.percentile(v, q).alias(f"p{int(q * 100)}") for q in qs]
+    return (samples
+            .where(v.isNotNull())
+            .groupBy(F.col(key_col).alias("series_key"),
+                     _bucket(ts_col, tier).alias("bucket_ts"))
+            .agg(*aggs, F.count(v).alias("cnt")))
+
+
 def detect_hot_keys(
     samples: DataFrame,
     *,

@@ -349,3 +349,62 @@ def test_guards_reject_invalid_configs(spark):
         "series_key string, bucket_ts timestamp, mean double")
     with _pytest.raises(ValueError, match="divide"):
         gapfill_locf_partitioned(r, interval="25 minutes", segment="1 day")
+
+
+def test_counter_increase_reset_semantics(spark):
+    """PromQL-style counter semantics: monotone deltas accumulate, a drop
+    contributes the post-reset value, the first sample contributes 0."""
+    from datetime import datetime
+
+    from json_time_series_extractor_spark.operators.rate import (
+        counter_increase, counter_rate)
+
+    rows = [("c", datetime(2024, 1, 1, 0, 0, s), v) for s, v in
+            [(0, 100.0), (10, 110.0), (20, 130.0),  # +10 +20
+             (30, 5.0),                             # reset -> +5
+             (40, 25.0)]]                           # +20
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+    for segment in (None, "1 day"):
+        out = counter_increase(df, "1 hour", segment=segment).collect()
+        assert len(out) == 1
+        assert out[0].increase == 55.0 and out[0].n_samples == 5
+    r = counter_rate(df, "1 hour").collect()[0]
+    assert abs(r.rate - 55.0 / 3600.0) < 1e-12
+
+
+def test_counter_increase_partitioned_matches_whole_series(spark):
+    """The bounded (series, day) plan with per-day carry must equal the
+    whole-series lag window on real multi-day data, including the
+    cross-midnight baselines."""
+    from json_time_series_extractor_spark.operators.rate import (
+        counter_increase)
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .selectExpr("event_type AS series_key", "ts",
+                      "value AS value_double"))
+    whole = {(r.series_key, r.bucket_ts): (round(r.increase, 9),
+                                           r.n_samples)
+             for r in counter_increase(ev, "1 hour",
+                                       segment=None).collect()}
+    seg = {(r.series_key, r.bucket_ts): (round(r.increase, 9), r.n_samples)
+           for r in counter_increase(ev, "1 hour",
+                                     segment="1 day").collect()}
+    assert whole == seg
+
+
+def test_rollup_percentiles_exact(spark):
+    """Exact interpolated percentiles over a known bucket."""
+    from datetime import datetime
+
+    from json_time_series_extractor_spark.operators.rollup import (
+        rollup_percentiles)
+
+    rows = [("k", datetime(2024, 1, 1, 0, 0, s), float(v))
+            for s, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 10])]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+    out = rollup_percentiles(df, "1 hour", qs=(0.5, 0.9)).collect()[0]
+    assert out.p50 == 5.5          # (n-1)*q = 4.5 -> 5 + 0.5*(6-5)
+    assert abs(out.p90 - 9.1) < 1e-9
+    assert out.cnt == 10
