@@ -51,11 +51,14 @@ from json_time_series_extractor_spark.operators.gapfill import (
 )
 from json_time_series_extractor_spark.operators.rate import counter_rate
 from json_time_series_extractor_spark.operators.rollup import (
+    histogram_cascade,
     rollup,
     rollup_cascade,
+    rollup_histogram,
     rollup_percentiles,
     rollup_salted,
 )
+from json_time_series_extractor_spark.operators.twa import time_weighted_avg
 from json_time_series_extractor_spark.operators.similarity import (
     cosine_flat,
     cosine_topk,
@@ -76,6 +79,27 @@ from json_time_series_extractor_spark.sources.pages import (
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
+
+def _histogram_oracle_sql() -> str:
+    """Day-level histogram recomputed from raw events (the Spark side
+    cascades 1h state -> 1d, so equality proves mergeability)."""
+    bounds = ", ".join(str(b) for b in
+                       (1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0, 200.0,
+                        500.0))
+    hs = ",\n       ".join(
+        f"sum(CASE WHEN idx = {i} THEN 1 ELSE 0 END) AS h{i}"
+        for i in range(10))
+    return f"""
+WITH b AS (
+    SELECT event_type AS series_key, date_trunc('day', ts) AS bucket_ts,
+           len(list_filter([{bounds}], x -> value >= x)) AS idx
+    FROM events WHERE value IS NOT NULL)
+SELECT series_key, bucket_ts,
+       {hs},
+       count(*) AS cnt
+FROM b GROUP BY 1, 2
+"""
+
 
 def _simhash_oracle_sql() -> str:
     """DuckDB recomputation of md5hi-based SimHash (see
@@ -281,6 +305,31 @@ def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rate derived from the already-quantized increase: identical BIGINT
     # in, identical IEEE division out on both engines.
     return out.withColumn("rate", F.col("increase") / F.lit(3600.0))
+
+
+#: Explicit histogram bounds for the events value distribution (0-561).
+_HIST_BOUNDS = (1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0, 200.0, 500.0)
+
+
+def q_rollup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable explicit-bounds histogram: 1h tier cascaded to 1d by
+    elementwise bin sums (exact mergeable state — the scale answer to
+    percentiles); oracle recomputes the day histogram from raw, proving
+    the cascade. Bins unpacked to columns for the value compare."""
+    h1h = rollup_histogram(_event_samples(spark, sf_dir), "1 hour",
+                           bounds=_HIST_BOUNDS)
+    h1d = histogram_cascade(h1h, "1 day", n_bins=len(_HIST_BOUNDS) + 1)
+    cols = [F.element_at("hist", i + 1).alias(f"h{i}")
+            for i in range(len(_HIST_BOUNDS) + 1)]
+    return h1d.select("series_key", "bucket_ts", *cols, "cnt")
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted average per 1h bucket (TimescaleDB time_weight
+    semantics): hold intervals exploded across the buckets they cross,
+    duration-weighted mean per bucket."""
+    out = time_weighted_avg(_event_samples(spark, sf_dir), "1 hour")
+    return _quant6(out, "twa", "covered_seconds")
 
 
 def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,6 +693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d_salted": q_rollup_1d_salted,
         "rollup_percentiles": q_rollup_percentiles,
         "counter_rate": q_counter_rate,
+        "rollup_histogram": q_rollup_histogram,
+        "time_weighted_avg": q_time_weighted_avg,
         "gapfill_locf": q_gapfill_locf,
         "gapfill_locf_partitioned": q_gapfill_locf_partitioned,
         "gapfill_linear": q_gapfill_linear,
@@ -729,6 +780,34 @@ SELECT event_type AS series_key,
            AS p99,
        count(value) AS cnt
 FROM events
+GROUP BY 1, 2
+""",
+        "rollup_histogram": _histogram_oracle_sql(),
+        "time_weighted_avg": """
+WITH s AS (
+    SELECT event_type AS series_key, ts, value,
+           lead(ts) OVER (PARTITION BY event_type
+                          ORDER BY ts, value) AS next_ts
+    FROM events WHERE value IS NOT NULL),
+h AS (SELECT * FROM s WHERE next_ts IS NOT NULL AND next_ts > ts),
+spans AS (
+    SELECT series_key, ts, next_ts, value,
+           unnest(generate_series(date_trunc('hour', ts),
+                                  date_trunc('hour', next_ts),
+                                  INTERVAL 1 hour)) AS bucket_ts
+    FROM h),
+o AS (
+    SELECT series_key, bucket_ts, value,
+           (least(epoch_us(next_ts),
+                  epoch_us(bucket_ts + INTERVAL 1 hour))
+            - greatest(epoch_us(ts), epoch_us(bucket_ts)))
+           / 1000000.0 AS w
+    FROM spans)
+SELECT series_key, bucket_ts,
+       CAST(floor(sum(value * w) / sum(w) * 1000000 + 0.5) AS BIGINT)
+           AS twa,
+       CAST(floor(sum(w) * 1000000 + 0.5) AS BIGINT) AS covered_seconds
+FROM o WHERE w > 0
 GROUP BY 1, 2
 """,
         # counter_rate: oracle uses a whole-series lag window; the Spark

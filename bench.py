@@ -139,7 +139,8 @@ def run_benchmarks() -> None:
     queries = entry.queries()
     for name in ["extract_flat", "extract_fixed", "rollup_1m",
                  "rollup_1h_cascade", "rollup_1d_salted",
-                 "rollup_percentiles", "counter_rate", "gapfill_locf",
+                 "rollup_percentiles", "counter_rate", "rollup_histogram",
+                 "time_weighted_avg", "gapfill_locf",
                  "gapfill_locf_partitioned", "gapfill_linear",
                  "gapfill_linear_partitioned", "asof_join",
                  "chunk_roundtrip", "doc_token_count",

@@ -137,6 +137,61 @@ def rollup_percentiles(
             .agg(*aggs, F.count(v).alias("cnt")))
 
 
+def rollup_histogram(
+    samples: DataFrame,
+    tier: str = "1 hour",
+    *,
+    bounds: tuple,
+    key_col: str = "series_key",
+    ts_col: str = "ts",
+    value_col: str = "value_double",
+) -> DataFrame:
+    """Explicit-bounds histogram per bucket — the MERGEABLE answer to
+    percentiles at scale (Prometheus classic-histogram shape).
+
+    ``bounds = (b0, .., b_{n-1})`` defines n+1 bins: (-inf, b0), [b0, b1),
+    .., [b_{n-1}, inf). Output: (series_key, bucket_ts, hist array<long>,
+    cnt). Unlike :func:`rollup_percentiles`, histogram state merges
+    exactly across tiers (elementwise sum — :func:`histogram_cascade`),
+    so coarse tiers never touch raw data and quantiles are estimable at
+    any tier from the bin counts.
+    """
+    v = F.col(value_col)
+    n_bins = len(bounds) + 1
+    # Bin index = number of bounds <= v (bounds is a literal sorted array).
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    idx = F.size(F.filter(barr, lambda b: v >= b))
+    hist = F.array(*[
+        F.sum(F.when(idx == i, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long") for i in range(n_bins)])
+    return (samples
+            .where(v.isNotNull())
+            .groupBy(F.col(key_col).alias("series_key"),
+                     _bucket(ts_col, tier).alias("bucket_ts"))
+            .agg(hist.alias("hist"), F.count(v).alias("cnt")))
+
+
+def histogram_cascade(child: DataFrame, tier: str, *,
+                      n_bins: int) -> DataFrame:
+    """Merge a finer histogram tier into a coarser one: elementwise sum of
+    the bin-count arrays (exact — histograms are fully mergeable state).
+    ``n_bins`` = len(bounds) + 1 from the producing :func:`rollup_histogram`.
+
+    Shaped as n flat ``sum`` aggregates over unpacked bins (hash-agg,
+    map-side combinable) rather than a list fold — same reasoning as the
+    minhash/simhash aggregates."""
+    sums = [F.sum(F.element_at("hist", i + 1)).alias(f"_h{i}")
+            for i in range(n_bins)]
+    agg = (child
+           .groupBy("series_key", _bucket("bucket_ts", tier)
+                    .alias("bucket_ts"))
+           .agg(*sums, F.sum("cnt").alias("cnt")))
+    return agg.select(
+        "series_key", "bucket_ts",
+        F.array(*[F.col(f"_h{i}") for i in range(n_bins)]).alias("hist"),
+        "cnt")
+
+
 def detect_hot_keys(
     samples: DataFrame,
     *,

@@ -408,3 +408,46 @@ def test_rollup_percentiles_exact(spark):
     assert out.p50 == 5.5          # (n-1)*q = 4.5 -> 5 + 0.5*(6-5)
     assert abs(out.p90 - 9.1) < 1e-9
     assert out.cnt == 10
+
+
+def test_time_weighted_avg_known_integral(spark):
+    """Hand-computed LOCF integral: v=10 holds 0:00->0:30, v=20 holds
+    0:30->1:30 (crossing the bucket boundary), last sample holds nothing."""
+    from datetime import datetime
+
+    from json_time_series_extractor_spark.operators.twa import (
+        time_weighted_avg)
+
+    rows = [("k", datetime(2024, 1, 1, 0, 0, 0), 10.0),
+            ("k", datetime(2024, 1, 1, 0, 30, 0), 20.0),
+            ("k", datetime(2024, 1, 1, 1, 30, 0), 99.0)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+    out = {r.bucket_ts.hour: r for r in
+           time_weighted_avg(df, "1 hour").collect()}
+    # Hour 0: 10 for 1800s + 20 for 1800s -> 15.0, fully covered.
+    assert out[0].twa == 15.0 and out[0].covered_seconds == 3600.0
+    # Hour 1: 20 for the first 1800s only; 99 never holds.
+    assert out[1].twa == 20.0 and out[1].covered_seconds == 1800.0
+
+
+def test_rollup_histogram_cascade_mergeable(spark):
+    """Cascading 1h histograms to 1d equals computing 1d from raw."""
+    from json_time_series_extractor_spark.operators.rollup import (
+        histogram_cascade, rollup_histogram)
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .selectExpr("event_type AS series_key", "ts",
+                      "value AS value_double"))
+    bounds = (1.0, 5.0, 20.0, 100.0)
+    from_raw = {(r.series_key, r.bucket_ts): (list(r.hist), r.cnt)
+                for r in rollup_histogram(ev, "1 day",
+                                          bounds=bounds).collect()}
+    cascaded = {(r.series_key, r.bucket_ts): (list(r.hist), r.cnt)
+                for r in histogram_cascade(
+                    rollup_histogram(ev, "1 hour", bounds=bounds),
+                    "1 day", n_bins=len(bounds) + 1).collect()}
+    assert from_raw == cascaded
+    # Bin counts partition the bucket count.
+    for hist, cnt in from_raw.values():
+        assert sum(hist) == cnt
