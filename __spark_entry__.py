@@ -420,6 +420,22 @@ def _events_as_f6_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.alias("text"))
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for every 1-minute bucket, the EARLIEST raw
+    event at-or-after the bucket start (descending-scan union-and-carry).
+    Oracle: DuckDB ASOF JOIN with the >= inequality."""
+    samples = _event_samples(spark, sf_dir)
+    probes = (rollup(samples, "1 minute")
+              .select("series_key", F.col("bucket_ts").alias("ts")))
+    out = asof_join(probes, samples, direction="forward") \
+        .where(F.col("asof_ts").isNotNull())
+    return _quant6(
+        out.select("series_key", F.col("ts").alias("bucket_ts"),
+                   "asof_ts",
+                   F.col("asof_value_double").alias("asof_value")),
+        "asof_value")
+
+
 def q_pages_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship pipeline: Common-Crawl-style pages -> recursive extraction
     (DFS walk + MQTT include ``/body/data/+/v`` + per-sample nested
@@ -700,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_linear": q_gapfill_linear,
         "gapfill_linear_partitioned": q_gapfill_linear_partitioned,
         "asof_join": q_asof_join,
+        "asof_join_forward": q_asof_join_forward,
         "pages_extract_rollup": q_pages_extract_rollup,
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
@@ -934,6 +951,15 @@ SELECT p.series_key, p.bucket_ts, e.ts AS asof_ts,
        CAST(floor(e.value * 1000000 + 0.5) AS BIGINT) AS asof_value
 FROM probes p ASOF JOIN events e
   ON p.series_key = e.event_type AND e.ts <= p.bucket_ts
+""",
+        "asof_join_forward": """
+WITH probes AS (
+    SELECT event_type AS series_key, date_trunc('minute', ts) AS bucket_ts
+    FROM events GROUP BY 1, 2)
+SELECT p.series_key, p.bucket_ts, e.ts AS asof_ts,
+       CAST(floor(e.value * 1000000 + 0.5) AS BIGINT) AS asof_value
+FROM probes p ASOF JOIN events e
+  ON p.series_key = e.event_type AND e.ts >= p.bucket_ts
 """,
         "doc_token_count": """
 SELECT doc_id,

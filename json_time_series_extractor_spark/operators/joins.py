@@ -38,13 +38,22 @@ def asof_join(
     value_cols: Optional[Sequence[str]] = None,
     tolerance: Optional[str] = None,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row: columns ``{prefix}<value_col>`` from the latest
-    right row with ``right.ts <= left.ts`` in the same key (ties match),
-    plus ``{prefix}ts``; nulls when no right row qualifies. ``tolerance``
-    (e.g. ``"15 minutes"``) nulls matches older than ``left.ts -
-    tolerance``. Left schema passes through unchanged.
+    """For each left row: columns ``{prefix}<value_col>`` from the
+    matching right row in the same key (ties match), plus ``{prefix}ts``;
+    nulls when no right row qualifies. ``direction``: ``"backward"`` —
+    latest right row with ``right.ts <= left.ts`` (the default, kdb/
+    pandas ``merge_asof`` semantics); ``"forward"`` — earliest right row
+    with ``right.ts >= left.ts`` (the same carry scanned in descending
+    time); ``"nearest"`` — whichever of the two is closer, ties to
+    backward. ``tolerance`` (e.g. ``"15 minutes"``) nulls matches farther
+    than that from ``left.ts`` on the matching side. Left schema passes
+    through unchanged.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, "
+                         f"got {direction!r}")
     if value_cols is None:
         value_cols = [c for c in right.columns
                       if c not in (key_col, right_ts)]
@@ -86,18 +95,54 @@ def asof_join(
 
     tiebreak = [F.col("_r")[c] for c in value_cols
                 if _orderable(right.schema[c].dataType)]
-    w = (Window.partitionBy("_k")
-         .orderBy("_t", "_is_left", *tiebreak)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # Backward scans time ascending; forward scans descending (the carry
+    # then holds the EARLIEST right row at-or-after). Both order right
+    # rows (tag 0) before left at equal _t so ties match, and both leave
+    # the largest duplicate-right payload last in scan order.
+    w_back = (Window.partitionBy("_k")
+              .orderBy("_t", "_is_left", *tiebreak)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_fwd = (Window.partitionBy("_k")
+             .orderBy(F.col("_t").desc(), "_is_left", *tiebreak)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     unioned = l_tag.unionByName(r_tag)
-    carried = unioned.select(
-        "_is_left", "_l", "_t",
-        F.last("_r", ignorenulls=True).over(w).alias("_m"))
+    carry_cols = ["_is_left", "_l", "_t"]
+    if direction in ("backward", "nearest"):
+        carry_cols.append(
+            F.last("_r", ignorenulls=True).over(w_back).alias("_mb"))
+    if direction in ("forward", "nearest"):
+        carry_cols.append(
+            F.last("_r", ignorenulls=True).over(w_fwd).alias("_mf"))
+    carried = unioned.select(*carry_cols)
 
+    def _tol_ok(m):
+        if not tolerance:
+            return m.isNotNull()
+        dist = F.abs(F.unix_micros(m["_rt"].cast("timestamp"))
+                     - F.unix_micros(F.col("_t").cast("timestamp")))
+        bound = F.unix_micros(
+            (F.col("_t") + F.expr(f"interval {tolerance}"))
+            .cast("timestamp")) - F.unix_micros(
+            F.col("_t").cast("timestamp"))
+        return m.isNotNull() & (dist <= bound)
+
+    if direction == "backward":
+        match = F.when(_tol_ok(F.col("_mb")), F.col("_mb"))
+    elif direction == "forward":
+        match = F.when(_tol_ok(F.col("_mf")), F.col("_mf"))
+    else:
+        b = F.when(_tol_ok(F.col("_mb")), F.col("_mb"))
+        f = F.when(_tol_ok(F.col("_mf")), F.col("_mf"))
+        t = F.unix_micros(F.col("_t").cast("timestamp"))
+        db = t - F.unix_micros(b["_rt"].cast("timestamp"))
+        df_ = F.unix_micros(f["_rt"].cast("timestamp")) - t
+        # Ties (db == df_) go backward, matching pandas merge_asof.
+        match = (F.when(b.isNotNull() & (f.isNull() | (db <= df_)), b)
+                 .otherwise(f))
+
+    carried = carried.withColumn("_m", match)
     m_ts = F.col("_m")["_rt"]
-    in_tol = (m_ts >= F.col("_t") - F.expr(f"interval {tolerance}")
-              if tolerance else F.lit(True))
-    keep = F.col("_m").isNotNull() & in_tol
+    keep = F.col("_m").isNotNull()
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns]
     out_cols.append(F.when(keep, m_ts).alias(f"{prefix}ts"))
     out_cols.extend(F.when(keep, F.col("_m")[c]).alias(f"{prefix}{c}")

@@ -451,3 +451,39 @@ def test_rollup_histogram_cascade_mergeable(spark):
     # Bin counts partition the bucket count.
     for hist, cnt in from_raw.values():
         assert sum(hist) == cnt
+
+
+def test_asof_join_directions(spark):
+    """forward picks the earliest right row at-or-after; nearest picks the
+    closer side with ties going backward; tolerance bounds both sides."""
+    from datetime import datetime
+
+    from json_time_series_extractor_spark.operators.joins import asof_join
+
+    right = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1, 0, 0, 10), 1.0),
+         ("k", datetime(2024, 1, 1, 0, 0, 40), 2.0)],
+        "series_key string, ts timestamp, value_double double")
+    left = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1, 0, 0, 0)),    # before all rights
+         ("k", datetime(2024, 1, 1, 0, 0, 20)),   # 10 after r1, 20 before r2
+         ("k", datetime(2024, 1, 1, 0, 0, 25)),   # equidistant -> backward
+         ("k", datetime(2024, 1, 1, 0, 0, 40)),   # exact tie on r2
+         ("k", datetime(2024, 1, 1, 0, 0, 50))],  # after all rights
+        "series_key string, ts timestamp")
+
+    def vals(direction, tolerance=None):
+        out = asof_join(left, right, direction=direction,
+                        tolerance=tolerance)
+        return [r.asof_value_double
+                for r in out.orderBy("ts").collect()]
+
+    assert vals("backward") == [None, 1.0, 1.0, 2.0, 2.0]
+    assert vals("forward") == [1.0, 2.0, 2.0, 2.0, None]
+    assert vals("nearest") == [1.0, 1.0, 1.0, 2.0, 2.0]
+    # Tolerance 12s (inclusive): the equidistant t=25 row (15s each way)
+    # dies on both sides; t=20's forward match (20s to r2) dies while its
+    # backward match (10s to r1) survives.
+    assert vals("backward", "12 seconds") == [None, 1.0, None, 2.0, 2.0]
+    assert vals("forward", "12 seconds") == [1.0, None, None, 2.0, None]
+    assert vals("nearest", "12 seconds") == [1.0, 1.0, None, 2.0, 2.0]
