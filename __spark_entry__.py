@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-``entry(spark)`` runs the flagship pipeline (synthesized Common-Crawl-style
-pages -> vectorized extraction -> 1m rollup -> 1h cascade). ``queries()``
+``entry(spark)`` runs the flagship pipeline (Common-Crawl-style pages ->
+vectorized recursive extraction -> 1m rollup -> 1h cascade). ``queries()``
 exposes one entry per implemented operator from SURVEY.md §2 /
-§2.3-§2.4; ``oracle_sql()`` gives the DuckDB-equivalent SQL for each
-(rows-only checks where SQL cannot express the operator).
+§2.3-§2.4; ``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY
+query (approximate hash-based paths are run at measured-recall-1.0
+parameters or re-shaped as recall-floor claims the oracle asserts).
 
 Column-name contract: every computed column is aliased identically in the
 Spark plan and the oracle SQL. Float aggregates that accumulate in
@@ -73,7 +74,6 @@ from json_time_series_extractor_spark.operators.textstats import (
 )
 from json_time_series_extractor_spark.sources.pages import (
     PAGES_EXTRACT_OPTIONS,
-    synthesize_pages,
 )
 
 # ---------------------------------------------------------------------------
@@ -354,14 +354,6 @@ def q_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1m = rollup(_event_samples(spark, sf_dir), "1 minute")
     out = gapfill_linear(r1m, "1 minute", value_col="mean")
     return _quant6(out, "value")
-
-
-def _pages_scale(sf_dir: str) -> int:
-    if "0.001" in sf_dir:
-        return 2_000
-    if "0.01" in sf_dir:
-        return 20_000
-    return 200_000
 
 
 def q_gapfill_linear_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:

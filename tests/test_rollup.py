@@ -487,3 +487,53 @@ def test_asof_join_directions(spark):
     assert vals("backward", "12 seconds") == [None, 1.0, None, 2.0, 2.0]
     assert vals("forward", "12 seconds") == [1.0, None, None, 2.0, None]
     assert vals("nearest", "12 seconds") == [1.0, 1.0, None, 2.0, 2.0]
+
+
+def test_rate_and_twa_invariants_on_random_series(spark):
+    """Seeded-random invariants: (1) summed counter increase of a MONOTONE
+    series equals last-first regardless of bucketing or segmentation;
+    (2) TWA of a CONSTANT series is that constant on every bucket and the
+    covered time telescopes to last_ts - first_ts."""
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.rate import (
+        counter_increase)
+    from json_time_series_extractor_spark.operators.twa import (
+        time_weighted_avg)
+    from datetime import datetime, timedelta
+
+    rng = np.random.default_rng(42)
+    base = datetime(2024, 3, 1)
+    rows = []
+    mono_last_first = {}
+    for key in ("s0", "s1", "s2"):
+        n = int(rng.integers(5, 60))
+        offs = np.sort(rng.choice(np.arange(0, 3 * 86400), n, replace=False))
+        vals = np.cumsum(rng.random(n))  # strictly increasing
+        rows += [(key, base + timedelta(seconds=int(o)), float(v))
+                 for o, v in zip(offs, vals)]
+        mono_last_first[key] = float(vals[-1] - vals[0])
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+
+    for tier in ("1 hour", "1 day"):
+        for segment in (None, "1 day"):
+            inc = (counter_increase(df, tier, segment=segment)
+                   .groupBy("series_key")
+                   .agg(F.sum("increase").alias("total")).collect())
+            for r in inc:
+                assert abs(r.total - mono_last_first[r.series_key]) < 1e-9
+
+    const = df.withColumn("value_double", F.lit(7.5))
+    twa = time_weighted_avg(const, "1 hour").collect()
+    assert all(abs(r.twa - 7.5) < 1e-12 for r in twa)
+    spans = {}
+    for key, t, _v in rows:
+        lo, hi = spans.get(key, (t, t))
+        spans[key] = (min(lo, t), max(hi, t))
+    covered = {}
+    for r in twa:
+        covered[r.series_key] = covered.get(r.series_key, 0.0) \
+            + r.covered_seconds
+    for key, (lo, hi) in spans.items():
+        assert abs(covered[key] - (hi - lo).total_seconds()) < 1e-6
