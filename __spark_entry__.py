@@ -789,6 +789,7 @@ SELECT event_type AS series_key,
            AS p99,
        count(value) AS cnt
 FROM events
+WHERE value IS NOT NULL
 GROUP BY 1, 2
 """,
         "rollup_histogram": _histogram_oracle_sql(),
@@ -827,7 +828,7 @@ WITH d AS (
     SELECT event_type AS series_key, ts, value,
            value - lag(value) OVER (PARTITION BY event_type
                                     ORDER BY ts, value) AS delta
-    FROM events),
+    FROM events WHERE value IS NOT NULL),
 g AS (
     SELECT series_key, date_trunc('hour', ts) AS bucket_ts,
            CAST(floor(sum(CASE WHEN delta IS NULL THEN 0

@@ -262,7 +262,9 @@ def embedding_neardup_pairs(embeddings: DataFrame, *,
     dim = _probe_dim(base, "_v")
 
     if use_lsh is None:
-        use_lsh = base.count() > exact_max_rows
+        # limit+count short-circuits after exact_max_rows+1 rows — a full
+        # count() would scan the whole corpus just to compare thresholds.
+        use_lsh = base.limit(exact_max_rows + 1).count() > exact_max_rows
     if not use_lsh:
         return _neardup_pairs_blocked(base, threshold)
 

@@ -53,6 +53,15 @@ def _interval_seconds(spec: str) -> int:
     return int(num) * _INTERVAL_UNIT_SECONDS[unit.lower()]
 
 
+def _epoch_floor(col, seconds: int):
+    """Truncate a timestamp column to the epoch-aligned ``seconds`` grid —
+    identical to ``window(col, interval).start`` for fixed-length
+    intervals, usable multiple times in one expression (window() is not).
+    Shared by gap-fill segmentation, counter-rate carry and TWA buckets."""
+    return F.timestamp_seconds(
+        F.floor(F.unix_timestamp(col) / seconds) * seconds)
+
+
 def _require_divides(interval: str, segment: str) -> None:
     """Partitioned gap-fill builds each segment's bucket grid as
     sequence(seg_start, seg_start + segment - interval, interval): a
@@ -137,11 +146,7 @@ def gapfill_locf_partitioned(rollup_df: DataFrame,
     _require_divides(interval, segment)
 
     def seg_start(col):
-        # Epoch-aligned truncation — identical to window(col, segment).start
-        # for second/minute/hour/day segments, and usable multiple times in
-        # one expression (window() is not).
-        return F.timestamp_seconds(
-            F.floor(F.unix_timestamp(col) / seg_s) * seg_s)
+        return _epoch_floor(col, seg_s)
 
     bounds = _aligned_bounds(r, interval)
     seg_grid = bounds.select(
@@ -207,8 +212,7 @@ def gapfill_linear_partitioned(rollup_df: DataFrame,
     _require_divides(interval, segment)
 
     def seg_start(col):
-        return F.timestamp_seconds(
-            F.floor(F.unix_timestamp(col) / seg_s) * seg_s)
+        return _epoch_floor(col, seg_s)
 
     bounds = _aligned_bounds(r, interval)
     seg_grid = bounds.select(

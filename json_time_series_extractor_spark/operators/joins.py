@@ -115,24 +115,31 @@ def asof_join(
             F.last("_r", ignorenulls=True).over(w_fwd).alias("_mf"))
     carried = unioned.select(*carry_cols)
 
-    def _tol_ok(m):
+    def _tol_ok(m, side: str):
         if not tolerance:
             return m.isNotNull()
-        dist = F.abs(F.unix_micros(m["_rt"].cast("timestamp"))
-                     - F.unix_micros(F.col("_t").cast("timestamp")))
-        bound = F.unix_micros(
-            (F.col("_t") + F.expr(f"interval {tolerance}"))
-            .cast("timestamp")) - F.unix_micros(
-            F.col("_t").cast("timestamp"))
+        t_us = F.unix_micros(F.col("_t").cast("timestamp"))
+        dist = F.abs(F.unix_micros(m["_rt"].cast("timestamp")) - t_us)
+        # Interval arithmetic is calendar-aware, so the bound in micros is
+        # side-specific: backward measures [t - tolerance, t], forward
+        # [t, t + tolerance] — they differ for month-length tolerances.
+        if side == "backward":
+            bound = t_us - F.unix_micros(
+                (F.col("_t") - F.expr(f"interval {tolerance}"))
+                .cast("timestamp"))
+        else:
+            bound = F.unix_micros(
+                (F.col("_t") + F.expr(f"interval {tolerance}"))
+                .cast("timestamp")) - t_us
         return m.isNotNull() & (dist <= bound)
 
     if direction == "backward":
-        match = F.when(_tol_ok(F.col("_mb")), F.col("_mb"))
+        match = F.when(_tol_ok(F.col("_mb"), "backward"), F.col("_mb"))
     elif direction == "forward":
-        match = F.when(_tol_ok(F.col("_mf")), F.col("_mf"))
+        match = F.when(_tol_ok(F.col("_mf"), "forward"), F.col("_mf"))
     else:
-        b = F.when(_tol_ok(F.col("_mb")), F.col("_mb"))
-        f = F.when(_tol_ok(F.col("_mf")), F.col("_mf"))
+        b = F.when(_tol_ok(F.col("_mb"), "backward"), F.col("_mb"))
+        f = F.when(_tol_ok(F.col("_mf"), "forward"), F.col("_mf"))
         t = F.unix_micros(F.col("_t").cast("timestamp"))
         db = t - F.unix_micros(b["_rt"].cast("timestamp"))
         df_ = F.unix_micros(f["_rt"].cast("timestamp")) - t

@@ -42,6 +42,16 @@ FRAME_SAMPLE_SCHEMA = (
 )
 
 
+
+def _check_decode_stub(decode_stub: str) -> None:
+    """Fail fast on typos: an unknown mode would otherwise silently fall
+    through to the fake hash-derived kernel."""
+    if decode_stub not in ("fake", "real", "raise"):
+        raise ValueError(
+            f"decode_stub must be 'fake', 'real' or 'raise', "
+            f"got {decode_stub!r}")
+
+
 def attach_media_metadata(df: DataFrame, blob_col: str = "media",
                           media_type: str = "image",
                           mime: str = "application/octet-stream") -> DataFrame:
@@ -95,6 +105,8 @@ def extract_image_features(df: DataFrame, *, id_col: str = "media_id",
         w, h, c, luma, phash = image_features(pixels)
         return w, h, c, luma, phash
 
+    _check_decode_stub(decode_stub)
+
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode_stub == "raise":
@@ -140,6 +152,8 @@ def resize_images(df: DataFrame, width: int, height: int, *,
         pixels = decode_ppm(blob) if fmt == "ppm" else decode_bmp(blob)
         return encode_ppm(resize_nearest(pixels, width, height))
 
+    _check_decode_stub(decode_stub)
+
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode_stub == "raise":
@@ -177,6 +191,8 @@ def extract_audio_features(df: DataFrame, *, id_col: str = "media_id",
     audio. The Spark-side shape — metadata passthrough, Arrow batching,
     map-only plan — is identical in all modes.
     """
+    _check_decode_stub(decode_stub)
+
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode_stub == "raise":
@@ -218,6 +234,8 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, *,
     The fake decoder emits one deterministic pseudo-frame per sample point;
     a real implementation would seek with ffmpeg at the same points.
     """
+    _check_decode_stub(decode_stub)
+
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode_stub == "raise":

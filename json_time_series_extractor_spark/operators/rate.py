@@ -29,6 +29,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, Window, functions as F
 
 from json_time_series_extractor_spark.operators.gapfill import (
+    _epoch_floor,
     _interval_seconds,
 )
 from json_time_series_extractor_spark.operators.rollup import _bucket
@@ -68,9 +69,8 @@ def counter_increase(
                      F.count(F.lit(1)).alias("n_samples")))
 
     seg_s = _interval_seconds(segment)
-    seg = F.timestamp_seconds(
-        (F.floor(F.unix_timestamp("_ts") / seg_s) * seg_s)).alias("_seg")
-    s = s.select("series_key", "_ts", "_v", seg)
+    s = s.select("series_key", "_ts", "_v",
+                 _epoch_floor(F.col("_ts"), seg_s).alias("_seg"))
 
     # Within-segment lag: bounded (series, day) window partitions.
     in_seg = Window.partitionBy("series_key", "_seg").orderBy("_ts", "_v")

@@ -129,7 +129,15 @@ def rollup_percentiles(
     t-digest/KLL sketch column is the plug point if cascading percentiles
     are ever required)."""
     v = F.col(value_col)
-    aggs = [F.percentile(v, q).alias(f"p{int(q * 100)}") for q in qs]
+
+    def label(q: float) -> str:
+        # p50 / p95 / p99_9 — int truncation would collide 0.99 and 0.999.
+        return "p" + f"{q * 100:g}".replace(".", "_")
+
+    names = [label(q) for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate percentile labels from qs={qs}")
+    aggs = [F.percentile(v, q).alias(n) for q, n in zip(qs, names)]
     return (samples
             .where(v.isNotNull())
             .groupBy(F.col(key_col).alias("series_key"),

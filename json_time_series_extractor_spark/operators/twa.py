@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from json_time_series_extractor_spark.operators.gapfill import (
+    _epoch_floor,
     _interval_seconds,
 )
 
@@ -56,8 +57,7 @@ def time_weighted_avg(
                    & (F.col("_next") > F.col("_ts"))))
 
     def bstart(col):
-        return F.timestamp_seconds(
-            F.floor(F.unix_timestamp(col) / tier_s) * tier_s)
+        return _epoch_floor(col, tier_s)
 
     spans = held.select(
         "series_key", "_ts", "_next", "_v",

@@ -32,31 +32,57 @@ def write_rollup_stream(rollup_stream: DataFrame, output_path: str, *,
     """Start the streaming query writing tier rows to ``output_path``
     partitioned by day, committing lineage per micro-batch."""
 
+    def _fs_and_path(spark, path: str):
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+    def _read_sentinel(spark) -> Optional[str]:
+        fs, p = _fs_and_path(spark, f"{output_path}/_jtse_checkpoint")
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            return bytes(stream.readAllBytes()).decode("utf-8").strip()
+        finally:
+            stream.close()
+
+    def _write_sentinel(spark) -> None:
+        fs, p = _fs_and_path(spark, f"{output_path}/_jtse_checkpoint")
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(checkpoint_dir.encode("utf-8")))
+        finally:
+            out.close()
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_id == 0:
             # Freshness resolution is "greatest p_batch wins", and batch
             # ids restart at 0 with a NEW checkpoint. Pointing a fresh
-            # checkpoint at an output that already has higher batch ids
-            # would make stale rows permanently shadow new ones — fail
-            # loudly instead of silently serving old data.
+            # checkpoint at an output that already has batches would make
+            # stale rows shadow new ones (even a lone replayed p_batch=0
+            # only overwrites ITS batch's day partitions). A crash-replay
+            # of batch 0 from the SAME checkpoint, however, is the normal
+            # exactly-once path and must succeed — the two cases are told
+            # apart by a checkpoint-identity sentinel written alongside
+            # the output on the first commit.
             try:
                 existing = (spark.read.parquet(output_path)
                             .agg(F.max("p_batch")).first()[0])
             except Exception:
                 existing = None
             if existing is not None:
-                # Any prior batch counts — even a lone p_batch=0: replaying
-                # batch 0 from a fresh checkpoint would dynamic-overwrite
-                # only the day partitions present in the NEW batch, leaving
-                # stale p_batch=0 rows for other days indistinguishable
-                # from fresh ones.
-                raise RuntimeError(
-                    f"{output_path} already holds batches up to "
-                    f"p_batch={existing}; resuming with a fresh checkpoint "
-                    "would shadow newer data behind stale batch ids. Reuse "
-                    "the original checkpointLocation or start a new "
-                    "output path.")
+                owner = _read_sentinel(spark)
+                if owner != checkpoint_dir:
+                    raise RuntimeError(
+                        f"{output_path} already holds batches up to "
+                        f"p_batch={existing} written under checkpoint "
+                        f"{owner!r}; resuming with a different/fresh "
+                        "checkpoint would shadow newer data behind stale "
+                        "batch ids. Reuse the original checkpointLocation "
+                        "or start a new output path.")
+            _write_sentinel(spark)
         out = (batch_df
                .withColumn("dt", F.to_date("bucket_ts"))
                .withColumn("p_batch", F.lit(int(batch_id))))

@@ -346,3 +346,51 @@ def test_stage_with_metadata_partitions_equals_scan_discovery(
         transform=_transform, output_path=out_path,
         lineage_path=lineage_path, input_partitions=parts)
     assert not r2.processed and sorted(r2.skipped) == parts
+
+
+def test_streaming_sink_batch0_replay_and_fresh_checkpoint_guard(
+        spark, tmp_path):
+    """Crash-replay of batch 0 from the SAME checkpoint must succeed
+    (exactly-once path); pointing a FRESH checkpoint at the same output
+    must fail loudly (stale-batch shadowing)."""
+    import shutil
+
+    from json_time_series_extractor_spark.streaming.sink import (
+        write_rollup_stream)
+    from json_time_series_extractor_spark.streaming.stream import (
+        streaming_rollup)
+
+    pages_dir = str(tmp_path / "pages")
+    synthesize_pages(spark, 50).coalesce(1).write.parquet(pages_dir)
+    out_dir = str(tmp_path / "tier")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(checkpoint):
+        stream = (spark.readStream
+                  .schema("url string, warc_ts timestamp, html binary, "
+                          "text string, lang string")
+                  .parquet(pages_dir))
+        agg = streaming_rollup(stream, PAGES_EXTRACT_OPTIONS, "1 hour",
+                               watermark="1 minute")
+        q = write_rollup_stream(agg, out_dir, checkpoint_dir=checkpoint,
+                                trigger_once=True)
+        q.awaitTermination(180)
+        return q
+
+    assert run(ckpt).exception() is None
+    first = sorted(spark.read.parquet(out_dir).collect())
+
+    # Simulate a crash between output write and checkpoint commit: drop
+    # batch 0's commit marker, restart with the SAME checkpoint -> the
+    # engine replays batch 0 and the sink must accept it idempotently.
+    shutil.rmtree(f"{ckpt}/commits", ignore_errors=True)
+    assert run(ckpt).exception() is None
+    assert sorted(spark.read.parquet(out_dir).collect()) == first
+
+    # A DIFFERENT (fresh) checkpoint on the same output must be refused.
+    import pytest as _pytest
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="checkpoint"):
+        run(str(tmp_path / "ckpt2"))

@@ -537,3 +537,49 @@ def test_rate_and_twa_invariants_on_random_series(spark):
             + r.covered_seconds
     for key, (lo, hi) in spans.items():
         assert abs(covered[key] - (hi - lo).total_seconds()) < 1e-6
+
+
+def test_percentile_labels_and_calendar_tolerance(spark):
+    """Sub-percent quantiles get distinct labels (0.99 vs 0.999); the
+    as-of backward tolerance uses the backward calendar bound (a Feb-29
+    match one calendar month before Mar-31 survives tolerance='1 month')."""
+    from datetime import datetime
+
+    from json_time_series_extractor_spark.operators.joins import asof_join
+    from json_time_series_extractor_spark.operators.rollup import (
+        rollup_percentiles)
+
+    df = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1), float(v)) for v in range(1, 101)],
+        "series_key string, ts timestamp, value_double double")
+    out = rollup_percentiles(df, "1 hour", qs=(0.99, 0.999))
+    assert {"p99", "p99_9"} <= set(out.columns)
+    row = out.collect()[0]
+    assert row.p99 < row.p99_9 <= 100.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="duplicate percentile"):
+        rollup_percentiles(df, "1 hour", qs=(0.5, 0.5))
+
+    left = spark.createDataFrame(
+        [("k", datetime(2024, 3, 31))], "series_key string, ts timestamp")
+    right = spark.createDataFrame(
+        [("k", datetime(2024, 2, 29), 1.0)],
+        "series_key string, ts timestamp, value_double double")
+    got = asof_join(left, right, tolerance="1 month").collect()[0]
+    assert got.asof_value_double == 1.0  # 2024-03-31 - 1 month = 2024-02-29
+
+
+def test_media_decode_stub_validated(spark):
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.multimodal import (
+        extract_audio_features, extract_image_features, resize_images,
+        sample_video_frames, synthesize_media)
+
+    media = synthesize_media(spark, 3)
+    for op in (lambda: extract_image_features(media, decode_stub="Real"),
+               lambda: resize_images(media, 8, 8, decode_stub="none"),
+               lambda: extract_audio_features(media, decode_stub="tru"),
+               lambda: sample_video_frames(media, decode_stub="")):
+        with _pytest.raises(ValueError, match="decode_stub"):
+            op()
