@@ -98,6 +98,106 @@ def _locf_update(key: Tuple[str],
     })
 
 
+#: Output schema of the stateful counter-increase operator.
+RATE_STATE_OUT_SCHEMA = ("series_key string, bucket_ts timestamp, "
+                         "increase double, n_samples long")
+#: State: last sample (ts micros, value) + the still-open bucket's partial.
+RATE_STATE_SCHEMA = ("last_ts_us long, last_value double, "
+                     "open_bucket long, open_inc double, open_n long")
+
+
+def _rate_update(key: Tuple[str],
+                 pdfs: Iterable[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    tier = int(rows["tier_s"].iloc[0])
+    incoming = (rows[["ts_us", "value"]]
+                .dropna()
+                .sort_values(["ts_us", "value"]))
+
+    if state.exists:
+        last_ts_us, last_value, open_bucket, open_inc, open_n = state.get
+    else:
+        last_ts_us = last_value = open_bucket = None
+        open_inc, open_n = 0.0, 0
+
+    out_bucket: list = []
+    out_inc: list = []
+    out_n: list = []
+    for ts_us, value in incoming.itertuples(index=False, name=None):
+        ts_us, value = int(ts_us), float(value)
+        if last_ts_us is not None and ts_us <= last_ts_us:
+            # Late/replayed sample: append-mode output cannot retract a
+            # closed bucket, and regressing the baseline would corrupt
+            # later deltas — dead-letter by design (watermark upstream).
+            continue
+        bucket = (ts_us // 1_000_000) // tier * tier
+        if open_bucket is not None and bucket > open_bucket:
+            out_bucket.append(open_bucket)
+            out_inc.append(open_inc)
+            out_n.append(open_n)
+            open_inc, open_n = 0.0, 0
+        open_bucket = bucket if open_bucket is None else max(open_bucket,
+                                                             bucket)
+        if last_value is None:
+            contrib = 0.0          # first sample of the series: no baseline
+        else:
+            delta = value - last_value
+            contrib = delta if delta >= 0 else value  # reset -> restart
+        open_inc += contrib
+        open_n += 1
+        last_ts_us, last_value = ts_us, value
+
+    if open_bucket is not None:
+        state.update((last_ts_us, last_value, int(open_bucket),
+                      float(open_inc), int(open_n)))
+    yield pd.DataFrame({
+        "series_key": pd.Series([key[0]] * len(out_bucket), dtype="object"),
+        "bucket_ts": pd.Series(
+            pd.to_datetime(pd.Series(out_bucket, dtype="int64"), unit="s")),
+        "increase": pd.Series(out_inc, dtype="float64"),
+        "n_samples": pd.Series(out_n, dtype="int64"),
+    })
+
+
+def stateful_counter_increase(sample_stream: DataFrame,
+                              tier_seconds: int = 3600,
+                              value_col: str = "value_double") -> DataFrame:
+    """Streaming reset-aware counter increase (see ``operators.rate`` for
+    the batch semantics): per series, per tier bucket, the sum of
+    non-negative deltas with resets contributing the post-reset value.
+
+    The cross-batch lag (each batch's first delta needs the previous
+    batch's last value) and the open bucket's partial sum are the state;
+    a bucket's row is emitted exactly once, when a later sample closes it
+    (append mode — late samples are dead-lettered like
+    :func:`stateful_locf`). The groupBy key is ``series_key``, so state
+    partitions like every other per-series operator here.
+    """
+    from pyspark.sql import functions as F
+
+    tz = sample_stream.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            f"stateful_counter_increase requires "
+            f"spark.sql.session.timeZone=UTC (got {tz!r})")
+
+    prepared = sample_stream.select(
+        "series_key",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col(value_col).cast("double").alias("value"),
+        F.lit(int(tier_seconds)).alias("tier_s"))
+    return (prepared
+            .groupBy("series_key")
+            .applyInPandasWithState(
+                _rate_update,
+                outputStructType=RATE_STATE_OUT_SCHEMA,
+                stateStructType=RATE_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def stateful_locf(rollup_stream: DataFrame, interval_seconds: int = 60,
                   value_col: str = "mean") -> DataFrame:
     """Streaming LOCF over a (possibly sparse) streaming rollup.

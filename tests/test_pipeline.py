@@ -394,3 +394,61 @@ def test_streaming_sink_batch0_replay_and_fresh_checkpoint_guard(
 
     with _pytest.raises(StreamingQueryException, match="checkpoint"):
         run(str(tmp_path / "ckpt2"))
+
+
+def test_stateful_counter_increase_across_microbatches(spark, tmp_path):
+    """Streaming counter increase: the cross-batch baseline (previous
+    batch's last value) and open-bucket partials live in state; a bucket
+    emits exactly once, when a later sample closes it."""
+    import os
+    import time as _time
+
+    from json_time_series_extractor_spark.streaming.stateful import (
+        stateful_counter_increase,
+    )
+
+    src = str(tmp_path / "samples_stream")
+    os.makedirs(src)
+    # Batch 1: hour 00 gets +10 +20 (first sample contributes 0);
+    # batch 2 opens hour 01 with a cross-batch delta (+5 from 130 -> 135),
+    # closing hour 00, then a reset (135 -> 2 contributes 2) and +8.
+    b1 = spark.createDataFrame(
+        [("c", "2024-01-01 00:10:00", 100.0),
+         ("c", "2024-01-01 00:20:00", 110.0),
+         ("c", "2024-01-01 00:40:00", 130.0)],
+        "series_key string, ts string, value_double double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b2 = spark.createDataFrame(
+        [("c", "2024-01-01 01:05:00", 135.0),
+         ("c", "2024-01-01 01:10:00", 2.0),
+         ("c", "2024-01-01 02:00:00", 10.0)],
+        "series_key string, ts string, value_double double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b1.coalesce(1).write.parquet(src + "/f1")
+    _time.sleep(0.2)
+    b2.coalesce(1).write.parquet(src + "/f2")
+
+    stream = (spark.readStream
+              .schema("series_key string, ts timestamp, value_double double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src + "/*"))
+    inc = stateful_counter_increase(stream, tier_seconds=3600)
+    q = (inc.writeStream.outputMode("append").format("memory")
+         .queryName("rate_state_test")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.processAllAvailable()
+    try:
+        rows = {(r.series_key, r.bucket_ts.strftime("%H:%M")):
+                (r.increase, r.n_samples)
+                for r in spark.sql(
+                    "SELECT * FROM rate_state_test").collect()}
+    finally:
+        q.stop()
+
+    # Hour 00 closed by batch 2's first sample: 0 + 10 + 20.
+    assert rows[("c", "00:00")] == (30.0, 3)
+    # Hour 01 closed by the 02:00 sample: +5 (cross-batch baseline
+    # 130 -> 135) + 2 (reset 135 -> 2). The 02:00 sample's own +8 accrues
+    # to hour 02, which is still open -> not emitted yet.
+    assert rows[("c", "01:00")] == (7.0, 2)
+    assert ("c", "02:00") not in rows
