@@ -50,7 +50,7 @@ from json_time_series_extractor_spark.operators.gapfill import (
     gapfill_locf,
     gapfill_locf_partitioned,
 )
-from json_time_series_extractor_spark.operators.rate import counter_rate
+from json_time_series_extractor_spark.operators.rate import counter_increase
 from json_time_series_extractor_spark.operators.rollup import (
     histogram_cascade,
     rollup,
@@ -82,13 +82,13 @@ from json_time_series_extractor_spark.sources.pages import (
 
 def _histogram_oracle_sql() -> str:
     """Day-level histogram recomputed from raw events (the Spark side
-    cascades 1h state -> 1d, so equality proves mergeability)."""
-    bounds = ", ".join(str(b) for b in
-                       (1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0, 200.0,
-                        500.0))
+    cascades 1h state -> 1d, so equality proves mergeability). Derived
+    from the same _HIST_BOUNDS the Spark query uses — a retuned bound
+    changes both sides together."""
+    bounds = ", ".join(str(b) for b in _HIST_BOUNDS)
     hs = ",\n       ".join(
         f"sum(CASE WHEN idx = {i} THEN 1 ELSE 0 END) AS h{i}"
-        for i in range(10))
+        for i in range(len(_HIST_BOUNDS) + 1))
     return f"""
 WITH b AS (
     SELECT event_type AS series_key, date_trunc('day', ts) AS bucket_ts,
@@ -299,11 +299,12 @@ def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the segment-partitioned plan (bounded (series, day) lag windows +
     per-day carry) — oracle recomputes with a whole-series lag window,
     proving the two plans identical."""
-    out = counter_rate(_event_samples(spark, sf_dir), "1 hour",
-                       segment="1 day")
+    out = counter_increase(_event_samples(spark, sf_dir), "1 hour",
+                           segment="1 day")
     out = _quant6(out, "increase")
     # rate derived from the already-quantized increase: identical BIGINT
-    # in, identical IEEE division out on both engines.
+    # in, identical IEEE division out on both engines (counter_rate's own
+    # raw-double rate would hit quantization boundaries instead).
     return out.withColumn("rate", F.col("increase") / F.lit(3600.0))
 
 
@@ -392,9 +393,13 @@ def _events_as_f6_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesized pages (sources/pages.py) keep covering the zipf-skew /
     throughput axis in bench.py; they are not oracle-expressible because
     DuckDB has no xxhash64."""
-    # The ISO render and the rollup windows are wall-clock operations in
-    # the session timezone; pin UTC so the literal 'Z' suffix is truthful
-    # and bucket starts match the oracle's naive date_trunc.
+    # DELIBERATE session-level side effect: the ISO render and the rollup
+    # windows are wall-clock operations in the session timezone, and the
+    # tz matters at EXECUTION time (restoring it after plan construction
+    # would corrupt the later run), so the driver harness pins UTC for
+    # the session. Library operators never do this — the one library
+    # op with the same sensitivity (streaming.stateful) validates and
+    # raises instead.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
     v = F.col("value")

@@ -86,7 +86,10 @@ def _aligned_bounds(r: DataFrame, interval: str) -> DataFrame:
     bounds = (r.groupBy("series_key")
               .agg(F.min("bucket_ts").alias("_lo"),
                    F.max("bucket_ts").alias("_hi")))
-    aligned = F.unix_timestamp("_lo") % F.lit(i_s) == 0
+    # Microsecond precision: unix_timestamp truncates to seconds, which
+    # would wave sub-second-offset bucket grids through the check.
+    aligned = (F.unix_micros(F.col("_lo").cast("timestamp"))
+               % F.lit(i_s * 1_000_000) == 0)
     # One row per series — the check is free relative to the grid explode.
     return bounds.select(
         "series_key",

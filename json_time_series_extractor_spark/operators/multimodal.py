@@ -43,13 +43,13 @@ FRAME_SAMPLE_SCHEMA = (
 
 
 
-def _check_decode_stub(decode_stub: str) -> None:
-    """Fail fast on typos: an unknown mode would otherwise silently fall
-    through to the fake hash-derived kernel."""
-    if decode_stub not in ("fake", "real", "raise"):
+def _check_decode_stub(decode_stub: str,
+                       allowed: tuple = ("fake", "real", "raise")) -> None:
+    """Fail fast on typos or unsupported modes: an unknown mode would
+    otherwise silently fall through to the fake hash-derived kernel."""
+    if decode_stub not in allowed:
         raise ValueError(
-            f"decode_stub must be 'fake', 'real' or 'raise', "
-            f"got {decode_stub!r}")
+            f"decode_stub must be one of {allowed}, got {decode_stub!r}")
 
 
 def attach_media_metadata(df: DataFrame, blob_col: str = "media",
@@ -149,7 +149,14 @@ def resize_images(df: DataFrame, width: int, height: int, *,
             sniff_media_format)
 
         fmt = sniff_media_format(blob)
-        pixels = decode_ppm(blob) if fmt == "ppm" else decode_bmp(blob)
+        if fmt == "ppm":
+            pixels = decode_ppm(blob)
+        elif fmt == "bmp":
+            pixels = decode_bmp(blob)
+        else:
+            raise NotImplementedError(
+                f"no dependency-free decoder for format {fmt!r}; PIL/"
+                "opencv plug in here for compressed formats")
         return encode_ppm(resize_nearest(pixels, width, height))
 
     _check_decode_stub(decode_stub)
@@ -233,8 +240,11 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, *,
 
     The fake decoder emits one deterministic pseudo-frame per sample point;
     a real implementation would seek with ffmpeg at the same points.
+    'real' is NOT accepted here: no dependency-free video codec exists
+    (unlike PPM/BMP/WAV), so offering it would silently produce fake
+    frames — ffmpeg plugs in at the 'raise' call site.
     """
-    _check_decode_stub(decode_stub)
+    _check_decode_stub(decode_stub, allowed=("fake", "raise"))
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -165,6 +165,10 @@ def ivf_centroids(corpus: DataFrame, *, n_centroids: int,
                                   F.lit(seed)).alias("_h"))
                .orderBy("_h").limit(sample_cap)
                .select("_v").collect())
+    if not sampled:
+        # Empty corpus: zero centroids -> ivf_topk degrades to an empty
+        # result instead of a numpy axis error mid-k-means.
+        return np.zeros((0, 0), dtype=np.float64)
     m = np.array([r["_v"] for r in sampled], dtype=np.float64)
     norms = np.sqrt((m * m).sum(axis=1))
     norms[norms == 0.0] = 1.0
@@ -238,6 +242,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
             cu = b_cunit.value
             # A tiny corpus can yield fewer centroids than n_probe.
             eff_top = min(top, len(cu))
+            if eff_top == 0:
+                return  # empty corpus: no cells -> empty result
             for pdf in batches:
                 if not len(pdf):
                     continue

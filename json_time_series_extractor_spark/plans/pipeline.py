@@ -94,6 +94,22 @@ def _content_checksum(df: DataFrame, partition_col: str) -> DataFrame:
                  F.pmod(total, modulus).cast("long").alias("_sum")))
 
 
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` under the session's Hadoop conf —
+    the one place the JVM filesystem boilerplate lives (used by partition
+    discovery here and the streaming sink's sentinel)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def qualified_path(spark: SparkSession, path: str) -> str:
+    """Scheme-qualified absolute form of ``path`` (e.g. ``file:/x`` for
+    ``/x/``), so equivalent spellings compare equal."""
+    fs, p = hadoop_fs(spark, path)
+    return str(fs.makeQualified(p))
+
+
 def list_partition_values(spark: SparkSession, path: str,
                           partition_col: str) -> Optional[List[str]]:
     """Partition values of a directory-partitioned parquet table from
@@ -108,9 +124,7 @@ def list_partition_values(spark: SparkSession, path: str,
     callers can fall back explicitly."""
     from urllib.parse import unquote
 
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, hpath = hadoop_fs(spark, path)
     if not fs.exists(hpath):
         return None
     prefix = partition_col + "="

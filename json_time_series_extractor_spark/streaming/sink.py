@@ -32,13 +32,11 @@ def write_rollup_stream(rollup_stream: DataFrame, output_path: str, *,
     """Start the streaming query writing tier rows to ``output_path``
     partitioned by day, committing lineage per micro-batch."""
 
-    def _fs_and_path(spark, path: str):
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+    from json_time_series_extractor_spark.plans.pipeline import (
+        hadoop_fs, qualified_path)
 
     def _read_sentinel(spark) -> Optional[str]:
-        fs, p = _fs_and_path(spark, f"{output_path}/_jtse_checkpoint")
+        fs, p = hadoop_fs(spark, f"{output_path}/_jtse_checkpoint")
         if not fs.exists(p):
             return None
         stream = fs.open(p)
@@ -47,11 +45,11 @@ def write_rollup_stream(rollup_stream: DataFrame, output_path: str, *,
         finally:
             stream.close()
 
-    def _write_sentinel(spark) -> None:
-        fs, p = _fs_and_path(spark, f"{output_path}/_jtse_checkpoint")
+    def _write_sentinel(spark, value: str) -> None:
+        fs, p = hadoop_fs(spark, f"{output_path}/_jtse_checkpoint")
         out = fs.create(p, True)
         try:
-            out.write(bytearray(checkpoint_dir.encode("utf-8")))
+            out.write(bytearray(value.encode("utf-8")))
         finally:
             out.close()
 
@@ -72,9 +70,17 @@ def write_rollup_stream(rollup_stream: DataFrame, output_path: str, *,
                             .agg(F.max("p_batch")).first()[0])
             except Exception:
                 existing = None
+            # Ownership compares scheme-qualified paths so equivalent
+            # spellings (trailing slash, file:// scheme, relative) of the
+            # same checkpoint still count as a replay, not a takeover.
+            me = qualified_path(spark, checkpoint_dir)
             if existing is not None:
                 owner = _read_sentinel(spark)
-                if owner != checkpoint_dir:
+                # owner is None on pre-sentinel outputs: fall back to the
+                # legacy rule (a lone replayed p_batch=0 was always
+                # allowed; anything newer is refused).
+                legacy_ok = owner is None and existing == 0
+                if not legacy_ok and owner != me:
                     raise RuntimeError(
                         f"{output_path} already holds batches up to "
                         f"p_batch={existing} written under checkpoint "
@@ -82,7 +88,7 @@ def write_rollup_stream(rollup_stream: DataFrame, output_path: str, *,
                         "checkpoint would shadow newer data behind stale "
                         "batch ids. Reuse the original checkpointLocation "
                         "or start a new output path.")
-            _write_sentinel(spark)
+            _write_sentinel(spark, me)
         out = (batch_df
                .withColumn("dt", F.to_date("bucket_ts"))
                .withColumn("p_batch", F.lit(int(batch_id))))

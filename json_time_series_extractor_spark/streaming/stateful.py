@@ -126,10 +126,15 @@ def _rate_update(key: Tuple[str],
     out_n: list = []
     for ts_us, value in incoming.itertuples(index=False, name=None):
         ts_us, value = int(ts_us), float(value)
-        if last_ts_us is not None and ts_us <= last_ts_us:
-            # Late/replayed sample: append-mode output cannot retract a
-            # closed bucket, and regressing the baseline would corrupt
-            # later deltas — dead-letter by design (watermark upstream).
+        # Late/replayed samples are dead-lettered (append-mode output
+        # cannot retract a closed bucket, and regressing the baseline
+        # would corrupt later deltas; watermark upstream). "Late" follows
+        # the batch operator's (ts, value) total order, so an equal-ts
+        # sample with a GREATER value is still processed — batch and
+        # streaming rollups agree on duplicate scrape timestamps.
+        if last_ts_us is not None and (
+                ts_us < last_ts_us
+                or (ts_us == last_ts_us and value <= last_value)):
             continue
         bucket = (ts_us // 1_000_000) // tier * tier
         if open_bucket is not None and bucket > open_bucket:
