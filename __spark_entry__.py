@@ -189,8 +189,14 @@ def _quant6(df: DataFrame, *cols: str) -> DataFrame:
 
 def _rollup_select(df: DataFrame) -> DataFrame:
     cols = ["series_key", "bucket_ts", "min", "max", "sum",
-            F.col("count").alias("cnt"), "mean", "last", "last_ts"]
-    return _quant6(df.select(*cols), "sum", "mean")
+            F.col("count").alias("cnt"), "last", "last_ts"]
+    out = _quant6(df.select(*cols), "sum")
+    # mean via integer division of the QUANTIZED sum: raw sum/count lands
+    # exactly on 0.5e-6 quantization boundaries for decimal-valued data
+    # (2-decimal values with power-of-two counts), where engine
+    # accumulation-order ulps flip floor(x*1e6+0.5) — observed at sf0.1.
+    # Integer-dividing the already-agreed sum is boundary-free.
+    return out.withColumn("mean", F.expr("sum DIV cnt"))
 
 
 _ORACLE_ROLLUP_TIER = """
@@ -200,18 +206,24 @@ SELECT event_type AS series_key,
        max(value) AS max,
        CAST(floor(sum(value) * 1000000 + 0.5) AS BIGINT) AS sum,
        count(value) AS cnt,
-       CAST(floor(sum(value) / count(value) * 1000000 + 0.5) AS BIGINT) AS mean,
+       CAST(floor(sum(value) * 1000000 + 0.5) AS BIGINT) // count(value)
+           AS mean,
        first(value ORDER BY ts DESC, value DESC) AS last,
        max(ts) AS last_ts
 FROM events
 GROUP BY 1, 2
 """
 
+# Gap-fill oracles interpolate/carry the deterministic per-bucket LAST
+# value: it is bit-identical between engines (means are accumulation-order
+# ulp-divergent, which flips the 1e-6 quantization floor on exact-half
+# rationals — observed at sf0.1), so the whole downstream window algebra
+# compares exactly.
 _ORACLE_ROLLUP_CTE = """
 WITH r AS (
     SELECT event_type AS series_key,
            date_trunc('minute', ts) AS bucket_ts,
-           sum(value) / count(value) AS mean
+           first(value ORDER BY ts DESC, value DESC) AS val
     FROM events GROUP BY 1, 2),
 grid AS (
     SELECT series_key,
@@ -219,7 +231,7 @@ grid AS (
                                   INTERVAL 1 minute)) AS bucket_ts
     FROM r GROUP BY series_key),
 j AS (
-    SELECT g.series_key, g.bucket_ts, r.mean
+    SELECT g.series_key, g.bucket_ts, r.val
     FROM grid g LEFT JOIN r ON g.series_key = r.series_key
                             AND g.bucket_ts = r.bucket_ts)
 """
@@ -334,9 +346,13 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense 1-minute grid per series with last-observation-carried-forward."""
-    r1m = rollup(_event_samples(spark, sf_dir), "1 minute")
-    out = gapfill_locf(r1m, "1 minute", value_col="mean")
+    """Dense 1-minute grid per series with last-observation-carried-forward.
+    Fills the deterministic per-bucket LAST value — bit-identical across
+    engines, so the carry algebra compares exactly (means are
+    accumulation-order ulp-divergent; see _rollup_select)."""
+    r1m = rollup(_event_samples(spark, sf_dir), "1 minute",
+                 deterministic_last=True)
+    out = gapfill_locf(r1m, "1 minute", value_col="last")
     return _quant6(out, "value")
 
 
@@ -344,24 +360,27 @@ def q_gapfill_locf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-partitioned LOCF: bounded (series, day) window partitions,
     two-pass carry — result-identical to the whole-series window (same
     oracle), but survives multi-year series at warehouse scale."""
-    r1m = rollup(_event_samples(spark, sf_dir), "1 minute")
-    out = gapfill_locf_partitioned(r1m, "1 minute", value_col="mean",
+    r1m = rollup(_event_samples(spark, sf_dir), "1 minute",
+                 deterministic_last=True)
+    out = gapfill_locf_partitioned(r1m, "1 minute", value_col="last",
                                    segment="1 day")
     return _quant6(out, "value")
 
 
 def q_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense 1-minute grid with linear interpolation between neighbours."""
-    r1m = rollup(_event_samples(spark, sf_dir), "1 minute")
-    out = gapfill_linear(r1m, "1 minute", value_col="mean")
+    r1m = rollup(_event_samples(spark, sf_dir), "1 minute",
+                 deterministic_last=True)
+    out = gapfill_linear(r1m, "1 minute", value_col="last")
     return _quant6(out, "value")
 
 
 def q_gapfill_linear_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-partitioned linear interpolation (bidirectional carry over
     per-segment summaries); result-identical to the whole-series window."""
-    r1m = rollup(_event_samples(spark, sf_dir), "1 minute")
-    out = gapfill_linear_partitioned(r1m, "1 minute", value_col="mean",
+    r1m = rollup(_event_samples(spark, sf_dir), "1 minute",
+                 deterministic_last=True)
+    out = gapfill_linear_partitioned(r1m, "1 minute", value_col="last",
                                      segment="1 day")
     return _quant6(out, "value")
 
@@ -848,30 +867,30 @@ FROM g
 """,
         "gapfill_locf": _ORACLE_ROLLUP_CTE + """
 SELECT series_key, bucket_ts,
-       CAST(floor(last_value(mean IGNORE NULLS) OVER (
+       CAST(floor(last_value(val IGNORE NULLS) OVER (
            PARTITION BY series_key ORDER BY bucket_ts
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
            + 0.5) AS BIGINT) AS value,
-       mean IS NULL AS filled
+       val IS NULL AS filled
 FROM j
 """,
         "gapfill_locf_partitioned": _ORACLE_ROLLUP_CTE + """
 SELECT series_key, bucket_ts,
-       CAST(floor(last_value(mean IGNORE NULLS) OVER (
+       CAST(floor(last_value(val IGNORE NULLS) OVER (
            PARTITION BY series_key ORDER BY bucket_ts
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
            + 0.5) AS BIGINT) AS value,
-       mean IS NULL AS filled
+       val IS NULL AS filled
 FROM j
 """,
         "gapfill_linear": _ORACLE_ROLLUP_CTE + """,
 w AS (
-    SELECT series_key, bucket_ts, mean,
-           last_value(mean IGNORE NULLS) OVER past AS prev_v,
-           last_value(CASE WHEN mean IS NOT NULL THEN bucket_ts END
+    SELECT series_key, bucket_ts, val,
+           last_value(val IGNORE NULLS) OVER past AS prev_v,
+           last_value(CASE WHEN val IS NOT NULL THEN bucket_ts END
                       IGNORE NULLS) OVER past AS prev_t,
-           first_value(mean IGNORE NULLS) OVER fut AS next_v,
-           first_value(CASE WHEN mean IS NOT NULL THEN bucket_ts END
+           first_value(val IGNORE NULLS) OVER fut AS next_v,
+           first_value(CASE WHEN val IS NOT NULL THEN bucket_ts END
                        IGNORE NULLS) OVER fut AS next_t
     FROM j
     WINDOW past AS (PARTITION BY series_key ORDER BY bucket_ts
@@ -881,23 +900,23 @@ w AS (
 )
 SELECT series_key, bucket_ts,
        CAST(floor(CASE
-           WHEN mean IS NOT NULL THEN mean
+           WHEN val IS NOT NULL THEN val
            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
                prev_v + (next_v - prev_v)
                    * (epoch(bucket_ts) - epoch(prev_t))
                    / (epoch(next_t) - epoch(prev_t))
        END * 1000000 + 0.5) AS BIGINT) AS value,
-       mean IS NULL AS filled
+       val IS NULL AS filled
 FROM w
 """,
         "gapfill_linear_partitioned": _ORACLE_ROLLUP_CTE + """,
 w AS (
-    SELECT series_key, bucket_ts, mean,
-           last_value(mean IGNORE NULLS) OVER past AS prev_v,
-           last_value(CASE WHEN mean IS NOT NULL THEN bucket_ts END
+    SELECT series_key, bucket_ts, val,
+           last_value(val IGNORE NULLS) OVER past AS prev_v,
+           last_value(CASE WHEN val IS NOT NULL THEN bucket_ts END
                       IGNORE NULLS) OVER past AS prev_t,
-           first_value(mean IGNORE NULLS) OVER fut AS next_v,
-           first_value(CASE WHEN mean IS NOT NULL THEN bucket_ts END
+           first_value(val IGNORE NULLS) OVER fut AS next_v,
+           first_value(CASE WHEN val IS NOT NULL THEN bucket_ts END
                        IGNORE NULLS) OVER fut AS next_t
     FROM j
     WINDOW past AS (PARTITION BY series_key ORDER BY bucket_ts
@@ -907,13 +926,13 @@ w AS (
 )
 SELECT series_key, bucket_ts,
        CAST(floor(CASE
-           WHEN mean IS NOT NULL THEN mean
+           WHEN val IS NOT NULL THEN val
            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
                prev_v + (next_v - prev_v)
                    * (epoch(bucket_ts) - epoch(prev_t))
                    / (epoch(next_t) - epoch(prev_t))
        END * 1000000 + 0.5) AS BIGINT) AS value,
-       mean IS NULL AS filled
+       val IS NULL AS filled
 FROM w
 """,
         # pages_extract_rollup: pages carry the F6 payload rendered from

@@ -24,6 +24,70 @@ from pyspark.sql import DataFrame, functions as F
 from json_time_series_extractor_spark.plans.pipeline import LineageStore
 
 
+def _read_sentinel(spark, output_path: str) -> Optional[str]:
+    from json_time_series_extractor_spark.plans.pipeline import hadoop_fs
+
+    fs, p = hadoop_fs(spark, f"{output_path}/_jtse_checkpoint")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return bytes(stream.readAllBytes()).decode("utf-8").strip()
+    finally:
+        stream.close()
+
+
+def _write_sentinel(spark, output_path: str, value: str) -> None:
+    from json_time_series_extractor_spark.plans.pipeline import hadoop_fs
+
+    fs, p = hadoop_fs(spark, f"{output_path}/_jtse_checkpoint")
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(value.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def check_batch0_ownership(spark, output_path: str,
+                           checkpoint_dir: str) -> None:
+    """Guard run at batch 0. Freshness resolution is "greatest p_batch
+    wins", and batch ids restart at 0 with a NEW checkpoint. Pointing a
+    fresh checkpoint at an output that already has batches would make
+    stale rows shadow new ones (even a lone replayed p_batch=0 only
+    overwrites ITS batch's day partitions). A crash-replay of batch 0
+    from the SAME checkpoint, however, is the normal exactly-once path
+    and must succeed — the two cases are told apart by a
+    checkpoint-identity sentinel written alongside the output on the
+    first commit. Ownership compares scheme-qualified paths so
+    equivalent spellings (trailing slash, file:// scheme, relative) of
+    the same checkpoint count as a replay, not a takeover."""
+    from json_time_series_extractor_spark.plans.pipeline import (
+        qualified_path)
+    from pyspark.sql import functions as F
+
+    try:
+        existing = (spark.read.parquet(output_path)
+                    .agg(F.max("p_batch")).first()[0])
+    except Exception:
+        existing = None
+    me = qualified_path(spark, checkpoint_dir)
+    if existing is not None:
+        owner = _read_sentinel(spark, output_path)
+        # owner is None on pre-sentinel outputs: fall back to the legacy
+        # rule (a lone replayed p_batch=0 was always allowed; anything
+        # newer is refused).
+        legacy_ok = owner is None and existing == 0
+        if not legacy_ok and owner != me:
+            raise RuntimeError(
+                f"{output_path} already holds batches up to "
+                f"p_batch={existing} written under checkpoint "
+                f"{owner!r}; resuming with a different/fresh "
+                "checkpoint would shadow newer data behind stale "
+                "batch ids. Reuse the original checkpointLocation "
+                "or start a new output path.")
+    _write_sentinel(spark, output_path, me)
+
+
 def write_rollup_stream(rollup_stream: DataFrame, output_path: str, *,
                         lineage_path: Optional[str] = None,
                         checkpoint_dir: str,
@@ -32,63 +96,10 @@ def write_rollup_stream(rollup_stream: DataFrame, output_path: str, *,
     """Start the streaming query writing tier rows to ``output_path``
     partitioned by day, committing lineage per micro-batch."""
 
-    from json_time_series_extractor_spark.plans.pipeline import (
-        hadoop_fs, qualified_path)
-
-    def _read_sentinel(spark) -> Optional[str]:
-        fs, p = hadoop_fs(spark, f"{output_path}/_jtse_checkpoint")
-        if not fs.exists(p):
-            return None
-        stream = fs.open(p)
-        try:
-            return bytes(stream.readAllBytes()).decode("utf-8").strip()
-        finally:
-            stream.close()
-
-    def _write_sentinel(spark, value: str) -> None:
-        fs, p = hadoop_fs(spark, f"{output_path}/_jtse_checkpoint")
-        out = fs.create(p, True)
-        try:
-            out.write(bytearray(value.encode("utf-8")))
-        finally:
-            out.close()
-
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_id == 0:
-            # Freshness resolution is "greatest p_batch wins", and batch
-            # ids restart at 0 with a NEW checkpoint. Pointing a fresh
-            # checkpoint at an output that already has batches would make
-            # stale rows shadow new ones (even a lone replayed p_batch=0
-            # only overwrites ITS batch's day partitions). A crash-replay
-            # of batch 0 from the SAME checkpoint, however, is the normal
-            # exactly-once path and must succeed — the two cases are told
-            # apart by a checkpoint-identity sentinel written alongside
-            # the output on the first commit.
-            try:
-                existing = (spark.read.parquet(output_path)
-                            .agg(F.max("p_batch")).first()[0])
-            except Exception:
-                existing = None
-            # Ownership compares scheme-qualified paths so equivalent
-            # spellings (trailing slash, file:// scheme, relative) of the
-            # same checkpoint still count as a replay, not a takeover.
-            me = qualified_path(spark, checkpoint_dir)
-            if existing is not None:
-                owner = _read_sentinel(spark)
-                # owner is None on pre-sentinel outputs: fall back to the
-                # legacy rule (a lone replayed p_batch=0 was always
-                # allowed; anything newer is refused).
-                legacy_ok = owner is None and existing == 0
-                if not legacy_ok and owner != me:
-                    raise RuntimeError(
-                        f"{output_path} already holds batches up to "
-                        f"p_batch={existing} written under checkpoint "
-                        f"{owner!r}; resuming with a different/fresh "
-                        "checkpoint would shadow newer data behind stale "
-                        "batch ids. Reuse the original checkpointLocation "
-                        "or start a new output path.")
-            _write_sentinel(spark, me)
+            check_batch0_ownership(spark, output_path, checkpoint_dir)
         out = (batch_df
                .withColumn("dt", F.to_date("bucket_ts"))
                .withColumn("p_batch", F.lit(int(batch_id))))

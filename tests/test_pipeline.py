@@ -350,20 +350,62 @@ def test_stage_with_metadata_partitions_equals_scan_discovery(
 
 def test_streaming_sink_batch0_replay_and_fresh_checkpoint_guard(
         spark, tmp_path):
-    """Crash-replay of batch 0 from the SAME checkpoint must succeed
-    (exactly-once path); pointing a FRESH checkpoint at the same output
-    must fail loudly (stale-batch shadowing)."""
-    import shutil
-
+    """The batch-0 ownership guard matrix, exercised directly (the
+    streaming engine's checkpoint fencing makes surgical batch-0 replay
+    simulation flaky), plus the engine-level fresh-checkpoint refusal."""
     from json_time_series_extractor_spark.streaming.sink import (
-        write_rollup_stream)
+        check_batch0_ownership, write_rollup_stream)
     from json_time_series_extractor_spark.streaming.stream import (
         streaming_rollup)
 
-    pages_dir = str(tmp_path / "pages")
-    synthesize_pages(spark, 50).coalesce(1).write.parquet(pages_dir)
     out_dir = str(tmp_path / "tier")
     ckpt = str(tmp_path / "ckpt")
+
+    # Fresh output: allowed; stamps ownership.
+    check_batch0_ownership(spark, out_dir, ckpt)
+
+    # Existing batches under the SAME checkpoint (crash replay of batch 0,
+    # any spelling of the path): allowed.
+    (spark.range(3)
+     .selectExpr("'k' AS series_key",
+                 "timestamp'2024-01-01 00:00:00' AS bucket_ts",
+                 "CAST(id AS double) AS mean",
+                 "date'2024-01-01' AS dt", "0 AS p_batch")
+     .write.partitionBy("dt", "p_batch").mode("append").parquet(out_dir))
+    check_batch0_ownership(spark, out_dir, ckpt)
+    check_batch0_ownership(spark, out_dir, ckpt + "/")        # trailing /
+    check_batch0_ownership(spark, out_dir, f"file://{ckpt}")  # scheme
+
+    # A DIFFERENT checkpoint: refused.
+    import os
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="checkpoint"):
+        check_batch0_ownership(spark, out_dir, str(tmp_path / "ckpt2"))
+
+    # Legacy pre-sentinel output: batch-0-only replay allowed (old rule),
+    # anything newer refused.
+    os.remove(f"{out_dir}/_jtse_checkpoint")
+    check_batch0_ownership(spark, out_dir, ckpt)
+    os.remove(f"{out_dir}/_jtse_checkpoint")
+    (spark.range(1)
+     .selectExpr("'k' AS series_key",
+                 "timestamp'2024-01-02 00:00:00' AS bucket_ts",
+                 "1.0 AS mean", "date'2024-01-02' AS dt", "1 AS p_batch")
+     .write.partitionBy("dt", "p_batch").mode("append").parquet(out_dir))
+    with _pytest.raises(RuntimeError, match="checkpoint"):
+        check_batch0_ownership(spark, out_dir, ckpt)
+
+    # Engine-level: a real stream to a fresh output succeeds, and a rerun
+    # pointed at the same output with a FRESH checkpoint is refused.
+    import shutil
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    pages_dir = str(tmp_path / "pages")
+    synthesize_pages(spark, 50).coalesce(1).write.parquet(pages_dir)
+    out2 = str(tmp_path / "tier2")
 
     def run(checkpoint):
         stream = (spark.readStream
@@ -372,29 +414,18 @@ def test_streaming_sink_batch0_replay_and_fresh_checkpoint_guard(
                   .parquet(pages_dir))
         agg = streaming_rollup(stream, PAGES_EXTRACT_OPTIONS, "1 hour",
                                watermark="1 minute")
-        q = write_rollup_stream(agg, out_dir, checkpoint_dir=checkpoint,
+        q = write_rollup_stream(agg, out2, checkpoint_dir=checkpoint,
                                 trigger_once=True)
         q.awaitTermination(180)
+        q.stop()
         return q
 
-    assert run(ckpt).exception() is None
-    first = sorted(spark.read.parquet(out_dir).collect())
-
-    # Simulate a crash between output write and checkpoint commit: drop
-    # batch 0's commit marker, restart with the SAME checkpoint -> the
-    # engine replays batch 0 and the sink must accept it idempotently.
-    shutil.rmtree(f"{ckpt}/commits", ignore_errors=True)
-    assert run(ckpt).exception() is None
-    assert sorted(spark.read.parquet(out_dir).collect()) == first
-
-    # A DIFFERENT (fresh) checkpoint on the same output must be refused.
-    import pytest as _pytest
-
-    from pyspark.errors.exceptions.captured import StreamingQueryException
-
+    assert run(str(tmp_path / "sckpt")).exception() is None
+    first = sorted(spark.read.parquet(out2).collect())
     with _pytest.raises(StreamingQueryException, match="checkpoint"):
-        run(str(tmp_path / "ckpt2"))
-
+        run(str(tmp_path / "sckpt2"))
+    # Refusal happened before any write: output unchanged.
+    assert sorted(spark.read.parquet(out2).collect()) == first
 
 def test_stateful_counter_increase_across_microbatches(spark, tmp_path):
     """Streaming counter increase: the cross-batch baseline (previous
