@@ -43,7 +43,11 @@ from json_time_series_extractor_spark.operators.extract import (
     extract_samples,
     extract_samples_fixed,
 )
+from json_time_series_extractor_spark.operators.components import (
+    connected_components,
+)
 from json_time_series_extractor_spark.operators.joins import asof_join
+from json_time_series_extractor_spark.operators.sessions import sessionize
 from json_time_series_extractor_spark.operators.gapfill import (
     gapfill_linear,
     gapfill_linear_partitioned,
@@ -556,6 +560,27 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   blocks=4, hash_fn="md5hi")
 
 
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the verified
+    MinHash+LSH near-dup pairs (min-label propagation, the BSP loop) —
+    (doc_id, component). The oracle recomputes the exact pair set in SQL
+    (banding recall 1.0, see minhash_lsh_pairs) and closes it with a
+    RECURSIVE transitive-reachability CTE, so cluster assignments are
+    value-verified end to end."""
+    pairs = minhash_lsh_dedup_pairs(_docs(spark, sf_dir), num_hashes=32,
+                                    bands=16, threshold=0.5)
+    comps = connected_components(pairs)
+    return comps.select(F.col("node").alias("doc_id"), "component")
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization of the per-user event stream
+    (30-minute timeout): session bounds, counts and durations."""
+    ev = _events(spark, sf_dir)
+    out = sessionize(ev, gap="30 minutes")
+    return _quant6(out, "duration_s")
+
+
 def q_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine scores for query vectors vec_id < 5 (exact ANN
     baseline, order-insensitively comparable)."""
@@ -741,6 +766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "neardup_components": q_neardup_components,
+        "sessionize": q_sessionize,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1079,6 +1106,64 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
 """,
         "simhash_pairs": _simhash_oracle_sql(),
+        # neardup_components: exact-Jaccard pairs (= the verified LSH
+        # output, recall 1.0) closed transitively with a recursive CTE;
+        # component = min reachable doc id.
+        "neardup_components": """
+WITH RECURSIVE t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+    FROM documents),
+s AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> array_to_string(toks[i:i+2], ' ')))
+           ELSE [array_to_string(toks, ' ')] END AS sh
+    FROM t),
+p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+e AS (
+    SELECT id_a AS src, id_b AS dst FROM p
+    UNION
+    SELECT id_b, id_a FROM p),
+reach AS (
+    SELECT src AS node, dst AS r FROM e
+    UNION
+    SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src
+)
+SELECT node AS doc_id, least(node, min(r)) AS component
+FROM reach GROUP BY node
+""",
+        "sessionize": """
+WITH m AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+x AS (
+    SELECT user_id, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS session_idx
+    FROM m)
+SELECT user_id, session_idx,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0
+           * 1000000 + 0.5) AS BIGINT) AS duration_s
+FROM x
+GROUP BY 1, 2
+""",
         # minhash_lsh_pairs: the LSH verify stage filters by EXACT Jaccard,
         # and banding recall at these params is 1.0 on this corpus (checked
         # at sf0.01 + sf0.1), so the expected output IS the exact pair set.

@@ -432,3 +432,60 @@ def test_iceberg_sql_goldens():
                          ts_col="bucket_ts").startswith(
         "DELETE FROM lake.web.rollup_1m WHERE bucket_ts < "
         "DATE '2024-02-01';")
+
+
+def test_connected_components_and_survivors(spark):
+    """Min-label propagation: chains collapse transitively, separate
+    clusters stay apart, convergence is exact."""
+    from json_time_series_extractor_spark.operators.components import (
+        connected_components, dedup_survivors)
+
+    # Two clusters: {1,2,3,4} via a chain, {10, 11}; pair (3,4) links via 2.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    comps = {r.node: r.component
+             for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    surv = {r.component: (r.keep_id, r.n_members)
+            for r in dedup_survivors(pairs).collect()}
+    assert surv == {1: (1, 4), 10: (10, 2)}
+
+    # A long chain exercises multi-round convergence.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long")
+    c = {r.node: r.component
+         for r in connected_components(chain).collect()}
+    assert set(c.values()) == {0} and len(c) == 21
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime, timedelta
+
+    from json_time_series_extractor_spark.operators.sessions import (
+        sessionize)
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        # user 1: two sessions (gap of 31 min between event 2 and 3).
+        (1, 100, base),
+        (2, 100, base + timedelta(minutes=10)),
+        (3, 100, base + timedelta(minutes=41, seconds=1)),
+        # user 2: one single-event session.
+        (4, 200, base),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp")
+    out = {(r.user_id, r.session_idx): r
+           for r in sessionize(ev, gap="30 minutes").collect()}
+    assert len(out) == 3
+    s1 = out[(100, 1)]
+    assert s1.n_events == 2 and s1.duration_s == 600.0
+    s2 = out[(100, 2)]
+    assert s2.n_events == 1 and s2.duration_s == 0.0
+    assert out[(200, 1)].n_events == 1
+    # A gap of exactly the timeout does NOT split (strictly greater does).
+    ev2 = spark.createDataFrame(
+        [(1, 1, base), (2, 1, base + timedelta(minutes=30))],
+        "event_id long, user_id long, ts timestamp")
+    assert sessionize(ev2, gap="30 minutes").count() == 1
