@@ -618,9 +618,14 @@ def _ann_recall_ok(spark: SparkSession, sf_dir: str, approx,
     claim that matters — every query's recall clears the floor — so the
     approximate paths get a value-checked contract instead of a bare row
     count."""
+    from pyspark.storagelevel import StorageLevel
+
     emb = _embeddings(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 5)
-    exact = cosine_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    # The exact set is referenced twice (hit join + per-query count):
+    # without a persist the brute-force cross join runs twice.
+    exact = (cosine_topk(emb, q, k=10).select("query_id", "neighbor_id")
+             .persist(StorageLevel.MEMORY_AND_DISK))
     a = approx(emb, q).select("query_id", "neighbor_id")
     hits = (exact.join(a, ["query_id", "neighbor_id"])
             .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")))
