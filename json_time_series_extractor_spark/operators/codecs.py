@@ -152,7 +152,9 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     """(n_samples, n_channels) float64 in [-1, 1] -> PCM16 WAV bytes."""
     if samples.ndim == 1:
         samples = samples[:, None]
-    pcm = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2")
+    # Symmetric 32768 scale on both sides: round-trip error is bounded by
+    # half an LSB (0.5/32768); +1.0 clips to the int16 max.
+    pcm = np.clip(np.round(samples * 32768.0), -32768, 32767).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wf:
         wf.setnchannels(samples.shape[1])

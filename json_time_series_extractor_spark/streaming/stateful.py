@@ -203,6 +203,93 @@ def stateful_counter_increase(sample_stream: DataFrame,
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+#: Output schema of the stateful sessionizer.
+SESSION_OUT_SCHEMA = ("user_id long, session_idx long, "
+                      "session_start timestamp, session_end timestamp, "
+                      "n_events long, duration_s double")
+#: State: open session (start/last micros, count) + the session counter.
+SESSION_STATE_SCHEMA = ("start_us long, last_us long, n long, "
+                        "session_idx long")
+
+
+def _session_update(key: Tuple[int],
+                    pdfs: Iterable[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    gap_us = int(rows["gap_us"].iloc[0])
+    incoming = (rows[["ts_us", "event_id"]]
+                .dropna()
+                .sort_values(["ts_us", "event_id"]))
+
+    if state.exists:
+        start_us, last_us, n, session_idx = state.get
+    else:
+        start_us = last_us = None
+        n, session_idx = 0, 0
+
+    closed: list = []
+    for ts_us, _eid in incoming.itertuples(index=False, name=None):
+        ts_us = int(ts_us)
+        if last_us is not None and ts_us < last_us:
+            continue  # late event: the session it belonged to is closed
+        if last_us is not None and ts_us - last_us > gap_us:
+            closed.append((session_idx, start_us, last_us, n))
+            start_us, n = ts_us, 0
+            session_idx += 1
+        if start_us is None:
+            start_us, session_idx = ts_us, 1
+        n += 1
+        last_us = ts_us
+
+    if start_us is not None:
+        state.update((int(start_us), int(last_us), int(n),
+                      int(session_idx)))
+    yield pd.DataFrame({
+        "user_id": pd.Series([key[0]] * len(closed), dtype="int64"),
+        "session_idx": pd.Series([c[0] for c in closed], dtype="int64"),
+        "session_start": pd.to_datetime(
+            pd.Series([c[1] for c in closed], dtype="int64"), unit="us"),
+        "session_end": pd.to_datetime(
+            pd.Series([c[2] for c in closed], dtype="int64"), unit="us"),
+        "n_events": pd.Series([c[3] for c in closed], dtype="int64"),
+        "duration_s": pd.Series(
+            [(c[2] - c[1]) / 1_000_000.0 for c in closed],
+            dtype="float64"),
+    })
+
+
+def stateful_sessionize(event_stream: DataFrame,
+                        gap_seconds: int = 1800) -> DataFrame:
+    """Streaming inactivity-gap sessionization (see ``operators.sessions``
+    for the batch semantics): the open session per user lives in state
+    across micro-batches and a session row is emitted exactly once, when
+    a later event closes it (append mode; events older than the open
+    session's last timestamp are dead-lettered like the other stateful
+    operators). Input: (user_id, ts, event_id)."""
+    from pyspark.sql import functions as F
+
+    tz = event_stream.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            f"stateful_sessionize requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r})")
+
+    prepared = event_stream.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.lit(int(gap_seconds) * 1_000_000).alias("gap_us"))
+    return (prepared
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _session_update,
+                outputStructType=SESSION_OUT_SCHEMA,
+                stateStructType=SESSION_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def stateful_locf(rollup_stream: DataFrame, interval_seconds: int = 60,
                   value_col: str = "mean") -> DataFrame:
     """Streaming LOCF over a (possibly sparse) streaming rollup.

@@ -138,3 +138,49 @@ def test_batch_operator_matches_core(doc):
     assert len(out) == len(core)
     assert list(out["series_key"]) == [s.key for s in core]
     assert list(out["value_kind"]) == [s.value_kind for s in core]
+
+
+# ---------------------------------------------------------------------------
+# Codec round-trips (pure numpy, Spark-free)
+# ---------------------------------------------------------------------------
+
+@given(st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=40),
+       st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_image_codecs_roundtrip_any_shape(w, h, seed):
+    """PPM and BMP encode->decode are identity for every (w, h) shape —
+    including widths whose BMP rows need 4-byte stride padding."""
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.codecs import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+
+
+@given(st.integers(min_value=1, max_value=2000),
+       st.integers(min_value=1, max_value=2),
+       st.sampled_from([8000, 16000, 44100]),
+       st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=30, deadline=None)
+def test_wav_codec_roundtrip_within_quantization(n, channels, rate, seed):
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.codecs import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    pcm = (rng.random((n, channels)) * 2 - 1) * 0.9
+    decoded, out_rate = decode_wav(encode_wav(pcm, rate))
+    assert out_rate == rate and decoded.shape == (n, channels)
+    assert np.abs(decoded - pcm).max() <= 0.5 / 32768 + 1e-12

@@ -483,3 +483,57 @@ def test_stateful_counter_increase_across_microbatches(spark, tmp_path):
     # to hour 02, which is still open -> not emitted yet.
     assert rows[("c", "01:00")] == (7.0, 2)
     assert ("c", "02:00") not in rows
+
+
+def test_stateful_sessionize_across_microbatches(spark, tmp_path):
+    """Streaming sessionization: the open session spans a micro-batch
+    boundary (continuing events within the gap extend it); a later gap
+    closes and emits it exactly once with correct bounds."""
+    import os
+    import time as _time
+
+    from json_time_series_extractor_spark.streaming.stateful import (
+        stateful_sessionize,
+    )
+
+    src = str(tmp_path / "events_stream")
+    os.makedirs(src)
+    # Batch 1 ends mid-session; batch 2 continues it (gap 10 min < 30),
+    # then a 40-minute gap closes session 1 and opens session 2.
+    b1 = spark.createDataFrame(
+        [(1, 7, "2024-01-01 00:00:00"),
+         (2, 7, "2024-01-01 00:10:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b2 = spark.createDataFrame(
+        [(3, 7, "2024-01-01 00:20:00"),
+         (4, 7, "2024-01-01 01:00:00"),
+         (5, 7, "2024-01-01 01:05:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    b1.coalesce(1).write.parquet(src + "/f1")
+    _time.sleep(0.2)
+    b2.coalesce(1).write.parquet(src + "/f2")
+
+    stream = (spark.readStream
+              .schema("event_id long, user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src + "/*"))
+    sess = stateful_sessionize(stream, gap_seconds=1800)
+    q = (sess.writeStream.outputMode("append").format("memory")
+         .queryName("session_state_test")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.processAllAvailable()
+    try:
+        rows = spark.sql("SELECT * FROM session_state_test").collect()
+    finally:
+        q.stop()
+
+    # Exactly one CLOSED session: events 1-3 (00:00-00:20, crossing the
+    # batch boundary). Session 2 (events 4-5) is still open -> withheld.
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.user_id, r.session_idx, r.n_events) == (7, 1, 3)
+    assert r.session_start.strftime("%H:%M") == "00:00"
+    assert r.session_end.strftime("%H:%M") == "00:20"
+    assert r.duration_s == 1200.0

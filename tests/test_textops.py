@@ -345,7 +345,7 @@ def test_codecs_roundtrip_pure():
     assert sniff_media_format(wav) == "wav"
     decoded, rate = decode_wav(wav)
     assert rate == 8000 and decoded.shape == (800, 2)
-    assert np.abs(decoded - pcm).max() < 1.0 / 32767  # PCM16 quantization
+    assert np.abs(decoded - pcm).max() <= 0.5 / 32768 + 1e-12  # half-LSB
 
 
 def test_real_image_decode_through_spark(spark):
