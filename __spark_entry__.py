@@ -62,6 +62,7 @@ from json_time_series_extractor_spark.operators.rollup import (
     rollup_histogram,
     rollup_percentiles,
     rollup_salted,
+    top_k_series,
 )
 from json_time_series_extractor_spark.operators.twa import time_weighted_avg
 from json_time_series_extractor_spark.operators.similarity import (
@@ -301,6 +302,13 @@ def q_rollup_1d_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase (salted) rollup; result identical to plain."""
     return _rollup_select(rollup_salted(_event_samples(spark, sf_dir),
                                         "1 day", salt_buckets=8))
+
+
+def q_top_k_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-day heavy hitters (top-3 series by sample count);
+    integer counts make the ranking engine-exact, so rank is compared
+    too."""
+    return top_k_series(_event_samples(spark, sf_dir), "1 day", k=3)
 
 
 def q_rollup_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -757,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate": q_counter_rate,
         "rollup_histogram": q_rollup_histogram,
         "time_weighted_avg": q_time_weighted_avg,
+        "top_k_series": q_top_k_series,
         "gapfill_locf": q_gapfill_locf,
         "gapfill_locf_partitioned": q_gapfill_locf_partitioned,
         "gapfill_linear": q_gapfill_linear,
@@ -849,6 +858,21 @@ WHERE value IS NOT NULL
 GROUP BY 1, 2
 """,
         "rollup_histogram": _histogram_oracle_sql(),
+        "top_k_series": """
+WITH c AS (
+    SELECT date_trunc('day', ts) AS bucket_ts,
+           event_type AS series_key,
+           count(*) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2),
+r AS (
+    SELECT bucket_ts, series_key, n,
+           row_number() OVER (PARTITION BY bucket_ts
+                              ORDER BY n DESC, series_key) AS rank
+    FROM c)
+SELECT bucket_ts, series_key, n, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+""",
         "time_weighted_avg": """
 WITH s AS (
     SELECT event_type AS series_key, ts, value,

@@ -140,6 +140,7 @@ def run_benchmarks() -> None:
     for name in ["extract_flat", "extract_fixed", "rollup_1m",
                  "rollup_1h_cascade", "rollup_1d_salted",
                  "rollup_percentiles", "counter_rate", "rollup_histogram",
+                 "top_k_series",
                  "time_weighted_avg", "gapfill_locf",
                  "gapfill_locf_partitioned", "gapfill_linear",
                  "gapfill_linear_partitioned", "asof_join",

@@ -200,6 +200,33 @@ def histogram_cascade(child: DataFrame, tier: str, *,
         "cnt")
 
 
+def top_k_series(
+    samples: DataFrame,
+    tier: str = "1 day",
+    k: int = 3,
+    *,
+    key_col: str = "series_key",
+    ts_col: str = "ts",
+    value_col: str = "value_double",
+) -> DataFrame:
+    """Exact heavy hitters per bucket: the k series with the most samples
+    in each tier window — (bucket_ts, series_key, n, rank). One hash
+    aggregate + a row_number window PARTITIONED BY BUCKET (never a global
+    sort); the window input is one row per (bucket, series), so partition
+    sizes are series-cardinality-bounded regardless of row count.
+    Deterministic tie-break: (n desc, series_key asc). Integer counts, so
+    the ranking is engine-exact (no float-ordering hazards)."""
+    counts = (samples
+              .where(F.col(value_col).isNotNull())
+              .groupBy(_bucket(ts_col, tier).alias("bucket_ts"),
+                       F.col(key_col).alias("series_key"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("bucket_ts").orderBy(
+        F.col("n").desc(), F.col("series_key").asc())
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def detect_hot_keys(
     samples: DataFrame,
     *,

@@ -537,3 +537,48 @@ def test_stateful_sessionize_across_microbatches(spark, tmp_path):
     assert r.session_start.strftime("%H:%M") == "00:00"
     assert r.session_end.strftime("%H:%M") == "00:20"
     assert r.duration_s == 1200.0
+
+
+def test_stateful_sessionize_matches_batch_on_closed_sessions(
+        spark, tmp_path):
+    """Cross-validation: streaming closed sessions == batch sessionize
+    minus each user's (still-open) final session, on real event data."""
+    import os
+
+    from json_time_series_extractor_spark.operators.sessions import (
+        sessionize,
+    )
+    from json_time_series_extractor_spark.streaming.stateful import (
+        stateful_sessionize,
+    )
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select("event_id", "user_id", "ts"))
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    ev.coalesce(1).write.parquet(src + "/f1")
+
+    stream = (spark.readStream
+              .schema("event_id long, user_id long, ts timestamp")
+              .parquet(src + "/*"))
+    q = (stateful_sessionize(stream, gap_seconds=1800)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("session_parity_test")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.processAllAvailable()
+    try:
+        got = {(r.user_id, r.session_idx):
+               (r.session_start, r.session_end, r.n_events)
+               for r in spark.sql(
+                   "SELECT * FROM session_parity_test").collect()}
+    finally:
+        q.stop()
+
+    batch = sessionize(ev, gap="30 minutes").collect()
+    last_idx = {}
+    for r in batch:
+        last_idx[r.user_id] = max(last_idx.get(r.user_id, 0), r.session_idx)
+    want = {(r.user_id, r.session_idx):
+            (r.session_start, r.session_end, r.n_events)
+            for r in batch if r.session_idx < last_idx[r.user_id]}
+    assert got == want

@@ -583,3 +583,24 @@ def test_media_decode_stub_validated(spark):
                lambda: sample_video_frames(media, decode_stub="")):
         with _pytest.raises(ValueError, match="decode_stub"):
             op()
+
+
+def test_top_k_series_exact(spark):
+    from datetime import datetime
+
+    from json_time_series_extractor_spark.operators.rollup import (
+        top_k_series)
+
+    rows = ([("a", datetime(2024, 1, 1, 0, 0, s), 1.0) for s in range(5)]
+            + [("b", datetime(2024, 1, 1, 1, 0, s), 1.0) for s in range(3)]
+            + [("c", datetime(2024, 1, 1, 2, 0, s), 1.0) for s in range(3)]
+            + [("d", datetime(2024, 1, 2, 0, 0, 0), 1.0)])
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+    out = {(r.bucket_ts.day, r.rank): (r.series_key, r.n)
+           for r in top_k_series(df, "1 day", k=2).collect()}
+    # Day 1: a(5) then the b/c tie broken alphabetically.
+    assert out[(1, 1)] == ("a", 5)
+    assert out[(1, 2)] == ("b", 3)
+    assert out[(2, 1)] == ("d", 1)
+    assert len(out) == 3
