@@ -196,11 +196,12 @@ def _rollup_select(df: DataFrame) -> DataFrame:
     cols = ["series_key", "bucket_ts", "min", "max", "sum",
             F.col("count").alias("cnt"), "last", "last_ts"]
     out = _quant6(df.select(*cols), "sum")
-    # mean via integer division of the QUANTIZED sum: raw sum/count lands
-    # exactly on 0.5e-6 quantization boundaries for decimal-valued data
-    # (2-decimal values with power-of-two counts), where engine
+    # mean via integer division of the QUANTIZED sum: raw sum/count
+    # lands exactly on 0.5e-6 quantization boundaries for decimal-valued
+    # data (2-decimal values with power-of-two counts), where engine
     # accumulation-order ulps flip floor(x*1e6+0.5) — observed at sf0.1.
-    # Integer-dividing the already-agreed sum is boundary-free.
+    # Spark's DIV and DuckDB's // BOTH truncate toward zero (verified:
+    # -7//2 = -3 in DuckDB), so the sides agree for negative sums too.
     return out.withColumn("mean", F.expr("sum DIV cnt"))
 
 
@@ -483,7 +484,9 @@ def q_pages_extract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly on 0.5e-6 quantization boundaries for decimal-valued data
     # (e.g. 7981.07/160 = 49.8816875), where engine accumulation-order
     # ulps flip floor(x*1e6+0.5). Deriving it from the already-agreed
-    # integer sum is boundary-free and deterministic on both sides.
+    # integer sum is boundary-free and deterministic on both sides;
+    # Spark's DIV and DuckDB's // both truncate toward zero, so negative
+    # sums agree as well.
     return out.withColumn("mean", F.expr("sum DIV cnt"))
 
 
@@ -637,11 +640,17 @@ def _ann_recall_ok(spark: SparkSession, sf_dir: str, approx,
     a = approx(emb, q).select("query_id", "neighbor_id")
     hits = (exact.join(a, ["query_id", "neighbor_id"])
             .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")))
-    return (exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-            .join(hits, "query_id", "left")
-            .select("query_id",
-                    (F.coalesce(F.col("n_hits"), F.lit(0))
-                     / F.col("n_exact") >= floor).alias("recall_ok")))
+    out = (exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+           .join(hits, "query_id", "left")
+           .select("query_id",
+                   (F.coalesce(F.col("n_hits"), F.lit(0))
+                    / F.col("n_exact") >= floor).alias("recall_ok")))
+    # Materialize the (tiny, Q-row) verdict and release the cached exact
+    # set — otherwise every ANN query leaks one persisted cross-join
+    # result for the session lifetime.
+    out = out.localCheckpoint(eager=True)
+    exact.unpersist()
+    return out
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -63,6 +63,10 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
                    .join(labels.alias("o"), "node")
                    .where(F.col("n.component") != F.col("o.component"))
                    .count())
+        # Release the previous round's snapshot (new_labels is already
+        # materialized, so nothing still depends on it); the FINAL round's
+        # checkpoint stays alive for the caller.
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             edges.unpersist()

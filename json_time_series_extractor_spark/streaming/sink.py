@@ -73,6 +73,11 @@ def check_batch0_ownership(spark, output_path: str,
     me = qualified_path(spark, checkpoint_dir)
     if existing is not None:
         owner = _read_sentinel(spark, output_path)
+        # Sentinels written by earlier releases hold the RAW checkpoint
+        # string — qualify before comparing so an upgrade does not refuse
+        # a legitimate same-checkpoint replay.
+        if owner is not None:
+            owner = qualified_path(spark, owner)
         # owner is None on pre-sentinel outputs: fall back to the legacy
         # rule (a lone replayed p_batch=0 was always allowed; anything
         # newer is refused).

@@ -129,12 +129,13 @@ def _rate_update(key: Tuple[str],
         # Late/replayed samples are dead-lettered (append-mode output
         # cannot retract a closed bucket, and regressing the baseline
         # would corrupt later deltas; watermark upstream). "Late" follows
-        # the batch operator's (ts, value) total order, so an equal-ts
-        # sample with a GREATER value is still processed — batch and
-        # streaming rollups agree on duplicate scrape timestamps.
+        # the batch operator's (ts, value) total order: equal-ts samples
+        # with value >= the last (including exact duplicates, which the
+        # batch lag window also counts with delta 0) are processed —
+        # batch and streaming agree on duplicate scrape timestamps.
         if last_ts_us is not None and (
                 ts_us < last_ts_us
-                or (ts_us == last_ts_us and value <= last_value)):
+                or (ts_us == last_ts_us and value < last_value)):
             continue
         bucket = (ts_us // 1_000_000) // tier * tier
         if open_bucket is not None and bucket > open_bucket:
@@ -217,8 +218,10 @@ def _session_update(key: Tuple[int],
                     state: GroupState) -> Iterator[pd.DataFrame]:
     rows = pd.concat(list(pdfs), ignore_index=True)
     gap_us = int(rows["gap_us"].iloc[0])
+    # dropna on ts only: event_id is merely the ordering tie-breaker, and
+    # batch sessionize counts null-id events too.
     incoming = (rows[["ts_us", "event_id"]]
-                .dropna()
+                .dropna(subset=["ts_us"])
                 .sort_values(["ts_us", "event_id"]))
 
     if state.exists:
