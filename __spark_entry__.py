@@ -1148,12 +1148,12 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         # output, recall 1.0) closed transitively with a recursive CTE;
         # component = min reachable doc id.
         "neardup_components": """
-WITH RECURSIVE t AS (
+WITH RECURSIVE t AS MATERIALIZED (
     SELECT doc_id,
            list_filter(string_split_regex(lower(text), '\\s+'),
                        x -> x <> '') AS toks
     FROM documents),
-s AS (
+s AS MATERIALIZED (
     SELECT doc_id,
            CASE WHEN len(toks) >= 3 THEN
                list_distinct(list_transform(
@@ -1161,12 +1161,12 @@ s AS (
                    i -> array_to_string(toks[i:i+2], ' ')))
            ELSE [array_to_string(toks, ' ')] END AS sh
     FROM t),
-p AS (
+p AS MATERIALIZED (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
     FROM s a JOIN s b ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
-e AS (
+e AS MATERIALIZED (
     SELECT id_a AS src, id_b AS dst FROM p
     UNION
     SELECT id_b, id_a FROM p),
