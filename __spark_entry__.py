@@ -92,7 +92,9 @@ def _histogram_oracle_sql() -> str:
     changes both sides together."""
     bounds = ", ".join(str(b) for b in _HIST_BOUNDS)
     hs = ",\n       ".join(
-        f"sum(CASE WHEN idx = {i} THEN 1 ELSE 0 END) AS h{i}"
+        # CAST: DuckDB sum(int) is HUGEINT (-> pandas float64); Spark emits
+        # int64 and the driver's hash gate is type-strict (round-2 red).
+        f"CAST(sum(CASE WHEN idx = {i} THEN 1 ELSE 0 END) AS BIGINT) AS h{i}"
         for i in range(len(_HIST_BOUNDS) + 1))
     return f"""
 WITH b AS (
@@ -1193,7 +1195,10 @@ x AS (
                             ROWS BETWEEN UNBOUNDED PRECEDING
                             AND CURRENT ROW) AS session_idx
     FROM m)
-SELECT user_id, session_idx,
+SELECT user_id,
+       -- CAST: windowed sum(int) is HUGEINT in DuckDB; Spark's session_idx
+       -- is int64 and the driver hash gate is type-strict (round-2 red).
+       CAST(session_idx AS BIGINT) AS session_idx,
        min(ts) AS session_start,
        max(ts) AS session_end,
        count(*) AS n_events,

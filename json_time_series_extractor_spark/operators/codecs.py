@@ -6,7 +6,10 @@ specs are simple enough to decode with numpy alone:
 
 - **PPM (P6)** — binary RGB, the classic uncompressed interchange format;
 - **BMP** — uncompressed 24-bit bottom-up Windows bitmaps (BITMAPINFOHEADER);
-- **WAV** — RIFF PCM16 mono/stereo via the stdlib ``wave`` module.
+- **WAV** — RIFF PCM16 mono/stereo via the stdlib ``wave`` module;
+- **PNG** — 8-bit gray/palette/RGB/RGBA, non-interlaced: stdlib ``zlib``
+  inflate + the five scanline filters (the format a real web corpus
+  actually contains — JPEG remains the one image plug point).
 
 They plug into ``operators/multimodal.py`` as ``decode_stub="real"`` so at
 least one non-fake decode path runs end-to-end in Spark; PIL/ffmpeg slot
@@ -18,19 +21,24 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 from typing import Tuple
 
 import numpy as np
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
 
 def sniff_media_format(blob: bytes) -> str:
-    """'ppm' | 'bmp' | 'wav' | 'unknown' from magic bytes."""
+    """'ppm' | 'bmp' | 'wav' | 'png' | 'unknown' from magic bytes."""
     if blob[:2] == b"P6":
         return "ppm"
     if blob[:2] == b"BM":
         return "bmp"
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return "wav"
+    if blob[:8] == _PNG_SIG:
+        return "png"
     return "unknown"
 
 
@@ -132,6 +140,142 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# PNG (8-bit gray/palette/RGB/RGBA, non-interlaced)
+# ---------------------------------------------------------------------------
+# Spec: https://www.w3.org/TR/png-3/ — signature, length-type-data-crc
+# chunks, zlib-deflated scanlines each prefixed by one filter byte.
+
+#: color type -> samples per pixel (8-bit depth => bytes per pixel).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG -> uint8 array.
+
+    Returns (h, w) for grayscale, (h, w, 3) for RGB/palette, (h, w, 2)
+    for gray+alpha, (h, w, 4) for RGBA. All five scanline filters are
+    reconstructed; filters none/up/sub are vectorized (sub via a
+    wrapping per-lane cumsum), average/paeth fall back to a per-byte
+    loop (inherently sequential — each byte needs the reconstructed
+    left neighbour)."""
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, palette = 8, [], None
+    width = height = color_type = None
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            (width, height, bit_depth, color_type, _comp, _filt,
+             interlace) = struct.unpack(">IIBBBBB", data)
+            if bit_depth != 8:
+                raise ValueError(f"only 8-bit PNGs supported, got "
+                                 f"bit depth {bit_depth}")
+            if interlace != 0:
+                raise ValueError("Adam7 interlace not supported")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color_type}")
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if color_type == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE")
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(f"PNG scanline payload {len(raw)} != "
+                         f"{(stride + 1) * height}")
+    out = np.empty((height, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    rp = 0
+    for y in range(height):
+        f = raw[rp]
+        row = np.frombuffer(raw, np.uint8, stride, rp + 1)
+        rp += stride + 1
+        if f == 0:          # None
+            recon = row.copy()
+        elif f == 1:        # Sub: recon[i] = row[i] + recon[i-bpp]
+            # uint8 cumsum wraps mod 256 — exactly the spec arithmetic.
+            recon = np.cumsum(row.reshape(-1, channels), axis=0,
+                              dtype=np.uint8).reshape(stride)
+        elif f == 2:        # Up
+            recon = row + prev
+        elif f == 3:        # Average
+            recon = row.copy()
+            for i in range(stride):
+                left = int(recon[i - channels]) if i >= channels else 0
+                recon[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:        # Paeth
+            recon = row.copy()
+            for i in range(stride):
+                a = int(recon[i - channels]) if i >= channels else 0
+                c = int(prev[i - channels]) if i >= channels else 0
+                recon[i] = (int(row[i]) + _paeth(a, int(prev[i]), c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = recon
+        prev = recon
+    if color_type == 3:
+        return palette[out]           # (h, w) indexes -> (h, w, 3)
+    if channels == 1:
+        return out
+    return out.reshape(height, width, channels)
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """uint8 (h, w) / (h, w, {1,2,3,4}) -> 8-bit non-interlaced PNG.
+
+    Filter strategy: Up for every scanline after the first (cheap to
+    apply vectorized, compresses smooth synthetic content well), None
+    for row 0 — decoders must accept any per-row mix."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4):
+        raise ValueError("expected (h, w) or (h, w, {1,2,3,4}) uint8 array")
+    h, w, channels = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    flat = arr.reshape(h, w * channels)
+    filtered = bytearray()
+    for y in range(h):
+        if y == 0:
+            filtered += b"\x00" + flat[0].tobytes()
+        else:
+            filtered += b"\x02" + (flat[y] - flat[y - 1]).tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+            + chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
 # WAV (RIFF PCM16)
 # ---------------------------------------------------------------------------
 
@@ -179,8 +323,11 @@ def image_features(pixels: np.ndarray) -> Tuple[int, int, int, float, int]:
     if channels >= 3:
         luma = (0.299 * pixels[:, :, 0] + 0.587 * pixels[:, :, 1]
                 + 0.114 * pixels[:, :, 2])
+    elif pixels.ndim == 3:
+        # 1-2 channels (gray / gray+alpha): luma is the gray channel.
+        luma = pixels[:, :, 0].astype(np.float64)
     else:
-        luma = pixels.reshape(h, w).astype(np.float64)
+        luma = pixels.astype(np.float64)
     # Block-average to 8x8 with edge-padded boundaries (no resampler dep).
     ys = (np.arange(9) * h) // 8
     xs = (np.arange(9) * w) // 8

@@ -91,17 +91,20 @@ def extract_image_features(df: DataFrame, *, id_col: str = "media_id",
     """
     def _real_image_features(blob: bytes) -> tuple:
         from json_time_series_extractor_spark.operators.codecs import (
-            decode_bmp, decode_ppm, image_features, sniff_media_format)
+            decode_bmp, decode_png, decode_ppm, image_features,
+            sniff_media_format)
 
         fmt = sniff_media_format(blob)
         if fmt == "ppm":
             pixels = decode_ppm(blob)
         elif fmt == "bmp":
             pixels = decode_bmp(blob)
+        elif fmt == "png":
+            pixels = decode_png(blob)
         else:
             raise NotImplementedError(
                 f"no dependency-free decoder for format {fmt!r}; PIL/"
-                "opencv plug in here for compressed formats")
+                "opencv plug in here for JPEG and friends")
         w, h, c, luma, phash = image_features(pixels)
         return w, h, c, luma, phash
 
@@ -145,18 +148,22 @@ def resize_images(df: DataFrame, width: int, height: int, *,
     """
     def _real_resize(blob: bytes) -> bytes:
         from json_time_series_extractor_spark.operators.codecs import (
-            decode_bmp, decode_ppm, encode_ppm, resize_nearest,
-            sniff_media_format)
+            decode_bmp, decode_png, decode_ppm, encode_png, encode_ppm,
+            resize_nearest, sniff_media_format)
 
         fmt = sniff_media_format(blob)
         if fmt == "ppm":
             pixels = decode_ppm(blob)
         elif fmt == "bmp":
             pixels = decode_bmp(blob)
+        elif fmt == "png":
+            # PNG round-trips as PNG (alpha/grayscale-preserving).
+            return encode_png(resize_nearest(decode_png(blob),
+                                             width, height))
         else:
             raise NotImplementedError(
                 f"no dependency-free decoder for format {fmt!r}; PIL/"
-                "opencv plug in here for compressed formats")
+                "opencv plug in here for JPEG and friends")
         return encode_ppm(resize_nearest(pixels, width, height))
 
     _check_decode_stub(decode_stub)

@@ -31,12 +31,27 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(v):
     """Strict: no float rounding here — quantization must happen inside the
-    queries themselves (the driver compares raw values)."""
-    if isinstance(v, float) and math.isnan(v):
-        return "nan"
+    queries themselves (the driver compares raw values).
+
+    TYPE-strict as well (round-2 lesson): the driver hashes typed values, so
+    int64 vs float64 (e.g. DuckDB HUGEINT sums surfacing as pandas float64)
+    must FAIL here exactly like it fails the driver's hash gate. Each value
+    normalizes to a (kind, value) tuple; numpy scalars collapse to their
+    Python equivalents first so np.int64 == int, np.float64 == float."""
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
-    return v
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if hasattr(v, "item") and not isinstance(v, (str, bytes, bytearray)):
+        try:
+            v = v.item()
+        except Exception:
+            pass
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, float):
+        return ("float", "nan" if math.isnan(v) else v)
+    if isinstance(v, int):
+        return ("int", v)
+    return (type(v).__name__, v)
 
 
 def main() -> None:
