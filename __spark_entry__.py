@@ -287,6 +287,107 @@ def q_extract_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_kind", "ts_source")
 
 
+def q_rollup_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch tier: t-digest 1m -> 1h cascade (coarse
+    tier reads sketch rows, never raw data — the cascading answer
+    rollup_percentiles deliberately doesn't give). The sketch estimates
+    cannot be recomputed in SQL, so the oracle checks the contract that
+    matters (same pattern as the ANN recall floors): per bucket, cnt is
+    EXACT and each cascaded estimate lands inside the exact-quantile
+    bracket around its target rank (p50 in [q40, q60], p95 in [q85, max],
+    p99 in [q89, max])."""
+    from json_time_series_extractor_spark.operators.tdigest import (
+        rollup_tdigest, tdigest_cascade, tdigest_quantiles)
+
+    samples = _event_samples(spark, sf_dir)
+    est = tdigest_quantiles(
+        tdigest_cascade(rollup_tdigest(samples, "1 minute"), "1 hour"))
+    v = F.col("value_double")
+    brackets = (samples.where(v.isNotNull())
+                .groupBy("series_key",
+                         F.window("ts", "1 hour")["start"]
+                         .alias("bucket_ts"))
+                .agg(F.percentile(v, 0.40).alias("_lo50"),
+                     F.percentile(v, 0.60).alias("_hi50"),
+                     F.percentile(v, 0.85).alias("_lo95"),
+                     F.percentile(v, 0.89).alias("_lo99"),
+                     F.max(v).alias("_max")))
+
+    def ok(est_col, lo, hi):
+        # Half-ulp slack: digest and percentile interpolate the same
+        # neighbours with differently-ordered IEEE ops.
+        tol = F.greatest(F.abs(F.col(lo)), F.abs(F.col(hi)), F.lit(1.0)) \
+            * 1e-9
+        return ((F.col(est_col) >= F.col(lo) - tol)
+                & (F.col(est_col) <= F.col(hi) + tol))
+
+    return (est.join(brackets, ["series_key", "bucket_ts"])
+            .select("series_key", "bucket_ts", "cnt",
+                    ok("p50", "_lo50", "_hi50").alias("ok_p50"),
+                    ok("p95", "_lo95", "_max").alias("ok_p95"),
+                    ok("p99", "_lo99", "_max").alias("ok_p99")))
+
+
+_ORACLE_ROLLUP_TDIGEST = """
+SELECT event_type AS series_key,
+       date_trunc('hour', ts) AS bucket_ts,
+       CAST(count(value) AS BIGINT) AS cnt,
+       TRUE AS ok_p50, TRUE AS ok_p95, TRUE AS ok_p99
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_extract_ts_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DateTimeOffset fidelity (TimeSeriesSample.cs:8-53): documents whose
+    /time carries a non-UTC offset (+05:30 / -08:00 / +00:00 by
+    event_id%3) extract to the correct UTC instant in ``ts`` while
+    ``ts_raw`` preserves the original offset-aware ISO-8601 render.
+    The JSON is built from base columns, so the oracle reconstructs both
+    columns (offset arithmetic + strftime) without re-running the
+    extractor."""
+    e = _events(spark, sf_dir)
+    m = F.col("event_id") % 3
+    off_str = (F.when(m == 0, F.lit("+05:30"))
+               .when(m == 1, F.lit("-08:00"))
+               .otherwise(F.lit("+00:00")))
+    off_int = (F.when(m == 0, F.expr("INTERVAL 330 MINUTES"))
+               .when(m == 1, F.expr("INTERVAL -480 MINUTES"))
+               .otherwise(F.expr("INTERVAL 0 MINUTES")))
+    local = F.date_format(F.col("ts") + off_int, "yyyy-MM-dd'T'HH:mm:ss")
+    text = F.to_json(F.struct(F.concat(local, off_str).alias("time"),
+                              F.col("value").alias("v")))
+    pages = e.select(F.col("event_id").cast("string").alias("url"),
+                     F.col("ts").alias("warc_ts"), text.alias("text"))
+    out = extract_samples(pages, {}, include_ts_raw=True)
+    return _quant6(
+        out.select("url", "series_key", "ts", "ts_raw", "ts_source",
+                   "value_double"),
+        "value_double")
+
+
+_ORACLE_EXTRACT_TS_RAW = """
+WITH o AS (
+    SELECT event_id, event_type, value,
+           date_trunc('second', ts) AS ts_s,
+           CASE CAST(event_id % 3 AS INTEGER)
+                WHEN 0 THEN INTERVAL 330 MINUTE
+                WHEN 1 THEN - INTERVAL 480 MINUTE
+                ELSE INTERVAL 0 MINUTE END AS off,
+           CASE CAST(event_id % 3 AS INTEGER)
+                WHEN 0 THEN '+05:30' WHEN 1 THEN '-08:00'
+                ELSE '+00:00' END AS off_str
+    FROM events)
+SELECT CAST(event_id AS VARCHAR) AS url,
+       'v' AS series_key,
+       ts_s AS ts,
+       strftime(ts_s + off, '%Y-%m-%dT%H:%M:%S') || off_str AS ts_raw,
+       CAST(1 AS TINYINT) AS ts_source,
+       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_double
+FROM o
+"""
+
+
 def q_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-minute continuous aggregate (min/max/sum/count/mean/last)."""
     return _rollup_select(rollup(_event_samples(spark, sf_dir), "1 minute",
@@ -769,10 +870,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_flat": q_extract_flat,
         "extract_fixed": q_extract_fixed,
+        "extract_ts_raw": q_extract_ts_raw,
         "rollup_1m": q_rollup_1m,
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_salted": q_rollup_1d_salted,
         "rollup_percentiles": q_rollup_percentiles,
+        "rollup_tdigest": q_rollup_tdigest,
         "counter_rate": q_counter_rate,
         "rollup_histogram": q_rollup_histogram,
         "time_weighted_avg": q_time_weighted_avg,
@@ -851,9 +954,11 @@ FROM base
     return {
         "extract_flat": extract_oracle,
         "extract_fixed": extract_fixed_oracle,
+        "extract_ts_raw": _ORACLE_EXTRACT_TS_RAW,
         "rollup_1m": _ORACLE_ROLLUP_TIER.format(unit="minute"),
         "rollup_1h_cascade": _ORACLE_ROLLUP_TIER.format(unit="hour"),
         "rollup_1d_salted": _ORACLE_ROLLUP_TIER.format(unit="day"),
+        "rollup_tdigest": _ORACLE_ROLLUP_TDIGEST,
         "rollup_percentiles": """
 SELECT event_type AS series_key,
        date_trunc('hour', ts) AS bucket_ts,

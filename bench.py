@@ -138,9 +138,11 @@ def run_benchmarks() -> None:
 
     # Driver-contract queries over the provided test tables.
     queries = entry.queries()
-    for name in ["extract_flat", "extract_fixed", "rollup_1m",
+    for name in ["extract_flat", "extract_fixed", "extract_ts_raw",
+                 "rollup_1m",
                  "rollup_1h_cascade", "rollup_1d_salted",
-                 "rollup_percentiles", "counter_rate", "rollup_histogram",
+                 "rollup_percentiles", "rollup_tdigest", "counter_rate",
+                 "rollup_histogram",
                  "top_k_series",
                  "time_weighted_avg", "gapfill_locf",
                  "gapfill_locf_partitioned", "gapfill_linear",

@@ -165,6 +165,14 @@ def rollup_histogram(
     any tier from the bin counts.
     """
     v = F.col(value_col)
+    # The bin index below counts bounds <= v, which is only a valid bin
+    # number when bounds are strictly increasing; unsorted or duplicate
+    # bounds would silently misbin every value.
+    bl = list(bounds)
+    if not bl or bl != sorted(bl) or len(set(bl)) != len(bl):
+        raise ValueError(
+            f"histogram bounds must be non-empty and strictly "
+            f"increasing, got {bl}")
     n_bins = len(bounds) + 1
     # Bin index = number of bounds <= v (bounds is a literal sorted array).
     barr = F.array(*[F.lit(float(b)) for b in bounds])

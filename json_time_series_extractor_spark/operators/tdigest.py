@@ -1,0 +1,213 @@
+"""Mergeable quantile sketch tier: t-digest rollup + cascade.
+
+:func:`rollup.rollup_percentiles` is exact but terminal — exact
+percentiles cannot cascade from tier state, so every coarser tier
+re-scans raw samples. This module closes that gap with the merging
+t-digest (Dunning & Ertl, "Computing Extremely Accurate Quantiles Using
+t-Digests", arXiv:1902.04023 — public algorithm): per-bucket sketch rows
+whose state merges exactly like the mergeable histogram
+(:func:`rollup.rollup_histogram`), but without pre-declared bounds and
+with rank-error that tightens toward the tails (the p99-latency shape
+the engine's north-star queries care about).
+
+Sketch state per (series_key, bucket_ts): sorted centroid arrays
+(means, weights) bounded by the ``delta`` size budget, plus exact
+(cnt, min, max). Properties used here:
+
+- **build** = batched merge pass over the bucket's sorted values
+  (vectorized: cluster by floor(k1(q)) of the left cumulative rank;
+  k1(q) = delta * (asin(2q-1)/pi + 1/2), the paper's scale function);
+- **merge** = concatenate centroid lists, sort by mean, same pass —
+  associative enough for tier cascades, deterministic (no RNG: cluster
+  boundaries are a pure function of the sorted input);
+- **estimate** = piecewise-linear interpolation over centroid midpoint
+  ranks, with exact min/max anchoring the tails.
+
+Spark shape: ``applyInPandas`` per (series, bucket) group — the sanctioned
+custom-aggregate path when built-in aggregates can't express the state
+(Arrow-batched, group-bounded memory; a bucket of raw samples is the
+largest thing ever held). The cascade groups EXISTING sketch rows, so
+coarse tiers never touch raw data — the whole point. Quantile extraction
+is a map-only ``mapInPandas``.
+
+At 100 TB: build shuffles once on (series, bucket) — identical
+partitioning to every other rollup tier, map-side-combine-free but
+group-bounded; cascade shuffles one sketch row per (series, fine-bucket),
+thousands of times smaller than raw. Skew follows the same analysis as
+rollup (buckets bound the group size).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from json_time_series_extractor_spark.operators.rollup import _bucket
+
+#: Sketch row schema shared by build and cascade.
+TDIGEST_SCHEMA = (
+    "series_key string, bucket_ts timestamp, means array<double>, "
+    "weights array<double>, cnt long, vmin double, vmax double"
+)
+
+QUANTILE_SCHEMA = (
+    "series_key string, bucket_ts timestamp, p50 double, p95 double, "
+    "p99 double, cnt long"
+)
+
+
+def _compress(means: np.ndarray, weights: np.ndarray,
+              delta: int) -> Tuple[np.ndarray, np.ndarray]:
+    """One batched merge pass: cluster sorted centroids by the k1 scale
+    function of their left cumulative rank. Input must be sorted by mean;
+    output is sorted, with at most ~2*delta centroids."""
+    if len(means) <= 1:
+        return means, weights
+    total = weights.sum()
+    q_left = (np.cumsum(weights) - weights) / total
+    k = np.floor(delta * (np.arcsin(2.0 * q_left - 1.0) / np.pi + 0.5))
+    grp = np.concatenate([[0], np.cumsum(k[1:] != k[:-1])])
+    ws = np.bincount(grp, weights)
+    ms = np.bincount(grp, weights * means) / ws
+    return ms, ws
+
+
+def _build(values: np.ndarray, delta: int):
+    """values (finite doubles) -> (means, weights, cnt, vmin, vmax)."""
+    v = np.sort(values)
+    ms, ws = _compress(v.astype(np.float64),
+                       np.ones(len(v), dtype=np.float64), delta)
+    return ms, ws, len(v), float(v[0]), float(v[-1])
+
+
+def _merge(parts, delta: int):
+    """parts: iterable of (means, weights, cnt, vmin, vmax) tuples."""
+    all_m = np.concatenate([np.asarray(p[0], dtype=np.float64)
+                            for p in parts])
+    all_w = np.concatenate([np.asarray(p[1], dtype=np.float64)
+                            for p in parts])
+    order = np.argsort(all_m, kind="stable")
+    ms, ws = _compress(all_m[order], all_w[order], delta)
+    return (ms, ws, int(sum(p[2] for p in parts)),
+            float(min(p[3] for p in parts)),
+            float(max(p[4] for p in parts)))
+
+
+def _estimate(means: np.ndarray, weights: np.ndarray, cnt: int,
+              vmin: float, vmax: float, q: float) -> float:
+    """Quantile estimate: linear interpolation over centroid midpoint
+    ranks; the exact min/max anchor the segments outside the first/last
+    midpoints (singleton tails are therefore exact)."""
+    if cnt == 0:
+        return float("nan")
+    if len(means) == 1:
+        return float(means[0])
+    total = weights.sum()
+    target = q * total
+    mid = np.cumsum(weights) - weights / 2.0
+    if target <= mid[0]:
+        # min .. first centroid mean over [0, mid[0]]
+        return float(vmin + (means[0] - vmin) * max(target, 0.0) / mid[0])
+    if target >= mid[-1]:
+        span = total - mid[-1]
+        frac = 1.0 if span == 0 else min(target - mid[-1], span) / span
+        return float(means[-1] + (vmax - means[-1]) * frac)
+    i = int(np.searchsorted(mid, target, side="right"))
+    frac = (target - mid[i - 1]) / (mid[i] - mid[i - 1])
+    return float(means[i - 1] + (means[i] - means[i - 1]) * frac)
+
+
+def rollup_tdigest(
+    samples: DataFrame,
+    tier: str = "1 hour",
+    *,
+    delta: int = 100,
+    key_col: str = "series_key",
+    ts_col: str = "ts",
+    value_col: str = "value_double",
+) -> DataFrame:
+    """Build one t-digest sketch row per (series, tier bucket) from raw
+    samples. Nulls and NaNs are excluded (matching ``percentile``'s
+    null handling; NaN would poison every centroid mean)."""
+    v = F.col(value_col)
+    prepared = (samples
+                .where(v.isNotNull() & ~F.isnan(v.cast("double")))
+                .select(F.col(key_col).alias("series_key"),
+                        _bucket(ts_col, tier).alias("bucket_ts"),
+                        v.cast("double").alias("_v")))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        ms, ws, cnt, vmin, vmax = _build(
+            pdf["_v"].to_numpy(dtype=np.float64), delta)
+        return pd.DataFrame({
+            "series_key": [pdf["series_key"].iloc[0]],
+            "bucket_ts": [pdf["bucket_ts"].iloc[0]],
+            "means": [list(ms)],
+            "weights": [list(ws)],
+            "cnt": [cnt],
+            "vmin": [vmin],
+            "vmax": [vmax],
+        })
+
+    return (prepared.groupBy("series_key", "bucket_ts")
+            .applyInPandas(build, TDIGEST_SCHEMA))
+
+
+def tdigest_cascade(child: DataFrame, tier: str, *,
+                    delta: int = 100) -> DataFrame:
+    """Merge a finer sketch tier into a coarser one — sketch rows in,
+    sketch rows out, raw data never touched (the mergeable-percentile
+    answer the exact tier can't give)."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = [(np.asarray(m), np.asarray(w), c, lo, hi)
+                 for m, w, c, lo, hi in zip(pdf["means"], pdf["weights"],
+                                            pdf["cnt"], pdf["vmin"],
+                                            pdf["vmax"])]
+        ms, ws, cnt, vmin, vmax = _merge(parts, delta)
+        return pd.DataFrame({
+            "series_key": [pdf["series_key"].iloc[0]],
+            "bucket_ts": [pdf["_coarse"].iloc[0]],
+            "means": [list(ms)],
+            "weights": [list(ws)],
+            "cnt": [cnt],
+            "vmin": [vmin],
+            "vmax": [vmax],
+        })
+
+    return (child
+            .withColumn("_coarse", _bucket("bucket_ts", tier))
+            .groupBy("series_key", "_coarse")
+            .applyInPandas(merge, TDIGEST_SCHEMA))
+
+
+def tdigest_quantiles(digests: DataFrame,
+                      qs: tuple = (0.5, 0.95, 0.99)) -> DataFrame:
+    """(series_key, bucket_ts, p50, p95, p99, cnt) estimates from sketch
+    rows — map-only, one pass, no shuffle."""
+    if tuple(qs) != (0.5, 0.95, 0.99):
+        raise ValueError("QUANTILE_SCHEMA is fixed to (0.5, 0.95, 0.99); "
+                         "extend the schema alongside qs")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m, w, c, lo, hi, sk, bt in zip(
+                    pdf["means"], pdf["weights"], pdf["cnt"], pdf["vmin"],
+                    pdf["vmax"], pdf["series_key"], pdf["bucket_ts"]):
+                m = np.asarray(m, dtype=np.float64)
+                w = np.asarray(w, dtype=np.float64)
+                rows.append((sk, bt,
+                             _estimate(m, w, c, lo, hi, 0.5),
+                             _estimate(m, w, c, lo, hi, 0.95),
+                             _estimate(m, w, c, lo, hi, 0.99),
+                             int(c)))
+            yield pd.DataFrame(
+                rows, columns=["series_key", "bucket_ts", "p50", "p95",
+                               "p99", "cnt"])
+
+    return digests.mapInPandas(run, QUANTILE_SCHEMA)

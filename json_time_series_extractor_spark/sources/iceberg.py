@@ -114,3 +114,64 @@ def read_table(spark: SparkSession, table: str,
     if snapshot_id is not None:
         reader = reader.option("snapshot-id", str(snapshot_id))
     return reader.table(table)
+
+
+# ---------------------------------------------------------------------------
+# Write-audit-publish (WAP): staged commits for the pipeline's lineage
+# protocol. A run writes to an audit branch, validation queries read the
+# branch, and publish is an atomic metadata-only fast-forward of main —
+# the Iceberg form of plans.pipeline's staging-dir + sentinel commit.
+# ---------------------------------------------------------------------------
+
+def wap_branch_ddl(table: str, run_id: str) -> str:
+    """Create the audit branch a run stages its commits on."""
+    return f"ALTER TABLE {table} CREATE BRANCH IF NOT EXISTS audit_{run_id}"
+
+
+def wap_write_conf(run_id: str) -> dict:
+    """Session confs routing writes to the audit branch. Set before the
+    stage's writeTo/overwritePartitions; unset (or end the session) after."""
+    return {"spark.wap.branch": f"audit_{run_id}"}
+
+
+def wap_publish_sql(table: str, run_id: str) -> str:
+    """Atomically publish the audited branch: fast-forward main to it,
+    then drop the branch. Both statements are metadata-only."""
+    return (
+        f"CALL system.fast_forward(table => '{table}', "
+        f"branch => 'main', to => 'audit_{run_id}');\n"
+        f"ALTER TABLE {table} DROP BRANCH audit_{run_id}"
+    )
+
+
+def wap_stage(df: DataFrame, table: str, run_id: str,
+              overwrite: bool = True) -> None:
+    """Full WAP staging step: branch DDL + branch-routed write. Raises
+    :class:`IcebergUnavailable` carrying every statement it would run
+    when no catalog is live (so tests pin the exact mapping)."""
+    spark = df.sparkSession
+    if not iceberg_available(spark):
+        mode = ("INSERT OVERWRITE ... PARTITION (...)" if overwrite
+                else "INSERT INTO ...")
+        raise IcebergUnavailable(
+            f"{wap_branch_ddl(table, run_id)};\n"
+            f"SET spark.wap.branch = audit_{run_id};\n"
+            f"{mode} -- {table}")
+    spark.sql(wap_branch_ddl(table, run_id))
+    for k, v in wap_write_conf(run_id).items():
+        spark.conf.set(k, v)
+    try:
+        if overwrite:
+            df.writeTo(table).overwritePartitions()
+        else:
+            df.writeTo(table).append()
+    finally:
+        for k in wap_write_conf(run_id):
+            spark.conf.unset(k)
+
+
+def wap_publish(spark: SparkSession, table: str, run_id: str) -> None:
+    if not iceberg_available(spark):
+        raise IcebergUnavailable(wap_publish_sql(table, run_id))
+    for stmt in wap_publish_sql(table, run_id).split(";\n"):
+        spark.sql(stmt)

@@ -27,6 +27,19 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+def _gather(pdfs: Iterable[pd.DataFrame]) -> pd.DataFrame:
+    """Concatenate a group's micro-batch frames; empty frame if none.
+
+    With a GroupStateTimeout configured, Spark invokes the update
+    function for timed-out keys with NO data — ``rows.iloc[0]`` on the
+    param columns would raise IndexError. Callers must early-return on
+    ``rows.empty`` before touching any column."""
+    pdf_list = [p for p in pdfs if len(p)]
+    if not pdf_list:
+        return pd.DataFrame()
+    return pd.concat(pdf_list, ignore_index=True)
+
+
 #: Output schema of the stateful LOCF operator.
 LOCF_STATE_SCHEMA = "series_key string, bucket_ts timestamp, value double, filled boolean"
 #: State: last emitted bucket (epoch seconds) + last observed value.
@@ -38,7 +51,15 @@ def _locf_update(key: Tuple[str],
                  state: GroupState) -> Iterator[pd.DataFrame]:
     import numpy as np
 
-    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = _gather(pdfs)
+    if rows.empty:  # timeout tick or all-empty batch: state untouched
+        yield pd.DataFrame({
+            "series_key": pd.Series([], dtype="object"),
+            "bucket_ts": pd.Series([], dtype="datetime64[ns]"),
+            "value": pd.Series([], dtype="float64"),
+            "filled": pd.Series([], dtype="bool"),
+        })
+        return
     interval = int(rows["interval_s"].iloc[0])
     # Incoming buckets for this series, deduplicated and ordered.
     incoming = (rows[["bucket_s", "value"]]
@@ -109,7 +130,15 @@ RATE_STATE_SCHEMA = ("last_ts_us long, last_value double, "
 def _rate_update(key: Tuple[str],
                  pdfs: Iterable[pd.DataFrame],
                  state: GroupState) -> Iterator[pd.DataFrame]:
-    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = _gather(pdfs)
+    if rows.empty:  # timeout tick or all-empty batch: state untouched
+        yield pd.DataFrame({
+            "series_key": pd.Series([], dtype="object"),
+            "bucket_ts": pd.Series([], dtype="datetime64[ns]"),
+            "increase": pd.Series([], dtype="float64"),
+            "n_samples": pd.Series([], dtype="int64"),
+        })
+        return
     tier = int(rows["tier_s"].iloc[0])
     incoming = (rows[["ts_us", "value"]]
                 .dropna()
@@ -216,7 +245,17 @@ SESSION_STATE_SCHEMA = ("start_us long, last_us long, n long, "
 def _session_update(key: Tuple[int],
                     pdfs: Iterable[pd.DataFrame],
                     state: GroupState) -> Iterator[pd.DataFrame]:
-    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = _gather(pdfs)
+    if rows.empty:  # timeout tick or all-empty batch: state untouched
+        yield pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "session_idx": pd.Series([], dtype="int64"),
+            "session_start": pd.Series([], dtype="datetime64[ns]"),
+            "session_end": pd.Series([], dtype="datetime64[ns]"),
+            "n_events": pd.Series([], dtype="int64"),
+            "duration_s": pd.Series([], dtype="float64"),
+        })
+        return
     gap_us = int(rows["gap_us"].iloc[0])
     # dropna on ts only: event_id is merely the ordering tie-breaker, and
     # batch sessionize counts null-id events too.

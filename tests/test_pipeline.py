@@ -582,3 +582,85 @@ def test_stateful_sessionize_matches_batch_on_closed_sessions(
             (r.session_start, r.session_end, r.n_events)
             for r in batch if r.session_idx < last_idx[r.user_id]}
     assert got == want
+
+
+def test_stateful_counter_increase_matches_batch_on_closed_buckets(
+        spark, tmp_path):
+    """Cross-validation: streaming closed counter buckets == batch
+    counter_increase minus each series' (still-open) final bucket, on
+    real event data split across micro-batches."""
+    import os
+    import time as _time
+
+    from json_time_series_extractor_spark.operators.rate import (
+        counter_increase,
+    )
+    from json_time_series_extractor_spark.streaming.stateful import (
+        stateful_counter_increase,
+    )
+
+    samples = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+               .selectExpr("event_type AS series_key", "ts",
+                           "value AS value_double")
+               .where("value_double IS NOT NULL"))
+    # Two micro-batches split mid-stream by timestamp so cross-batch
+    # baselines (and reset handling around the split) are exercised.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # events ts is NTZ
+    cut = samples.select(F.percentile(us, F.lit(0.5)).alias("p")).first().p
+    src = str(tmp_path / "cnt")
+    os.makedirs(src)
+    samples.where(us <= cut).coalesce(1).write.parquet(src + "/f1")
+    _time.sleep(0.2)
+    samples.where(us > cut).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (spark.readStream
+              .schema("series_key string, ts timestamp, value_double double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src + "/*"))
+    q = (stateful_counter_increase(stream, tier_seconds=3600)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("rate_parity_test")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.processAllAvailable()
+    try:
+        got = {(r.series_key, r.bucket_ts): (r.increase, r.n_samples)
+               for r in spark.sql(
+                   "SELECT * FROM rate_parity_test").collect()}
+    finally:
+        q.stop()
+
+    batch = counter_increase(samples, "1 hour").collect()
+    last_bucket = {}
+    for r in batch:
+        lb = last_bucket.get(r.series_key)
+        if lb is None or r.bucket_ts > lb:
+            last_bucket[r.series_key] = r.bucket_ts
+    want = {(r.series_key, r.bucket_ts): (r.increase, r.n_samples)
+            for r in batch if r.bucket_ts < last_bucket[r.series_key]}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][1] == want[k][1], k
+        assert abs(got[k][0] - want[k][0]) < 1e-9, k
+
+
+def test_stateful_updates_tolerate_empty_invocations():
+    """A GroupStateTimeout tick invokes the update functions with no
+    data; they must early-return without touching param columns."""
+    import pandas as pd
+
+    from json_time_series_extractor_spark.streaming.stateful import (
+        _locf_update, _rate_update, _session_update,
+    )
+
+    class _FakeState:
+        exists = False
+
+        def update(self, *_):  # pragma: no cover - must NOT be called
+            raise AssertionError("state updated on empty invocation")
+
+    for fn, key in [(_locf_update, ("s",)), (_rate_update, ("s",)),
+                    (_session_update, (1,))]:
+        outs = list(fn(key, iter([pd.DataFrame()]), _FakeState()))
+        assert len(outs) == 1 and outs[0].empty
+        outs = list(fn(key, iter([]), _FakeState()))
+        assert len(outs) == 1 and outs[0].empty

@@ -604,3 +604,19 @@ def test_top_k_series_exact(spark):
     assert out[(1, 2)] == ("b", 3)
     assert out[(2, 1)] == ("d", 1)
     assert len(out) == 3
+
+
+def test_histogram_bounds_validation(spark):
+    """Unsorted/duplicate/empty bounds misbin silently -> must raise."""
+    from json_time_series_extractor_spark.operators.rollup import (
+        rollup_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0)],
+        "series_key string, ts string, value_double double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    for bad in [(), (2.0, 1.0), (1.0, 1.0)]:
+        with pytest.raises(ValueError, match="strictly increasing"):
+            rollup_histogram(df, "1 hour", bounds=bad)
+    rollup_histogram(df, "1 hour", bounds=(1.0, 2.0))  # valid: no raise

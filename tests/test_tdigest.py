@@ -1,0 +1,126 @@
+"""Mergeable t-digest quantile tier: accuracy, merge property, cascade."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from json_time_series_extractor_spark.operators.tdigest import (
+    _build,
+    _estimate,
+    _merge,
+    rollup_tdigest,
+    tdigest_cascade,
+    tdigest_quantiles,
+)
+
+
+def _rank_error(values: np.ndarray, est: float, q: float) -> float:
+    """Distance from q to est's empirical rank INTERVAL (tie-aware: a
+    value with duplicate mass occupies a rank range) — the error the
+    t-digest bounds."""
+    s = np.sort(values)
+    lo = np.searchsorted(s, est, side="left") / len(s)
+    hi = np.searchsorted(s, est, side="right") / len(s)
+    return 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+
+
+def test_build_rank_accuracy_and_compression():
+    """10k-point digests at delta=100 stay within 1% rank error at the
+    body and 0.3% at the tails, with a bounded centroid count."""
+    rng = np.random.default_rng(3)
+    for dist in [rng.normal(100, 15, 10_000),
+                 rng.lognormal(3, 1, 10_000),       # heavy tail
+                 np.repeat(rng.integers(0, 50, 100), 100).astype(float)]:
+        ms, ws, cnt, vmin, vmax = _build(dist, delta=100)
+        assert cnt == len(dist)
+        assert len(ms) <= 2 * 100
+        assert ws.sum() == pytest.approx(len(dist))
+        # Body tolerance includes one 1%-mass atom of slack: the discrete
+        # distribution has 100 equal-mass values, so ANY estimator can sit
+        # half an atom from q.
+        for q, tol in [(0.5, 0.011), (0.95, 0.005), (0.99, 0.003)]:
+            est = _estimate(ms, ws, cnt, vmin, vmax, q)
+            assert _rank_error(dist, est, q) <= tol, (q, est)
+
+
+def test_merge_matches_whole_build():
+    """merge(digest(A), digest(B)) estimates within the same rank-error
+    envelope as digest(A ∪ B) — the mergeability contract."""
+    rng = np.random.default_rng(9)
+    a, b = rng.normal(0, 1, 5_000), rng.normal(5, 2, 5_000)
+    both = np.concatenate([a, b])
+    merged = _merge([_build(a, 100), _build(b, 100)], 100)
+    assert merged[2] == 10_000
+    assert merged[3] == both.min() and merged[4] == both.max()
+    for q in (0.5, 0.95, 0.99):
+        est = _estimate(merged[0], merged[1], merged[2], merged[3],
+                        merged[4], q)
+        assert _rank_error(both, est, q) <= 0.015, q
+
+
+def test_build_is_deterministic():
+    """No RNG anywhere: same input -> bit-identical sketch."""
+    rng = np.random.default_rng(1)
+    v = rng.normal(0, 1, 2_000)
+    s1, s2 = _build(v.copy(), 100), _build(v.copy(), 100)
+    assert (s1[0] == s2[0]).all() and (s1[1] == s2[1]).all()
+
+
+def test_tiny_buckets_are_exact():
+    """Buckets smaller than delta keep every point as a singleton
+    centroid; min/max/median land exactly."""
+    ms, ws, cnt, vmin, vmax = _build(np.array([3.0, 1.0, 2.0]), 100)
+    assert (vmin, vmax, cnt) == (1.0, 3.0, 3)
+    assert _estimate(ms, ws, cnt, vmin, vmax, 0.5) == 2.0
+    assert _estimate(ms, ws, cnt, vmin, vmax, 0.0) == 1.0
+    assert _estimate(ms, ws, cnt, vmin, vmax, 1.0) == 3.0
+
+
+def test_spark_rollup_and_cascade(spark):
+    """1m sketches cascade to 1h; the cascaded estimates agree with
+    Spark's exact percentile within the rank-error tolerance, and cnt is
+    exact. Coarse tier never re-reads raw data (sketch rows in)."""
+    samples = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+               .selectExpr("event_type AS series_key", "ts",
+                           "value AS value_double"))
+    d1m = rollup_tdigest(samples, "1 minute", delta=100)
+    d1h = tdigest_cascade(d1m, "1 hour", delta=100)
+    got = {(r.series_key, r.bucket_ts): r
+           for r in tdigest_quantiles(d1h).collect()}
+
+    exact = {(r.series_key, r.bucket_ts): r for r in (
+        samples.where(F.col("value_double").isNotNull())
+        .groupBy("series_key",
+                 F.window("ts", "1 hour")["start"].alias("bucket_ts"))
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             *[F.percentile("value_double", lo).alias(f"lo{i}")
+               for i, lo in enumerate([0.40, 0.85, 0.89])],
+             *[F.percentile("value_double", hi).alias(f"hi{i}")
+               for i, hi in enumerate([0.60, 1.0, 1.0])])
+        .collect())}
+
+    assert got.keys() == exact.keys()
+    eps = 1e-9
+    for k, r in got.items():
+        e = exact[k]
+        assert r.cnt == e.cnt, k
+        for i, est in enumerate([r.p50, r.p95, r.p99]):
+            lo, hi = getattr(e, f"lo{i}"), getattr(e, f"hi{i}")
+            assert lo - eps <= est <= hi + eps, (k, i, est, lo, hi)
+
+
+def test_cascade_equals_direct_build_counts(spark):
+    """cnt/vmin/vmax through the cascade == direct 1h build (the exact
+    parts of the state merge exactly)."""
+    samples = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+               .selectExpr("event_type AS series_key", "ts",
+                           "value AS value_double"))
+    via = {(r.series_key, r.bucket_ts): (r.cnt, r.vmin, r.vmax)
+           for r in tdigest_cascade(
+               rollup_tdigest(samples, "1 minute"), "1 hour").collect()}
+    direct = {(r.series_key, r.bucket_ts): (r.cnt, r.vmin, r.vmax)
+              for r in rollup_tdigest(samples, "1 hour").collect()}
+    assert via == direct

@@ -623,3 +623,37 @@ def test_real_png_decode_through_spark(spark):
     out2 = decode_png(bytes(resized[2].media))
     assert out2.shape == (8, 8, 4)
     assert (out2[:, :, 3] == 200).all()
+
+
+def test_iceberg_wap_goldens(spark):
+    """WAP (write-audit-publish) mapping: pinned statement text, and the
+    gated entry points surface EXACTLY those statements when no catalog
+    is live (runtime jars absent here — attempted again this round: no
+    jar offline, no network; the string contract is the testable
+    surface)."""
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.sources.iceberg import (
+        IcebergUnavailable, wap_branch_ddl, wap_publish, wap_publish_sql,
+        wap_stage, wap_write_conf)
+
+    assert wap_branch_ddl("lake.web.rollup_1m", "r7") == (
+        "ALTER TABLE lake.web.rollup_1m CREATE BRANCH "
+        "IF NOT EXISTS audit_r7")
+    assert wap_write_conf("r7") == {"spark.wap.branch": "audit_r7"}
+    assert wap_publish_sql("lake.web.rollup_1m", "r7") == (
+        "CALL system.fast_forward(table => 'lake.web.rollup_1m', "
+        "branch => 'main', to => 'audit_r7');\n"
+        "ALTER TABLE lake.web.rollup_1m DROP BRANCH audit_r7")
+
+    df = spark.range(1)
+    with _pytest.raises(IcebergUnavailable) as ei:
+        wap_stage(df, "lake.web.rollup_1m", "r7")
+    assert ei.value.sql == (
+        "ALTER TABLE lake.web.rollup_1m CREATE BRANCH "
+        "IF NOT EXISTS audit_r7;\n"
+        "SET spark.wap.branch = audit_r7;\n"
+        "INSERT OVERWRITE ... PARTITION (...) -- lake.web.rollup_1m")
+    with _pytest.raises(IcebergUnavailable) as ei:
+        wap_publish(spark, "lake.web.rollup_1m", "r7")
+    assert ei.value.sql == wap_publish_sql("lake.web.rollup_1m", "r7")
