@@ -175,11 +175,18 @@ def run_benchmarks() -> None:
     from json_time_series_extractor_spark.operators.dedup import (
         embedding_neardup_pairs, minhash_lsh_dedup_pairs)
 
+    def _spread(df):
+        # The sf* tables are single-row-group parquet (one split); a real
+        # table has thousands. Same repartition the driver queries use —
+        # without it these entries time a single-threaded scan, not the
+        # operator (measured 10.3s vs 2.0s for minhash_lsh_default).
+        return df.repartition(spark.sparkContext.defaultParallelism)
+
     def _emb(sf_dir):
-        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
     def _docs(sf_dir):
-        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
     def _noop(df):
         df.write.format("noop").mode("overwrite").save()
@@ -203,6 +210,23 @@ def run_benchmarks() -> None:
     timed("minhash_lsh_default",
           lambda: _noop(minhash_lsh_dedup_pairs(_docs(SF_DIR))),
           warm=lambda: _noop(minhash_lsh_dedup_pairs(_docs(WARM_SF_DIR))))
+
+    from json_time_series_extractor_spark.operators.tdigest import (
+        rollup_tdigest, tdigest_cascade, tdigest_quantiles)
+
+    def _ev_samples(sf_dir):
+        return _spread(spark.read.parquet(f"{sf_dir}/events.parquet")
+                       .selectExpr("event_type AS series_key", "ts",
+                                   "value AS value_double"))
+
+    def _tdigest(sf_dir):
+        _noop(tdigest_quantiles(tdigest_cascade(
+            rollup_tdigest(_ev_samples(sf_dir), "1 minute"), "1 hour")))
+
+    # The driver query embeds an exact-percentile bracket join for oracle
+    # grading; this entry times the sketch pipeline alone.
+    timed("rollup_tdigest_default",
+          lambda: _tdigest(SF_DIR), warm=lambda: _tdigest(WARM_SF_DIR))
 
     # Compression-ratio metric: Gorilla/DoD chunk bytes per point vs the
     # 16-byte raw (ts int64 + value float64) representation.

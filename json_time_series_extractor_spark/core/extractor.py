@@ -27,6 +27,7 @@ from __future__ import annotations
 import re
 from datetime import datetime, timezone
 from enum import IntEnum
+from functools import lru_cache
 from typing import Any, Iterator, List, NamedTuple, Optional, Tuple
 
 from json_time_series_extractor_spark.core import jsondoc
@@ -94,6 +95,15 @@ class _UnresolvedTemplate(Exception):
     pass
 
 
+@lru_cache(maxsize=64)
+def _compile_match_cached(include: Optional[tuple], exclude: Optional[tuple],
+                          allow_wildcards: bool):
+    """Rule-content-keyed cache over :func:`compile_match_delegate` (the
+    compiled predicates are pure functions of the rules — context flows in
+    per call, so sharing across documents is sound)."""
+    return compile_match_delegate(include, exclude, allow_wildcards)
+
+
 class _Context:
     """Per-document extraction state (``TimeSeriesExtractorContext.cs:11-117``)."""
 
@@ -120,8 +130,16 @@ class _Context:
             self._can_process = options.can_process_element
         elif (options.pointers_to_include is not None
               or options.pointers_to_exclude is not None):
-            self._can_process = compile_match_delegate(
-                options.pointers_to_include, options.pointers_to_exclude,
+            # Memoized by rule CONTENT: a batch extracts thousands of
+            # documents with identical options, and recompiling the rule
+            # predicates (regex/MQTT parsing) per document was ~12% of
+            # extraction time. Keying on the tuples (not the options
+            # object) keeps mutation of the rule lists safe.
+            self._can_process = _compile_match_cached(
+                tuple(options.pointers_to_include)
+                if options.pointers_to_include is not None else None,
+                tuple(options.pointers_to_exclude)
+                if options.pointers_to_exclude is not None else None,
                 options.allow_wildcard_expressions)
         else:
             self._can_process = None

@@ -93,9 +93,16 @@ def minhash_signatures(docs: DataFrame, *, text_col: str = "text",
     # HOF expression twice more per row — ~6x slower (HOFs get no codegen
     # subexpression elimination). word_shingles is never empty/null, so the
     # two are result-identical here.
-    exploded = docs.select(F.col(id_col).alias("doc_id"),
-                           F.explode_outer(sh).alias("_s"))
-    mins = [F.min(F.xxhash64("_s", F.lit(i))).alias(f"_m{i}")
+    #
+    # The shingle STRING is hashed once (variable-length input); the
+    # num_hashes family then re-hashes that fixed 8-byte value — measured
+    # ~3x faster than hashing the string per function at num_hashes=64,
+    # and the min-hash property only needs the family to be independent
+    # hashes of the shingle's identity.
+    exploded = (docs.select(F.col(id_col).alias("doc_id"),
+                            F.explode_outer(sh).alias("_s"))
+                .select("doc_id", F.xxhash64("_s").alias("_h")))
+    mins = [F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}")
             for i in range(num_hashes)]
     return (exploded.groupBy("doc_id").agg(*mins)
             .select("doc_id",

@@ -7,7 +7,9 @@ another scale; note the DuckDB side of the pair-based oracles
 (ngram_jaccard, minhash_lsh_pairs, neardup_components) is an all-pairs
 O(N^2) list-intersection — ~10-16 minutes EACH at sf0.1 (5000 docs),
 single-threaded. That cost lives in the oracle SQL, not the engine; the
-full 37-query sweep has been verified green at both sf0.01 and sf0.1."""
+full 39-query sweep is verified green at sf0.01 (round 3, type-strict
+comparison); the 37-query round-2 set was additionally verified at
+sf0.1."""
 
 from __future__ import annotations
 
