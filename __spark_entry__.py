@@ -516,6 +516,85 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asof_value")
 
 
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join WITH a tolerance: for every 1-minute bucket,
+    whichever of the latest-at-or-before / earliest-at-or-after event is
+    closer (ties backward), nulled when the winning side is >30s away —
+    covers the third direction AND the tolerance path, neither of which
+    the backward/forward queries exercise. Oracle: both DuckDB ASOF
+    directions, per-side tolerance, then the same nearer-wins choice."""
+    samples = _event_samples(spark, sf_dir)
+    probes = (rollup(samples, "1 minute")
+              .select("series_key", F.col("bucket_ts").alias("ts")))
+    out = asof_join(probes, samples, direction="nearest",
+                    tolerance="30 seconds")
+    out = _quant6(
+        out.select("series_key", F.col("ts").alias("bucket_ts"),
+                   "asof_ts",
+                   F.col("asof_value_double").alias("asof_value")),
+        "asof_value")
+    # Out-of-tolerance probes are null; nulls are coalesced to typed
+    # sentinels on BOTH sides (the extract_fixed/gapfill pattern — a
+    # numeric column with nulls degrades to float64 in the oracle's
+    # pandas bridge and the typed compare would flag every row).
+    return out.select(
+        "series_key", "bucket_ts",
+        F.col("asof_ts").isNotNull().alias("matched"),
+        F.coalesce("asof_ts",
+                   F.lit("1970-01-01 00:00:00").cast("timestamp"))
+        .alias("asof_ts"),
+        F.coalesce("asof_value", F.lit(-1)).alias("asof_value"))
+
+
+_ORACLE_ASOF_NEAREST = """
+WITH probes AS (
+    SELECT event_type AS series_key, date_trunc('minute', ts) AS bucket_ts
+    FROM events GROUP BY 1, 2),
+b AS (
+    SELECT p.series_key, p.bucket_ts, e.ts AS m_ts, e.value AS m_v
+    FROM probes p ASOF LEFT JOIN events e
+      ON p.series_key = e.event_type AND e.ts <= p.bucket_ts),
+f AS (
+    SELECT p.series_key, p.bucket_ts, e.ts AS m_ts, e.value AS m_v
+    FROM probes p ASOF LEFT JOIN events e
+      ON p.series_key = e.event_type AND e.ts >= p.bucket_ts),
+j AS (
+    SELECT b.series_key, b.bucket_ts,
+           -- per-side tolerance BEFORE choosing (the operator nulls each
+           -- side independently, then takes the nearer survivor)
+           CASE WHEN b.m_ts IS NOT NULL
+                 AND epoch_us(b.bucket_ts) - epoch_us(b.m_ts) <= 30000000
+                THEN b.m_ts END AS b_ts,
+           CASE WHEN b.m_ts IS NOT NULL
+                 AND epoch_us(b.bucket_ts) - epoch_us(b.m_ts) <= 30000000
+                THEN b.m_v END AS b_v,
+           CASE WHEN f.m_ts IS NOT NULL
+                 AND epoch_us(f.m_ts) - epoch_us(b.bucket_ts) <= 30000000
+                THEN f.m_ts END AS f_ts,
+           CASE WHEN f.m_ts IS NOT NULL
+                 AND epoch_us(f.m_ts) - epoch_us(b.bucket_ts) <= 30000000
+                THEN f.m_v END AS f_v
+    FROM b JOIN f USING (series_key, bucket_ts)),
+n AS (
+    SELECT series_key, bucket_ts,
+           CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+                     OR epoch_us(bucket_ts) - epoch_us(b_ts)
+                        <= epoch_us(f_ts) - epoch_us(bucket_ts))
+                THEN b_ts ELSE f_ts END AS m_ts,
+           CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+                     OR epoch_us(bucket_ts) - epoch_us(b_ts)
+                        <= epoch_us(f_ts) - epoch_us(bucket_ts))
+                THEN b_v ELSE f_v END AS m_v
+    FROM j)
+SELECT series_key, bucket_ts,
+       m_ts IS NOT NULL AS matched,
+       COALESCE(m_ts, TIMESTAMP '1970-01-01 00:00:00') AS asof_ts,
+       COALESCE(CAST(floor(m_v * 1000000 + 0.5) AS BIGINT), -1)
+           AS asof_value
+FROM n
+"""
+
+
 def _events_as_f6_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events re-rendered as Common-Crawl-style pages carrying the F6
     payload (``body.data = [{t, ts, v} x 3]``, the reference CLI data-1
@@ -886,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_linear_partitioned": q_gapfill_linear_partitioned,
         "asof_join": q_asof_join,
         "asof_join_forward": q_asof_join_forward,
+        "asof_join_nearest": q_asof_join_nearest,
         "pages_extract_rollup": q_pages_extract_rollup,
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
@@ -1150,6 +1230,7 @@ SELECT p.series_key, p.bucket_ts, e.ts AS asof_ts,
 FROM probes p ASOF JOIN events e
   ON p.series_key = e.event_type AND e.ts >= p.bucket_ts
 """,
+        "asof_join_nearest": _ORACLE_ASOF_NEAREST,
         "doc_token_count": """
 SELECT doc_id,
        len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))

@@ -147,7 +147,7 @@ def run_benchmarks() -> None:
                  "time_weighted_avg", "gapfill_locf",
                  "gapfill_locf_partitioned", "gapfill_linear",
                  "gapfill_linear_partitioned", "asof_join",
-                 "asof_join_forward",
+                 "asof_join_forward", "asof_join_nearest",
                  "chunk_roundtrip", "doc_token_count",
                  "doc_quality", "doc_lang_id", "doc_fingerprint",
                  "dedup_exact", "ngram_jaccard", "minhash_lsh_pairs",
