@@ -211,6 +211,15 @@ def run_benchmarks() -> None:
           lambda: _noop(minhash_lsh_dedup_pairs(_docs(SF_DIR))),
           warm=lambda: _noop(minhash_lsh_dedup_pairs(_docs(WARM_SF_DIR))))
 
+    from json_time_series_extractor_spark.operators.dedup import (
+        simhash_near_dup_pairs)
+
+    # Operator default: xxhash64 token hash (the oracle query pays for a
+    # DuckDB-recomputable md5-hi64 hash instead).
+    timed("simhash_default",
+          lambda: _noop(simhash_near_dup_pairs(_docs(SF_DIR))),
+          warm=lambda: _noop(simhash_near_dup_pairs(_docs(WARM_SF_DIR))))
+
     from json_time_series_extractor_spark.operators.tdigest import (
         rollup_tdigest, tdigest_cascade, tdigest_quantiles)
 

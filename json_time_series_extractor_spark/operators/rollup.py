@@ -125,9 +125,9 @@ def rollup_percentiles(
     the sorted bucket) — deliberately NOT mergeable: exact percentiles
     cannot cascade from tier state, so this is a terminal aggregate over
     raw samples at whatever tiers are needed (the group sizes are bucket-
-    bounded, so the sort-based aggregate stays partition-local; a
-    t-digest/KLL sketch column is the plug point if cascading percentiles
-    are ever required)."""
+    bounded, so the sort-based aggregate stays partition-local; for
+    cascading percentiles use :mod:`.tdigest` — the mergeable t-digest
+    sketch tier built in round 3)."""
     v = F.col(value_col)
 
     def label(q: float) -> str:
