@@ -39,6 +39,8 @@ def sniff_media_format(blob: bytes) -> str:
         return "wav"
     if blob[:8] == _PNG_SIG:
         return "png"
+    if blob[:3] == b"\xFF\xD8\xFF":
+        return "jpeg"
     return "unknown"
 
 

@@ -101,10 +101,14 @@ def extract_image_features(df: DataFrame, *, id_col: str = "media_id",
             pixels = decode_bmp(blob)
         elif fmt == "png":
             pixels = decode_png(blob)
+        elif fmt == "jpeg":
+            from json_time_series_extractor_spark.operators.jpeg import (
+                decode_jpeg)
+            pixels = decode_jpeg(blob)
         else:
             raise NotImplementedError(
                 f"no dependency-free decoder for format {fmt!r}; PIL/"
-                "opencv plug in here for JPEG and friends")
+                "opencv plug in here (progressive JPEG, WebP, ...)")
         w, h, c, luma, phash = image_features(pixels)
         return w, h, c, luma, phash
 
@@ -160,10 +164,15 @@ def resize_images(df: DataFrame, width: int, height: int, *,
             # PNG round-trips as PNG (alpha/grayscale-preserving).
             return encode_png(resize_nearest(decode_png(blob),
                                              width, height))
+        elif fmt == "jpeg":
+            from json_time_series_extractor_spark.operators.jpeg import (
+                decode_jpeg, encode_jpeg)
+            return encode_jpeg(resize_nearest(decode_jpeg(blob),
+                                              width, height))
         else:
             raise NotImplementedError(
                 f"no dependency-free decoder for format {fmt!r}; PIL/"
-                "opencv plug in here for JPEG and friends")
+                "opencv plug in here (progressive JPEG, WebP, ...)")
         return encode_ppm(resize_nearest(pixels, width, height))
 
     _check_decode_stub(decode_stub)

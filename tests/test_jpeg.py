@@ -1,0 +1,114 @@
+"""Baseline JPEG codec: round-trip error bounds, format features,
+decoder hardening, Spark integration."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from json_time_series_extractor_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([(yy * 3) % 256, (xx * 5) % 256,
+                     ((yy + xx) * 2) % 256], axis=-1).astype(np.uint8)
+
+
+def test_roundtrip_error_bounds_444_and_420():
+    """Smooth content at q90: 4:4:4 within a few quantization steps per
+    channel; 4:2:0 a bit looser (chroma box filter)."""
+    img = _gradient(64, 48)
+    for sub, bound in [(False, 4), (True, 8)]:
+        out = decode_jpeg(encode_jpeg(img, quality=90, subsample=sub))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= bound
+
+
+def test_flat_color_is_exact():
+    flat = np.full((17, 23, 3), [200, 30, 90], np.uint8)
+    out = decode_jpeg(encode_jpeg(flat, quality=90))
+    assert (out == flat).all()
+
+
+def test_grayscale_single_component():
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, (9, 17), np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=100, subsample=False))
+    assert out.ndim == 2 and out.shape == g.shape
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 1
+
+
+def test_restart_markers_roundtrip():
+    """DRI/RSTn: predictors reset per interval; decode must resync."""
+    img = _gradient(50, 37)
+    for sub, ri in [(True, 2), (False, 3), (True, 1)]:
+        blob = encode_jpeg(img, 90, subsample=sub, restart_interval=ri)
+        assert b"\xFF\xDD" in blob          # DRI emitted
+        out = decode_jpeg(blob)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_non_multiple_of_mcu_sizes():
+    """Edge padding: sizes not divisible by 8 (or 16 for 4:2:0)."""
+    rng = np.random.default_rng(2)
+    for shape in [(1, 1, 3), (7, 9, 3), (15, 17, 3), (16, 16, 3)]:
+        img = rng.integers(0, 256, shape, np.uint8)
+        for sub in (False, True):
+            out = decode_jpeg(encode_jpeg(img, 95, subsample=sub))
+            assert out.shape == shape
+
+
+def test_quality_monotonicity():
+    """Higher quality -> larger file and lower error (sanity of the
+    libjpeg quality scaling)."""
+    img = _gradient(40, 40)
+    sizes, errs = [], []
+    for q in (30, 60, 90):
+        blob = encode_jpeg(img, q, subsample=False)
+        out = decode_jpeg(blob)
+        sizes.append(len(blob))
+        errs.append(np.abs(out.astype(int) - img.astype(int)).mean())
+    assert sizes == sorted(sizes)
+    assert errs == sorted(errs, reverse=True)
+
+
+def test_rejects_progressive_and_garbage():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    # Hand-build an SOF2 (progressive) header: must raise the plug-point
+    # error, not garbage output.
+    import struct
+    sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    blob = (b"\xFF\xD8" + struct.pack(">HH", 0xFFC2, len(sof2) + 2)
+            + sof2 + b"\xFF\xD9")
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(blob)
+
+
+def test_real_jpeg_decode_through_spark(spark):
+    """decode_stub='real' handles JPEG in extract_image_features and
+    resize_images (JPEG-in -> JPEG-out)."""
+    from json_time_series_extractor_spark.operators.codecs import (
+        sniff_media_format)
+    from json_time_series_extractor_spark.operators.multimodal import (
+        extract_image_features, resize_images)
+
+    img = np.zeros((16, 32, 3), dtype=np.uint8)
+    img[:, 16:, :] = 255
+    blob = encode_jpeg(img, quality=95, subsample=False)
+    assert sniff_media_format(blob) == "jpeg"
+    media = spark.createDataFrame([(1, bytearray(blob))],
+                                  "media_id long, media binary")
+    f = extract_image_features(media, decode_stub="real").collect()[0]
+    assert (f.width, f.height, f.n_channels) == (32, 16, 3)
+    assert abs(f.mean_luma - 0.5) < 0.02     # lossy: loose bound
+
+    r = resize_images(media, 8, 8, decode_stub="real").collect()[0]
+    out = decode_jpeg(bytes(r.media))
+    assert out.shape == (8, 8, 3)
+    # Halves survive the resample within lossy tolerance.
+    assert out[:, :4].mean() < 30 and out[:, 4:].mean() > 225
