@@ -8,8 +8,13 @@ specs are simple enough to decode with numpy alone:
 - **BMP** — uncompressed 24-bit bottom-up Windows bitmaps (BITMAPINFOHEADER);
 - **WAV** — RIFF PCM16 mono/stereo via the stdlib ``wave`` module;
 - **PNG** — 8-bit gray/palette/RGB/RGBA, non-interlaced: stdlib ``zlib``
-  inflate + the five scanline filters (the format a real web corpus
-  actually contains — JPEG remains the one image plug point).
+  inflate + the five scanline filters;
+- **GIF** — 87a/89a first frame: variable-width LZW, global/local
+  palettes, four-pass interlacing, GCE transparency (-> RGBA);
+- baseline **JPEG** lives in :mod:`.jpeg` (T.81 DCT codec).
+
+Together these cover the formats a real web corpus actually contains;
+progressive JPEG/WebP/video remain the PIL/ffmpeg plug points.
 
 They plug into ``operators/multimodal.py`` as ``decode_stub="real"`` so at
 least one non-fake decode path runs end-to-end in Spark; PIL/ffmpeg slot
@@ -22,7 +27,7 @@ import io
 import struct
 import wave
 import zlib
-from typing import Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -30,7 +35,7 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_media_format(blob: bytes) -> str:
-    """'ppm' | 'bmp' | 'wav' | 'png' | 'unknown' from magic bytes."""
+    """'ppm'|'bmp'|'wav'|'png'|'jpeg'|'gif'|'unknown' from magic bytes."""
     if blob[:2] == b"P6":
         return "ppm"
     if blob[:2] == b"BM":
@@ -41,6 +46,8 @@ def sniff_media_format(blob: bytes) -> str:
         return "png"
     if blob[:3] == b"\xFF\xD8\xFF":
         return "jpeg"
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return "unknown"
 
 
@@ -379,3 +386,219 @@ def audio_features(samples: np.ndarray, rate: int
     if fp >= (1 << 63):
         fp -= (1 << 64)
     return duration_ms, rate, rms, fp
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a, first frame)
+# ---------------------------------------------------------------------------
+# Spec: GIF89a specification (CompuServe, public). LZW with variable code
+# width (3..12 bits), global/local palettes, interlacing, GCE transparency.
+
+def _gif_deinterlace_order(height: int) -> list:
+    """Row order of the four GIF interlace passes."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
+    """GIF-flavoured LZW: variable width, CLEAR/EOI codes, 12-bit cap."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list = []
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        next_code = eoi + 1
+
+    width = next_code = 0
+    reset()
+    acc = nbits = 0
+    prev: Optional[bytes] = None
+    for byte in data:
+        acc |= byte << nbits        # GIF packs codes LSB-first
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < next_code:
+                entry = table[code]
+                if next_code < 4096:
+                    table.append(prev + entry[:1])
+                    next_code += 1
+            elif code == next_code and next_code < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+                next_code += 1
+            else:
+                raise ValueError(f"corrupt GIF LZW stream (code {code})")
+            out += entry
+            prev = entry
+            if (next_code == (1 << width) and width < 12):
+                width += 1
+            if len(out) >= expected:
+                return bytes(out)
+    return bytes(out)
+
+
+def decode_gif(blob: bytes) -> np.ndarray:
+    """First frame of a GIF -> uint8 (h, w, 3), or (h, w, 4) when the
+    frame's graphic-control extension declares a transparent index."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    global_pal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_pal = np.frombuffer(blob, np.uint8, 3 * n, pos
+                                   ).reshape(n, 3)
+        pos += 3 * n
+    transparent: Optional[int] = None
+    while pos < len(blob):
+        tag = blob[pos]
+        pos += 1
+        if tag == 0x3B:              # trailer
+            break
+        if tag == 0x21:              # extension
+            label = blob[pos]
+            pos += 1
+            if label == 0xF9:        # graphic control
+                size = blob[pos]
+                flags = blob[pos + 1]
+                if flags & 0x01:
+                    transparent = blob[pos + 4]
+                pos += size + 1
+            while blob[pos] != 0:    # skip (remaining) sub-blocks
+                pos += blob[pos] + 1
+            pos += 1
+            continue
+        if tag != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{tag:02x}")
+        _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", blob, pos)
+        pos += 9
+        pal = global_pal
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(blob, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        min_code = blob[pos]
+        pos += 1
+        chunks = bytearray()
+        while blob[pos] != 0:
+            ln = blob[pos]
+            chunks += blob[pos + 1:pos + 1 + ln]
+            pos += ln + 1
+        pos += 1
+        idx = np.frombuffer(
+            _lzw_decode(bytes(chunks), min_code, w * h), np.uint8,
+            w * h).reshape(h, w)
+        if ipacked & 0x40:           # interlaced: rows arrive in 4 passes
+            rows = np.empty((h, w), np.uint8)
+            rows[_gif_deinterlace_order(h)] = idx
+            idx = rows
+        rgb = pal[idx]
+        if transparent is None:
+            return rgb
+        alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
+        return np.dstack([rgb, alpha])
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif(pixels: np.ndarray, *, interlace: bool = False,
+               transparent: Optional[int] = None) -> bytes:
+    """uint8 (h, w, 3) with <=256 distinct colors -> single-frame GIF89a.
+
+    Exact (palette) round-trip; raises if the image needs more than 256
+    palette entries. ``interlace`` writes the four-pass row order (the
+    decoder's deinterlace path); ``transparent`` marks a palette INDEX
+    as transparent via a GCE."""
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    pal, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"{len(pal)} colors exceed the GIF palette")
+    pal_bits = max(1, int(len(pal) - 1).bit_length())
+    pal_n = 1 << pal_bits
+    palette = np.zeros((pal_n, 3), np.uint8)
+    palette[:len(pal)] = pal
+    idx = inverse.astype(np.uint8).reshape(h, w)
+    if interlace:
+        idx = idx[_gif_deinterlace_order(h)]
+
+    min_code = max(2, pal_bits)
+    clear = 1 << min_code
+    eoi = clear + 1
+
+    # LZW encode (greedy longest-match with a dict of byte strings).
+    acc = nbits = 0
+    out_bits = bytearray()
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: Dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code + 1
+    put(clear, width)
+    cur = b""
+    for b in idx.tobytes():
+        cand = cur + bytes([b])
+        if cand in table:
+            cur = cand
+            continue
+        put(table[cur], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            put(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        cur = bytes([b])
+    if cur:
+        put(table[cur], width)
+    put(eoi, width)
+    if nbits:
+        out_bits.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (pal_bits - 1), 0, 0)
+    out += palette.tobytes()
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                       0x40 if interlace else 0x00)
+    out += bytes([min_code])
+    for i in range(0, len(out_bits), 255):
+        chunk = out_bits[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)

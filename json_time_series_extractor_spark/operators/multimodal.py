@@ -4,9 +4,9 @@ Media payloads are opaque ``binary`` columns with a typed metadata struct;
 the Spark-side plumbing (schemas, partition-friendly batch iteration,
 Arrow-batched UDF signatures) is real and tested. Decode kernels come in
 three modes: ``decode_stub="real"`` actually decodes via the
-dependency-free PPM/BMP/WAV parsers in :mod:`.codecs` (PIL/ffmpeg/librosa
-are not in this container; they extend the same call sites to compressed
-formats); ``decode_stub="fake"`` derives deterministic features from a
+dependency-free codecs in :mod:`.codecs` / :mod:`.jpeg` (baseline JPEG,
+PNG, GIF, PPM, BMP, WAV — the formats a web corpus actually contains;
+PIL/ffmpeg extend the same call sites to progressive JPEG/WebP/video); ``decode_stub="fake"`` derives deterministic features from a
 hash of the bytes (oracle-reproducible pipelines at any scale);
 ``decode_stub="raise"`` marks the plug point explicitly.
 
@@ -85,8 +85,8 @@ def extract_image_features(df: DataFrame, *, id_col: str = "media_id",
 
     ``decode_stub='fake'``: deterministic hash-derived features (testable
     plumbing). ``decode_stub='real'``: actual decode via the pure-Python
-    PPM/BMP parsers in :mod:`.codecs` (Rec.601 mean luma + 8x8 average
-    hash); PIL/opencv extend the same call site to compressed formats.
+    JPEG/PNG/GIF/PPM/BMP codecs (Rec.601 mean luma + 8x8 average hash);
+    PIL/opencv extend the same call site to the remaining formats.
     ``decode_stub='raise'``: placeholder marking that call site.
     """
     def _real_image_features(blob: bytes) -> tuple:
@@ -105,6 +105,10 @@ def extract_image_features(df: DataFrame, *, id_col: str = "media_id",
             from json_time_series_extractor_spark.operators.jpeg import (
                 decode_jpeg)
             pixels = decode_jpeg(blob)
+        elif fmt == "gif":
+            from json_time_series_extractor_spark.operators.codecs import (
+                decode_gif)
+            pixels = decode_gif(blob)
         else:
             raise NotImplementedError(
                 f"no dependency-free decoder for format {fmt!r}; PIL/"
@@ -145,9 +149,10 @@ def resize_images(df: DataFrame, width: int, height: int, *,
     """Resize plumbing: blob in -> (resized blob, target dims) out.
 
     The fake kernel derives the output bytes deterministically from
-    (input bytes, target dims); ``decode_stub='real'`` decodes PPM/BMP via
-    :mod:`.codecs`, nearest-neighbor resamples, and re-encodes as PPM —
-    PIL's resampler plugs into the same call site for compressed formats.
+    (input bytes, target dims); ``decode_stub='real'`` decodes
+    JPEG/PNG/GIF/PPM/BMP via the pure-Python codecs, nearest-neighbor
+    resamples, and re-encodes format-preserving (PPM for BMP input) —
+    PIL's resampler plugs into the same call site for the rest.
     Arrow-batched, map-only.
     """
     def _real_resize(blob: bytes) -> bytes:
@@ -169,6 +174,15 @@ def resize_images(df: DataFrame, width: int, height: int, *,
                 decode_jpeg, encode_jpeg)
             return encode_jpeg(resize_nearest(decode_jpeg(blob),
                                               width, height))
+        elif fmt == "gif":
+            # GIF resamples losslessly back to GIF (palette preserved);
+            # an RGBA frame (transparency) re-encodes as PNG.
+            from json_time_series_extractor_spark.operators.codecs import (
+                decode_gif, encode_gif)
+            px = resize_nearest(decode_gif(blob), width, height)
+            if px.ndim == 3 and px.shape[2] == 4:
+                return encode_png(px)
+            return encode_gif(px)
         else:
             raise NotImplementedError(
                 f"no dependency-free decoder for format {fmt!r}; PIL/"

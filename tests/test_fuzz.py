@@ -184,3 +184,64 @@ def test_wav_codec_roundtrip_within_quantization(n, channels, rate, seed):
     decoded, out_rate = decode_wav(encode_wav(pcm, rate))
     assert out_rate == rate and decoded.shape == (n, channels)
     assert np.abs(decoded - pcm).max() <= 0.5 / 32768 + 1e-12
+
+
+@given(st.integers(min_value=1, max_value=32),
+       st.integers(min_value=1, max_value=32),
+       st.sampled_from([1, 2, 3, 4]),
+       st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_png_codec_roundtrip_any_shape(w, h, channels, seed):
+    """PNG encode->decode is identity for every shape and color type."""
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+    out = decode_png(encode_png(img))
+    want = img[:, :, 0] if channels == 1 else img
+    assert out.shape == want.shape and (out == want).all()
+
+
+@given(st.integers(min_value=1, max_value=24),
+       st.integers(min_value=1, max_value=24),
+       st.booleans(),
+       st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_codec_q100_bounded_error(w, h, subsample, seed):
+    """Baseline JPEG at q100: every pixel within a small bound for any
+    shape/sampling (quant steps are 1; error comes from DCT rounding and
+    — with 4:2:0 — the chroma box filter)."""
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=100, subsample=subsample))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    # 4:4:4: DCT round-trip + color transform rounding only. 4:2:0:
+    # chroma averaged over 2x2 — luma stays tight, chroma can move far
+    # on noise, so bound the LUMA error instead of raw channels.
+    if not subsample:
+        assert err.max() <= 12
+    else:
+        # Output luma algebraically equals the stored Y plane (the luma
+        # coefficients of the chroma terms cancel exactly) — EXCEPT where
+        # a channel clips at 0/255, which re-weights the sum. So the
+        # tight luma bound applies to unclipped pixels only.
+        luma_in = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                   + 0.114 * img[..., 2])
+        luma_out = (0.299 * out[..., 0] + 0.587 * out[..., 1]
+                    + 0.114 * out[..., 2])
+        unclipped = ((out > 0) & (out < 255)).all(axis=-1)
+        if unclipped.any():
+            assert np.abs(luma_out - luma_in)[unclipped].max() <= 16

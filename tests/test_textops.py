@@ -657,3 +657,57 @@ def test_iceberg_wap_goldens(spark):
     with _pytest.raises(IcebergUnavailable) as ei:
         wap_publish(spark, "lake.web.rollup_1m", "r7")
     assert ei.value.sql == wap_publish_sql("lake.web.rollup_1m", "r7")
+
+
+def test_gif_roundtrip_interlace_and_transparency():
+    """GIF LZW encode->decode is exact; interlaced frames deinterlace;
+    a GCE transparent index surfaces as alpha 0."""
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.codecs import (
+        decode_gif, encode_gif, sniff_media_format)
+
+    rng = np.random.default_rng(13)
+    img = (rng.integers(0, 5, (23, 17, 3), np.uint8) * 60)
+    blob = encode_gif(img)
+    assert sniff_media_format(blob) == "gif"
+    assert (decode_gif(blob) == img).all()
+    assert (decode_gif(encode_gif(img, interlace=True)) == img).all()
+
+    out = decode_gif(encode_gif(img, transparent=0))
+    assert out.shape == (23, 17, 4)
+    pal_sorted = np.unique(img.reshape(-1, 3), axis=0)
+    is_idx0 = (img == pal_sorted[0]).all(axis=-1)
+    assert (out[..., 3] == np.where(is_idx0, 0, 255)).all()
+    assert (out[..., :3] == img).all()
+
+    # >256 colors must refuse, not quantize silently.
+    import pytest as _pytest
+    grad = np.arange(32 * 32 * 3, dtype=np.uint8).reshape(32, 32, 3)
+    grad[..., 0] = rng.integers(0, 256, (32, 32))
+    grad[..., 1] = rng.integers(0, 256, (32, 32))
+    with _pytest.raises(ValueError, match="palette"):
+        encode_gif(grad)
+
+
+def test_real_gif_decode_through_spark(spark):
+    """decode_stub='real' handles GIF in both image operators."""
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.codecs import (
+        decode_gif, encode_gif)
+    from json_time_series_extractor_spark.operators.multimodal import (
+        extract_image_features, resize_images)
+
+    img = np.zeros((16, 32, 3), dtype=np.uint8)
+    img[:, 16:, :] = 255
+    media = spark.createDataFrame([(1, bytearray(encode_gif(img)))],
+                                  "media_id long, media binary")
+    f = extract_image_features(media, decode_stub="real").collect()[0]
+    assert (f.width, f.height, f.n_channels) == (32, 16, 3)
+    assert abs(f.mean_luma - 0.5) < 1e-9
+
+    r = resize_images(media, 8, 8, decode_stub="real").collect()[0]
+    out = decode_gif(bytes(r.media))
+    assert out.shape == (8, 8, 3)
+    assert (out[:, :4] == 0).all() and (out[:, 4:] == 255).all()
