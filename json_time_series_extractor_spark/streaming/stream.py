@@ -71,3 +71,36 @@ def run_to_memory_sink(rollup_stream: DataFrame, query_name: str,
     query = writer.start()
     query.processAllAvailable()
     return query
+
+
+def streaming_histogram(sample_stream: DataFrame,
+                        bounds: tuple,
+                        tier: str = "1 hour",
+                        watermark: str = "10 minutes",
+                        value_col: str = "value_double") -> DataFrame:
+    """Watermarked streaming version of ``rollup.rollup_histogram``:
+    per (series, window) explicit-bounds bin counts, append-mode ready.
+
+    Emits the SAME mergeable state shape as the batch operator (hist
+    array<long> + cnt), so a batch ``histogram_cascade`` consumes the
+    streamed fine tier unchanged — the streaming/batch tier handoff
+    needs no reshaping. Pure built-in aggregates (sum of CASE), no
+    Python, no custom state store."""
+    bl = list(bounds)
+    if not bl or bl != sorted(bl) or len(set(bl)) != len(bl):
+        raise ValueError(
+            f"histogram bounds must be non-empty and strictly "
+            f"increasing, got {bl}")
+    v = F.col(value_col)
+    barr = F.array(*[F.lit(float(b)) for b in bl])
+    idx = F.size(F.filter(barr, lambda b: v >= b))
+    hist = F.array(*[
+        F.sum(F.when(idx == i, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long") for i in range(len(bl) + 1)])
+    return (sample_stream
+            .where(v.isNotNull())
+            .withWatermark("ts", watermark)
+            .groupBy("series_key", F.window("ts", tier))
+            .agg(hist.alias("hist"), F.count(v).alias("cnt"))
+            .select("series_key", F.col("window.start").alias("bucket_ts"),
+                    "hist", "cnt"))

@@ -664,3 +664,66 @@ def test_stateful_updates_tolerate_empty_invocations():
         assert len(outs) == 1 and outs[0].empty
         outs = list(fn(key, iter([]), _FakeState()))
         assert len(outs) == 1 and outs[0].empty
+
+
+def test_streaming_histogram_matches_batch(spark, tmp_path):
+    """Streaming explicit-bounds histogram == batch rollup_histogram on
+    closed (watermark-expired) windows, and its output feeds the batch
+    histogram_cascade unchanged (streaming/batch tier handoff)."""
+    import os
+
+    from json_time_series_extractor_spark.operators.rollup import (
+        histogram_cascade, rollup_histogram,
+    )
+    from json_time_series_extractor_spark.streaming.stream import (
+        streaming_histogram,
+    )
+
+    samples = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+               .selectExpr("event_type AS series_key",
+                           "CAST(ts AS TIMESTAMP) AS ts",
+                           "value AS value_double"))
+    src = str(tmp_path / "hist_stream")
+    os.makedirs(src)
+    samples.coalesce(1).write.parquet(src + "/f1")
+
+    stream = (spark.readStream
+              .schema("series_key string, ts timestamp, value_double double")
+              .parquet(src + "/*"))
+    bounds = (25.0, 50.0, 100.0)
+    q = (streaming_histogram(stream, bounds, tier="1 hour",
+                             watermark="0 seconds")
+         .writeStream.outputMode("append").format("memory")
+         .queryName("hist_stream_test")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.processAllAvailable()
+    try:
+        got = {(r.series_key, r.bucket_ts): (list(r.hist), r.cnt)
+               for r in spark.sql(
+                   "SELECT * FROM hist_stream_test").collect()}
+    finally:
+        q.stop()
+
+    batch = rollup_histogram(samples, "1 hour", bounds=bounds)
+    want = {(r.series_key, r.bucket_ts): (list(r.hist), r.cnt)
+            for r in batch.collect()}
+    # Append mode emits only watermark-closed windows: every emitted
+    # window must match batch exactly, and all but each series' final
+    # (still-open) window must have been emitted.
+    assert got and all(got[k] == want[k] for k in got)
+    last = {}
+    for sk, bt in want:
+        if sk not in last or bt > last[sk]:
+            last[sk] = bt
+    missing = {k for k in want if k not in got}
+    assert missing <= {(sk, bt) for sk, bt in last.items()}
+
+    # The streamed rows ARE valid child-tier state for the batch cascade.
+    streamed = spark.createDataFrame(
+        [(sk, bt, h, c) for (sk, bt), (h, c) in got.items()],
+        "series_key string, bucket_ts timestamp, hist array<bigint>, "
+        "cnt long")
+    day = histogram_cascade(streamed, "1 day", n_bins=len(bounds) + 1)
+    assert day.count() > 0
+    total_stream = sum(c for _, c in got.values())
+    assert sum(r.cnt for r in day.collect()) == total_stream
