@@ -870,6 +870,93 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quant6(out, "cosine_sim")
 
 
+def q_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyed Bernoulli sample (25%, seed 7): the selected
+    set is a pure function of doc_id — reproducible across runs,
+    partitionings and cluster sizes (unlike df.sample). The rank hash is
+    md5-based so the oracle recomputes the EXACT selection."""
+    from json_time_series_extractor_spark.operators.sampling import (
+        deterministic_sample)
+
+    return deterministic_sample(_docs(spark, sf_dir), 0.25,
+                                key_col="doc_id", seed=7) \
+        .select("doc_id", "lang")
+
+
+_ORACLE_SAMPLE_FRACTION = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(concat('0x', substr(md5(doc_id || ':7'), 1, 8)) AS BIGINT)
+      / 4294967296.0 < 0.25
+"""
+
+
+def q_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified cap: a seeded uniform sample of 20 docs per language
+    (per-group window ranked by the same md5 hash + doc_id tie-break) —
+    the per-domain/per-language downsampling a corpus pipeline needs,
+    with an exactly-reproducible selection."""
+    from json_time_series_extractor_spark.operators.sampling import (
+        sample_per_group)
+
+    return sample_per_group(_docs(spark, sf_dir), ["lang"], 20,
+                            key_col="doc_id", seed=7) \
+        .select("doc_id", "lang")
+
+
+_ORACLE_SAMPLE_PER_LANG = """
+WITH r AS (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(concat('0x', substr(md5(doc_id || ':7'), 1, 8))
+                             AS BIGINT) / 4294967296.0, doc_id) AS rn
+    FROM documents)
+SELECT doc_id, lang FROM r WHERE rn <= 20
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus dedup: odd-id docs ("new crawl") deduped against
+    even-id docs ("existing training set") via banded MinHash + exact
+    Jaccard verify at threshold 0.5 (the measured-recall-1.0 params of
+    minhash_lsh_pairs), so the surviving set == odd docs with NO even
+    partner at exact Jaccard >= 0.5 — which the oracle computes directly
+    (cross all-pairs shingle intersection, the ngram_jaccard shape)."""
+    from json_time_series_extractor_spark.operators.dedup import (
+        dedup_incremental)
+
+    docs = _docs(spark, sf_dir)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    out = dedup_incremental(new, ref, method="minhash", num_hashes=32,
+                            bands=16, threshold=0.5)
+    return out.select("doc_id", "lang")
+
+
+_ORACLE_DEDUP_INCREMENTAL = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+    FROM documents),
+s AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> array_to_string(toks[i:i+2], ' ')))
+           ELSE [array_to_string(toks, ' ')] END AS sh
+    FROM t),
+dup AS (
+    SELECT DISTINCT a.doc_id
+    FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id % 2 = 1 AND d.doc_id NOT IN (SELECT doc_id FROM dup)
+"""
+
+
 def q_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiered-retention partition expiry: write events day-partitioned,
     drop partitions before 2024-01-15 (metadata/filesystem only), return
@@ -979,6 +1066,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "sample_fraction": q_sample_fraction,
+        "sample_per_lang": q_sample_per_lang,
+        "dedup_incremental": q_dedup_incremental,
         "retention_expiry": q_retention_expiry,
         "media_image_features": q_media_image_features,
         "media_frame_sample": q_media_frame_sample,
@@ -1331,6 +1421,9 @@ FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
 """,
+        "sample_fraction": _ORACLE_SAMPLE_FRACTION,
+        "sample_per_lang": _ORACLE_SAMPLE_PER_LANG,
+        "dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
         "simhash_pairs": _simhash_oracle_sql(),
         # neardup_components: exact-Jaccard pairs (= the verified LSH
         # output, recall 1.0) closed transitively with a recursive CTE;

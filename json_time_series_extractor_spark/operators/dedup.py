@@ -490,3 +490,60 @@ def simhash_near_dup_pairs(docs: DataFrame, *, text_col: str = "text",
 
 def _popcount64(col: Column) -> Column:
     return F.bit_count(col)
+
+
+def dedup_incremental(new_docs: DataFrame, ref_docs: DataFrame, *,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      method: str = "exact", threshold: float = 0.8,
+                      num_hashes: int = 64, bands: int = 16,
+                      shingle_n: int = 3) -> DataFrame:
+    """Cross-corpus dedup: drop ``new_docs`` rows duplicating the
+    REFERENCE corpus (dedupe a fresh crawl against the existing training
+    set — self-dedup within ``new_docs`` is :func:`dedup_exact` /
+    :func:`minhash_lsh_dedup_pairs`, run separately).
+
+    ``method='exact'``: left-anti join on the normalized fingerprint —
+    one shuffle keyed by content hash; the reference side reduces to its
+    distinct fingerprints first (tiny relative to its rows).
+    ``method='minhash'``: banded new-vs-ref signature join (never a
+    self-join, never all-pairs) + exact-Jaccard verify >= ``threshold``,
+    then anti-join the matched ids. Returns surviving new rows with the
+    input schema.
+    """
+    from json_time_series_extractor_spark.operators.textstats import (
+        normalized_fingerprint)
+
+    if method == "exact":
+        fp = normalized_fingerprint(F.col(text_col))
+        ref_fp = ref_docs.select(fp.alias("_fp")).distinct()
+        return (new_docs.withColumn("_fp", fp)
+                .join(ref_fp, "_fp", "left_anti")
+                .drop("_fp"))
+    if method != "minhash":
+        raise ValueError(f"method must be exact/minhash, got {method!r}")
+
+    def banded(docs: DataFrame, out_id: str) -> DataFrame:
+        sig = minhash_signatures(docs, text_col=text_col, id_col=id_col,
+                                 num_hashes=num_hashes,
+                                 shingle_n=shingle_n)
+        return sig.select(
+            F.col("doc_id").alias(out_id),
+            F.posexplode_outer(_band_hashes(F.col("signature"), bands))
+            .alias("band_id", "band_hash"))
+
+    sh = word_shingles(F.col(text_col), shingle_n)
+    shingles_new = _materialize(new_docs.select(
+        F.col(id_col).alias("_nid"), F.array_distinct(sh).alias("_nsh")))
+    shingles_ref = _materialize(ref_docs.select(
+        F.col(id_col).alias("_rid"), F.array_distinct(sh).alias("_rsh")))
+    cand = (banded(new_docs, "_nid")
+            .join(banded(ref_docs, "_rid"), ["band_id", "band_hash"])
+            .select("_nid", "_rid").distinct())
+    matched = (cand
+               .join(shingles_new, "_nid")
+               .join(shingles_ref, "_rid")
+               .where(_jaccard(F.col("_nsh"), F.col("_rsh"))
+                      >= F.lit(threshold))
+               .select(F.col("_nid").alias(id_col))
+               .distinct())
+    return new_docs.join(matched, id_col, "left_anti")

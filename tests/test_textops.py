@@ -711,3 +711,65 @@ def test_real_gif_decode_through_spark(spark):
     out = decode_gif(bytes(r.media))
     assert out.shape == (8, 8, 3)
     assert (out[:, :4] == 0).all() and (out[:, 4:] == 255).all()
+
+
+def test_deterministic_sampling_is_partition_invariant(spark):
+    """The keyed sample selects the same rows regardless of layout, and
+    the per-group variant enforces exact caps deterministically."""
+    from json_time_series_extractor_spark.operators.sampling import (
+        deterministic_sample, sample_per_group)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {r.doc_id for r in
+            deterministic_sample(docs, 0.3, seed=7).collect()}
+    assert 0 < len(base) < docs.count()
+    for layout in (docs.repartition(17), docs.coalesce(1),
+                   docs.repartition(5, "lang")):
+        assert {r.doc_id for r in
+                deterministic_sample(layout, 0.3, seed=7).collect()} == base
+    # Different seed -> different (but still deterministic) selection.
+    other = {r.doc_id for r in
+             deterministic_sample(docs, 0.3, seed=8).collect()}
+    assert other != base
+
+    capped = sample_per_group(docs, ["lang"], 5, seed=7)
+    per = {r["lang"]: r["n"] for r in
+           capped.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 5 for n in per.values())
+    again = sample_per_group(docs.repartition(13), ["lang"], 5, seed=7)
+    assert ({r.doc_id for r in capped.collect()}
+            == {r.doc_id for r in again.collect()})
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        deterministic_sample(docs, 1.5)
+    with _pytest.raises(ValueError):
+        sample_per_group(docs, ["lang"], 0)
+
+
+def test_dedup_incremental_exact_and_minhash(spark):
+    """Cross-corpus dedup drops new docs matching the reference —
+    exactly for byte-identical text, minhash for near-dups — and never
+    self-dedups within the new corpus."""
+    from json_time_series_extractor_spark.operators.dedup import (
+        dedup_incremental)
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today"),
+         (101, "completely unrelated reference text about spark engines")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),   # exact
+         (2, "The  Quick Brown fox jumps over the lazy dog today"),  # case/ws
+         (3, "the quick brown fox jumps over the lazy cat today"),   # near
+         (4, "entirely novel content that matches nothing at all"),
+         (5, "entirely novel content that matches nothing at all")],  # self-dup
+        "doc_id long, text string")
+
+    exact = {r.doc_id for r in dedup_incremental(new, ref).collect()}
+    assert exact == {3, 4, 5}  # 1 exact, 2 normalized-equal; near-dup kept
+
+    mh = {r.doc_id for r in dedup_incremental(
+        new, ref, method="minhash", num_hashes=32, bands=16,
+        threshold=0.5).collect()}
+    assert mh == {4, 5}  # near-dup 3 now matches; self-dups 4/5 both survive
