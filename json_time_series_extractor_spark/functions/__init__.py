@@ -12,6 +12,9 @@ from json_time_series_extractor_spark.operators.dedup import (
     simhash64,
     word_shingles,
 )
+from json_time_series_extractor_spark.operators.sampling import (
+    hash_rank,
+)
 from json_time_series_extractor_spark.operators.similarity import (
     cosine,
     cosine_flat,
@@ -34,6 +37,7 @@ __all__ = [
     "cosine",
     "cosine_flat",
     "dot_flat",
+    "hash_rank",
     "html_payload_text",
     "hyperplane_signature",
     "normalized_fingerprint",
