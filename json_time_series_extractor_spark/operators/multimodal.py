@@ -19,6 +19,9 @@ the blob column entirely for metadata-only queries.
 from __future__ import annotations
 
 import hashlib
+import struct
+import wave
+import zlib
 from typing import Iterable, Iterator
 
 import numpy as np
@@ -52,6 +55,40 @@ def _check_decode_stub(decode_stub: str,
             f"decode_stub must be one of {allowed}, got {decode_stub!r}")
 
 
+def _check_on_error(on_error: str) -> None:
+    if on_error not in ("raise", "null", "skip"):
+        raise ValueError(
+            f"on_error must be raise/null/skip, got {on_error!r}")
+
+
+#: Exception types a truncated/corrupt blob produces in the parsers:
+#: ValueError (explicit checks), NotImplementedError (format plug
+#: points), struct.error (short headers), zlib.error (corrupt deflate),
+#: wave.Error/EOFError (bad RIFF), IndexError/KeyError (mid-stream
+#: truncation in the bit-level decoders). In null/skip modes a kernel
+#: BUG presenting as one of these is absorbed too — the trade a corrupt-
+#: tolerant 10^12-blob pass makes; the default raise mode hides nothing.
+_DATA_ERRORS: tuple = (ValueError, NotImplementedError, struct.error,
+                       zlib.error, wave.Error, EOFError, IndexError,
+                       KeyError)
+
+
+def _guard(kernel, blob: bytes, on_error: str):
+    """Run a decode kernel with the chosen corrupt-input policy.
+
+    At 10^12-blob scale SOME inputs are truncated or mislabeled; the
+    default ``on_error='raise'`` keeps verification strict, while
+    ``'null'`` (emit the row with null features) and ``'skip'`` (drop
+    the row) keep one bad blob from killing a 1000-executor job.
+    Returns (ok, result)."""
+    if on_error == "raise":
+        return True, kernel(blob)
+    try:
+        return True, kernel(blob)
+    except _DATA_ERRORS:
+        return False, None
+
+
 def attach_media_metadata(df: DataFrame, blob_col: str = "media",
                           media_type: str = "image",
                           mime: str = "application/octet-stream") -> DataFrame:
@@ -80,7 +117,8 @@ def _fake_image_features(blob: bytes) -> tuple:
 
 def extract_image_features(df: DataFrame, *, id_col: str = "media_id",
                            blob_col: str = "media",
-                           decode_stub: str = "fake") -> DataFrame:
+                           decode_stub: str = "fake",
+                           on_error: str = "raise") -> DataFrame:
     """Decode + feature-extract images via Arrow-batched ``mapInPandas``.
 
     ``decode_stub='fake'``: deterministic hash-derived features (testable
@@ -117,6 +155,7 @@ def extract_image_features(df: DataFrame, *, id_col: str = "media_id",
         return w, h, c, luma, phash
 
     _check_decode_stub(decode_stub)
+    _check_on_error(on_error)
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -126,11 +165,20 @@ def extract_image_features(df: DataFrame, *, id_col: str = "media_id",
                     "in this container; plug the decoder in here")
             kernel = (_real_image_features if decode_stub == "real"
                       else _fake_image_features)
-            rows = [kernel(bytes(b)) for b in pdf[blob_col]]
+            ids, rows = [], []
+            for mid, b in zip(pdf[id_col], pdf[blob_col]):
+                ok, feat = _guard(kernel, bytes(b), on_error)
+                if ok:
+                    ids.append(mid)
+                    rows.append(feat)
+                elif on_error == "null":
+                    ids.append(mid)
+                    rows.append((None, None, None, None, None))
             feats = pd.DataFrame(
                 rows, columns=["width", "height", "n_channels",
                                "mean_luma", "phash"])
-            feats.insert(0, "media_id", pdf[id_col].values)
+            feats.insert(0, "media_id",
+                         pd.Series(ids, dtype=pdf[id_col].dtype))
             yield feats
 
     return df.select(id_col, blob_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
@@ -145,7 +193,8 @@ AUDIO_FEATURES_SCHEMA = ("media_id long, duration_ms int, sample_rate int, "
 
 def resize_images(df: DataFrame, width: int, height: int, *,
                   id_col: str = "media_id", blob_col: str = "media",
-                  decode_stub: str = "fake") -> DataFrame:
+                  decode_stub: str = "fake",
+                  on_error: str = "raise") -> DataFrame:
     """Resize plumbing: blob in -> (resized blob, target dims) out.
 
     The fake kernel derives the output bytes deterministically from
@@ -190,6 +239,7 @@ def resize_images(df: DataFrame, width: int, height: int, *,
         return encode_ppm(resize_nearest(pixels, width, height))
 
     _check_decode_stub(decode_stub)
+    _check_on_error(on_error)
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -198,18 +248,28 @@ def resize_images(df: DataFrame, width: int, height: int, *,
                     "real image resize requires PIL/opencv — not available "
                     "in this container; plug the resampler in here")
             if decode_stub == "real":
-                blobs = [_real_resize(bytes(b)) for b in pdf[blob_col]]
+                kernel = _real_resize
             else:
-                blobs = [hashlib.sha256(
-                    bytes(b) + f"{width}x{height}".encode()).digest()
-                    for b in pdf[blob_col]]
+                def kernel(b: bytes) -> bytes:
+                    return hashlib.sha256(
+                        b + f"{width}x{height}".encode()).digest()
+            ids, blobs = [], []
+            for mid, b in zip(pdf[id_col], pdf[blob_col]):
+                ok, out = _guard(kernel, bytes(b), on_error)
+                if ok:
+                    ids.append(mid)
+                    blobs.append(out)
+                elif on_error == "null":
+                    ids.append(mid)
+                    blobs.append(None)
             yield pd.DataFrame({
-                "media_id": pdf[id_col].values,
+                "media_id": pd.Series(ids, dtype=pdf[id_col].dtype),
                 "media": pd.Series(blobs, dtype="object"),
-                "width": pd.Series([width] * len(pdf), dtype="int32"),
-                "height": pd.Series([height] * len(pdf), dtype="int32"),
-                "size_bytes": pd.Series([len(b) for b in blobs],
-                                        dtype="int64"),
+                "width": pd.Series([width] * len(ids), dtype="int32"),
+                "height": pd.Series([height] * len(ids), dtype="int32"),
+                "size_bytes": pd.Series(
+                    [len(b) if b is not None else -1 for b in blobs],
+                    dtype="int64"),
             })
 
     return df.select(id_col, blob_col).mapInPandas(run, RESIZED_SCHEMA)
@@ -218,7 +278,8 @@ def resize_images(df: DataFrame, width: int, height: int, *,
 def extract_audio_features(df: DataFrame, *, id_col: str = "media_id",
                            blob_col: str = "media",
                            duration_col: str = "duration_ms",
-                           decode_stub: str = "fake") -> DataFrame:
+                           decode_stub: str = "fake",
+                           on_error: str = "raise") -> DataFrame:
     """Audio feature plumbing: duration/sample-rate/RMS/fingerprint.
 
     The fake kernel derives features from a sha256 of the bytes;
@@ -229,6 +290,7 @@ def extract_audio_features(df: DataFrame, *, id_col: str = "media_id",
     map-only plan — is identical in all modes.
     """
     _check_decode_stub(decode_stub)
+    _check_on_error(on_error)
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -240,12 +302,18 @@ def extract_audio_features(df: DataFrame, *, id_col: str = "media_id",
             for mid, blob, dur in zip(pdf[id_col], pdf[blob_col],
                                       pdf[duration_col]):
                 if decode_stub == "real":
-                    from json_time_series_extractor_spark.operators.codecs \
-                        import audio_features, decode_wav
+                    def kernel(b: bytes) -> tuple:
+                        from json_time_series_extractor_spark.operators \
+                            .codecs import audio_features, decode_wav
 
-                    samples, rate = decode_wav(bytes(blob))
-                    dms, sr, rms, fp = audio_features(samples, rate)
-                    rows.append((mid, dms, sr, rms, fp))
+                        samples, rate = decode_wav(b)
+                        return audio_features(samples, rate)
+
+                    ok, feat = _guard(kernel, bytes(blob), on_error)
+                    if ok:
+                        rows.append((mid, *feat))
+                    elif on_error == "null":
+                        rows.append((mid, None, None, None, None))
                     continue
                 d = hashlib.sha256(bytes(blob)).digest()
                 rows.append((

@@ -773,3 +773,60 @@ def test_dedup_incremental_exact_and_minhash(spark):
         new, ref, method="minhash", num_hashes=32, bands=16,
         threshold=0.5).collect()}
     assert mh == {4, 5}  # near-dup 3 now matches; self-dups 4/5 both survive
+
+
+def test_media_on_error_policies(spark):
+    """Corrupt blobs among good ones: on_error='skip' drops them,
+    'null' emits null features, default 'raise' fails the job —
+    one bad blob must never kill a corpus-scale pass unless asked to."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from json_time_series_extractor_spark.operators.codecs import (
+        encode_png, encode_wav)
+    from json_time_series_extractor_spark.operators.jpeg import encode_jpeg
+    from json_time_series_extractor_spark.operators.multimodal import (
+        extract_audio_features, extract_image_features, resize_images)
+
+    img = np.full((8, 8, 3), 100, np.uint8)
+    good_png, good_jpg = encode_png(img), encode_jpeg(img)
+    corrupt = [
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 10,       # truncated PNG
+        good_jpg[:40],                              # truncated JPEG
+        b"GIF89a\x01\x00",                          # truncated GIF
+        b"not media at all",                        # unknown format
+    ]
+    media = spark.createDataFrame(
+        [(1, bytearray(good_png)), (2, bytearray(good_jpg))]
+        + [(10 + i, bytearray(b)) for i, b in enumerate(corrupt)],
+        "media_id long, media binary")
+
+    kept = extract_image_features(media, decode_stub="real",
+                                  on_error="skip").collect()
+    assert {r.media_id for r in kept} == {1, 2}
+
+    nulled = {r.media_id: r for r in extract_image_features(
+        media, decode_stub="real", on_error="null").collect()}
+    assert set(nulled) == {1, 2, 10, 11, 12, 13}
+    assert nulled[10].width is None and nulled[1].width == 8
+
+    # Whichever corrupt blob a worker hits first raises; any of the
+    # parser errors is acceptable evidence for the strict default.
+    with _pytest.raises(PythonException):
+        extract_image_features(media, decode_stub="real").collect()
+
+    resized = resize_images(media, 4, 4, decode_stub="real",
+                            on_error="skip").collect()
+    assert {r.media_id for r in resized} == {1, 2}
+
+    wav = encode_wav(np.zeros((100, 1)), 8000)
+    audio = spark.createDataFrame(
+        [(1, bytearray(wav), 0), (2, bytearray(b"RIFFxxxxWAVE junk"), 0)],
+        "media_id long, media binary, duration_ms int")
+    a = extract_audio_features(audio, decode_stub="real",
+                               on_error="skip").collect()
+    assert {r.media_id for r in a} == {1}
+
+    with _pytest.raises(ValueError, match="on_error"):
+        extract_image_features(media, on_error="ignore")
