@@ -989,6 +989,36 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quant6(out, "mean_luma")
 
 
+_MEDIA_REAL_FIXTURE = "/root/repo/tests/fixtures/media_real.parquet"
+
+
+def q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode under oracle check: the fixture parquet holds
+    26 blobs actually encoded by this repo's codecs (baseline JPEG
+    4:2:0/4:4:4/gray/restart-marker, PNG gray/gray+alpha/RGB/RGBA/
+    palette/palette+tRNS, GIF interlaced+transparent, BMP, PPM) plus the
+    feature values the decoders produced at fixture-build time
+    (tools/build_media_fixture.py). Spark re-decodes every blob through
+    the pure-Python codec stack via mapInPandas; the oracle SELECTs the
+    stored expectations — any decoder regression (filters, IDCT,
+    upsampling, LZW, transparency) flips this row red."""
+    from json_time_series_extractor_spark.operators.multimodal import (
+        extract_image_features)
+
+    media = spark.read.parquet(_MEDIA_REAL_FIXTURE) \
+        .select("media_id", "media")
+    out = extract_image_features(media, decode_stub="real")
+    return _quant6(out, "mean_luma")
+
+
+_ORACLE_MEDIA_REAL_DECODE = f"""
+SELECT media_id, width, height, n_channels,
+       CAST(floor(mean_luma * 1000000 + 0.5) AS BIGINT) AS mean_luma,
+       phash
+FROM '{_MEDIA_REAL_FIXTURE}'
+"""
+
+
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal UDTF shape: one video row -> N sampled frames. Durations
     and frame bytes are sha256-derived, so the oracle reproduces the full
@@ -1072,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_expiry": q_retention_expiry,
         "media_image_features": q_media_image_features,
         "media_frame_sample": q_media_frame_sample,
+        "media_real_decode": q_media_real_decode,
         "cosine_scores": q_cosine_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1580,6 +1611,7 @@ SELECT media_id,
        sha256(concat(h, ':', CAST(t AS VARCHAR))) AS frame_hex
 FROM f
 """,
+        "media_real_decode": _ORACLE_MEDIA_REAL_DECODE,
         "cosine_scores": """
 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        CAST(floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),

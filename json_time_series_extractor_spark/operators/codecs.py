@@ -8,7 +8,8 @@ specs are simple enough to decode with numpy alone:
 - **BMP** — uncompressed 24-bit bottom-up Windows bitmaps (BITMAPINFOHEADER);
 - **WAV** — RIFF PCM16 mono/stereo via the stdlib ``wave`` module;
 - **PNG** — 8-bit gray/palette/RGB/RGBA, non-interlaced: stdlib ``zlib``
-  inflate + the five scanline filters;
+  inflate + the five scanline filters; ``tRNS`` transparency honored for
+  palette (-> RGBA) and grayscale (-> gray+alpha), matching the GIF path;
 - **GIF** — 87a/89a first frame: variable-width LZW, global/local
   palettes, four-pass interlacing, GCE transparency (-> RGBA);
 - baseline **JPEG** lives in :mod:`.jpeg` (T.81 DCT codec).
@@ -23,6 +24,7 @@ into the same call sites for the formats these do not cover.
 
 from __future__ import annotations
 
+import functools
 import io
 import struct
 import wave
@@ -32,6 +34,24 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def truncation_boundary(fn):
+    """Codec-boundary translation: a truncated/corrupt blob surfaces as
+    IndexError/KeyError inside the bit-level decoders (mid-stream reads,
+    Huffman/palette lookups); re-raise those as ValueError HERE so the
+    corrupt-blob policy in ``multimodal._DATA_ERRORS`` can stay narrow —
+    a genuine indexing bug anywhere outside a decode kernel no longer
+    masquerades as bad input data under on_error='null'/'skip'."""
+    @functools.wraps(fn)
+    def wrapper(blob, *args, **kwargs):
+        try:
+            return fn(blob, *args, **kwargs)
+        except (IndexError, KeyError) as exc:
+            raise ValueError(
+                f"truncated or corrupt stream in {fn.__name__}: "
+                f"{exc!r}") from exc
+    return wrapper
 
 
 def sniff_media_format(blob: bytes) -> str:
@@ -75,6 +95,7 @@ def _ppm_read_token(blob: bytes, pos: int) -> Tuple[bytes, int]:
     return blob[start:pos], pos
 
 
+@truncation_boundary
 def decode_ppm(blob: bytes) -> np.ndarray:
     """P6 binary PPM -> (height, width, 3) uint8 array."""
     if blob[:2] != b"P6":
@@ -107,6 +128,7 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
 # BMP (uncompressed 24-bit, BITMAPINFOHEADER)
 # ---------------------------------------------------------------------------
 
+@truncation_boundary
 def decode_bmp(blob: bytes) -> np.ndarray:
     """Uncompressed 24-bit BMP -> (height, width, 3) uint8 RGB array.
 
@@ -170,11 +192,13 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+@truncation_boundary
 def decode_png(blob: bytes) -> np.ndarray:
     """8-bit non-interlaced PNG -> uint8 array.
 
     Returns (h, w) for grayscale, (h, w, 3) for RGB/palette, (h, w, 2)
-    for gray+alpha, (h, w, 4) for RGBA. All five scanline filters are
+    for gray+alpha (incl. grayscale+tRNS), (h, w, 4) for RGBA (incl.
+    palette+tRNS). All five scanline filters are
     reconstructed; filters none/up/sub are vectorized (sub via a
     wrapping per-lane cumsum), average/paeth fall back to a per-byte
     loop (inherently sequential — each byte needs the reconstructed
@@ -182,6 +206,7 @@ def decode_png(blob: bytes) -> np.ndarray:
     if blob[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, idat, palette = 8, [], None
+    trns = None
     width = height = color_type = None
     while pos + 8 <= len(blob):
         (length,) = struct.unpack_from(">I", blob, pos)
@@ -202,6 +227,8 @@ def decode_png(blob: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported PNG color type {color_type}")
         elif ctype == b"PLTE":
             palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -247,8 +274,23 @@ def decode_png(blob: bytes) -> np.ndarray:
         out[y] = recon
         prev = recon
     if color_type == 3:
-        return palette[out]           # (h, w) indexes -> (h, w, 3)
+        rgb = palette[out]            # (h, w) indexes -> (h, w, 3)
+        if trns is None:
+            return rgb
+        # tRNS carries one alpha byte per palette entry (trailing
+        # entries are opaque) -> RGBA, mirroring the GIF GCE path.
+        pal_alpha = np.full(len(palette), 255, np.uint8)
+        pal_alpha[:min(len(trns), len(palette))] = \
+            np.frombuffer(trns[:len(palette)], np.uint8)
+        return np.dstack([rgb, pal_alpha[out]])
     if channels == 1:
+        if trns is not None:
+            # Grayscale tRNS: one 16-bit sample value; at bit depth 8
+            # the low byte is the transparent gray level -> gray+alpha.
+            (gray_level,) = struct.unpack(">H", trns[:2])
+            alpha = np.where(out == (gray_level & 0xFF), 0, 255) \
+                .astype(np.uint8)
+            return np.dstack([out, alpha])
         return out
     return out.reshape(height, width, channels)
 
@@ -288,6 +330,7 @@ def encode_png(pixels: np.ndarray) -> bytes:
 # WAV (RIFF PCM16)
 # ---------------------------------------------------------------------------
 
+@truncation_boundary
 def decode_wav(blob: bytes) -> Tuple[np.ndarray, int]:
     """PCM16 WAV -> ((n_samples, n_channels) float64 in [-1, 1], rate)."""
     with wave.open(io.BytesIO(blob), "rb") as wf:
@@ -454,6 +497,7 @@ def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
     return bytes(out)
 
 
+@truncation_boundary
 def decode_gif(blob: bytes) -> np.ndarray:
     """First frame of a GIF -> uint8 (h, w, 3), or (h, w, 4) when the
     frame's graphic-control extension declares a transparent index."""

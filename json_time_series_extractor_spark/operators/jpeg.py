@@ -30,6 +30,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from .codecs import truncation_boundary
+
 # ---------------------------------------------------------------------------
 # Constants from ITU-T T.81 Annex K
 # ---------------------------------------------------------------------------
@@ -426,6 +428,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85, *,
 # Decoder
 # ---------------------------------------------------------------------------
 
+@truncation_boundary
 def decode_jpeg(blob: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> uint8 (h, w) grayscale or (h, w, 3) RGB."""
     if blob[:2] != b"\xFF\xD8":
@@ -485,8 +488,15 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, hv, tq = struct.unpack_from(
                     ">BBB", payload, 6 + 3 * ci)
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
-                              "tq": tq})
+                ch, cv = hv >> 4, hv & 0x0F
+                if ch not in (1, 2) or cv not in (1, 2):
+                    # Documented support is factors {1,2} (4:4:4/4:2:2/
+                    # 4:2:0); anything else would decode wrong geometry
+                    # silently via lossy vmax//v division.
+                    raise ValueError(
+                        f"unsupported JPEG sampling factors {ch}x{cv} "
+                        "(only 1 and 2 supported)")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -503,6 +513,15 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             for si in range(ns):
                 cs, tables = payload[1 + 2 * si], payload[2 + 2 * si]
                 scan_sel.append((cs, tables >> 4, tables & 0x0F))
+            if len(scan_sel) != len(frame["comps"]):
+                # A legal baseline non-interleaved scan sequence (ns <
+                # ncomp per SOS) — unsupported format, NOT a corrupt
+                # blob: raise the same way SOF2 does so on_error
+                # policies classify it as a plug point.
+                raise NotImplementedError(
+                    f"non-interleaved baseline JPEG scan ({len(scan_sel)}"
+                    f" of {len(frame['comps'])} components) not "
+                    "supported")
             # Entropy-coded data runs to the next real marker.
             scan_start = pos
             p = pos

@@ -62,15 +62,15 @@ def _check_on_error(on_error: str) -> None:
 
 
 #: Exception types a truncated/corrupt blob produces in the parsers:
-#: ValueError (explicit checks), NotImplementedError (format plug
+#: ValueError (explicit checks, plus IndexError/KeyError mid-stream
+#: truncation translated at the codec boundary by
+#: ``codecs.truncation_boundary``), NotImplementedError (format plug
 #: points), struct.error (short headers), zlib.error (corrupt deflate),
-#: wave.Error/EOFError (bad RIFF), IndexError/KeyError (mid-stream
-#: truncation in the bit-level decoders). In null/skip modes a kernel
-#: BUG presenting as one of these is absorbed too — the trade a corrupt-
-#: tolerant 10^12-blob pass makes; the default raise mode hides nothing.
+#: wave.Error/EOFError (bad RIFF). Raw IndexError/KeyError are NOT
+#: absorbed — a genuine indexing bug outside a decode kernel surfaces
+#: even in null/skip modes instead of being dropped as corrupt data.
 _DATA_ERRORS: tuple = (ValueError, NotImplementedError, struct.error,
-                       zlib.error, wave.Error, EOFError, IndexError,
-                       KeyError)
+                       zlib.error, wave.Error, EOFError)
 
 
 def _guard(kernel, blob: bytes, on_error: str):

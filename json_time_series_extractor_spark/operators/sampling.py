@@ -10,10 +10,13 @@ decision from a HASH of a stable key instead:
   rank(key, seed) < fraction. Map-only, no shuffle, no state; the same
   row is in or out regardless of partitioning, executor count, or run.
 - :func:`sample_per_group` — a seeded uniform n-per-group sample
-  (per-language / per-domain caps): rows ranked inside each group by the
-  key hash, ``n`` smallest kept. One shuffle on the group columns with
-  bounded window partitions (group sizes bound the task, same analysis
-  as every per-series window here).
+  (per-language / per-domain caps), TWO-PHASE so no task ever sorts a
+  whole group: a hash-threshold pre-filter shrinks each group to
+  ~``safety * n`` survivor rows (map-only after a broadcast of per-group
+  counts), and only the survivors are window-ranked. An exact fallback
+  re-windows the (astronomically rare) groups whose survivor count fell
+  below ``n``, so the selected set is bit-identical to the naive full
+  window — same hash, same order, same rows.
 
 The rank hash is the high 32 bits of md5(key || ':' || seed) — md5, not
 xxhash64, so a DuckDB oracle recomputes the EXACT sample (the same
@@ -52,16 +55,70 @@ def deterministic_sample(df: DataFrame, fraction: float, *,
 
 
 def sample_per_group(df: DataFrame, group_cols: Sequence[str], n: int, *,
-                     key_col: str = "doc_id", seed: int = 7) -> DataFrame:
+                     key_col: str = "doc_id", seed: int = 7,
+                     safety: float = 4.0) -> DataFrame:
     """Seeded uniform sample of ``n`` rows per group (stratified cap).
 
     Rank = (hash_rank(key, seed), key) — the key tie-break makes the
-    order total, so the selected set is exactly reproducible. The window
-    partitions on the group columns; group size bounds the task."""
+    order total, so the selected set is exactly reproducible.
+
+    Scale design (two-phase exact). The naive plan —
+    ``row_number().over(Window.partitionBy(group))`` — sorts each whole
+    group in ONE task; when the group IS the stratum (per-language caps),
+    English at corpus scale is a single-task sort of ~half the corpus to
+    keep ``n`` rows. Instead:
+
+    1. Count each group (map-side-combined agg, one tiny row per group)
+       and broadcast the counts back.
+    2. Pre-filter: keep rows with ``hash_rank < t`` where
+       ``t = min(1, safety * n / group_count)``. Map-only; the expected
+       survivor count per group is ``safety * n`` regardless of group
+       size, so the window input is bounded.
+    3. Window-rank ONLY the survivors and keep ``_rn <= n``.
+    4. Exact fallback: any group whose threshold actually filtered
+       (``t < 1``) but yielded fewer than ``n`` survivors (probability
+       ~exp(-n(safety-1)²/2·safety) per group by Chernoff — for
+       n=20, safety=4 that is ~1e-10) is re-windowed over its full rows.
+
+    Bit-identical to the naive plan: if a group has >= n survivors under
+    threshold ``t``, its n smallest ranks are all < ``t`` and hence all
+    survive the pre-filter, so ranking survivors selects exactly the
+    same rows; otherwise the fallback ranks the full group. The cost of
+    exactness is extra map-only passes over the input (counts + filter),
+    which parallelize perfectly — the straggler sort is gone."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    w = (Window.partitionBy(*group_cols)
+    if safety <= 1.0:
+        raise ValueError(f"safety must be > 1, got {safety}")
+    gcols = list(group_cols)
+    rank = hash_rank(F.col(key_col), seed)
+    out_cols = df.columns
+
+    counts = (df.groupBy(*gcols)
+              .agg(F.count(F.lit(1)).alias("_gcnt"))
+              .withColumn("_thr", F.least(
+                  F.lit(1.0), F.lit(float(safety) * n) / F.col("_gcnt"))))
+    survivors = (df.join(F.broadcast(counts), gcols, "inner")
+                 .where(rank < F.col("_thr")))
+
+    w = (Window.partitionBy(*gcols)
          .orderBy(hash_rank(F.col(key_col), seed), F.col(key_col)))
-    return (df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= n)
-            .drop("_rn"))
+    ranked = survivors.withColumn("_rn", F.row_number().over(w))
+
+    # Groups proven satisfied: an nth-ranked survivor exists, or the
+    # threshold never filtered (t >= 1 keeps the whole group). Everything
+    # else (including the zero-survivor corner, absent from `ranked`
+    # entirely) goes to the exact fallback.
+    satisfied = ranked.where(F.col("_rn") == n).select(*gcols)
+    bad = (counts.where(F.col("_thr") < 1.0)
+           .select(*gcols)
+           .join(satisfied, gcols, "left_anti"))
+
+    good_rows = (ranked.where(F.col("_rn") <= n)
+                 .join(F.broadcast(bad), gcols, "left_anti")
+                 .select(*out_cols))
+    bad_rows = (df.join(F.broadcast(bad), gcols, "left_semi")
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= n)
+                .select(*out_cols))
+    return good_rows.unionByName(bad_rows)

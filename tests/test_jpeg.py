@@ -89,6 +89,31 @@ def test_rejects_progressive_and_garbage():
         decode_jpeg(blob)
 
 
+def test_rejects_unsupported_sampling_and_noninterleaved():
+    """Sampling factors outside {1,2} raise ValueError at SOF parse (not
+    silent wrong geometry); a baseline non-interleaved scan sequence
+    (ns < ncomp) raises NotImplementedError like SOF2 does."""
+    blob = bytearray(encode_jpeg(_gradient(16, 16), 85))
+
+    # Patch the luma component's h,v in SOF0 from the encoded value to
+    # 3x1. SOF0 layout: FFC0 len prec(1) h(2) w(2) nc(1) [id hv tq]*
+    sof = blob.find(b"\xFF\xC0")
+    assert sof >= 0
+    bad = bytearray(blob)
+    bad[sof + 2 + 2 + 6 + 1] = 0x31
+    with pytest.raises(ValueError, match="sampling factors"):
+        decode_jpeg(bytes(bad))
+
+    # Patch SOS ns from 3 to 1: legal baseline non-interleaved scan,
+    # which this decoder declares unsupported rather than mis-decoding.
+    sos = blob.find(b"\xFF\xDA")
+    assert sos >= 0
+    bad2 = bytearray(blob)
+    bad2[sos + 4] = 1
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(bytes(bad2))
+
+
 def test_real_jpeg_decode_through_spark(spark):
     """decode_stub='real' handles JPEG in extract_image_features and
     resize_images (JPEG-in -> JPEG-out)."""

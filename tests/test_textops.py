@@ -589,6 +589,100 @@ def test_png_palette_decode():
     assert (out[0, 2] == [0, 0, 255]).all()
 
 
+def test_png_trns_transparency():
+    """tRNS is honored like the GIF GCE path: palette PNG -> RGBA with
+    per-entry alpha (trailing entries opaque), grayscale PNG -> gray+alpha
+    at the flagged level."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.codecs import decode_png
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    palette = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255])
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    filtered = b"".join(b"\x00" + row.tobytes() for row in idx)
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", palette)
+            + chunk(b"tRNS", bytes([0, 128]))  # entry 2 implicitly opaque
+            + chunk(b"IDAT", zlib.compress(filtered))
+            + chunk(b"IEND", b""))
+    out = decode_png(blob)
+    assert out.shape == (2, 3, 4)
+    assert (out[0, 0] == [255, 0, 0, 0]).all()
+    assert (out[0, 1] == [0, 255, 0, 128]).all()
+    assert (out[0, 2] == [0, 0, 255, 255]).all()
+
+    gray = np.array([[7, 8], [9, 7]], dtype=np.uint8)
+    gfiltered = b"".join(b"\x00" + row.tobytes() for row in gray)
+    gblob = (b"\x89PNG\r\n\x1a\n"
+             + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+             + chunk(b"tRNS", struct.pack(">H", 7))
+             + chunk(b"IDAT", zlib.compress(gfiltered))
+             + chunk(b"IEND", b""))
+    gout = decode_png(gblob)
+    assert gout.shape == (2, 2, 2)
+    assert (gout[..., 1] == np.where(gray == 7, 0, 255)).all()
+
+
+def test_codec_truncation_is_value_error():
+    """Mid-stream truncation that internally raises IndexError/KeyError
+    reaches callers as ValueError (codec-boundary translation), so the
+    multimodal corrupt-blob policy never absorbs a raw IndexError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.codecs import (
+        decode_gif, encode_gif)
+    from json_time_series_extractor_spark.operators.jpeg import (
+        decode_jpeg, encode_jpeg)
+
+    from json_time_series_extractor_spark.operators.multimodal import (
+        _DATA_ERRORS)
+
+    assert IndexError not in _DATA_ERRORS and KeyError not in _DATA_ERRORS
+    img = (np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3) * 7)
+    for blob, dec in ((encode_gif(img // 32 * 32), decode_gif),
+                      (encode_jpeg(img), decode_jpeg)):
+        # Chop at several points; every failure must be a recognized
+        # data error, never a raw IndexError/KeyError.
+        for cut in (len(blob) // 4, len(blob) // 2, len(blob) - 3):
+            try:
+                dec(blob[:cut])
+            except _DATA_ERRORS:
+                pass
+            except (IndexError, KeyError) as exc:  # pragma: no cover
+                _pytest.fail(f"raw {type(exc).__name__} escaped: {exc!r}")
+
+
+def test_media_real_fixture_decodes_to_stored_expectations(spark):
+    """The committed fixture blobs (tools/build_media_fixture.py: JPEG/
+    PNG/GIF/BMP/PPM incl. subsampling, restarts, interlace, tRNS) decode
+    through Spark to EXACTLY the feature values stored at fixture-build
+    time — the pytest twin of the media_real_decode oracle row."""
+    from json_time_series_extractor_spark.operators.multimodal import (
+        extract_image_features)
+
+    fixture = spark.read.parquet(
+        "/root/repo/tests/fixtures/media_real.parquet")
+    assert {r.fmt for r in fixture.select("fmt").distinct().collect()} \
+        >= {"jpeg", "png", "gif", "bmp", "ppm"}
+    got = {r.media_id: r for r in extract_image_features(
+        fixture.select("media_id", "media"), decode_stub="real").collect()}
+    for exp in fixture.collect():
+        g = got[exp.media_id]
+        assert (g.width, g.height, g.n_channels) == \
+            (exp.width, exp.height, exp.n_channels), exp.fmt
+        assert g.mean_luma == exp.mean_luma, exp.fmt
+        assert g.phash == exp.phash, exp.fmt
+
+
 def test_real_png_decode_through_spark(spark):
     """decode_stub='real' handles PNG in extract_image_features and
     resize_images (PNG-in -> PNG-out, alpha preserved)."""
@@ -745,6 +839,70 @@ def test_deterministic_sampling_is_partition_invariant(spark):
         deterministic_sample(docs, 1.5)
     with _pytest.raises(ValueError):
         sample_per_group(docs, ["lang"], 0)
+    with _pytest.raises(ValueError):
+        sample_per_group(docs, ["lang"], 5, safety=1.0)
+
+
+def _naive_per_group(df, group_cols, n, seed):
+    """The straggler-prone single-window reference plan, used only to
+    assert the two-phase operator selects bit-identical rows."""
+    from pyspark.sql import Window
+    from json_time_series_extractor_spark.operators.sampling import (
+        hash_rank)
+
+    w = (Window.partitionBy(*group_cols)
+         .orderBy(hash_rank(F.col("doc_id"), seed), F.col("doc_id")))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n).drop("_rn"))
+
+
+def test_sample_per_group_skewed_matches_naive_window(spark):
+    """One group 500x larger than the others: the two-phase plan must
+    still select EXACTLY the rows the naive full-group window would."""
+    from json_time_series_extractor_spark.operators.sampling import (
+        sample_per_group)
+
+    rows = [(i, "en") for i in range(5000)] + \
+           [(10_000 + i, "mi") for i in range(10)] + \
+           [(20_000 + i, "haw") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string") \
+        .repartition(16)
+    got = {(r.doc_id, r.lang)
+           for r in sample_per_group(docs, ["lang"], 7, seed=7).collect()}
+    want = {(r.doc_id, r.lang)
+            for r in _naive_per_group(docs, ["lang"], 7, 7).collect()}
+    assert got == want
+    assert sum(1 for _, g in got if g == "en") == 7
+    assert sum(1 for _, g in got if g == "mi") == 7
+    assert sum(1 for _, g in got if g == "haw") == 3  # group smaller than n
+
+
+def test_sample_per_group_fallback_is_exact(spark):
+    """Adversarial group where the pre-filter threshold strands ZERO
+    survivors (every key hash-ranks above t): the fallback must rescue
+    the group and still match the naive window bit-for-bit."""
+    import hashlib
+    from json_time_series_extractor_spark.operators.sampling import (
+        sample_per_group)
+
+    def rank(key, seed=7):
+        h = hashlib.md5(f"{key}:{seed}".encode()).hexdigest()
+        return int(h[:8], 16) / 2**32
+
+    # 50 keys all ranking above 0.5 -> with n=5, safety=2 the threshold
+    # is 2*5/50 = 0.2 and the pre-filter keeps nothing.
+    high = [k for k in range(100_000) if rank(k) > 0.5][:50]
+    assert len(high) == 50
+    docs = spark.createDataFrame([(k, "xx") for k in high]
+                                 + [(200_000 + i, "en") for i in range(40)],
+                                 "doc_id long, lang string")
+    got = {(r.doc_id, r.lang)
+           for r in sample_per_group(docs, ["lang"], 5, seed=7,
+                                     safety=2.0).collect()}
+    want = {(r.doc_id, r.lang)
+            for r in _naive_per_group(docs, ["lang"], 5, 7).collect()}
+    assert got == want
+    assert sum(1 for _, g in got if g == "xx") == 5
 
 
 def test_dedup_incremental_exact_and_minhash(spark):
