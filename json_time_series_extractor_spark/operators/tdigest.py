@@ -148,7 +148,14 @@ def rollup_tdigest(
     # mapInPandas call digests a whole Arrow batch of buckets.
     grouped = (prepared.groupBy("series_key", "bucket_ts")
                .agg(F.sort_array(F.collect_list("_v")).alias("_vals")))
+    return grouped.mapInPandas(digest_build_fn(delta), TDIGEST_SCHEMA)
 
+
+def digest_build_fn(delta: int):
+    """mapInPandas kernel turning (series_key, bucket_ts, _vals sorted
+    array<double>) rows into TDIGEST_SCHEMA sketch rows. Shared by the
+    batch build and the streaming tier (same kernel => the streaming
+    sketches are bit-identical to batch on the same bucket contents)."""
     def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -169,7 +176,7 @@ def rollup_tdigest(
                 rows, columns=["series_key", "bucket_ts", "means",
                                "weights", "cnt", "vmin", "vmax"])
 
-    return grouped.mapInPandas(build, TDIGEST_SCHEMA)
+    return build
 
 
 def tdigest_cascade(child: DataFrame, tier: str, *,

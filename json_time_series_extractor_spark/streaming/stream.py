@@ -104,3 +104,36 @@ def streaming_histogram(sample_stream: DataFrame,
             .agg(hist.alias("hist"), F.count(v).alias("cnt"))
             .select("series_key", F.col("window.start").alias("bucket_ts"),
                     "hist", "cnt"))
+
+
+def streaming_tdigest(sample_stream: DataFrame,
+                      tier: str = "1 hour",
+                      watermark: str = "10 minutes",
+                      delta: int = 100,
+                      value_col: str = "value_double") -> DataFrame:
+    """Watermarked streaming version of ``tdigest.rollup_tdigest``:
+    one t-digest sketch row per closed (series, window), append-mode
+    ready.
+
+    Same two-stage shape as batch — a built-in streaming aggregate
+    collects the bucket's sorted values (state bounded by the bucket,
+    exactly what the batch hash aggregate holds), then the SAME
+    ``digest_build_fn`` mapInPandas kernel sketches whole Arrow batches
+    of closed windows. Because the kernel and the sorted input are
+    identical, streamed sketches are bit-identical to the batch tier on
+    the same bucket contents, and ``tdigest_cascade`` /
+    ``tdigest_quantiles`` consume them unchanged (the streaming/batch
+    tier handoff needs no reshaping)."""
+    from json_time_series_extractor_spark.operators.tdigest import (
+        TDIGEST_SCHEMA, digest_build_fn)
+
+    v = F.col(value_col)
+    grouped = (sample_stream
+               .where(v.isNotNull() & ~F.isnan(v.cast("double")))
+               .withWatermark("ts", watermark)
+               .groupBy("series_key", F.window("ts", tier))
+               .agg(F.sort_array(F.collect_list(v.cast("double")))
+                    .alias("_vals"))
+               .select("series_key",
+                       F.col("window.start").alias("bucket_ts"), "_vals"))
+    return grouped.mapInPandas(digest_build_fn(delta), TDIGEST_SCHEMA)

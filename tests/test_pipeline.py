@@ -666,6 +666,75 @@ def test_stateful_updates_tolerate_empty_invocations():
         assert len(outs) == 1 and outs[0].empty
 
 
+def test_streaming_tdigest_matches_batch(spark, tmp_path):
+    """Streaming t-digest sketches are BIT-IDENTICAL to the batch tier
+    on closed windows — same sorted bucket contents through the same
+    build kernel — even with late (within-watermark) rows arriving in a
+    second microbatch; the streamed rows feed the batch cascade and
+    quantile estimator unchanged."""
+    import os
+
+    from json_time_series_extractor_spark.operators.tdigest import (
+        rollup_tdigest, tdigest_cascade, tdigest_quantiles,
+    )
+    from json_time_series_extractor_spark.streaming.stream import (
+        streaming_tdigest,
+    )
+
+    samples = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+               .selectExpr("event_type AS series_key",
+                           "CAST(ts AS TIMESTAMP) AS ts",
+                           "value AS value_double"))
+    # Split into "on-time" and "late" rows per hour bucket: the late file
+    # arrives a microbatch later but within the 2h watermark, so every
+    # closed window still saw its full contents.
+    on_time = samples.where("pmod(hash(series_key, ts), 5) != 0")
+    late = samples.where("pmod(hash(series_key, ts), 5) = 0")
+    src = str(tmp_path / "td_stream")
+    os.makedirs(src)
+    on_time.coalesce(1).write.parquet(src + "/f1")
+    late.coalesce(1).write.parquet(src + "/f2")
+
+    stream = (spark.readStream
+              .schema("series_key string, ts timestamp, value_double double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src + "/*"))
+    q = (streaming_tdigest(stream, tier="1 hour", watermark="2 hours",
+                           delta=100)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("td_stream_test")
+         .option("checkpointLocation", str(tmp_path / "td_ckpt")).start())
+    q.processAllAvailable()
+    try:
+        got = {(r.series_key, r.bucket_ts):
+               (list(r.means), list(r.weights), r.cnt, r.vmin, r.vmax)
+               for r in spark.sql("SELECT * FROM td_stream_test").collect()}
+    finally:
+        q.stop()
+
+    want = {(r.series_key, r.bucket_ts):
+            (list(r.means), list(r.weights), r.cnt, r.vmin, r.vmax)
+            for r in rollup_tdigest(samples, "1 hour", delta=100).collect()}
+    # Append mode emits only closed windows; every emitted sketch must
+    # equal the batch sketch exactly (floats included — same kernel,
+    # same sorted input).
+    assert len(got) > 10
+    for k in got:
+        assert got[k] == want[k], k
+
+    # Streamed sketches are valid child state for the batch cascade +
+    # quantile extraction.
+    streamed = spark.createDataFrame(
+        [(sk, bt, m, w, c, lo, hi)
+         for (sk, bt), (m, w, c, lo, hi) in got.items()],
+        "series_key string, bucket_ts timestamp, means array<double>, "
+        "weights array<double>, cnt long, vmin double, vmax double")
+    day = tdigest_cascade(streamed, "1 day", delta=100)
+    qs = tdigest_quantiles(day).collect()
+    assert qs and all(r.p50 <= r.p95 <= r.p99 for r in qs)
+    assert sum(r.cnt for r in qs) == sum(c for _, _, c, _, _ in got.values())
+
+
 def test_streaming_histogram_matches_batch(spark, tmp_path):
     """Streaming explicit-bounds histogram == batch rollup_histogram on
     closed (watermark-expired) windows, and its output feeds the batch

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from pyspark.sql import functions as F
 
@@ -22,6 +23,14 @@ def _rank_error(values: np.ndarray, est: float, q: float) -> float:
     value with duplicate mass occupies a rank range) — the error the
     t-digest bounds."""
     s = np.sort(values)
+    # Snap ulp-level weighted-mean rounding (a centroid of tied 1.1s can
+    # average one ulp off 1.1) to the nearest datum before ranking.
+    i = int(np.searchsorted(s, est))
+    for j in (i - 1, i):
+        if 0 <= j < len(s) and abs(est - s[j]) <= \
+                1e-12 * max(abs(est), abs(s[j])):
+            est = s[j]
+            break
     lo = np.searchsorted(s, est, side="left") / len(s)
     hi = np.searchsorted(s, est, side="right") / len(s)
     return 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
@@ -77,6 +86,105 @@ def test_tiny_buckets_are_exact():
     assert _estimate(ms, ws, cnt, vmin, vmax, 0.5) == 2.0
     assert _estimate(ms, ws, cnt, vmin, vmax, 0.0) == 1.0
     assert _estimate(ms, ws, cnt, vmin, vmax, 1.0) == 3.0
+
+
+def _k1_bound(q: float, delta: int, cnt: int) -> float:
+    """Rank-error budget from the k1 scale function. A cluster spans at
+    most one k-unit, and dk/dq = delta / (pi * sqrt(q(1-q))), so the
+    cluster's q-width at quantile q is <= pi*sqrt(q(1-q))/delta;
+    midpoint interpolation can miss by about a cluster width (two
+    half-clusters). Budget = 1.5 cluster widths + one point of discrete
+    slack (1/cnt) — tight enough to catch a broken scale function or
+    interpolator, loose enough to never flake on valid sketches."""
+    import math
+    return 1.5 * math.pi * math.sqrt(q * (1.0 - q)) / delta + 1.0 / cnt
+
+
+@st.composite
+def _adversarial_values(draw):
+    """Distributions chosen to stress the sketch: heavy ties (equal-mass
+    atoms), exponential/power tails, constant+outlier mixtures, uniform."""
+    kind = draw(st.sampled_from(["ties", "exp", "mixed", "uniform",
+                                 "constant"]))
+    n = draw(st.integers(min_value=64, max_value=4000))
+    seed = draw(st.integers(min_value=0, max_value=2**32 - 1))
+    rng = np.random.default_rng(seed)
+    if kind == "ties":
+        k = draw(st.integers(min_value=1, max_value=12))
+        vals = rng.integers(-k, k + 1, n).astype(np.float64)
+    elif kind == "exp":
+        power = draw(st.sampled_from([1, 2, 3]))
+        vals = rng.exponential(draw(st.floats(0.5, 50.0)), n) ** power
+    elif kind == "mixed":
+        vals = np.concatenate([np.full(n // 2, 3.14),
+                               rng.normal(0.0, 1e6, n - n // 2)])
+    elif kind == "constant":
+        vals = np.full(n, draw(st.floats(-1e9, 1e9,
+                                         allow_nan=False,
+                                         allow_infinity=False)))
+    else:
+        vals = rng.uniform(-1e9, 1e9, n)
+    return vals
+
+
+_QS = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+@settings(max_examples=60, deadline=None)
+@given(values=_adversarial_values(), delta=st.sampled_from([50, 100, 200]))
+def test_property_build_respects_k1_rank_bound(values, delta):
+    """Hypothesis: for every adversarial distribution, each quantile
+    estimate lands within the k1-scale rank-error budget of the exact
+    empirical quantile (tie-aware), and the sketch invariants hold."""
+    ms, ws, cnt, vmin, vmax = _build(values, delta)
+    assert cnt == len(values)
+    assert ws.sum() == pytest.approx(cnt)
+    # Centroids stay sorted up to weighted-mean rounding: twenty tied
+    # 3.14s can average to 3.139999...97, so allow ulp-scale inversions.
+    scale = np.maximum(np.abs(ms[:-1]), np.abs(ms[1:])) + 1e-300
+    assert (np.diff(ms) >= -1e-12 * scale).all()
+    assert len(ms) <= 2 * delta + 1
+    assert vmin == values.min() and vmax == values.max()
+    # Same ulp slack on the range check: a centroid of tied 1.1s can
+    # average one ulp below 1.1.
+    rng_slack = 1e-12 * max(abs(vmin), abs(vmax)) + 1e-300
+    for q in _QS:
+        est = _estimate(ms, ws, cnt, vmin, vmax, q)
+        assert vmin - rng_slack <= est <= vmax + rng_slack
+        assert _rank_error(values, est, q) <= _k1_bound(q, delta, cnt), q
+
+
+@settings(max_examples=40, deadline=None)
+@given(values=_adversarial_values(),
+       n_parts=st.integers(min_value=2, max_value=8),
+       seed=st.integers(min_value=0, max_value=2**32 - 1))
+def test_property_cascade_within_bound_of_direct_build(values, n_parts,
+                                                       seed):
+    """Hypothesis: merging per-part digests (the tier cascade) stays
+    within 2x the k1 budget of the EXACT quantile, and within 3x of the
+    direct whole-input build — cnt/min/max merge exactly. One extra
+    budget unit covers the second compression pass of the merge."""
+    delta = 100
+    rng = np.random.default_rng(seed)
+    parts = np.array_split(rng.permutation(values), n_parts)
+    merged = _merge([_build(p, delta) for p in parts if len(p)], delta)
+    direct = _build(values, delta)
+    assert merged[2] == direct[2] == len(values)
+    assert merged[3] == direct[3] and merged[4] == direct[4]
+    for q in _QS:
+        est_m = _estimate(merged[0], merged[1], merged[2], merged[3],
+                          merged[4], q)
+        est_d = _estimate(direct[0], direct[1], direct[2], direct[3],
+                          direct[4], q)
+        assert _rank_error(values, est_m, q) <= \
+            2.0 * _k1_bound(q, delta, len(values)), q
+        # Equivalence: the cascade may only drift from the direct build
+        # by rank-bound amounts, never structurally.
+        span = max(values.max() - values.min(), 1e-300)
+        if span > 0:
+            drift = _rank_error(values, est_m, q) \
+                + _rank_error(values, est_d, q)
+            assert drift <= 3.0 * _k1_bound(q, delta, len(values)), q
 
 
 def test_spark_rollup_and_cascade(spark):

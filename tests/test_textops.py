@@ -459,6 +459,44 @@ def test_connected_components_and_survivors(spark):
     assert set(c.values()) == {0} and len(c) == 21
 
 
+def test_star_components_match_minlabel_and_beat_diameter(spark):
+    """Large-star/small-star is result-identical to min-label on a mixed
+    random graph, and solves a diameter-40 chain that min-label's
+    diameter-bounded loop refuses at its default cap."""
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.components import (
+        connected_components)
+
+    # Mixed shapes: a chain, a dense clique-ish cluster, a pair, shuffled
+    # ids so component minima are not positional.
+    edges = ([(7, 3), (3, 19), (19, 42), (42, 8)]            # chain
+             + [(100, 105), (105, 101), (101, 100), (103, 105)]  # dense
+             + [(201, 200)]                                   # pair
+             + [(55, 56), (56, 57), (55, 57)])                # triangle
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    by_min = {r.node: r.component
+              for r in connected_components(pairs).collect()}
+    by_star = {r.node: r.component
+               for r in connected_components(
+                   pairs, algorithm="star").collect()}
+    assert by_star == by_min
+
+    # Diameter-40 chain: min-label needs 40 rounds (> its 25-round cap,
+    # which raises by design); star converges in ~log rounds.
+    long_chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(long_chain)
+    c = {r.node: r.component
+         for r in connected_components(
+             long_chain, algorithm="star").collect()}
+    assert set(c.values()) == {0} and len(c) == 41
+
+    with _pytest.raises(ValueError, match="algorithm"):
+        connected_components(pairs, algorithm="bogus")
+
+
 def test_sessionize_gap_semantics(spark):
     from datetime import datetime, timedelta
 
