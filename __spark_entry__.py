@@ -1009,8 +1009,8 @@ _MEDIA_REAL_FIXTURE = "/root/repo/tests/fixtures/media_real.parquet"
 
 def q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode under oracle check: the fixture parquet holds
-    26 blobs actually encoded by this repo's codecs (baseline JPEG
-    4:2:0/4:4:4/gray/restart-marker, PNG gray/gray+alpha/RGB/RGBA/
+    29 blobs actually encoded by this repo's codecs (baseline JPEG
+    4:2:0/4:4:4/gray/restart-marker/progressive-SOF2, PNG gray/gray+alpha/RGB/RGBA/
     palette/palette+tRNS, GIF interlaced+transparent, BMP, PPM) plus the
     feature values the decoders produced at fixture-build time
     (tools/build_media_fixture.py). Spark re-decodes every blob through

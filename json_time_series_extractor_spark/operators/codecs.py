@@ -12,10 +12,11 @@ specs are simple enough to decode with numpy alone:
   palette (-> RGBA) and grayscale (-> gray+alpha), matching the GIF path;
 - **GIF** — 87a/89a first frame: variable-width LZW, global/local
   palettes, four-pass interlacing, GCE transparency (-> RGBA);
-- baseline **JPEG** lives in :mod:`.jpeg` (T.81 DCT codec).
+- **JPEG** (baseline AND progressive) lives in :mod:`.jpeg` (T.81 DCT
+  codec).
 
 Together these cover the formats a real web corpus actually contains;
-progressive JPEG/WebP/video remain the PIL/ffmpeg plug points.
+WebP/AVIF/video remain the PIL/ffmpeg plug points.
 
 They plug into ``operators/multimodal.py`` as ``decode_stub="real"`` so at
 least one non-fake decode path runs end-to-end in Spark; PIL/ffmpeg slot

@@ -1,17 +1,23 @@
-"""Dependency-free baseline JPEG codec (pure Python + numpy).
+"""Dependency-free JPEG codec (pure Python + numpy).
 
-Implements the baseline sequential DCT process of ITU-T T.81 (the JPEG
-spec — public document), enough to decode the format a real web corpus
-is mostly made of and to self-verify without PIL:
+Implements the baseline sequential AND progressive DCT processes of
+ITU-T T.81 (the JPEG spec — public document), enough to decode the
+formats a real web corpus is mostly made of and to self-verify without
+PIL:
 
-- **decode**: baseline (SOF0), 8-bit, grayscale or YCbCr; 4:4:4 and the
+- **decode**: baseline (SOF0/1) and progressive (SOF2 — spectral
+  selection + successive approximation, DC/AC first + refinement scans,
+  EOB runs, per T.81 G.1.2), 8-bit, grayscale or YCbCr; 4:4:4 and the
   web-default 4:2:0 chroma subsampling (plus any h,v in {1,2}); multiple
-  DQT/DHT segments; restart markers (DRI/RSTn). Progressive (SOF2) and
-  arithmetic coding are rejected with a clear error — they are the
-  explicit PIL plug point.
-- **encode**: baseline 4:4:4 or 4:2:0, standard Annex K quantization
-  tables scaled by the libjpeg quality formula, standard Annex K Huffman
-  tables (no per-image optimization). Grayscale or RGB.
+  DQT/DHT segments; restart markers (DRI/RSTn). Arithmetic coding and
+  lossless/hierarchical processes are rejected with a clear error — they
+  are the explicit PIL plug point.
+- **encode**: baseline or progressive (4-phase successive-approximation
+  scan script), 4:4:4 or 4:2:0, standard Annex K quantization tables
+  scaled by the libjpeg quality formula, standard Annex K Huffman
+  tables (no per-image optimization). Grayscale or RGB. Progressive
+  encode exists chiefly to prove the decoder: both modes carry the same
+  quantized coefficients, so their decodes are bit-identical.
 
 The pair is inverse within quantization error, which makes the decoder
 testable in this container: ``decode(encode(x, q))`` must land within a
@@ -268,15 +274,155 @@ def _dequant_idct(coef: np.ndarray, qt: np.ndarray) -> np.ndarray:
 # Encoder
 # ---------------------------------------------------------------------------
 
+def _encode_progressive_scans(zz: List[np.ndarray], samp, actual,
+                              mcux: int, mcuy: int, dc_tables,
+                              ac_tables) -> List[Tuple[bytes, bytes]]:
+    """Progressive scan script -> [(SOS payload, entropy bytes)].
+
+    Four-phase successive approximation (T.81 G.1.2): DC first at Al=1
+    (interleaved), DC refinement at Al=0 (one bit per block), then per
+    component AC first over Ss=1..Se=63 at Al=1 and AC refinement at
+    Al=0. EOB runs are limited to EOB0 so the Annex K AC tables (which
+    lack EOBn symbols) suffice; the decoder handles general EOBRUN."""
+    ncomp = len(zz)
+    scans: List[Tuple[bytes, bytes]] = []
+
+    def sos(comp_ids, ss, se, ah, al):
+        pl = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            td = 0 if ci == 0 else 1
+            pl += bytes([ci + 1, (td << 4) | td])
+        return pl + bytes([ss, se, (ah << 4) | al])
+
+    def mcu_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (sh, sv) in enumerate(samp):
+                    for v in range(sv):
+                        for u in range(sh):
+                            yield ci, zz[ci][my * sv + v, mx * sh + u]
+
+    # Scan 1: DC first, all components interleaved, Ah=0 Al=1. The DC
+    # point transform is an arithmetic shift (floor), so d>>1 works for
+    # both signs and (d1 << 1) | (d & 1) reconstructs d exactly.
+    w = _BitWriter()
+    pred = [0] * ncomp
+    for ci, blk in mcu_blocks():
+        d = int(blk[0]) >> 1
+        diff = d - pred[ci]
+        pred[ci] = d
+        size = _magnitude_category(diff)
+        code, ln = dc_tables[ci][size]
+        w.write(code, ln)
+        w.write(_encode_coefficient_bits(diff, size), size)
+    w.flush()
+    scans.append((sos(list(range(ncomp)), 0, 0, 0, 1), bytes(w.out)))
+
+    # Scan 2: DC refinement, Ah=1 Al=0 — raw magnitude bits, no Huffman.
+    w = _BitWriter()
+    for _, blk in mcu_blocks():
+        w.write(int(blk[0]) & 1, 1)
+    w.flush()
+    scans.append((sos(list(range(ncomp)), 0, 0, 1, 0), bytes(w.out)))
+
+    for ci in range(ncomp):
+        act = ac_tables[ci]
+        bh, bw = actual[ci]
+
+        # AC first: values at Al=1 are sign * (|v| >> 1).
+        w = _BitWriter()
+        for byy in range(bh):
+            for bxx in range(bw):
+                blk = zz[ci][byy, bxx]
+                last_nz = 0
+                for k in range(63, 0, -1):
+                    if abs(int(blk[k])) >> 1:
+                        last_nz = k
+                        break
+                run = 0
+                for k in range(1, last_nz + 1):
+                    v = int(blk[k])
+                    v1 = (abs(v) >> 1) * (1 if v > 0 else -1)
+                    if v1 == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = act[0xF0]
+                        w.write(code, ln)
+                        run -= 16
+                    size = _magnitude_category(v1)
+                    code, ln = act[(run << 4) | size]
+                    w.write(code, ln)
+                    w.write(_encode_coefficient_bits(v1, size), size)
+                    run = 0
+                if last_nz != 63:
+                    code, ln = act[0x00]      # EOB0
+                    w.write(code, ln)
+        w.flush()
+        scans.append((sos([ci], 1, 63, 0, 1), bytes(w.out)))
+
+        # AC refinement (G.1.2.3): newly-significant coefficients
+        # (|v| == 1) Huffman-coded with zero-history runs; correction
+        # bits for already-significant ones buffered and flushed after
+        # the next symbol (exactly the order the decoder consumes them).
+        w = _BitWriter()
+        for byy in range(bh):
+            for bxx in range(bw):
+                blk = zz[ci][byy, bxx]
+                absv = [abs(int(blk[k])) for k in range(64)]
+                eob = 0
+                for k in range(1, 64):
+                    if absv[k] == 1:
+                        eob = k
+                run, br = 0, []
+                for k in range(1, 64):
+                    t = absv[k]
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eob:
+                        code, ln = act[0xF0]
+                        w.write(code, ln)
+                        for b in br:
+                            w.write(b, 1)
+                        br = []
+                        run -= 16
+                    if t > 1:
+                        br.append(t & 1)
+                        continue
+                    code, ln = act[(run << 4) | 1]
+                    w.write(code, ln)
+                    w.write(1 if int(blk[k]) > 0 else 0, 1)
+                    for b in br:
+                        w.write(b, 1)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    code, ln = act[0x00]
+                    w.write(code, ln)
+                    for b in br:
+                        w.write(b, 1)
+        w.flush()
+        scans.append((sos([ci], 1, 63, 1, 0), bytes(w.out)))
+    return scans
+
+
 def encode_jpeg(pixels: np.ndarray, quality: int = 85, *,
                 subsample: bool = True,
-                restart_interval: int = 0) -> bytes:
-    """uint8 (h, w) grayscale or (h, w, 3) RGB -> baseline JFIF bytes.
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB -> JFIF bytes.
 
     ``subsample=True`` emits 4:2:0 (the web default; chroma box-filtered
     2x2); ``False`` emits 4:4:4. ``restart_interval`` > 0 emits DRI +
     RSTn markers every that many MCUs (real encoders do — it's the
-    decoder's resync path)."""
+    decoder's resync path; baseline only). ``progressive=True`` emits an
+    SOF2 stream with the successive-approximation scan script of
+    ``_encode_progressive_scans`` — same quantized coefficients as
+    baseline, so both modes decode to identical pixels."""
+    if progressive and restart_interval:
+        raise ValueError(
+            "restart markers are not supported in progressive encode")
     arr = np.asarray(pixels, dtype=np.uint8)
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
@@ -316,6 +462,9 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85, *,
         qt = qt_l if ci == 0 else qt_c
         q = _fdct_quant(_blockify(plane), qt)
         zz.append(q.reshape(q.shape[0], q.shape[1], 64)[..., _ZIGZAG])
+    # Actual (pre-MCU-padding) block dims: non-interleaved progressive
+    # scans iterate exactly this grid (T.81 A.2.2).
+    actual = [(z.shape[0], z.shape[1]) for z in zz]
 
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
@@ -329,6 +478,15 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85, *,
         if by < need_y or bx < need_x:
             zz[ci] = np.pad(zz[ci], ((0, need_y - by), (0, need_x - bx),
                                      (0, 0)), mode="edge")
+
+    prog_scans: List[Tuple[bytes, bytes]] = []
+    if progressive:
+        dc_tables = [dc_l if ci == 0 else dc_c
+                     for ci in range(len(planes))]
+        ac_tables = [ac_l if ci == 0 else ac_c
+                     for ci in range(len(planes))]
+        prog_scans = _encode_progressive_scans(
+            zz, samp, actual, mcux, mcuy, dc_tables, ac_tables)
 
     writer = _BitWriter()
     pred = [0] * len(planes)
@@ -365,23 +523,25 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85, *,
             code, ln = act[0x00]              # EOB
             writer.write(code, ln)
 
-    mcu_count = 0
-    rst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if (restart_interval and mcu_count
-                    and mcu_count % restart_interval == 0):
-                writer.flush()
-                writer.out += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                for ci in range(len(planes)):
-                    pred[ci] = 0
-            for ci, (sh, sv) in enumerate(samp):
-                for v in range(sv):
-                    for u in range(sh):
-                        emit_block(zz[ci][my * sv + v, mx * sh + u], ci)
-            mcu_count += 1
-    writer.flush()
+    if not progressive:
+        mcu_count = 0
+        rst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (restart_interval and mcu_count
+                        and mcu_count % restart_interval == 0):
+                    writer.flush()
+                    writer.out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    for ci in range(len(planes)):
+                        pred[ci] = 0
+                for ci, (sh, sv) in enumerate(samp):
+                    for v in range(sv):
+                        for u in range(sh):
+                            emit_block(zz[ci][my * sv + v, mx * sh + u],
+                                       ci)
+                mcu_count += 1
+        writer.flush()
 
     # ---- markers ----
     def seg(marker: int, payload: bytes) -> bytes:
@@ -401,7 +561,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85, *,
         sh, sv = samp[ci]
         sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv,
                            0 if ci == 0 else 1)
-    out += seg(0xFFC0, sof)
+    out += seg(0xFFC2 if progressive else 0xFFC0, sof)
 
     def dht(tc: int, th: int, bits: List[int], vals: List[int]) -> bytes:
         return seg(0xFFC4, bytes([tc << 4 | th]) + bytes(bits)
@@ -414,12 +574,17 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85, *,
         out += dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += b"\x00\x3F\x00"
-    out += seg(0xFFDA, sos)
-    out += writer.out
+    if progressive:
+        for sos_payload, entropy in prog_scans:
+            out += seg(0xFFDA, sos_payload)
+            out += entropy
+    else:
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += b"\x00\x3F\x00"
+        out += seg(0xFFDA, sos)
+        out += writer.out
     out += b"\xFF\xD9"                               # EOI
     return bytes(out)
 
@@ -430,7 +595,11 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85, *,
 
 @truncation_boundary
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> uint8 (h, w) grayscale or (h, w, 3) RGB."""
+    """JFIF bytes -> uint8 (h, w) grayscale or (h, w, 3) RGB.
+
+    Baseline (SOF0/1) and progressive (SOF2) DCT processes; progressive
+    covers spectral selection AND successive approximation (DC/AC first
+    + refinement scans, EOB runs), per ITU-T T.81 G.1.2."""
     if blob[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -439,6 +608,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     huff_ac: Dict[int, Dict[Tuple[int, int], int]] = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    coef: Dict[int, np.ndarray] = {}   # comp id -> (by, bx, 64) zigzag
+    n_scans = 0
     n = len(blob)
     while pos + 4 <= n:
         if blob[pos] != 0xFF:
@@ -480,7 +652,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 p += nv
                 table = _build_decode_table(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
-        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
+            progressive = marker == 0xC2
             prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise ValueError(f"only 8-bit JPEG supported, got {prec}")
@@ -498,10 +671,10 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                         "(only 1 and 2 supported)")
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG process SOF{marker - 0xC0} (progressive/arithmetic/"
+                f"JPEG process SOF{marker - 0xC0} (lossless/arithmetic/"
                 "hierarchical) not supported — PIL/libjpeg plug in here")
         elif marker == 0xDD:          # DRI
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
@@ -513,11 +686,14 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             for si in range(ns):
                 cs, tables = payload[1 + 2 * si], payload[2 + 2 * si]
                 scan_sel.append((cs, tables >> 4, tables & 0x0F))
-            if len(scan_sel) != len(frame["comps"]):
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive and len(scan_sel) != len(frame["comps"]):
                 # A legal baseline non-interleaved scan sequence (ns <
                 # ncomp per SOS) — unsupported format, NOT a corrupt
-                # blob: raise the same way SOF2 does so on_error
-                # policies classify it as a plug point.
+                # blob: raise the same way unsupported SOFs do so
+                # on_error policies classify it as a plug point.
                 raise NotImplementedError(
                     f"non-interleaved baseline JPEG scan ({len(scan_sel)}"
                     f" of {len(frame['comps'])} components) not "
@@ -534,28 +710,23 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 p += 1
             scan_bytes = blob[scan_start:p]
             pos = p
-            return _decode_scan(frame, scan_sel, scan_bytes, qtables,
-                                huff_dc, huff_ac, restart_interval)
+            if not progressive:
+                return _decode_scan(frame, scan_sel, scan_bytes, qtables,
+                                    huff_dc, huff_ac, restart_interval)
+            if not coef:
+                _alloc_coef(frame, coef)
+            _progressive_scan(frame, coef, scan_sel, ss, se, ah, al,
+                              scan_bytes, huff_dc, huff_ac,
+                              restart_interval)
+            n_scans += 1
         # APPn/COM and anything else: skipped
+    if progressive and n_scans:
+        return _reconstruct(frame, coef, qtables)
     raise ValueError("no SOS segment found")
 
 
-def _decode_scan(frame, scan_sel, scan_bytes: bytes, qtables,
-                 huff_dc, huff_ac, restart_interval: int) -> np.ndarray:
-    comps = frame["comps"]
-    h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-
-    by_comp: Dict[int, np.ndarray] = {}
-    for c in comps:
-        by_comp[c["id"]] = np.zeros(
-            (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
-    table_for = {cs: (td, ta) for cs, td, ta in scan_sel}
-
-    # Strip stuffed bytes and split on restart markers.
+def _split_restart_segments(scan_bytes: bytes) -> List[bytes]:
+    """Strip stuffed 0xFF00 bytes and split entropy data on RSTn."""
     segments: List[bytes] = []
     cur = bytearray()
     i = 0
@@ -577,6 +748,221 @@ def _decode_scan(frame, scan_sel, scan_bytes: bytes, qtables,
         cur.append(b)
         i += 1
     segments.append(bytes(cur))
+    return segments
+
+
+def _decode_huff_from(reader: "_BitReader", table) -> int:
+    """Read one Huffman symbol (canonical (length, code) lookup)."""
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG scan")
+
+
+def _comp_block_dims(frame, c) -> Tuple[int, int]:
+    """A component's ACTUAL block grid (non-interleaved scans iterate
+    this, NOT the MCU-padded grid — T.81 A.2.2)."""
+    hmax = max(x["h"] for x in frame["comps"])
+    vmax = max(x["v"] for x in frame["comps"])
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _alloc_coef(frame, coef: Dict[int, np.ndarray]) -> None:
+    """Allocate MCU-padded zigzag coefficient planes for every frame
+    component (progressive scans accumulate into these across scans)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        coef[c["id"]] = np.zeros(
+            (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+
+
+def _refine_nonzero(blk: np.ndarray, k: int, reader: "_BitReader",
+                    p1: int) -> None:
+    """AC refinement correction bit for an already-nonzero coefficient
+    (T.81 G.1.2.3): if the bit is set and this magnitude bit isn't,
+    grow the magnitude by 1 << Al in the coefficient's sign direction."""
+    if reader.read_bit() and not int(blk[k]) & p1:
+        blk[k] += p1 if blk[k] > 0 else -p1
+
+
+def _progressive_scan(frame, coef: Dict[int, np.ndarray], scan_sel,
+                      ss: int, se: int, ah: int, al: int,
+                      scan_bytes: bytes, huff_dc, huff_ac,
+                      restart_interval: int) -> None:
+    """Decode one progressive scan into the coefficient planes.
+
+    Four scan kinds (T.81 G.1.2): DC first (diff-coded, << Al), DC
+    refinement (one bit per block), AC first (run-length + EOB runs,
+    << Al), AC refinement (newly-significant coefficients interleaved
+    with correction bits for history-nonzero ones; EOB runs consume
+    correction bits too). DC scans may interleave components in MCU
+    order; AC scans are single-component over its actual block grid."""
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    segments = _split_restart_segments(scan_bytes)
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+
+    def next_segment():
+        nonlocal seg_idx, reader
+        seg_idx += 1
+        reader = _BitReader(segments[seg_idx])
+
+    if ss == 0:                       # DC scan (first or refinement)
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        scan_comps = [by_id[cs] for cs, _, _ in scan_sel]
+        dc_tbl = {cs: huff_dc.get(td) for cs, td, _ in scan_sel}
+        pred = {c["id"]: 0 for c in scan_comps}
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+        interleaved = len(scan_comps) > 1
+
+        def dc_unit(c, byy, bxx):
+            blk = coef[c["id"]]
+            if ah == 0:
+                size = _decode_huff_from(reader, dc_tbl[c["id"]])
+                diff = _decode_coefficient(reader.read_bits(size), size)
+                pred[c["id"]] += diff
+                blk[byy, bxx, 0] = pred[c["id"]] << al
+            elif reader.read_bit():
+                blk[byy, bxx, 0] |= 1 << al
+
+        count = 0
+        if interleaved:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if (restart_interval and count
+                            and count % restart_interval == 0):
+                        next_segment()
+                        pred = {c["id"]: 0 for c in scan_comps}
+                    for c in scan_comps:
+                        for v in range(c["v"]):
+                            for u in range(c["h"]):
+                                dc_unit(c, my * c["v"] + v,
+                                        mx * c["h"] + u)
+                    count += 1
+        else:
+            c = scan_comps[0]
+            bh, bw = _comp_block_dims(frame, c)
+            for byy in range(bh):
+                for bxx in range(bw):
+                    if (restart_interval and count
+                            and count % restart_interval == 0):
+                        next_segment()
+                        pred = {c["id"]: 0}
+                    dc_unit(c, byy, bxx)
+                    count += 1
+        return
+
+    # AC scan: exactly one component, its own block raster order.
+    if len(scan_sel) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cs, _, ta = scan_sel[0]
+    c = by_id[cs]
+    act = huff_ac[ta]
+    plane = coef[cs]
+    bh, bw = _comp_block_dims(frame, c)
+    eobrun = 0
+    p1 = 1 << al
+    count = 0
+    for byy in range(bh):
+        for bxx in range(bw):
+            if (restart_interval and count
+                    and count % restart_interval == 0):
+                next_segment()
+                eobrun = 0
+            count += 1
+            blk = plane[byy, bxx]
+            if ah == 0:               # AC first scan
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _decode_huff_from(reader, act)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if r == 15:   # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run overflows band")
+                    blk[k] = _decode_coefficient(
+                        reader.read_bits(s), s) << al
+                    k += 1
+            else:                     # AC refinement scan
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = _decode_huff_from(reader, act)
+                        r, s = sym >> 4, sym & 0x0F
+                        if s == 0 and r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        if s == 0:    # ZRL: 16 zero-history positions
+                            newval = 0
+                        elif s == 1:
+                            newval = p1 if reader.read_bit() else -p1
+                        else:
+                            raise ValueError(
+                                "refinement magnitude must be 1")
+                        # Advance over r zero-history coefficients,
+                        # correcting nonzero-history ones on the way.
+                        while k <= se:
+                            if blk[k] != 0:
+                                _refine_nonzero(blk, k, reader, p1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    # Remainder of the block only carries correction
+                    # bits for already-nonzero coefficients.
+                    while k <= se:
+                        if blk[k] != 0:
+                            _refine_nonzero(blk, k, reader, p1)
+                        k += 1
+                    eobrun -= 1
+
+
+def _decode_scan(frame, scan_sel, scan_bytes: bytes, qtables,
+                 huff_dc, huff_ac, restart_interval: int) -> np.ndarray:
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    by_comp: Dict[int, np.ndarray] = {}
+    for c in comps:
+        by_comp[c["id"]] = np.zeros(
+            (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+    table_for = {cs: (td, ta) for cs, td, ta in scan_sel}
+    segments = _split_restart_segments(scan_bytes)
 
     seg_idx = 0
     reader = _BitReader(segments[0])
@@ -629,7 +1015,17 @@ def _decode_scan(frame, scan_sel, scan_bytes: bytes, qtables,
                                          mx * c["h"] + u] = zz
             mcu_count += 1
 
-    # Dequantize + IDCT + upsample each component to full resolution.
+    return _reconstruct(frame, by_comp, qtables)
+
+
+def _reconstruct(frame, by_comp: Dict[int, np.ndarray],
+                 qtables) -> np.ndarray:
+    """Dequantize + IDCT + upsample zigzag coefficient planes to the
+    final image (shared by the baseline and progressive paths)."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for c in comps:
         zz = by_comp[c["id"]]

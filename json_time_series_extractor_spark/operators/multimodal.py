@@ -4,10 +4,11 @@ Media payloads are opaque ``binary`` columns with a typed metadata struct;
 the Spark-side plumbing (schemas, partition-friendly batch iteration,
 Arrow-batched UDF signatures) is real and tested. Decode kernels come in
 three modes: ``decode_stub="real"`` actually decodes via the
-dependency-free codecs in :mod:`.codecs` / :mod:`.jpeg` (baseline JPEG,
-PNG, GIF, PPM, BMP, WAV — the formats a web corpus actually contains;
-PIL/ffmpeg extend the same call sites to progressive JPEG/WebP/video); ``decode_stub="fake"`` derives deterministic features from a
-hash of the bytes (oracle-reproducible pipelines at any scale);
+dependency-free codecs in :mod:`.codecs` / :mod:`.jpeg` (baseline AND
+progressive JPEG, PNG, GIF, PPM, BMP, WAV — the formats a web corpus
+actually contains; PIL/ffmpeg extend the same call sites to
+WebP/AVIF/video); ``decode_stub="fake"`` derives deterministic features
+from a hash of the bytes (oracle-reproducible pipelines at any scale);
 ``decode_stub="raise"`` marks the plug point explicitly.
 
 At 100 TB scale the iterator-of-batches ``mapInPandas`` shape matters:
@@ -150,7 +151,7 @@ def extract_image_features(df: DataFrame, *, id_col: str = "media_id",
         else:
             raise NotImplementedError(
                 f"no dependency-free decoder for format {fmt!r}; PIL/"
-                "opencv plug in here (progressive JPEG, WebP, ...)")
+                "opencv plug in here (WebP, AVIF, ...)")
         w, h, c, luma, phash = image_features(pixels)
         return w, h, c, luma, phash
 
@@ -235,7 +236,7 @@ def resize_images(df: DataFrame, width: int, height: int, *,
         else:
             raise NotImplementedError(
                 f"no dependency-free decoder for format {fmt!r}; PIL/"
-                "opencv plug in here (progressive JPEG, WebP, ...)")
+                "opencv plug in here (WebP, AVIF, ...)")
         return encode_ppm(resize_nearest(pixels, width, height))
 
     _check_decode_stub(decode_stub)

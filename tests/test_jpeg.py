@@ -76,17 +76,65 @@ def test_quality_monotonicity():
     assert errs == sorted(errs, reverse=True)
 
 
-def test_rejects_progressive_and_garbage():
+def test_rejects_unsupported_processes_and_garbage():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
-    # Hand-build an SOF2 (progressive) header: must raise the plug-point
-    # error, not garbage output.
+    # SOF9 (arithmetic sequential) stays a plug point; SOF2 (progressive)
+    # decodes for real now and is covered by the round-trip tests below.
     import struct
-    sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
-    blob = (b"\xFF\xD8" + struct.pack(">HH", 0xFFC2, len(sof2) + 2)
-            + sof2 + b"\xFF\xD9")
-    with pytest.raises(NotImplementedError, match="progressive"):
+    sof9 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    blob = (b"\xFF\xD8" + struct.pack(">HH", 0xFFC9, len(sof9) + 2)
+            + sof9 + b"\xFF\xD9")
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(blob)
+    # An SOF2 header with no scan data is a truncated file, not silence.
+    sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    blob2 = (b"\xFF\xD8" + struct.pack(">HH", 0xFFC2, len(sof2) + 2)
+             + sof2 + b"\xFF\xD9")
+    with pytest.raises(ValueError, match="no SOS"):
+        decode_jpeg(blob2)
+
+
+def test_progressive_decodes_identical_to_baseline():
+    """SOF2 successive-approximation scans (DC first/refine, per-
+    component AC first/refine, EOB runs) reconstruct EXACTLY the same
+    quantized coefficients as the baseline stream, so decoded pixels
+    must match bit-for-bit across subsampling, grayscale, and
+    non-MCU-multiple sizes."""
+    rng = np.random.default_rng(11)
+    cases = [
+        (_gradient(16, 16), False, 85),
+        (_gradient(17, 31), True, 75),
+        (_gradient(48, 64), True, 60),
+        (_gradient(33, 57), True, 85),
+        (_gradient(24, 24)[..., 0], False, 90),           # grayscale
+        (rng.integers(0, 256, (40, 56, 3)).astype(np.uint8), True, 85),
+        (rng.integers(0, 256, (25, 25)).astype(np.uint8), False, 50),
+    ]
+    for img, sub, q in cases:
+        base = decode_jpeg(encode_jpeg(img, q, subsample=sub))
+        prog = decode_jpeg(encode_jpeg(img, q, subsample=sub,
+                                       progressive=True))
+        assert np.array_equal(base, prog), (img.shape, sub, q)
+
+
+def test_progressive_corrupt_blob_policy():
+    """Truncated progressive streams surface as recognized data errors
+    (never raw IndexError/KeyError), and progressive+restarts is an
+    explicit encode-time rejection."""
+    from json_time_series_extractor_spark.operators.multimodal import (
+        _DATA_ERRORS)
+
+    blob = encode_jpeg(_gradient(32, 40), 80, progressive=True)
+    for cut in (len(blob) // 4, len(blob) // 2, 3 * len(blob) // 4,
+                len(blob) - 4):
+        try:
+            decode_jpeg(blob[:cut])
+        except _DATA_ERRORS:
+            pass
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(_gradient(16, 16), progressive=True,
+                    restart_interval=2)
 
 
 def test_rejects_unsupported_sampling_and_noninterleaved():

@@ -106,6 +106,13 @@ def _images(rng: np.random.Generator):
     idx = rng.integers(0, 16, size=(24, 40)).astype(np.uint8)
     yield "png", _palette_png(idx, pal, None)
     yield "png", _palette_png(idx, pal, bytes([0, 64, 128, 255]))
+    # Progressive JPEGs (SOF2 successive approximation): 4:2:0 color,
+    # 4:4:4 color, grayscale — the round-4 decoder addition.
+    yield "jpeg", encode_jpeg(pat(41, 67), 78, subsample=True,
+                              progressive=True)
+    yield "jpeg", encode_jpeg(pat(32, 32), 88, subsample=False,
+                              progressive=True)
+    yield "jpeg", encode_jpeg(pat(29, 53, 1), 70, progressive=True)
 
 
 _DECODERS = {"jpeg": decode_jpeg, "png": decode_png, "gif": decode_gif,
