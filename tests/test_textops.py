@@ -301,6 +301,105 @@ def test_iceberg_helpers_gate_cleanly(spark):
         ice.read_table(spark, "lake.db.pages")
 
 
+def test_iceberg_golden_surface_complete(spark):
+    """Frozen golden surface: with no runtime jar in this sandbox, EVERY
+    statement the Iceberg helpers would emit is pinned here verbatim
+    (not substring-matched), and a coverage sweep over the module's
+    public callables asserts none emits SQL without a golden — adding an
+    emitter without freezing its statement fails this test."""
+    import inspect
+
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.sources import iceberg as ice
+
+    df = spark.range(1)
+    run = "r0042"
+
+    goldens = {
+        "pages_table_ddl": (
+            "CREATE TABLE IF NOT EXISTS lake.db.pages (\n"
+            "  url string, warc_ts timestamp, html binary, text string,\n"
+            "  lang string)\n"
+            "USING iceberg\n"
+            "PARTITIONED BY (bucket(128, url), days(warc_ts))"),
+        "rollup_table_ddl": (
+            "CREATE TABLE IF NOT EXISTS lake.db.r1m (\n"
+            "  series_key string, bucket_ts timestamp, min double, "
+            "max double,\n"
+            "  sum double, count bigint, mean double, last double,\n"
+            "  last_ts timestamp)\n"
+            "USING iceberg\n"
+            "PARTITIONED BY (days(bucket_ts))"),
+        "retention_sql": (
+            "DELETE FROM lake.db.pages WHERE warc_ts < DATE '2024-02-01';\n"
+            "CALL system.expire_snapshots(table => 'lake.db.pages', "
+            "retain_last => 1)"),
+        "wap_branch_ddl": (
+            "ALTER TABLE lake.db.r1m CREATE BRANCH IF NOT EXISTS "
+            "audit_r0042"),
+        "wap_publish_sql": (
+            "CALL system.fast_forward(table => 'lake.db.r1m', "
+            "branch => 'main', to => 'audit_r0042');\n"
+            "ALTER TABLE lake.db.r1m DROP BRANCH audit_r0042"),
+    }
+    assert ice.pages_table_ddl("lake.db.pages") == goldens["pages_table_ddl"]
+    assert ice.rollup_table_ddl("lake.db.r1m") == goldens["rollup_table_ddl"]
+    assert ice.retention_sql("lake.db.pages", "2024-02-01") == \
+        goldens["retention_sql"]
+    assert ice.retention_sql("lake.db.r1m", "2024-03-01",
+                             ts_col="bucket_ts") == (
+        "DELETE FROM lake.db.r1m WHERE bucket_ts < DATE '2024-03-01';\n"
+        "CALL system.expire_snapshots(table => 'lake.db.r1m', "
+        "retain_last => 1)")
+    assert ice.wap_branch_ddl("lake.db.r1m", run) == goldens["wap_branch_ddl"]
+    assert ice.wap_publish_sql("lake.db.r1m", run) == \
+        goldens["wap_publish_sql"]
+    assert ice.wap_write_conf(run) == {"spark.wap.branch": "audit_r0042"}
+
+    # Gated executors: each raises IcebergUnavailable carrying its exact
+    # would-run statement(s).
+    def gated_sql(fn, *args, **kwargs):
+        with _pytest.raises(ice.IcebergUnavailable) as ei:
+            fn(*args, **kwargs)
+        return ei.value.sql
+
+    assert gated_sql(ice.create_table, spark,
+                     ice.pages_table_ddl("lake.db.pages")) == \
+        goldens["pages_table_ddl"]
+    assert gated_sql(ice.append, df, "lake.db.r1m") == \
+        "INSERT INTO lake.db.r1m SELECT ..."
+    assert gated_sql(ice.overwrite_partitions, df, "lake.db.r1m") == \
+        "INSERT OVERWRITE lake.db.r1m PARTITION (...) SELECT ..."
+    assert gated_sql(ice.read_table, spark, "lake.db.r1m") == \
+        "SELECT * FROM lake.db.r1m"
+    assert gated_sql(ice.wap_stage, df, "lake.db.r1m", run) == (
+        goldens["wap_branch_ddl"] + ";\n"
+        "SET spark.wap.branch = audit_r0042;\n"
+        "INSERT OVERWRITE ... PARTITION (...) -- lake.db.r1m")
+    assert gated_sql(ice.wap_stage, df, "lake.db.r1m", run,
+                     overwrite=False) == (
+        goldens["wap_branch_ddl"] + ";\n"
+        "SET spark.wap.branch = audit_r0042;\n"
+        "INSERT INTO ... -- lake.db.r1m")
+    assert gated_sql(ice.wap_publish, spark, "lake.db.r1m", run) == \
+        goldens["wap_publish_sql"]
+
+    # Coverage: every public callable in the module either emitted a
+    # pinned statement above or is explicitly known to emit none.
+    exercised = {"pages_table_ddl", "rollup_table_ddl", "retention_sql",
+                 "wap_branch_ddl", "wap_publish_sql", "wap_write_conf",
+                 "create_table", "append", "overwrite_partitions",
+                 "read_table", "wap_stage", "wap_publish"}
+    no_sql = {"iceberg_available", "IcebergUnavailable"}
+    public = {name for name, obj in vars(ice).items()
+              if not name.startswith("_") and callable(obj)
+              and getattr(obj, "__module__", "") == ice.__name__}
+    assert public == exercised | no_sql, (
+        f"new Iceberg surface without a golden: "
+        f"{public - exercised - no_sql}")
+
+
 def test_embedding_neardup_default_never_collects_large_corpora(
         spark, monkeypatch):
     """The operator's DEFAULT must be driver-safe: above exact_max_rows the
