@@ -1009,9 +1009,9 @@ _MEDIA_REAL_FIXTURE = "/root/repo/tests/fixtures/media_real.parquet"
 
 def q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode under oracle check: the fixture parquet holds
-    29 blobs actually encoded by this repo's codecs (baseline JPEG
+    31 blobs actually encoded by this repo's codecs (baseline JPEG
     4:2:0/4:4:4/gray/restart-marker/progressive-SOF2, PNG gray/gray+alpha/RGB/RGBA/
-    palette/palette+tRNS, GIF interlaced+transparent, BMP, PPM) plus the
+    palette/palette+tRNS/Adam7-interlaced, GIF interlaced+transparent, BMP, PPM) plus the
     feature values the decoders produced at fixture-build time
     (tools/build_media_fixture.py). Spark re-decodes every blob through
     the pure-Python codec stack via mapInPandas; the oracle SELECTs the
@@ -1031,6 +1031,34 @@ SELECT media_id, width, height, n_channels,
        CAST(floor(mean_luma * 1000000 + 0.5) AS BIGINT) AS mean_luma,
        phash
 FROM '{_MEDIA_REAL_FIXTURE}'
+"""
+
+
+_MEDIA_REAL_AUDIO_FIXTURE = \
+    "/root/repo/tests/fixtures/media_real_audio.parquet"
+
+
+def q_media_real_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under oracle check: the fixture holds PCM16 WAV
+    blobs (mono/stereo, 8-44.1 kHz, sine+noise) encoded by the repo's
+    codec with decode-time expected features; Spark re-decodes via
+    extract_audio_features(decode_stub='real') and the oracle SELECTs
+    the stored duration/rate/RMS/fingerprint."""
+    from json_time_series_extractor_spark.operators.multimodal import (
+        extract_audio_features)
+
+    media = (spark.read.parquet(_MEDIA_REAL_AUDIO_FIXTURE)
+             .select("media_id", "media")
+             .withColumn("duration_ms", F.lit(0)))
+    out = extract_audio_features(media, decode_stub="real")
+    return _quant6(out, "rms")
+
+
+_ORACLE_MEDIA_REAL_AUDIO = f"""
+SELECT media_id, duration_ms, sample_rate,
+       CAST(floor(rms * 1000000 + 0.5) AS BIGINT) AS rms,
+       audio_fp
+FROM '{_MEDIA_REAL_AUDIO_FIXTURE}'
 """
 
 
@@ -1118,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_features": q_media_image_features,
         "media_frame_sample": q_media_frame_sample,
         "media_real_decode": q_media_real_decode,
+        "media_real_audio": q_media_real_audio,
         "cosine_scores": q_cosine_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1627,6 +1656,7 @@ SELECT media_id,
 FROM f
 """,
         "media_real_decode": _ORACLE_MEDIA_REAL_DECODE,
+        "media_real_audio": _ORACLE_MEDIA_REAL_AUDIO,
         "cosine_scores": """
 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        CAST(floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),

@@ -7,9 +7,10 @@ specs are simple enough to decode with numpy alone:
 - **PPM (P6)** — binary RGB, the classic uncompressed interchange format;
 - **BMP** — uncompressed 24-bit bottom-up Windows bitmaps (BITMAPINFOHEADER);
 - **WAV** — RIFF PCM16 mono/stereo via the stdlib ``wave`` module;
-- **PNG** — 8-bit gray/palette/RGB/RGBA, non-interlaced: stdlib ``zlib``
-  inflate + the five scanline filters; ``tRNS`` transparency honored for
-  palette (-> RGBA) and grayscale (-> gray+alpha), matching the GIF path;
+- **PNG** — 8-bit gray/palette/RGB/RGBA, non-interlaced or Adam7
+  interlaced: stdlib ``zlib`` inflate + the five scanline filters;
+  ``tRNS`` transparency honored for palette (-> RGBA) and grayscale
+  (-> gray+alpha), matching the GIF path;
 - **GIF** — 87a/89a first frame: variable-width LZW, global/local
   palettes, four-pass interlacing, GCE transparency (-> RGBA);
 - **JPEG** (baseline AND progressive) lives in :mod:`.jpeg` (T.81 DCT
@@ -172,7 +173,7 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# PNG (8-bit gray/palette/RGB/RGBA, non-interlaced)
+# PNG (8-bit gray/palette/RGB/RGBA, non-interlaced or Adam7)
 # ---------------------------------------------------------------------------
 # Spec: https://www.w3.org/TR/png-3/ — signature, length-type-data-crc
 # chunks, zlib-deflated scanlines each prefixed by one filter byte.
@@ -193,17 +194,60 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2).
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_unfilter(raw: bytes, rp: int, height: int, stride: int,
+                  channels: int) -> Tuple[np.ndarray, int]:
+    """Reconstruct ``height`` filtered scanlines starting at ``raw[rp]``;
+    returns ((height, stride) uint8, next offset). Filters none/up/sub
+    are vectorized; average/paeth are per-byte (inherently sequential)."""
+    out = np.empty((height, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(height):
+        if rp >= len(raw):
+            raise ValueError("PNG scanline payload truncated")
+        f = raw[rp]
+        row = np.frombuffer(raw, np.uint8, stride, rp + 1)
+        rp += stride + 1
+        if f == 0:          # None
+            recon = row.copy()
+        elif f == 1:        # Sub: recon[i] = row[i] + recon[i-bpp]
+            # uint8 cumsum wraps mod 256 — exactly the spec arithmetic.
+            recon = np.cumsum(row.reshape(-1, channels), axis=0,
+                              dtype=np.uint8).reshape(stride)
+        elif f == 2:        # Up
+            recon = row + prev
+        elif f == 3:        # Average
+            recon = row.copy()
+            for i in range(stride):
+                left = int(recon[i - channels]) if i >= channels else 0
+                recon[i] = (int(row[i])
+                            + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:        # Paeth
+            recon = row.copy()
+            for i in range(stride):
+                a = int(recon[i - channels]) if i >= channels else 0
+                c = int(prev[i - channels]) if i >= channels else 0
+                recon[i] = (int(row[i]) + _paeth(a, int(prev[i]), c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = recon
+        prev = recon
+    return out, rp
+
+
 @truncation_boundary
 def decode_png(blob: bytes) -> np.ndarray:
-    """8-bit non-interlaced PNG -> uint8 array.
+    """8-bit PNG (non-interlaced or Adam7) -> uint8 array.
 
     Returns (h, w) for grayscale, (h, w, 3) for RGB/palette, (h, w, 2)
     for gray+alpha (incl. grayscale+tRNS), (h, w, 4) for RGBA (incl.
-    palette+tRNS). All five scanline filters are
-    reconstructed; filters none/up/sub are vectorized (sub via a
-    wrapping per-lane cumsum), average/paeth fall back to a per-byte
-    loop (inherently sequential — each byte needs the reconstructed
-    left neighbour)."""
+    palette+tRNS). Adam7 interlacing reconstructs each of the seven
+    passes independently (per-pass filtering per the spec) and scatters
+    them onto the pass grid."""
     if blob[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, idat, palette = 8, [], None
@@ -222,8 +266,8 @@ def decode_png(blob: bytes) -> np.ndarray:
             if bit_depth != 8:
                 raise ValueError(f"only 8-bit PNGs supported, got "
                                  f"bit depth {bit_depth}")
-            if interlace != 0:
-                raise ValueError("Adam7 interlace not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
             if color_type not in _PNG_CHANNELS:
                 raise ValueError(f"unsupported PNG color type {color_type}")
         elif ctype == b"PLTE":
@@ -241,39 +285,27 @@ def decode_png(blob: bytes) -> np.ndarray:
     channels = _PNG_CHANNELS[color_type]
     stride = width * channels
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != (stride + 1) * height:
-        raise ValueError(f"PNG scanline payload {len(raw)} != "
-                         f"{(stride + 1) * height}")
-    out = np.empty((height, stride), np.uint8)
-    prev = np.zeros(stride, np.uint8)
-    rp = 0
-    for y in range(height):
-        f = raw[rp]
-        row = np.frombuffer(raw, np.uint8, stride, rp + 1)
-        rp += stride + 1
-        if f == 0:          # None
-            recon = row.copy()
-        elif f == 1:        # Sub: recon[i] = row[i] + recon[i-bpp]
-            # uint8 cumsum wraps mod 256 — exactly the spec arithmetic.
-            recon = np.cumsum(row.reshape(-1, channels), axis=0,
-                              dtype=np.uint8).reshape(stride)
-        elif f == 2:        # Up
-            recon = row + prev
-        elif f == 3:        # Average
-            recon = row.copy()
-            for i in range(stride):
-                left = int(recon[i - channels]) if i >= channels else 0
-                recon[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
-        elif f == 4:        # Paeth
-            recon = row.copy()
-            for i in range(stride):
-                a = int(recon[i - channels]) if i >= channels else 0
-                c = int(prev[i - channels]) if i >= channels else 0
-                recon[i] = (int(row[i]) + _paeth(a, int(prev[i]), c)) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter byte {f}")
-        out[y] = recon
-        prev = recon
+    if interlace == 0:
+        if len(raw) != (stride + 1) * height:
+            raise ValueError(f"PNG scanline payload {len(raw)} != "
+                             f"{(stride + 1) * height}")
+        out, _ = _png_unfilter(raw, 0, height, stride, channels)
+    else:
+        # Adam7: seven independently-filtered sub-images scattered onto
+        # the pass grid (empty passes contribute no bytes).
+        img = np.zeros((height, width, channels), np.uint8)
+        rp = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, -(-(width - x0) // dx))
+            ph = max(0, -(-(height - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue
+            sub, rp = _png_unfilter(raw, rp, ph, pw * channels, channels)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+        if rp != len(raw):
+            raise ValueError(
+                f"PNG interlaced payload mismatch: {len(raw)} != {rp}")
+        out = img.reshape(height, stride)
     if color_type == 3:
         rgb = palette[out]            # (h, w) indexes -> (h, w, 3)
         if trns is None:

@@ -768,6 +768,53 @@ def test_png_trns_transparency():
     assert (gout[..., 1] == np.where(gray == 7, 0, 255)).all()
 
 
+def test_png_adam7_interlaced_decode():
+    """Adam7 PNGs reconstruct pixel-exact: seven independently-filtered
+    passes (mixed None/Up filters) scattered onto the pass grid, for RGB
+    and grayscale, including sizes where late passes dominate."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.codecs import (
+        _ADAM7, decode_png)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    def adam7_png(img):
+        if img.ndim == 2:
+            img = img[:, :, None]
+        h, w, c = img.shape
+        color_type = {1: 0, 3: 2}[c]
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            flat = sub.reshape(sub.shape[0], -1)
+            for i in range(flat.shape[0]):
+                if i == 0:
+                    raw += b"\x00" + flat[0].tobytes()
+                else:       # Up filter exercises per-pass prev-row reset
+                    raw += b"\x02" + (flat[i] - flat[i - 1]).tobytes()
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8,
+                                             color_type, 0, 0, 1))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(5)
+    for shape in [(16, 16, 3), (13, 21, 3), (7, 5, 3), (1, 9, 3),
+                  (10, 1, 3)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        assert (decode_png(adam7_png(img)) == img).all(), shape
+    gray = rng.integers(0, 256, (11, 14)).astype(np.uint8)
+    assert (decode_png(adam7_png(gray)) == gray).all()
+
+
 def test_codec_truncation_is_value_error():
     """Mid-stream truncation that internally raises IndexError/KeyError
     reaches callers as ValueError (codec-boundary translation), so the

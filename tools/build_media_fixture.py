@@ -30,18 +30,47 @@ import pyarrow.parquet as pq
 sys.path.insert(0, "/root/repo")
 
 from json_time_series_extractor_spark.operators.codecs import (  # noqa: E402
-    decode_bmp, decode_gif, decode_png, decode_ppm, encode_bmp, encode_gif,
-    encode_png, encode_ppm, image_features)
+    audio_features, decode_bmp, decode_gif, decode_png, decode_ppm,
+    decode_wav, encode_bmp, encode_gif, encode_png, encode_ppm, encode_wav,
+    image_features)
 from json_time_series_extractor_spark.operators.jpeg import (  # noqa: E402
     decode_jpeg, encode_jpeg)
 
 OUT = "/root/repo/tests/fixtures/media_real.parquet"
+OUT_AUDIO = "/root/repo/tests/fixtures/media_real_audio.parquet"
 SEED = 20240817
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     return (struct.pack(">I", len(data)) + ctype + data
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _adam7_png(img: np.ndarray) -> bytes:
+    """Hand-build an Adam7-interlaced PNG (encode_png emits sequential
+    only): each pass filtered independently with None/Up filters."""
+    from json_time_series_extractor_spark.operators.codecs import _ADAM7
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        flat = sub.reshape(sub.shape[0], -1)
+        for i in range(flat.shape[0]):
+            if i == 0:
+                raw += b"\x00" + flat[0].tobytes()
+            else:
+                raw += b"\x02" + (flat[i] - flat[i - 1]).tobytes()
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8,
+                                              color_type, 0, 0, 1))
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
 
 
 def _palette_png(idx: np.ndarray, palette: np.ndarray,
@@ -106,6 +135,11 @@ def _images(rng: np.random.Generator):
     idx = rng.integers(0, 16, size=(24, 40)).astype(np.uint8)
     yield "png", _palette_png(idx, pal, None)
     yield "png", _palette_png(idx, pal, bytes([0, 64, 128, 255]))
+    # Adam7-interlaced PNGs (RGB + grayscale) — round-4 decoder addition.
+    yield "png", _adam7_png(
+        rng.integers(0, 256, (21, 37, 3)).astype(np.uint8))
+    yield "png", _adam7_png(
+        rng.integers(0, 256, (18, 26)).astype(np.uint8))
     # Progressive JPEGs (SOF2 successive approximation): 4:2:0 color,
     # 4:4:4 color, grayscale — the round-4 decoder addition.
     yield "jpeg", encode_jpeg(pat(41, 67), 78, subsample=True,
@@ -139,6 +173,31 @@ def main() -> None:
     })
     pq.write_table(table, OUT, compression="zstd")
     print(f"wrote {OUT}: {len(rows)} blobs across {fmts}")
+
+    # WAV fixture: PCM16 mono/stereo across rates, sine + noise content;
+    # expected features from the real decode at build time.
+    arows = []
+    for media_id, (rate, chans, ms) in enumerate(
+            [(8000, 1, 250), (16000, 1, 1000), (16000, 2, 730),
+             (44100, 2, 130), (22050, 1, 510), (8000, 2, 90)]):
+        n = rate * ms // 1000
+        t = np.arange(n) / rate
+        base = 0.4 * np.sin(2 * np.pi * (110 + 37 * media_id) * t)
+        sig = np.stack([base + 0.05 * rng.standard_normal(n)
+                        for _ in range(chans)], axis=1)
+        blob = encode_wav(np.clip(sig, -1, 1), rate)
+        dur, srate, rms, fp = audio_features(*decode_wav(blob))
+        arows.append((media_id, blob, dur, srate, rms, fp))
+    atable = pa.table({
+        "media_id": pa.array([r[0] for r in arows], pa.int64()),
+        "media": pa.array([r[1] for r in arows], pa.binary()),
+        "duration_ms": pa.array([r[2] for r in arows], pa.int32()),
+        "sample_rate": pa.array([r[3] for r in arows], pa.int32()),
+        "rms": pa.array([r[4] for r in arows], pa.float64()),
+        "audio_fp": pa.array([r[5] for r in arows], pa.int64()),
+    })
+    pq.write_table(atable, OUT_AUDIO, compression="zstd")
+    print(f"wrote {OUT_AUDIO}: {len(arows)} WAV blobs")
 
 
 if __name__ == "__main__":
