@@ -766,6 +766,18 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.select(F.col("node").alias("doc_id"), "component")
 
 
+def q_neardup_components_star(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Same clustering contract as neardup_components but through the
+    large-star/small-star alternation (Kiveris et al. 2014) — the
+    O(log^2 n)-round path for adversarial diameters. Identical oracle:
+    the two algorithms must produce the same (doc_id, component) map."""
+    pairs = minhash_lsh_dedup_pairs(_docs(spark, sf_dir), num_hashes=32,
+                                    bands=16, threshold=0.5)
+    comps = connected_components(pairs, algorithm="star")
+    return comps.select(F.col("node").alias("doc_id"), "component")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inactivity-gap sessionization of the per-user event stream
     (30-minute timeout): session bounds, counts and durations."""
@@ -1135,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "neardup_components": q_neardup_components,
+        "neardup_components_star": q_neardup_components_star,
         "sessionize": q_sessionize,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
@@ -1196,7 +1209,7 @@ SELECT url, warc_ts, 'zz', ts,
        -1, '', false, CAST(0 AS TINYINT), ts_source
 FROM base
 """
-    return {
+    d = {
         "extract_flat": extract_oracle,
         "extract_fixed": extract_fixed_oracle,
         "extract_ts_raw": _ORACLE_EXTRACT_TS_RAW,
@@ -1697,3 +1710,6 @@ WHERE vec_id < 5
 SELECT event_type AS series_key, ts, value AS value_double FROM events
 """,
     }
+    # The star variant must land on the SAME clustering as min-label.
+    d["neardup_components_star"] = d["neardup_components"]
+    return d

@@ -151,7 +151,8 @@ def run_benchmarks() -> None:
                  "chunk_roundtrip", "doc_token_count",
                  "doc_quality", "doc_lang_id", "doc_fingerprint",
                  "dedup_exact", "ngram_jaccard", "minhash_lsh_pairs",
-                 "neardup_components", "dedup_incremental",
+                 "neardup_components", "neardup_components_star",
+                 "dedup_incremental",
                  "sample_fraction", "sample_per_lang", "sessionize",
                  "simhash_pairs", "embedding_neardup",
                  "embedding_neardup_lsh", "retention_expiry",
