@@ -7,8 +7,9 @@ specs are simple enough to decode with numpy alone:
 - **PPM (P6)** — binary RGB, the classic uncompressed interchange format;
 - **BMP** — uncompressed 24-bit bottom-up Windows bitmaps (BITMAPINFOHEADER);
 - **WAV** — RIFF PCM16 mono/stereo via the stdlib ``wave`` module;
-- **PNG** — 8-bit gray/palette/RGB/RGBA, non-interlaced or Adam7
-  interlaced: stdlib ``zlib`` inflate + the five scanline filters;
+- **PNG** — gray/palette/RGB/RGBA at every legal bit depth (1/2/4/8/16),
+  non-interlaced or Adam7 interlaced: stdlib ``zlib`` inflate + the five
+  scanline filters;
   ``tRNS`` transparency honored for palette (-> RGBA) and grayscale
   (-> gray+alpha), matching the GIF path;
 - **GIF** — 87a/89a first frame: variable-width LZW, global/local
@@ -200,10 +201,12 @@ _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
 
 
 def _png_unfilter(raw: bytes, rp: int, height: int, stride: int,
-                  channels: int) -> Tuple[np.ndarray, int]:
+                  bpp: int) -> Tuple[np.ndarray, int]:
     """Reconstruct ``height`` filtered scanlines starting at ``raw[rp]``;
-    returns ((height, stride) uint8, next offset). Filters none/up/sub
-    are vectorized; average/paeth are per-byte (inherently sequential)."""
+    returns ((height, stride) uint8, next offset). ``bpp`` is the filter
+    step in BYTES (max(1, channels*depth//8) per the spec — filtering is
+    byte-wise at every bit depth). Filters none/up/sub are vectorized;
+    average/paeth are per-byte (inherently sequential)."""
     out = np.empty((height, stride), np.uint8)
     prev = np.zeros(stride, np.uint8)
     for y in range(height):
@@ -216,21 +219,21 @@ def _png_unfilter(raw: bytes, rp: int, height: int, stride: int,
             recon = row.copy()
         elif f == 1:        # Sub: recon[i] = row[i] + recon[i-bpp]
             # uint8 cumsum wraps mod 256 — exactly the spec arithmetic.
-            recon = np.cumsum(row.reshape(-1, channels), axis=0,
+            recon = np.cumsum(row.reshape(-1, bpp), axis=0,
                               dtype=np.uint8).reshape(stride)
         elif f == 2:        # Up
             recon = row + prev
         elif f == 3:        # Average
             recon = row.copy()
             for i in range(stride):
-                left = int(recon[i - channels]) if i >= channels else 0
+                left = int(recon[i - bpp]) if i >= bpp else 0
                 recon[i] = (int(row[i])
                             + ((left + int(prev[i])) >> 1)) & 0xFF
         elif f == 4:        # Paeth
             recon = row.copy()
             for i in range(stride):
-                a = int(recon[i - channels]) if i >= channels else 0
-                c = int(prev[i - channels]) if i >= channels else 0
+                a = int(recon[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
                 recon[i] = (int(row[i]) + _paeth(a, int(prev[i]), c)) & 0xFF
         else:
             raise ValueError(f"bad PNG filter byte {f}")
@@ -241,13 +244,17 @@ def _png_unfilter(raw: bytes, rp: int, height: int, stride: int,
 
 @truncation_boundary
 def decode_png(blob: bytes) -> np.ndarray:
-    """8-bit PNG (non-interlaced or Adam7) -> uint8 array.
+    """PNG (every legal bit depth, non-interlaced or Adam7) -> uint8.
 
     Returns (h, w) for grayscale, (h, w, 3) for RGB/palette, (h, w, 2)
     for gray+alpha (incl. grayscale+tRNS), (h, w, 4) for RGBA (incl.
-    palette+tRNS). Adam7 interlacing reconstructs each of the seven
-    passes independently (per-pass filtering per the spec) and scatters
-    them onto the pass grid."""
+    palette+tRNS). Bit depths: 1/2/4/8/16 for grayscale, 1/2/4/8 for
+    palette, 8/16 for the multi-channel types (the spec's full matrix);
+    sub-byte samples are unpacked big-endian-first and grayscale is
+    rescaled to 8-bit (0..255), 16-bit samples keep their high byte
+    (the output API is uint8). Adam7 interlacing reconstructs each of
+    the seven passes independently (per-pass filtering and per-pass
+    byte packing per the spec) and scatters them onto the pass grid."""
     if blob[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, idat, palette = 8, [], None
@@ -263,9 +270,12 @@ def decode_png(blob: bytes) -> np.ndarray:
         if ctype == b"IHDR":
             (width, height, bit_depth, color_type, _comp, _filt,
              interlace) = struct.unpack(">IIBBBBB", data)
-            if bit_depth != 8:
-                raise ValueError(f"only 8-bit PNGs supported, got "
-                                 f"bit depth {bit_depth}")
+            valid_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16),
+                            3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+            if bit_depth not in valid_depths.get(color_type, ()):
+                raise ValueError(
+                    f"illegal PNG bit depth {bit_depth} for color type "
+                    f"{color_type}")
             if interlace not in (0, 1):
                 raise ValueError(f"bad PNG interlace method {interlace}")
             if color_type not in _PNG_CHANNELS:
@@ -283,16 +293,41 @@ def decode_png(blob: bytes) -> np.ndarray:
     if color_type == 3 and palette is None:
         raise ValueError("palette PNG missing PLTE")
     channels = _PNG_CHANNELS[color_type]
-    stride = width * channels
     raw = zlib.decompress(b"".join(idat))
+    bpp = max(1, channels * bit_depth // 8)
+
+    def pass_stride(w: int) -> int:
+        return -(-w * channels * bit_depth // 8)
+
+    def rows_to_pixels(rows: np.ndarray, w: int) -> np.ndarray:
+        """Packed unfiltered scanlines -> (rows, w, channels) uint8."""
+        hh = rows.shape[0]
+        if bit_depth == 8:
+            return rows[:, :w * channels].reshape(hh, w, channels)
+        if bit_depth == 16:
+            # Big-endian samples; keep the high byte (uint8 output API).
+            return rows.reshape(hh, -1, 2)[:, :w * channels, 0] \
+                .reshape(hh, w, channels)
+        bits = np.unpackbits(rows, axis=1)[:, :w * bit_depth]
+        weights = 1 << np.arange(bit_depth - 1, -1, -1)
+        samples = (bits.reshape(hh, w, bit_depth) * weights) \
+            .sum(axis=2).astype(np.uint8)
+        if color_type == 0:
+            # d-bit gray -> full 8-bit range (255 divisible by 1/3/15).
+            samples *= 255 // ((1 << bit_depth) - 1)
+        return samples[:, :, None]
+
     if interlace == 0:
+        stride = pass_stride(width)
         if len(raw) != (stride + 1) * height:
             raise ValueError(f"PNG scanline payload {len(raw)} != "
                              f"{(stride + 1) * height}")
-        out, _ = _png_unfilter(raw, 0, height, stride, channels)
+        rows, _ = _png_unfilter(raw, 0, height, stride, bpp)
+        img = rows_to_pixels(rows, width)
     else:
         # Adam7: seven independently-filtered sub-images scattered onto
-        # the pass grid (empty passes contribute no bytes).
+        # the pass grid (empty passes contribute no bytes; each pass
+        # packs its own scanlines, so sub-byte depths re-pad per pass).
         img = np.zeros((height, width, channels), np.uint8)
         rp = 0
         for x0, y0, dx, dy in _ADAM7:
@@ -300,14 +335,14 @@ def decode_png(blob: bytes) -> np.ndarray:
             ph = max(0, -(-(height - y0) // dy))
             if pw == 0 or ph == 0:
                 continue
-            sub, rp = _png_unfilter(raw, rp, ph, pw * channels, channels)
-            img[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+            sub, rp = _png_unfilter(raw, rp, ph, pass_stride(pw), bpp)
+            img[y0::dy, x0::dx] = rows_to_pixels(sub, pw)
         if rp != len(raw):
             raise ValueError(
                 f"PNG interlaced payload mismatch: {len(raw)} != {rp}")
-        out = img.reshape(height, stride)
     if color_type == 3:
-        rgb = palette[out]            # (h, w) indexes -> (h, w, 3)
+        idx = img[:, :, 0]
+        rgb = palette[idx]            # (h, w) indexes -> (h, w, 3)
         if trns is None:
             return rgb
         # tRNS carries one alpha byte per palette entry (trailing
@@ -315,17 +350,25 @@ def decode_png(blob: bytes) -> np.ndarray:
         pal_alpha = np.full(len(palette), 255, np.uint8)
         pal_alpha[:min(len(trns), len(palette))] = \
             np.frombuffer(trns[:len(palette)], np.uint8)
-        return np.dstack([rgb, pal_alpha[out]])
+        return np.dstack([rgb, pal_alpha[idx]])
     if channels == 1:
+        gray = img[:, :, 0]
         if trns is not None:
-            # Grayscale tRNS: one 16-bit sample value; at bit depth 8
-            # the low byte is the transparent gray level -> gray+alpha.
+            # Grayscale tRNS: one 16-bit sample value, compared in the
+            # decoded 8-bit space (high byte at depth 16, rescaled at
+            # sub-byte depths).
             (gray_level,) = struct.unpack(">H", trns[:2])
-            alpha = np.where(out == (gray_level & 0xFF), 0, 255) \
-                .astype(np.uint8)
-            return np.dstack([out, alpha])
-        return out
-    return out.reshape(height, width, channels)
+            if bit_depth == 16:
+                level = gray_level >> 8
+            elif bit_depth == 8:
+                level = gray_level & 0xFF
+            else:
+                level = (gray_level & ((1 << bit_depth) - 1)) \
+                    * (255 // ((1 << bit_depth) - 1))
+            alpha = np.where(gray == level, 0, 255).astype(np.uint8)
+            return np.dstack([gray, alpha])
+        return gray
+    return img
 
 
 def encode_png(pixels: np.ndarray) -> bytes:

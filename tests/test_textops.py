@@ -768,6 +768,96 @@ def test_png_trns_transparency():
     assert (gout[..., 1] == np.where(gray == 7, 0, 255)).all()
 
 
+def test_png_bit_depths():
+    """The full legal depth matrix decodes: sub-byte gray rescales to
+    the 8-bit range, sub-byte palette indexes resolve, 16-bit keeps the
+    high byte, tRNS still applies, and Adam7 repacks bits per pass."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.codecs import (
+        _ADAM7, decode_png)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    def pack_row(samples, depth):
+        if depth == 8:
+            return bytes(samples.astype(np.uint8))
+        if depth == 16:
+            return samples.astype(">u2").tobytes()
+        bits = ((samples[:, None].astype(np.uint8)
+                 >> np.arange(depth - 1, -1, -1)) & 1).reshape(-1)
+        return np.packbits(bits).tobytes()
+
+    def png(samples, depth, color_type, palette=None, trns=None,
+            interlace=0):
+        h, w = samples.shape[:2]
+        raw = bytearray()
+        if interlace == 0:
+            grids = [(samples, None)]
+        else:
+            grids = [(samples[y0::dy, x0::dx], None)
+                     for x0, y0, dx, dy in _ADAM7
+                     if samples[y0::dy, x0::dx].size]
+        for sub, _ in grids:
+            for row in (sub if sub.ndim == 2 else
+                        sub.reshape(sub.shape[0], -1)):
+                raw += b"\x00" + pack_row(np.atleast_1d(row), depth)
+        out = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth,
+                                            color_type, 0, 0, interlace)))
+        if palette is not None:
+            out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        if trns is not None:
+            out += chunk(b"tRNS", trns)
+        return out + chunk(b"IDAT", zlib.compress(bytes(raw))) \
+            + chunk(b"IEND", b"")
+
+    rng = np.random.default_rng(9)
+
+    # Sub-byte grayscale: decoded = sample * (255 / max).
+    for depth in (1, 2, 4):
+        maxv = (1 << depth) - 1
+        g = rng.integers(0, maxv + 1, (5, 11))
+        out = decode_png(png(g, depth, 0))
+        assert (out == (g * (255 // maxv)).astype(np.uint8)).all(), depth
+
+    # Sub-byte palette (+ tRNS at depth 4).
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (6, 9))
+    out = decode_png(png(idx, 4, 3, palette=pal))
+    assert (out == pal[idx]).all()
+    out = decode_png(png(idx, 4, 3, palette=pal, trns=bytes([0, 200])))
+    assert out.shape == (6, 9, 4)
+    exp_alpha = np.select([idx == 0, idx == 1], [0, 200], 255)
+    assert (out[..., 3] == exp_alpha).all()
+    idx2 = rng.integers(0, 2, (4, 10))
+    out = decode_png(png(idx2, 1, 3, palette=pal[:2]))
+    assert (out == pal[:2][idx2]).all()
+
+    # 16-bit gray and RGB: high byte survives.
+    g16 = rng.integers(0, 1 << 16, (7, 5))
+    assert (decode_png(png(g16, 16, 0)) == (g16 >> 8)).all()
+    rgb16 = rng.integers(0, 1 << 16, (4, 6, 3))
+    assert (decode_png(png(rgb16, 16, 2)) == (rgb16 >> 8)).all()
+
+    # Adam7 at depth 4 (per-pass bit packing) and depth 16.
+    g4 = rng.integers(0, 16, (13, 17))
+    assert (decode_png(png(g4, 4, 0, interlace=1))
+            == (g4 * 17).astype(np.uint8)).all()
+    g16i = rng.integers(0, 1 << 16, (9, 12))
+    assert (decode_png(png(g16i, 16, 0, interlace=1)) == (g16i >> 8)).all()
+
+    # Illegal combos rejected.
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="illegal PNG bit depth"):
+        decode_png(png(rng.integers(0, 4, (3, 3)), 2, 2))
+
+
 def test_png_adam7_interlaced_decode():
     """Adam7 PNGs reconstruct pixel-exact: seven independently-filtered
     passes (mixed None/Up filters) scattered onto the pass grid, for RGB

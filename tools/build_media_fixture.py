@@ -73,6 +73,33 @@ def _adam7_png(img: np.ndarray) -> bytes:
             + _png_chunk(b"IEND", b""))
 
 
+def _depth_png(samples: np.ndarray, depth: int, color_type: int, *,
+               palette: np.ndarray | None = None) -> bytes:
+    """Hand-build a non-8-bit PNG (encode_png emits depth 8 only):
+    filter None per row, big-endian sample packing per the spec."""
+    h, w = samples.shape[:2]
+    raw = bytearray()
+    for row in (samples if samples.ndim == 2
+                else samples.reshape(h, -1)):
+        flat = np.atleast_1d(row)
+        if depth == 16:
+            packed = flat.astype(">u2").tobytes()
+        elif depth == 8:
+            packed = bytes(flat.astype(np.uint8))
+        else:
+            bits = ((flat[:, None].astype(np.uint8)
+                     >> np.arange(depth - 1, -1, -1)) & 1).reshape(-1)
+            packed = np.packbits(bits).tobytes()
+        raw += b"\x00" + packed
+    out = (b"\x89PNG\r\n\x1a\n"
+           + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth,
+                                             color_type, 0, 0, 0)))
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return out + _png_chunk(b"IDAT", zlib.compress(bytes(raw))) \
+        + _png_chunk(b"IEND", b"")
+
+
 def _palette_png(idx: np.ndarray, palette: np.ndarray,
                  trns: bytes | None) -> bytes:
     """Hand-build a color-type-3 PNG (encode_png emits truecolor only)."""
@@ -135,6 +162,12 @@ def _images(rng: np.random.Generator):
     idx = rng.integers(0, 16, size=(24, 40)).astype(np.uint8)
     yield "png", _palette_png(idx, pal, None)
     yield "png", _palette_png(idx, pal, bytes([0, 64, 128, 255]))
+    # Non-8-bit PNGs (round-4): depth-4 palette and 16-bit grayscale.
+    pal4 = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx4 = rng.integers(0, 16, (22, 30)).astype(np.uint8)
+    yield "png", _depth_png(idx4, 4, 3, palette=pal4)
+    g16 = rng.integers(0, 1 << 16, (19, 27))
+    yield "png", _depth_png(g16, 16, 0)
     # Adam7-interlaced PNGs (RGB + grayscale) — round-4 decoder addition.
     yield "png", _adam7_png(
         rng.integers(0, 256, (21, 37, 3)).astype(np.uint8))
