@@ -245,3 +245,33 @@ def test_jpeg_codec_q100_bounded_error(w, h, subsample, seed):
         unclipped = ((out > 0) & (out < 255)).all(axis=-1)
         if unclipped.any():
             assert np.abs(luma_out - luma_in)[unclipped].max() <= 16
+
+
+@given(st.integers(min_value=1, max_value=28),
+       st.integers(min_value=1, max_value=28),
+       st.booleans(),
+       st.booleans(),
+       st.integers(min_value=40, max_value=95),
+       st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=30, deadline=None)
+def test_progressive_jpeg_equals_baseline_any_shape(w, h, subsample, gray,
+                                                    quality, seed):
+    """Progressive (SOF2) and baseline streams carry the same quantized
+    coefficients, so decodes must be BIT-IDENTICAL for any shape,
+    sampling, quality, and content — the successive-approximation
+    refinement scans (incl. EOB runs and correction bits) must
+    reconstruct every coefficient exactly."""
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality, subsample=subsample))
+    prog = decode_jpeg(encode_jpeg(img, quality, subsample=subsample,
+                                   progressive=True))
+    assert base.shape == prog.shape and (base == prog).all()

@@ -184,6 +184,59 @@ def test_stateful_locf_across_microbatches(spark, tmp_path):
     assert ("b", "00:00", 10.0, False) in rows
 
 
+def test_stateful_locf_matches_batch_gapfill(spark, tmp_path):
+    """Streaming LOCF over real sparse rollups == batch gapfill_locf
+    exactly (values, fill flags, per-series spans), with the series
+    split across two time-ordered microbatches so cross-batch carries
+    are exercised on real data — the same batch cross-validation the
+    stateful sessionize/counter/histogram/t-digest tiers have."""
+    import os
+
+    from json_time_series_extractor_spark.operators.gapfill import (
+        gapfill_locf,
+    )
+    from json_time_series_extractor_spark.streaming.stateful import (
+        stateful_locf,
+    )
+
+    r1m = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+           .groupBy(F.col("event_type").alias("series_key"),
+                    F.date_trunc("minute", "ts").alias("bucket_ts"))
+           .agg(F.avg("value").alias("mean")))
+    cut = r1m.agg(F.expr("percentile(unix_timestamp(bucket_ts), 0.5)")) \
+        .collect()[0][0]
+    src = str(tmp_path / "locf_xval")
+    os.makedirs(src)
+    r1m.where(F.unix_timestamp("bucket_ts") <= cut) \
+        .coalesce(1).write.parquet(src + "/f1")
+    import time as _time
+    _time.sleep(0.2)
+    r1m.where(F.unix_timestamp("bucket_ts") > cut) \
+        .coalesce(1).write.parquet(src + "/f2")
+
+    stream = (spark.readStream
+              .schema("series_key string, bucket_ts timestamp, mean double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src + "/*"))
+    q = (stateful_locf(stream, interval_seconds=60)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("locf_xval_test")
+         .option("checkpointLocation", str(tmp_path / "ckpt_locf")).start())
+    q.processAllAvailable()
+    try:
+        got = {(r.series_key, r.bucket_ts, r.value, r.filled)
+               for r in spark.sql("SELECT * FROM locf_xval_test").collect()}
+    finally:
+        q.stop()
+
+    want = {(r.series_key, r.bucket_ts, r.value, r.filled)
+            for r in gapfill_locf(r1m, "1 minute",
+                                  value_col="mean").collect()}
+    assert len(got) > 100
+    assert got == want
+    assert any(f for _, _, _, f in got)       # real holes were filled
+
+
 def test_streaming_tier_sink_foreachbatch(spark, tmp_path):
     """foreachBatch tier sink: day-partitioned output + per-batch lineage."""
     from json_time_series_extractor_spark.streaming.sink import (
