@@ -94,29 +94,44 @@ def sample_per_group(df: DataFrame, group_cols: Sequence[str], n: int, *,
     rank = hash_rank(F.col(key_col), seed)
     out_cols = df.columns
 
+    # One row per group — materialize it (localCheckpoint) so the three
+    # downstream references cost lookups, not three re-aggregations of
+    # the input.
     counts = (df.groupBy(*gcols)
               .agg(F.count(F.lit(1)).alias("_gcnt"))
               .withColumn("_thr", F.least(
-                  F.lit(1.0), F.lit(float(safety) * n) / F.col("_gcnt"))))
+                  F.lit(1.0), F.lit(float(safety) * n) / F.col("_gcnt")))
+              .localCheckpoint(eager=True))
     survivors = (df.join(F.broadcast(counts), gcols, "inner")
                  .where(rank < F.col("_thr")))
 
+    # Both window functions share the group partitioning (one shuffle of
+    # the ~safety*n survivors per group): the rank, and the group's
+    # survivor count used to prove the pre-filter kept enough rows.
     w = (Window.partitionBy(*gcols)
          .orderBy(hash_rank(F.col(key_col), seed), F.col(key_col)))
-    ranked = survivors.withColumn("_rn", F.row_number().over(w))
+    wc = Window.partitionBy(*gcols)
+    ranked = (survivors
+              .withColumn("_rn", F.row_number().over(w))
+              .withColumn("_scnt", F.count(F.lit(1)).over(wc)))
 
-    # Groups proven satisfied: an nth-ranked survivor exists, or the
-    # threshold never filtered (t >= 1 keeps the whole group). Everything
-    # else (including the zero-survivor corner, absent from `ranked`
-    # entirely) goes to the exact fallback.
-    satisfied = ranked.where(F.col("_rn") == n).select(*gcols)
+    # Satisfied groups: enough survivors, or the threshold never
+    # filtered (t >= 1 keeps the whole group). Everything else —
+    # including the zero-survivor corner, absent from `ranked` entirely
+    # — is re-windowed over its full rows by the fallback, whose input
+    # scan AQE skips when the broadcast `bad` side is empty (the
+    # ~always case: P(starved group) ~ exp(-n(safety-1)^2/2*safety)).
+    good_rows = (ranked
+                 .where((F.col("_rn") <= n)
+                        & ((F.col("_scnt") >= n)
+                           | (F.col("_thr") >= 1.0)))
+                 .select(*out_cols))
+    satisfied = (ranked.where((F.col("_rn") == 1)
+                              & (F.col("_scnt") >= n))
+                 .select(*gcols))
     bad = (counts.where(F.col("_thr") < 1.0)
            .select(*gcols)
            .join(satisfied, gcols, "left_anti"))
-
-    good_rows = (ranked.where(F.col("_rn") <= n)
-                 .join(F.broadcast(bad), gcols, "left_anti")
-                 .select(*out_cols))
     bad_rows = (df.join(F.broadcast(bad), gcols, "left_semi")
                 .withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") <= n)
