@@ -5,13 +5,15 @@ ITU-T T.81 (the JPEG spec — public document), enough to decode the
 formats a real web corpus is mostly made of and to self-verify without
 PIL:
 
-- **decode**: baseline (SOF0/1) and progressive (SOF2 — spectral
-  selection + successive approximation, DC/AC first + refinement scans,
-  EOB runs, per T.81 G.1.2), 8-bit, grayscale or YCbCr; 4:4:4 and the
-  web-default 4:2:0 chroma subsampling (plus any h,v in {1,2}); multiple
-  DQT/DHT segments; restart markers (DRI/RSTn). Arithmetic coding and
-  lossless/hierarchical processes are rejected with a clear error — they
-  are the explicit PIL plug point.
+- **decode**: baseline (SOF0/1, interleaved or one-scan-per-component
+  non-interleaved sequences) and progressive (SOF2 — spectral selection
+  + successive approximation, DC/AC first + refinement scans, EOB runs,
+  per T.81 G.1.2), 8-bit, grayscale or YCbCr; 4:4:4 and the web-default
+  4:2:0 chroma subsampling (plus any h,v in {1,2}); multiple DQT/DHT
+  segments; restart markers (DRI/RSTn). Arithmetic coding,
+  lossless/hierarchical processes, and partially-interleaved baseline
+  scan subsets are rejected with a clear error — they are the explicit
+  PIL plug point.
 - **encode**: baseline or progressive (4-phase successive-approximation
   scan script), 4:4:4 or 4:2:0, standard Annex K quantization tables
   scaled by the libjpeg quality formula, standard Annex K Huffman
@@ -407,10 +409,61 @@ def _encode_progressive_scans(zz: List[np.ndarray], samp, actual,
     return scans
 
 
+def _encode_sequential_scans(zz: List[np.ndarray], actual, dc_tables,
+                             ac_tables) -> List[Tuple[bytes, bytes]]:
+    """Baseline NON-interleaved scan script: one full-spectral (DC+AC)
+    scan per component over its actual block grid -> [(SOS payload,
+    entropy bytes)]. Exists chiefly to prove the decoder's ns=1 path."""
+    scans: List[Tuple[bytes, bytes]] = []
+    for ci in range(len(zz)):
+        td = 0 if ci == 0 else 1
+        dct, act = dc_tables[ci], ac_tables[ci]
+        w = _BitWriter()
+        pred = 0
+        bh, bw = actual[ci]
+        for byy in range(bh):
+            for bxx in range(bw):
+                blk = zz[ci][byy, bxx]
+                diff = int(blk[0]) - pred
+                pred = int(blk[0])
+                size = _magnitude_category(diff)
+                code, ln = dct[size]
+                w.write(code, ln)
+                w.write(_encode_coefficient_bits(diff, size), size)
+                last_nz = 0
+                for k in range(63, 0, -1):
+                    if blk[k]:
+                        last_nz = k
+                        break
+                run = 0
+                for k in range(1, last_nz + 1):
+                    v = int(blk[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = act[0xF0]
+                        w.write(code, ln)
+                        run -= 16
+                    size = _magnitude_category(v)
+                    code, ln = act[(run << 4) | size]
+                    w.write(code, ln)
+                    w.write(_encode_coefficient_bits(v, size), size)
+                    run = 0
+                if last_nz != 63:
+                    code, ln = act[0x00]
+                    w.write(code, ln)
+        w.flush()
+        sos = bytes([1, ci + 1, (td << 4) | td, 0, 63, 0])
+        scans.append((sos, bytes(w.out)))
+    return scans
+
+
 def encode_jpeg(pixels: np.ndarray, quality: int = 85, *,
                 subsample: bool = True,
                 restart_interval: int = 0,
-                progressive: bool = False) -> bytes:
+                progressive: bool = False,
+                interleave: bool = True) -> bytes:
     """uint8 (h, w) grayscale or (h, w, 3) RGB -> JFIF bytes.
 
     ``subsample=True`` emits 4:2:0 (the web default; chroma box-filtered
@@ -418,11 +471,17 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85, *,
     RSTn markers every that many MCUs (real encoders do — it's the
     decoder's resync path; baseline only). ``progressive=True`` emits an
     SOF2 stream with the successive-approximation scan script of
-    ``_encode_progressive_scans`` — same quantized coefficients as
-    baseline, so both modes decode to identical pixels."""
+    ``_encode_progressive_scans``; ``interleave=False`` emits a baseline
+    stream with one non-interleaved full-spectral scan per component.
+    Every mode carries the same quantized coefficients, so all decodes
+    are bit-identical."""
     if progressive and restart_interval:
         raise ValueError(
             "restart markers are not supported in progressive encode")
+    if not interleave and (progressive or restart_interval):
+        raise ValueError(
+            "interleave=False is a plain baseline mode (no progressive, "
+            "no restart markers)")
     arr = np.asarray(pixels, dtype=np.uint8)
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
@@ -479,14 +538,18 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85, *,
             zz[ci] = np.pad(zz[ci], ((0, need_y - by), (0, need_x - bx),
                                      (0, 0)), mode="edge")
 
-    prog_scans: List[Tuple[bytes, bytes]] = []
-    if progressive:
+    multi_scans: List[Tuple[bytes, bytes]] = []
+    if progressive or not interleave:
         dc_tables = [dc_l if ci == 0 else dc_c
                      for ci in range(len(planes))]
         ac_tables = [ac_l if ci == 0 else ac_c
                      for ci in range(len(planes))]
-        prog_scans = _encode_progressive_scans(
-            zz, samp, actual, mcux, mcuy, dc_tables, ac_tables)
+        if progressive:
+            multi_scans = _encode_progressive_scans(
+                zz, samp, actual, mcux, mcuy, dc_tables, ac_tables)
+        else:
+            multi_scans = _encode_sequential_scans(
+                zz, actual, dc_tables, ac_tables)
 
     writer = _BitWriter()
     pred = [0] * len(planes)
@@ -523,7 +586,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85, *,
             code, ln = act[0x00]              # EOB
             writer.write(code, ln)
 
-    if not progressive:
+    if not progressive and interleave:
         mcu_count = 0
         rst = 0
         for my in range(mcuy):
@@ -574,8 +637,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85, *,
         out += dht(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
-    if progressive:
-        for sos_payload, entropy in prog_scans:
+    if multi_scans:
+        for sos_payload, entropy in multi_scans:
             out += seg(0xFFDA, sos_payload)
             out += entropy
     else:
@@ -689,15 +752,17 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
             ahal = payload[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
-            if not progressive and len(scan_sel) != len(frame["comps"]):
-                # A legal baseline non-interleaved scan sequence (ns <
-                # ncomp per SOS) — unsupported format, NOT a corrupt
-                # blob: raise the same way unsupported SOFs do so
-                # on_error policies classify it as a plug point.
+            if (not progressive
+                    and 1 < len(scan_sel) < len(frame["comps"])):
+                # A partially-interleaved baseline scan subset (1 < ns <
+                # ncomp) — unsupported format, NOT a corrupt blob: raise
+                # the same way unsupported SOFs do so on_error policies
+                # classify it as a plug point. (ns == 1 non-interleaved
+                # sequences decode below; ns == ncomp is the fast path.)
                 raise NotImplementedError(
-                    f"non-interleaved baseline JPEG scan ({len(scan_sel)}"
-                    f" of {len(frame['comps'])} components) not "
-                    "supported")
+                    f"partially-interleaved baseline JPEG scan "
+                    f"({len(scan_sel)} of {len(frame['comps'])} "
+                    "components) not supported")
             # Entropy-coded data runs to the next real marker.
             scan_start = pos
             p = pos
@@ -710,17 +775,25 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 p += 1
             scan_bytes = blob[scan_start:p]
             pos = p
-            if not progressive:
+            if not progressive and len(scan_sel) == len(frame["comps"]):
                 return _decode_scan(frame, scan_sel, scan_bytes, qtables,
                                     huff_dc, huff_ac, restart_interval)
             if not coef:
                 _alloc_coef(frame, coef)
-            _progressive_scan(frame, coef, scan_sel, ss, se, ah, al,
-                              scan_bytes, huff_dc, huff_ac,
-                              restart_interval)
+            if progressive:
+                _progressive_scan(frame, coef, scan_sel, ss, se, ah, al,
+                                  scan_bytes, huff_dc, huff_ac,
+                                  restart_interval)
+            else:
+                # Baseline non-interleaved (ns=1 per SOS): accumulate
+                # each component's full-spectral scan, reconstruct at
+                # EOI like the progressive path.
+                _sequential_scan_single(frame, coef, scan_sel,
+                                        scan_bytes, huff_dc, huff_ac,
+                                        restart_interval)
             n_scans += 1
         # APPn/COM and anything else: skipped
-    if progressive and n_scans:
+    if n_scans:
         return _reconstruct(frame, coef, qtables)
     raise ValueError("no SOS segment found")
 
@@ -792,6 +865,51 @@ def _refine_nonzero(blk: np.ndarray, k: int, reader: "_BitReader",
     grow the magnitude by 1 << Al in the coefficient's sign direction."""
     if reader.read_bit() and not int(blk[k]) & p1:
         blk[k] += p1 if blk[k] > 0 else -p1
+
+
+def _sequential_scan_single(frame, coef: Dict[int, np.ndarray], scan_sel,
+                            scan_bytes: bytes, huff_dc, huff_ac,
+                            restart_interval: int) -> None:
+    """One baseline NON-interleaved scan (ns=1): full-spectral DC+AC per
+    block over the component's actual grid, accumulated into the shared
+    coefficient planes (T.81 A.2.2 — restart counts are in blocks)."""
+    (cs, td, ta), = scan_sel
+    c = {x["id"]: x for x in frame["comps"]}[cs]
+    dct, act = huff_dc[td], huff_ac[ta]
+    plane = coef[cs]
+    bh, bw = _comp_block_dims(frame, c)
+    segments = _split_restart_segments(scan_bytes)
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    pred = 0
+    count = 0
+    for byy in range(bh):
+        for bxx in range(bw):
+            if (restart_interval and count
+                    and count % restart_interval == 0):
+                seg_idx += 1
+                reader = _BitReader(segments[seg_idx])
+                pred = 0
+            count += 1
+            blk = plane[byy, bxx]
+            size = _decode_huff_from(reader, dct)
+            diff = _decode_coefficient(reader.read_bits(size), size)
+            pred += diff
+            blk[0] = pred
+            k = 1
+            while k <= 63:
+                sym = _decode_huff_from(reader, act)
+                if sym == 0x00:       # EOB
+                    break
+                if sym == 0xF0:       # ZRL
+                    k += 16
+                    continue
+                run, s = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63:
+                    raise ValueError("AC run overflows block")
+                blk[k] = _decode_coefficient(reader.read_bits(s), s)
+                k += 1
 
 
 def _progressive_scan(frame, coef: Dict[int, np.ndarray], scan_sel,

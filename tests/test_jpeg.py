@@ -152,14 +152,38 @@ def test_rejects_unsupported_sampling_and_noninterleaved():
     with pytest.raises(ValueError, match="sampling factors"):
         decode_jpeg(bytes(bad))
 
-    # Patch SOS ns from 3 to 1: legal baseline non-interleaved scan,
-    # which this decoder declares unsupported rather than mis-decoding.
+    # Patch SOS ns from 3 to 2: a partially-interleaved scan subset,
+    # which this decoder declares unsupported rather than mis-decoding
+    # (ns=1 non-interleaved sequences decode for real — test below).
     sos = blob.find(b"\xFF\xDA")
     assert sos >= 0
     bad2 = bytearray(blob)
-    bad2[sos + 4] = 1
-    with pytest.raises(NotImplementedError, match="non-interleaved"):
+    bad2[sos + 4] = 2
+    with pytest.raises(NotImplementedError, match="partially-interleaved"):
         decode_jpeg(bytes(bad2))
+
+
+def test_noninterleaved_baseline_decodes_identical():
+    """A baseline stream with one full-spectral scan per component
+    (ns=1 SOS sequence) reconstructs the same coefficients as the
+    interleaved stream — decoded pixels bit-identical across
+    subsampling, grayscale, and non-MCU sizes."""
+    rng = np.random.default_rng(17)
+    cases = [
+        (_gradient(16, 16), False, 85),
+        (_gradient(17, 31), True, 75),
+        (_gradient(24, 24)[..., 0], False, 90),
+        (rng.integers(0, 256, (33, 57, 3)).astype(np.uint8), True, 60),
+    ]
+    for img, sub, q in cases:
+        base = decode_jpeg(encode_jpeg(img, q, subsample=sub))
+        noni = decode_jpeg(encode_jpeg(img, q, subsample=sub,
+                                       interleave=False))
+        assert np.array_equal(base, noni), (img.shape, sub, q)
+    with pytest.raises(ValueError, match="baseline mode"):
+        encode_jpeg(_gradient(8, 8), interleave=False, progressive=True)
+    with pytest.raises(ValueError, match="baseline mode"):
+        encode_jpeg(_gradient(8, 8), interleave=False, restart_interval=2)
 
 
 def test_real_jpeg_decode_through_spark(spark):

@@ -173,6 +173,9 @@ def _images(rng: np.random.Generator):
         rng.integers(0, 256, (21, 37, 3)).astype(np.uint8))
     yield "png", _adam7_png(
         rng.integers(0, 256, (18, 26)).astype(np.uint8))
+    # Non-interleaved baseline JPEG (one scan per component).
+    yield "jpeg", encode_jpeg(pat(26, 42), 82, subsample=True,
+                              interleave=False)
     # Progressive JPEGs (SOF2 successive approximation): 4:2:0 color,
     # 4:4:4 color, grayscale — the round-4 decoder addition.
     yield "jpeg", encode_jpeg(pat(41, 67), 78, subsample=True,
