@@ -151,6 +151,47 @@ def rollup_tdigest(
     return grouped.mapInPandas(digest_build_fn(delta), TDIGEST_SCHEMA)
 
 
+def _build_batch_vectorized(vals_list, delta: int):
+    """Digest EVERY bucket of an Arrow batch in one numpy pass.
+
+    Equivalent to calling :func:`_build` per bucket (asserted
+    bit-identical in tests — same elementwise arcsin/floor, same
+    in-order bincount accumulation per cluster), but segment-aware: all
+    buckets' sorted values are concatenated once, cluster boundaries are
+    forced at bucket edges, and the per-cluster sums run over the whole
+    batch. This removes the per-bucket Python/numpy call overhead that
+    dominates fine tiers (~100k tiny buckets per batch).
+
+    Returns (means_per_bucket, weights_per_bucket, cnts, vmins, vmaxs).
+    """
+    arrays = [np.asarray(v, dtype=np.float64) for v in vals_list]
+    lens = np.array([len(a) for a in arrays], dtype=np.int64)
+    if len(arrays) == 0 or lens.sum() == 0:
+        return [], [], lens, np.empty(0), np.empty(0)
+    concat = np.concatenate(arrays)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    total = concat.shape[0]
+    # Left cumulative rank within each bucket: pos/len — exactly the
+    # (cumsum(1)-1)/total floats the per-bucket path produces.
+    pos = (np.arange(total, dtype=np.float64)
+           - np.repeat(starts.astype(np.float64), lens))
+    n_per = np.repeat(lens.astype(np.float64), lens)
+    q_left = pos / n_per
+    k = np.floor(delta * (np.arcsin(2.0 * q_left - 1.0) / np.pi + 0.5))
+    boundary = np.empty(total, dtype=bool)
+    boundary[0] = True
+    boundary[1:] = k[1:] != k[:-1]
+    boundary[starts] = True           # clusters never span buckets
+    grp = np.cumsum(boundary) - 1
+    ws_all = np.bincount(grp, np.ones(total, dtype=np.float64))
+    ms_all = np.bincount(grp, np.float64(1.0) * concat) / ws_all
+    seg_ids = np.repeat(np.arange(len(arrays)), lens)
+    n_clusters = np.bincount(seg_ids[boundary], minlength=len(arrays))
+    splits = np.cumsum(n_clusters)[:-1]
+    return (np.split(ms_all, splits), np.split(ws_all, splits), lens,
+            concat[starts], concat[starts + lens - 1])
+
+
 def digest_build_fn(delta: int):
     """mapInPandas kernel turning (series_key, bucket_ts, _vals sorted
     array<double>) rows into TDIGEST_SCHEMA sketch rows. Shared by the
@@ -158,23 +199,17 @@ def digest_build_fn(delta: int):
     sketches are bit-identical to batch on the same bucket contents)."""
     def build(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for sk, bt, vals in zip(pdf["series_key"], pdf["bucket_ts"],
-                                    pdf["_vals"]):
-                if len(vals) == 1:
-                    # Fine tiers are singleton-dominated (a 1-minute
-                    # bucket usually holds one scrape); skipping the
-                    # numpy round-trip here is ~2x on the whole build.
-                    v0 = float(vals[0])
-                    rows.append((sk, bt, [v0], [1.0], 1, v0, v0))
-                    continue
-                ms, ws, cnt, vmin, vmax = _build(
-                    np.asarray(vals, dtype=np.float64), delta,
-                    presorted=True)
-                rows.append((sk, bt, list(ms), list(ws), cnt, vmin, vmax))
-            yield pd.DataFrame(
-                rows, columns=["series_key", "bucket_ts", "means",
-                               "weights", "cnt", "vmin", "vmax"])
+            ms, ws, cnts, vmins, vmaxs = _build_batch_vectorized(
+                pdf["_vals"], delta)
+            yield pd.DataFrame({
+                "series_key": pdf["series_key"].to_numpy(),
+                "bucket_ts": pdf["bucket_ts"].to_numpy(),
+                "means": [list(m) for m in ms],
+                "weights": [list(w) for w in ws],
+                "cnt": cnts,
+                "vmin": vmins,
+                "vmax": vmaxs,
+            })
 
     return build
 

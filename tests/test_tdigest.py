@@ -187,6 +187,34 @@ def test_property_cascade_within_bound_of_direct_build(values, n_parts,
             assert drift <= 3.0 * _k1_bound(q, delta, len(values)), q
 
 
+def test_vectorized_batch_build_is_bit_identical():
+    """The segment-aware whole-batch build must equal per-bucket _build
+    bit-for-bit (same floats, same cluster boundaries) on mixed bucket
+    sizes incl. singletons and heavy ties."""
+    from json_time_series_extractor_spark.operators.tdigest import (
+        _build_batch_vectorized,
+    )
+
+    rng = np.random.default_rng(21)
+    buckets = []
+    for i in range(400):
+        n = int(rng.integers(1, 60))
+        if i % 5 == 0:
+            vals = np.full(n, float(rng.integers(-3, 3)))
+        else:
+            vals = rng.normal(0, 10 ** (i % 4), n)
+        buckets.append(np.sort(vals))
+    for delta in (50, 100):
+        ms_v, ws_v, cnts, vmins, vmaxs = _build_batch_vectorized(
+            buckets, delta)
+        for i, vals in enumerate(buckets):
+            ms, ws, cnt, vmin, vmax = _build(vals, delta, presorted=True)
+            assert cnts[i] == cnt and vmins[i] == vmin and vmaxs[i] == vmax
+            assert len(ms_v[i]) == len(ms)
+            assert (np.asarray(ms_v[i]) == ms).all(), (i, delta)
+            assert (np.asarray(ws_v[i]) == ws).all(), (i, delta)
+
+
 def test_spark_rollup_and_cascade(spark):
     """1m sketches cascade to 1h; the cascaded estimates agree with
     Spark's exact percentile within the rank-error tolerance, and cnt is
