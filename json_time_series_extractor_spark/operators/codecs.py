@@ -640,6 +640,54 @@ def decode_gif(blob: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image frame")
 
 
+def _lzw_encode(data: bytes, min_code: int) -> bytearray:
+    """GIF LZW encode (greedy longest-match with a dict of byte strings);
+    returns the packed code stream (caller wraps it in 255-byte
+    sub-blocks)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    acc = nbits = 0
+    out_bits = bytearray()
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: Dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code + 1
+    put(clear, width)
+    cur = b""
+    for b in data:
+        cand = cur + bytes([b])
+        if cand in table:
+            cur = cand
+            continue
+        put(table[cur], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            put(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        cur = bytes([b])
+    if cur:
+        put(table[cur], width)
+    put(eoi, width)
+    if nbits:
+        out_bits.append(acc & 0xFF)
+    return out_bits
+
+
 def encode_gif(pixels: np.ndarray, *, interlace: bool = False,
                transparent: Optional[int] = None) -> bytes:
     """uint8 (h, w, 3) with <=256 distinct colors -> single-frame GIF89a.
@@ -665,49 +713,7 @@ def encode_gif(pixels: np.ndarray, *, interlace: bool = False,
         idx = idx[_gif_deinterlace_order(h)]
 
     min_code = max(2, pal_bits)
-    clear = 1 << min_code
-    eoi = clear + 1
-
-    # LZW encode (greedy longest-match with a dict of byte strings).
-    acc = nbits = 0
-    out_bits = bytearray()
-
-    def put(code: int, width: int) -> None:
-        nonlocal acc, nbits
-        acc |= code << nbits
-        nbits += width
-        while nbits >= 8:
-            out_bits.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-
-    table: Dict[bytes, int] = {bytes([i]): i for i in range(clear)}
-    next_code = eoi + 1
-    width = min_code + 1
-    put(clear, width)
-    cur = b""
-    for b in idx.tobytes():
-        cand = cur + bytes([b])
-        if cand in table:
-            cur = cand
-            continue
-        put(table[cur], width)
-        if next_code < 4096:
-            table[cand] = next_code
-            if next_code == (1 << width) and width < 12:
-                width += 1
-            next_code += 1
-        else:
-            put(clear, width)
-            table = {bytes([i]): i for i in range(clear)}
-            next_code = eoi + 1
-            width = min_code + 1
-        cur = bytes([b])
-    if cur:
-        put(table[cur], width)
-    put(eoi, width)
-    if nbits:
-        out_bits.append(acc & 0xFF)
+    out_bits = _lzw_encode(idx.tobytes(), min_code)
 
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | (pal_bits - 1), 0, 0)
@@ -722,3 +728,149 @@ def encode_gif(pixels: np.ndarray, *, interlace: bool = False,
         out += bytes([len(chunk)]) + chunk
     out += bytes([0, 0x3B])
     return bytes(out)
+
+
+def encode_gif_animation(frames, delays_ms) -> bytes:
+    """uint8 (h, w, 3) frames (shared <=256-color palette across all
+    frames) + per-frame delays in ms -> animated GIF89a.
+
+    Full-canvas frames with disposal=1 (leave in place) and a per-frame
+    graphic-control extension carrying the delay (centisecond
+    resolution, floor). Exists chiefly to prove
+    :func:`decode_gif_frames` and the real video-frame sampling path."""
+    frames = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
+    if not frames or len(frames) != len(delays_ms):
+        raise ValueError("need >= 1 frame and one delay per frame")
+    h, w = frames[0].shape[:2]
+    for f in frames:
+        if f.shape != (h, w, 3):
+            raise ValueError("all frames must be (h, w, 3) and same size")
+    flat = np.concatenate([f.reshape(-1, 3) for f in frames])
+    pal, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"{len(pal)} colors exceed the GIF palette")
+    pal_bits = max(1, int(len(pal) - 1).bit_length())
+    pal_n = 1 << pal_bits
+    palette = np.zeros((pal_n, 3), np.uint8)
+    palette[:len(pal)] = pal
+    idx_all = inverse.astype(np.uint8).reshape(len(frames), h, w)
+
+    min_code = max(2, pal_bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (pal_bits - 1), 0, 0)
+    out += palette.tobytes()
+    for idx, delay in zip(idx_all, delays_ms):
+        # GCE: disposal=1 (<<2), no transparency; delay in centiseconds.
+        out += bytes([0x21, 0xF9, 4, 0x04])
+        out += struct.pack("<H", max(0, int(delay) // 10))
+        out += bytes([0, 0])
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x00)
+        out += bytes([min_code])
+        bits = _lzw_encode(idx.tobytes(), min_code)
+        for i in range(0, len(bits), 255):
+            chunk = bits[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += bytes([0])
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+@truncation_boundary
+def decode_gif_frames(blob: bytes) -> Tuple[list, list]:
+    """Animated GIF -> (frames, delays_ms): each frame is the COMPOSED
+    (sh, sw, 4) RGBA canvas at that point of the animation (sub-rect
+    placement, transparency, and disposal methods 0-3 per GIF89a),
+    delays from each frame's graphic-control extension in ms.
+
+    This is the dependency-free "video" decode path: animated GIFs are
+    the one moving-picture format a web corpus carries that needs no
+    ffmpeg; real containers plug in at the same call site."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    global_pal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_pal = np.frombuffer(blob, np.uint8, 3 * n, pos
+                                   ).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((sh, sw, 4), np.uint8)
+    frames: list = []
+    delays: list = []
+    transparent: Optional[int] = None
+    disposal = 0
+    delay_cs = 0
+    while pos < len(blob):
+        tag = blob[pos]
+        pos += 1
+        if tag == 0x3B:              # trailer
+            break
+        if tag == 0x21:              # extension
+            label = blob[pos]
+            pos += 1
+            if label == 0xF9:        # graphic control
+                size = blob[pos]
+                flags = blob[pos + 1]
+                disposal = (flags >> 2) & 0x07
+                (delay_cs,) = struct.unpack_from("<H", blob, pos + 2)
+                transparent = blob[pos + 4] if flags & 0x01 else None
+                pos += size + 1
+            while blob[pos] != 0:    # skip (remaining) sub-blocks
+                pos += blob[pos] + 1
+            pos += 1
+            continue
+        if tag != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{tag:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", blob, pos)
+        pos += 9
+        pal = global_pal
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(blob, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        min_code = blob[pos]
+        pos += 1
+        chunks = bytearray()
+        while blob[pos] != 0:
+            ln = blob[pos]
+            chunks += blob[pos + 1:pos + 1 + ln]
+            pos += ln + 1
+        pos += 1
+        idx = np.frombuffer(
+            _lzw_decode(bytes(chunks), min_code, w * h), np.uint8,
+            w * h).reshape(h, w)
+        if ipacked & 0x40:
+            rows = np.empty((h, w), np.uint8)
+            rows[_gif_deinterlace_order(h)] = idx
+            idx = rows
+        # Clip the frame rect to the logical screen.
+        ch = min(h, sh - top)
+        cw = min(w, sw - left)
+        if ch <= 0 or cw <= 0:
+            frames.append(canvas.copy())
+            delays.append(delay_cs * 10)
+            disposal, transparent, delay_cs = 0, None, 0
+            continue
+        before = canvas[top:top + ch, left:left + cw].copy() \
+            if disposal == 3 else None
+        sub = idx[:ch, :cw]
+        rgba = np.dstack([pal[sub], np.full((ch, cw), 255, np.uint8)])
+        if transparent is not None:
+            opaque = sub != transparent
+            region = canvas[top:top + ch, left:left + cw]
+            region[opaque] = rgba[opaque]
+        else:
+            canvas[top:top + ch, left:left + cw] = rgba
+        frames.append(canvas.copy())
+        delays.append(delay_cs * 10)
+        if disposal == 2:            # restore to background = transparent
+            canvas[top:top + ch, left:left + cw] = 0
+        elif disposal == 3 and before is not None:
+            canvas[top:top + ch, left:left + cw] = before
+        disposal, transparent, delay_cs = 0, None, 0
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    return frames, delays

@@ -171,10 +171,13 @@ def _connected_components_star(pairs: DataFrame, *, id_a: str, id_b: str,
 
 
 def dedup_survivors(pairs: DataFrame, *, id_a: str = "id_a",
-                    id_b: str = "id_b") -> DataFrame:
+                    id_b: str = "id_b",
+                    algorithm: str = "minlabel") -> DataFrame:
     """Per cluster: the canonical survivor (min id) and the cluster size.
-    Output: (component, keep_id, n_members)."""
-    comps = connected_components(pairs, id_a=id_a, id_b=id_b)
+    Output: (component, keep_id, n_members). ``algorithm`` passes
+    through to :func:`connected_components`."""
+    comps = connected_components(pairs, id_a=id_a, id_b=id_b,
+                                 algorithm=algorithm)
     return (comps.groupBy("component")
             .agg(F.min("node").alias("keep_id"),
                  F.count(F.lit(1)).alias("n_members")))

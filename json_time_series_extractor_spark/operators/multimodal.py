@@ -337,13 +337,39 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, *,
                         decode_stub: str = "fake") -> DataFrame:
     """Frame-sampling plumbing: one video row -> N frame rows (UDTF shape).
 
-    The fake decoder emits one deterministic pseudo-frame per sample point;
-    a real implementation would seek with ffmpeg at the same points.
-    'real' is NOT accepted here: no dependency-free video codec exists
-    (unlike PPM/BMP/WAV), so offering it would silently produce fake
-    frames — ffmpeg plugs in at the 'raise' call site.
+    The fake decoder emits one deterministic pseudo-frame per sample
+    point. ``decode_stub='real'`` decodes animated GIFs — the one
+    moving-picture format a web corpus carries that needs no ffmpeg —
+    compositing the canvas per GIF89a (sub-rects, transparency,
+    disposal) and emitting the frame DISPLAYED at each sample point as
+    PNG bytes, with the true duration from the frame delays; other
+    containers raise the ffmpeg plug-point error (a data error under the
+    corrupt-blob policy taxonomy, but sample_video_frames is strict).
     """
-    _check_decode_stub(decode_stub, allowed=("fake", "raise"))
+    _check_decode_stub(decode_stub, allowed=("fake", "real", "raise"))
+
+    def _real_frames(blob: bytes):
+        from json_time_series_extractor_spark.operators.codecs import (
+            decode_gif_frames, encode_png, sniff_media_format)
+
+        fmt = sniff_media_format(blob)
+        if fmt != "gif":
+            raise NotImplementedError(
+                f"no dependency-free frame decoder for format {fmt!r}; "
+                "ffmpeg plugs in here (mp4/webm/...)")
+        frames, delays = decode_gif_frames(blob)
+        total = sum(delays)
+        starts = [0]
+        for d in delays[:-1]:
+            starts.append(starts[-1] + d)
+        out = []
+        for idx, t in enumerate(range(0, max(total, 1), every_ms)):
+            shown = 0
+            for i, s in enumerate(starts):
+                if s <= t:
+                    shown = i
+            out.append((idx, t, encode_png(frames[shown])))
+        return out
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -352,6 +378,20 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, *,
                     "real video decode requires ffmpeg — not available in "
                     "this container; plug the decoder in here")
             out_id, out_idx, out_ts, out_frame = [], [], [], []
+            if decode_stub == "real":
+                for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                    for idx, t, png in _real_frames(bytes(blob)):
+                        out_id.append(mid)
+                        out_idx.append(idx)
+                        out_ts.append(t)
+                        out_frame.append(png)
+                yield pd.DataFrame({
+                    "media_id": pd.Series(out_id, dtype="int64"),
+                    "frame_index": pd.Series(out_idx, dtype="int32"),
+                    "frame_ts_ms": pd.Series(out_ts, dtype="int32"),
+                    "frame": pd.Series(out_frame, dtype="object"),
+                })
+                continue
             for mid, blob, dur in zip(pdf[id_col], pdf[blob_col],
                                       pdf[duration_col]):
                 dur = int(dur) if not pd.isnull(dur) else 0

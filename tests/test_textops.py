@@ -1081,6 +1081,71 @@ def test_real_gif_decode_through_spark(spark):
     assert (out[:, :4] == 0).all() and (out[:, 4:] == 255).all()
 
 
+def test_gif_animation_frames_and_real_video_sampling(spark):
+    """Animated GIF is the real video path: multi-frame round-trip with
+    delays, disposal/sub-rect compositing, and Spark frame sampling
+    emitting the frame DISPLAYED at each sample point as PNG."""
+    import struct as _struct
+
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.codecs import (
+        _lzw_encode, decode_gif_frames, decode_png, encode_gif_animation)
+    from json_time_series_extractor_spark.operators.multimodal import (
+        sample_video_frames)
+
+    rng = np.random.default_rng(31)
+    frames = [(rng.integers(0, 4, (10, 14, 3)) * 80).astype(np.uint8)
+              for _ in range(3)]
+    blob = encode_gif_animation(frames, [1000, 1000, 1000])
+
+    media = spark.createDataFrame(
+        [(1, bytearray(blob), 0)],
+        "media_id long, media binary, duration_ms int")
+    rows = sorted(sample_video_frames(media, every_ms=500,
+                                      decode_stub="real").collect(),
+                  key=lambda r: r.frame_index)
+    assert [r.frame_ts_ms for r in rows] == [0, 500, 1000, 1500, 2000,
+                                             2500]
+    for r, want_i in zip(rows, [0, 0, 1, 1, 2, 2]):
+        out = decode_png(bytes(r.frame))
+        assert (out[..., :3] == frames[want_i]).all(), r.frame_index
+
+    # Disposal + sub-rect compositing: frame 2 paints a 2x2 patch with
+    # disposal=2 (restore to transparent), frame 3 is full again.
+    def sub_block(idx_arr, left, top, disposal, transparent=None):
+        h, w = idx_arr.shape
+        flags = 0x04 | (disposal << 2) | (1 if transparent is not None
+                                          else 0)
+        gce = bytes([0x21, 0xF9, 4, flags & 0xFF]) \
+            + _struct.pack("<H", 10) \
+            + bytes([transparent or 0, 0])
+        desc = _struct.pack("<BHHHHB", 0x2C, left, top, w, h, 0)
+        bits = _lzw_encode(idx_arr.astype(np.uint8).tobytes(), 2)
+        body = bytes([2])
+        for i in range(0, len(bits), 255):
+            c = bits[i:i + 255]
+            body += bytes([len(c)]) + bytes(c)
+        return gce + desc + body + bytes([0])
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   np.uint8)
+    base = np.zeros((4, 4), np.uint8)
+    patch = np.full((2, 2), 2, np.uint8)
+    hand = (b"GIF89a" + _struct.pack("<HHBBB", 4, 4, 0x81, 0, 0)
+            + pal.tobytes()
+            + sub_block(base, 0, 0, 1)
+            + sub_block(patch, 1, 1, 2)
+            + sub_block(np.full((4, 4), 3, np.uint8), 0, 0, 1)
+            + bytes([0x3B]))
+    fr, delays = decode_gif_frames(hand)
+    assert len(fr) == 3 and delays == [100, 100, 100]
+    assert (fr[0][..., :3] == pal[0]).all()
+    assert (fr[1][1:3, 1:3, :3] == pal[2]).all()       # patch painted
+    assert (fr[1][0, 0, :3] == pal[0]).all()           # base preserved
+    assert (fr[2][..., :3] == pal[3]).all()            # full repaint
+
+
 def test_deterministic_sampling_is_partition_invariant(spark):
     """The keyed sample selects the same rows regardless of layout, and
     the per-group variant enforces exact caps deterministically."""
