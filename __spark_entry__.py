@@ -1074,6 +1074,34 @@ FROM '{_MEDIA_REAL_AUDIO_FIXTURE}'
 """
 
 
+_MEDIA_REAL_FRAMES_FIXTURE = \
+    "/root/repo/tests/fixtures/media_real_frames.parquet"
+
+
+def q_media_real_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-frame sampling under oracle check: the fixture holds
+    animated GIFs (uniform + ragged frame delays) with the expected
+    sha256 of every sampled-frame PNG precomputed at build time. Spark
+    re-runs sample_video_frames(decode_stub='real') — full GIF89a
+    compositing — and the oracle SELECTs the stored expectations."""
+    from json_time_series_extractor_spark.operators.multimodal import (
+        sample_video_frames)
+
+    media = (spark.read.parquet(_MEDIA_REAL_FRAMES_FIXTURE)
+             .select("media_id", "media").distinct()
+             .withColumn("duration_ms", F.lit(0)))
+    frames = sample_video_frames(media, every_ms=500, decode_stub="real")
+    return frames.select(
+        "media_id", "frame_index", "frame_ts_ms",
+        F.lower(F.sha2(F.col("frame"), 256)).alias("frame_sha"))
+
+
+_ORACLE_MEDIA_REAL_FRAMES = f"""
+SELECT media_id, frame_index, frame_ts_ms, frame_sha
+FROM '{_MEDIA_REAL_FRAMES_FIXTURE}'
+"""
+
+
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal UDTF shape: one video row -> N sampled frames. Durations
     and frame bytes are sha256-derived, so the oracle reproduces the full
@@ -1160,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "media_real_decode": q_media_real_decode,
         "media_real_audio": q_media_real_audio,
+        "media_real_frames": q_media_real_frames,
         "cosine_scores": q_cosine_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1670,6 +1699,7 @@ FROM f
 """,
         "media_real_decode": _ORACLE_MEDIA_REAL_DECODE,
         "media_real_audio": _ORACLE_MEDIA_REAL_AUDIO,
+        "media_real_frames": _ORACLE_MEDIA_REAL_FRAMES,
         "cosine_scores": """
 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        CAST(floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),

@@ -157,7 +157,7 @@ def run_benchmarks() -> None:
                  "simhash_pairs", "embedding_neardup",
                  "embedding_neardup_lsh", "retention_expiry",
                  "media_image_features", "media_frame_sample",
-                 "media_real_decode", "media_real_audio",
+                 "media_real_decode", "media_real_audio", "media_real_frames",
                  "cosine_scores", "ann_topk", "ann_lsh_topk",
                  "ann_ivf_topk"]:
         timed(name,

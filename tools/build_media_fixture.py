@@ -38,6 +38,7 @@ from json_time_series_extractor_spark.operators.jpeg import (  # noqa: E402
 
 OUT = "/root/repo/tests/fixtures/media_real.parquet"
 OUT_AUDIO = "/root/repo/tests/fixtures/media_real_audio.parquet"
+OUT_FRAMES = "/root/repo/tests/fixtures/media_real_frames.parquet"
 SEED = 20240817
 
 
@@ -234,6 +235,45 @@ def main() -> None:
     })
     pq.write_table(atable, OUT_AUDIO, compression="zstd")
     print(f"wrote {OUT_AUDIO}: {len(arows)} WAV blobs")
+
+    # Animated-GIF frame-sampling fixture: one row per EXPECTED sampled
+    # frame (blob repeated per row — tiny), expectations from the real
+    # decode+sample path at build time. The query re-samples through
+    # Spark and must reproduce every (index, ts, sha256(frame PNG)).
+    import hashlib
+
+    from json_time_series_extractor_spark.operators.codecs import (
+        decode_gif_frames, encode_gif_animation, encode_png)
+
+    frows = []
+    specs = [(3, (10, 14), [700, 700, 700]),        # uniform delays
+             (4, (9, 12), [300, 900, 150, 1200]),   # ragged delays
+             (2, (16, 16), [2000, 500])]
+    every_ms = 500
+    for media_id, (nf, (h, w), delays) in enumerate(specs):
+        frames = [(rng.integers(0, 4, (h, w, 3)) * 77).astype(np.uint8)
+                  for _ in range(nf)]
+        blob = encode_gif_animation(frames, delays)
+        dec, ddel = decode_gif_frames(blob)
+        starts = [0]
+        for d in ddel[:-1]:
+            starts.append(starts[-1] + d)
+        total = sum(ddel)
+        for idx, t in enumerate(range(0, max(total, 1), every_ms)):
+            shown = max(i for i, s in enumerate(starts) if s <= t)
+            png = encode_png(dec[shown])
+            frows.append((media_id, blob, idx, t,
+                          hashlib.sha256(png).hexdigest()))
+    ftable = pa.table({
+        "media_id": pa.array([r[0] for r in frows], pa.int64()),
+        "media": pa.array([r[1] for r in frows], pa.binary()),
+        "frame_index": pa.array([r[2] for r in frows], pa.int32()),
+        "frame_ts_ms": pa.array([r[3] for r in frows], pa.int32()),
+        "frame_sha": pa.array([r[4] for r in frows], pa.string()),
+    })
+    pq.write_table(ftable, OUT_FRAMES, compression="zstd")
+    print(f"wrote {OUT_FRAMES}: {len(frows)} expected frames "
+          f"across {len(specs)} animations")
 
 
 if __name__ == "__main__":
