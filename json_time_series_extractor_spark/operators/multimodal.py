@@ -334,7 +334,8 @@ def extract_audio_features(df: DataFrame, *, id_col: str = "media_id",
 def sample_video_frames(df: DataFrame, every_ms: int = 1000, *,
                         id_col: str = "media_id", blob_col: str = "media",
                         duration_col: str = "duration_ms",
-                        decode_stub: str = "fake") -> DataFrame:
+                        decode_stub: str = "fake",
+                        on_error: str = "raise") -> DataFrame:
     """Frame-sampling plumbing: one video row -> N frame rows (UDTF shape).
 
     The fake decoder emits one deterministic pseudo-frame per sample
@@ -347,6 +348,7 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, *,
     corrupt-blob policy taxonomy, but sample_video_frames is strict).
     """
     _check_decode_stub(decode_stub, allowed=("fake", "real", "raise"))
+    _check_on_error(on_error)
 
     def _real_frames(blob: bytes):
         from json_time_series_extractor_spark.operators.codecs import (
@@ -380,15 +382,26 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, *,
             out_id, out_idx, out_ts, out_frame = [], [], [], []
             if decode_stub == "real":
                 for mid, blob in zip(pdf[id_col], pdf[blob_col]):
-                    for idx, t, png in _real_frames(bytes(blob)):
+                    # Corrupt/unsupported blobs follow the same policy
+                    # as the image/audio operators; 'null' emits one
+                    # null-frame marker row for the media id.
+                    ok, sampled = _guard(_real_frames, bytes(blob),
+                                         on_error)
+                    if ok:
+                        for idx, t, png in sampled:
+                            out_id.append(mid)
+                            out_idx.append(idx)
+                            out_ts.append(t)
+                            out_frame.append(png)
+                    elif on_error == "null":
                         out_id.append(mid)
-                        out_idx.append(idx)
-                        out_ts.append(t)
-                        out_frame.append(png)
+                        out_idx.append(None)
+                        out_ts.append(None)
+                        out_frame.append(None)
                 yield pd.DataFrame({
                     "media_id": pd.Series(out_id, dtype="int64"),
-                    "frame_index": pd.Series(out_idx, dtype="int32"),
-                    "frame_ts_ms": pd.Series(out_ts, dtype="int32"),
+                    "frame_index": pd.Series(out_idx, dtype="Int32"),
+                    "frame_ts_ms": pd.Series(out_ts, dtype="Int32"),
                     "frame": pd.Series(out_frame, dtype="object"),
                 })
                 continue

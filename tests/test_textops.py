@@ -1145,6 +1145,24 @@ def test_gif_animation_frames_and_real_video_sampling(spark):
     assert (fr[1][0, 0, :3] == pal[0]).all()           # base preserved
     assert (fr[2][..., :3] == pal[3]).all()            # full repaint
 
+    # Corrupt-blob policy parity with the image/audio operators: a
+    # non-GIF blob among good animations skips (or nulls) per on_error.
+    mixed = spark.createDataFrame(
+        [(1, bytearray(blob), 0), (2, bytearray(b"mp4?notreally"), 0)],
+        "media_id long, media binary, duration_ms int")
+    ok_rows = sample_video_frames(mixed, every_ms=1000,
+                                  decode_stub="real",
+                                  on_error="skip").collect()
+    assert {r.media_id for r in ok_rows} == {1}
+    null_rows = sample_video_frames(mixed, every_ms=1000,
+                                    decode_stub="real",
+                                    on_error="null").collect()
+    assert any(r.media_id == 2 and r.frame is None for r in null_rows)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        sample_video_frames(mixed, every_ms=1000,
+                            decode_stub="real").collect()
+
 
 def test_deterministic_sampling_is_partition_invariant(spark):
     """The keyed sample selects the same rows regardless of layout, and
