@@ -58,6 +58,33 @@ def _build_parser() -> argparse.ArgumentParser:
     syn.add_argument("--hosts", type=int, default=1000)
     syn.add_argument("--url-buckets", type=int, default=32)
 
+    corp = sub.add_parser(
+        "corpus",
+        help="training-corpus operations over a documents table "
+             "(dedup / deterministic sampling / near-dup clustering)")
+    corp.add_argument("--input", required=True,
+                      help="documents table path (parquet; needs doc_id + "
+                           "text, plus the group column for per-group ops)")
+    corp.add_argument("--output", required=True)
+    corp.add_argument("--op", required=True,
+                      choices=["dedup-exact", "dedup-minhash",
+                               "sample-fraction", "sample-per-group",
+                               "neardup-components"])
+    corp.add_argument("--fraction", type=float, default=0.1,
+                      help="sample-fraction: keep probability")
+    corp.add_argument("--group-col", default="lang")
+    corp.add_argument("--per-group-n", type=int, default=1000)
+    corp.add_argument("--threshold", type=float, default=0.5,
+                      help="dedup-minhash/neardup: Jaccard threshold")
+    corp.add_argument("--num-hashes", type=int, default=64)
+    corp.add_argument("--bands", type=int, default=16)
+    corp.add_argument("--seed", type=int, default=7)
+    corp.add_argument("--components-algorithm",
+                      choices=["minlabel", "star"], default="minlabel",
+                      help="neardup-components: BSP min-label (rounds = "
+                           "diameter) or large-star/small-star (O(log^2 n) "
+                           "rounds for adversarial graphs)")
+
     pipe = sub.add_parser("pipeline", help="run the resumable pipeline")
     pipe.add_argument("--input", required=True,
                       help="pages table path (parquet dir)")
@@ -298,6 +325,50 @@ def run_pipeline(spark: SparkSession, args: argparse.Namespace) -> dict:
     return report
 
 
+def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """Corpus-pipeline dispatch: every op is a pure DataFrame transform
+    from the operator modules (deterministic, partition-invariant), so
+    the CLI surface is exactly the library surface."""
+    from json_time_series_extractor_spark.operators.components import (
+        dedup_survivors)
+    from json_time_series_extractor_spark.operators.dedup import (
+        dedup_exact, minhash_lsh_dedup_pairs)
+    from json_time_series_extractor_spark.operators.sampling import (
+        deterministic_sample, sample_per_group)
+
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+    if args.op == "dedup-exact":
+        out = dedup_exact(docs)
+    elif args.op == "dedup-minhash":
+        pairs = minhash_lsh_dedup_pairs(
+            docs, num_hashes=args.num_hashes, bands=args.bands,
+            threshold=args.threshold)
+        surv = dedup_survivors(pairs,
+                               algorithm=args.components_algorithm)
+        # Drop every clustered doc except its canonical survivor.
+        members = (pairs.selectExpr("id_a AS doc_id")
+                   .union(pairs.selectExpr("id_b AS doc_id")).distinct())
+        keepers = surv.selectExpr("keep_id AS doc_id")
+        drop = members.join(keepers, "doc_id", "left_anti")
+        out = docs.join(drop, "doc_id", "left_anti")
+    elif args.op == "sample-fraction":
+        out = deterministic_sample(docs, args.fraction, seed=args.seed)
+    elif args.op == "sample-per-group":
+        out = sample_per_group(docs, [args.group_col], args.per_group_n,
+                               seed=args.seed)
+    else:  # neardup-components
+        pairs = minhash_lsh_dedup_pairs(
+            docs, num_hashes=args.num_hashes, bands=args.bands,
+            threshold=args.threshold)
+        out = dedup_survivors(pairs,
+                              algorithm=args.components_algorithm)
+    out.write.mode("overwrite").parquet(args.output)
+    n_out = spark.read.parquet(args.output).count()
+    return {"command": "corpus", "op": args.op, "rows_in": n_in,
+            "rows_out": n_out, "output": args.output}
+
+
 def main(argv: Optional[List[str]] = None) -> None:
     from json_time_series_extractor_spark.plans.session import get_spark
     from json_time_series_extractor_spark.sources.pages import (
@@ -314,6 +385,9 @@ def main(argv: Optional[List[str]] = None) -> None:
                                 url_buckets=args.url_buckets)
         print(json.dumps({"command": "synthesize", "n_docs": args.n_docs,
                           "output": args.output}))
+        return
+    if args.command == "corpus":
+        print(json.dumps(run_corpus(spark, args)))
         return
 
     report = run_pipeline(spark, args)

@@ -205,3 +205,44 @@ def test_late_sample_refreshes_cascaded_tiers(spark, tmp_path):
     assert r1h[("v", "2024-02-05T10:00:00")] == (2, 5.0)
     assert r1h[("v", "2024-02-06T09:00:00")] == (1, 2.0)
     assert report["stages"]["rollup_1h"]["rewritten_partitions"] >= 1
+
+
+def test_corpus_subcommand_ops(spark, tmp_path):
+    """The corpus CLI surface = the library operators: deterministic
+    sampling honors caps and the seed, minhash dedup keeps one survivor
+    per near-dup cluster, and the star clustering option runs."""
+    import argparse
+
+    from json_time_series_extractor_spark.cli import run_corpus
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+
+    def args(**kw):
+        base = dict(input=src, output=str(tmp_path / kw.pop("out")),
+                    op=None, fraction=0.1, group_col="lang",
+                    per_group_n=20, threshold=0.5, num_hashes=32,
+                    bands=16, seed=7, components_algorithm="minlabel")
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    r = run_corpus(spark, args(out="s1", op="sample-per-group"))
+    assert r["rows_out"] == 100            # 5 langs x 20
+    per = (spark.read.parquet(r["output"]).groupBy("lang").count()
+           .collect())
+    assert all(row["count"] == 20 for row in per)
+
+    r2 = run_corpus(spark, args(out="s2", op="sample-fraction",
+                                fraction=0.25))
+    assert 0 < r2["rows_out"] < r2["rows_in"]
+
+    rd = run_corpus(spark, args(out="d1", op="dedup-minhash"))
+    assert rd["rows_out"] < rd["rows_in"]  # near-dups exist in the table
+
+    rc = run_corpus(spark, args(out="c1", op="neardup-components",
+                                components_algorithm="star"))
+    assert rc["rows_out"] > 0
+    comp = spark.read.parquet(rc["output"])
+    assert set(comp.columns) == {"component", "keep_id", "n_members"}
+
+    re = run_corpus(spark, args(out="e1", op="dedup-exact"))
+    assert 0 < re["rows_out"] <= re["rows_in"]
