@@ -275,3 +275,75 @@ def test_progressive_jpeg_equals_baseline_any_shape(w, h, subsample, gray,
     prog = decode_jpeg(encode_jpeg(img, quality, subsample=subsample,
                                    progressive=True))
     assert base.shape == prog.shape and (base == prog).all()
+
+
+@given(st.integers(min_value=1, max_value=30),
+       st.integers(min_value=1, max_value=30),
+       st.sampled_from([(0, 1), (0, 2), (0, 4), (0, 8), (0, 16),
+                        (2, 8), (2, 16), (3, 1), (3, 2), (3, 4), (3, 8),
+                        (4, 8), (6, 8)]),
+       st.booleans(),
+       st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_png_depth_matrix_roundtrip(w, h, combo, interlaced, seed):
+    """Property: any legal (color type, bit depth) x (sequential, Adam7)
+    PNG decodes to the expected pixels for any shape — sub-byte packing,
+    16-bit high-byte, palette resolution, per-pass repacking."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.codecs import (
+        _ADAM7, _PNG_CHANNELS, decode_png)
+
+    color_type, depth = combo
+    rng = np.random.default_rng(seed)
+    channels = _PNG_CHANNELS[color_type]
+    maxv = (1 << depth) - 1
+    if color_type == 3:
+        pal = rng.integers(0, 256, (min(256, maxv + 1), 3)).astype(np.uint8)
+        samples = rng.integers(0, len(pal), (h, w))
+    elif channels == 1:
+        samples = rng.integers(0, maxv + 1, (h, w))
+    else:
+        samples = rng.integers(0, maxv + 1, (h, w, channels))
+
+    def pack_row(flat):
+        if depth == 16:
+            return flat.astype(">u2").tobytes()
+        if depth == 8:
+            return bytes(flat.astype(np.uint8))
+        bits = ((flat[:, None].astype(np.uint8)
+                 >> np.arange(depth - 1, -1, -1)) & 1).reshape(-1)
+        return np.packbits(bits).tobytes()
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    raw = bytearray()
+    grids = ([samples] if not interlaced else
+             [samples[y0::dy, x0::dx] for x0, y0, dx, dy in _ADAM7
+              if samples[y0::dy, x0::dx].size])
+    for sub in grids:
+        flat2d = sub.reshape(sub.shape[0], -1)
+        for row in flat2d:
+            raw += b"\x00" + pack_row(np.atleast_1d(row))
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(
+                ">IIBBBBB", w, h, depth, color_type, 0, 0,
+                1 if interlaced else 0)))
+    if color_type == 3:
+        blob += chunk(b"PLTE", pal.tobytes())
+    blob += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+    out = decode_png(blob)
+    if color_type == 3:
+        assert (out == pal[samples]).all()
+    elif depth == 16:
+        assert (out.reshape(samples.shape) == (samples >> 8)).all()
+    elif channels == 1 and depth < 8:
+        assert (out == (samples * (255 // maxv)).astype(np.uint8)).all()
+    else:
+        assert (out.reshape(samples.shape) == samples).all()
