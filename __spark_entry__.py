@@ -714,6 +714,52 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "fingerprint_md5")
 
 
+def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction as a pure JVM regex chain (script/style
+    bodies dropped, block boundaries -> newlines, tags stripped,
+    entities decoded, whitespace normalized — zero Python, whole-stage
+    codegen end to end). Pages are rendered deterministically from the
+    documents table in BOTH engines, and the oracle applies the SAME
+    ordered HTML_TEXT_STEPS chain, so the extracted text is compared
+    byte-for-byte."""
+    from json_time_series_extractor_spark.operators.textstats import (
+        html_to_text)
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit("</title><style>p { color: red; }</style></head>"
+              "<body>\n<h1>Doc "), did,
+        F.lit("</h1><script>if (1 < 2) { var x = \"&amp;\"; }</script>"
+              "<p>"), F.col("text"),
+        F.lit(" &amp; more &lt;tags&gt;</p><div>lang: "),
+        F.col("lang"), F.lit("</div>\n</body></html>"))
+    return d.select("doc_id",
+                    html_to_text(html).alias("extracted_text"))
+
+
+def _oracle_html_text_sql() -> str:
+    from json_time_series_extractor_spark.operators.textstats import (
+        HTML_TEXT_STEPS)
+
+    html = ("'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
+            "'</title><style>p { color: red; }</style></head>"
+            "<body>' || chr(10) || '<h1>Doc ' || CAST(doc_id AS VARCHAR)"
+            " || '</h1><script>if (1 < 2) { var x = \"&amp;\"; }"
+            "</script><p>' || text || ' &amp; more &lt;tags&gt;</p>"
+            "<div>lang: ' || lang || '</div>' || chr(10) "
+            "|| '</body></html>'")
+    expr = html
+    for pat, rep in HTML_TEXT_STEPS:
+        pat_sql = pat.replace("'", "''")
+        rep_sql = ("chr(10)" if rep == "\n"
+                   else "'" + rep.replace("'", "''") + "'")
+        expr = f"regexp_replace({expr}, '{pat_sql}', {rep_sql}, 'g')"
+    return (f"SELECT doc_id, {expr} AS extracted_text\n"
+            "FROM documents")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: normalized hash-groupBy, min-id survivor."""
     return dedup_exact(_docs(spark, sf_dir))
@@ -1171,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "html_text_extract": q_html_text_extract,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1538,6 +1585,7 @@ FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
 """,
+        "html_text_extract": _oracle_html_text_sql(),
         "sample_fraction": _ORACLE_SAMPLE_FRACTION,
         "sample_per_lang": _ORACLE_SAMPLE_PER_LANG,
         "dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,

@@ -150,6 +150,7 @@ def run_benchmarks() -> None:
                  "asof_join_forward", "asof_join_nearest",
                  "chunk_roundtrip", "doc_token_count",
                  "doc_quality", "doc_lang_id", "doc_fingerprint",
+                 "html_text_extract",
                  "dedup_exact", "ngram_jaccard", "minhash_lsh_pairs",
                  "neardup_components", "neardup_components_star",
                  "dedup_incremental",

@@ -127,3 +127,51 @@ def with_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("fingerprint_md5", normalized_fingerprint(t))
             .withColumn("fingerprint_shingle",
                         rolling_shingle_fingerprint(t)))
+
+
+#: The HTML -> text extraction pipeline as an ordered regex chain.
+#: Every step is expressible in BOTH Spark (Java regex) and DuckDB (RE2
+#: with the 'g' flag), so a SQL oracle reproduces the extraction
+#: byte-for-byte — the property every operator here trades on. Order
+#: matters: script/style bodies go first (their content is not text),
+#: block-level closers become newlines before generic tag stripping,
+#: and &amp; decodes LAST so "&amp;lt;" comes out as "&lt;", not "<".
+HTML_TEXT_STEPS = [
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?is)<(?:br|hr)\s*/?>", "\n"),
+    (r"(?is)</(?:p|div|h1|h2|h3|h4|h5|h6|li|tr|table|blockquote)>", "\n"),
+    (r"(?s)<[^>]*>", " "),
+    (r"&lt;", "<"), (r"&gt;", ">"), (r"&quot;", "\""),
+    (r"&#39;", "'"), (r"&nbsp;", " "), (r"&amp;", "&"),
+    (r"[ \t\r\f]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n{2,}", "\n"),
+    (r"^[ \n]+", ""),
+    (r"[ \n]+$", ""),
+]
+
+
+def html_to_text(html: Column) -> Column:
+    """Boilerplate-stripping HTML -> text as a pure Column expression:
+    drop script/style bodies, turn block boundaries into newlines, strip
+    remaining tags, decode the common entities, normalize whitespace.
+
+    Zero Python — the whole chain runs in whole-stage codegen, so at
+    10^12 pages this is a map-only pass like every scalar function here.
+    Not a browser: malformed nesting degrades gracefully (unclosed tags
+    strip, unknown entities pass through), which is the right trade for
+    a corpus pass. Anchored strips finish the chain (not ``trim`` —
+    its trimmed character set differs across engines)."""
+    out = html
+    for pat, rep in HTML_TEXT_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def with_extracted_text(docs: DataFrame, html_col: str = "html",
+                        out_col: str = "extracted_text") -> DataFrame:
+    """Attach the extracted text of an HTML column (binary or string)."""
+    col = F.col(html_col)
+    return docs.withColumn(
+        out_col, html_to_text(col.cast("string")))

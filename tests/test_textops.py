@@ -1345,3 +1345,43 @@ def test_media_on_error_policies(spark):
 
     with _pytest.raises(ValueError, match="on_error"):
         extract_image_features(media, on_error="ignore")
+
+
+def test_html_to_text_extraction(spark):
+    """Boilerplate stripping: script/style bodies vanish, block closers
+    become newlines, entities decode in the safe order (&amp;lt; ->
+    &lt;, not <), unclosed tags degrade gracefully, whitespace
+    normalizes — and the plan is pure JVM (no Python boundary)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from json_time_series_extractor_spark.operators.textstats import (
+        html_to_text, with_extracted_text)
+
+    rows = [
+        (1, "<html><body><script>var x = '<p>not text</p>';</script>"
+            "<h1>Title</h1><p>Hello   world</p>"
+            "<style>h1 { font: 12px; }</style></body></html>"),
+        (2, "<p>a &amp;lt; b</p><p>c &lt; d &amp; e</p>"),
+        (3, "<div>unclosed <b>bold<br>next line</div>"),
+        (4, "  <p>  padded  </p>  "),
+        (5, "plain text, no tags"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = {r.doc_id: r.extracted_text
+           for r in with_extracted_text(df).collect()}
+    assert out[1] == "Title\nHello world"
+    assert out[2] == "a &lt; b\nc < d & e"       # &amp; decodes last
+    assert out[3] == "unclosed bold\nnext line"
+    assert out[4] == "padded"
+    assert out[5] == "plain text, no tags"
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.select(html_to_text(F.col("html"))).explain("formatted")
+    plan = buf.getvalue()
+    # The local-relation scan may mention python serialization; what
+    # must be absent is any UDF execution node.
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas"):
+        assert node not in plan
