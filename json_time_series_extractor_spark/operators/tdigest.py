@@ -232,20 +232,88 @@ def tdigest_cascade(child: DataFrame, tier: str, *,
 
     def merge(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for sk, bt, parts in zip(pdf["series_key"], pdf["_coarse"],
-                                     pdf["_parts"]):
-                tuples = [(np.asarray(p["means"], dtype=np.float64),
-                           np.asarray(p["weights"], dtype=np.float64),
-                           int(p["cnt"]), float(p["vmin"]),
-                           float(p["vmax"])) for p in parts]
-                ms, ws, cnt, vmin, vmax = _merge(tuples, delta)
-                rows.append((sk, bt, list(ms), list(ws), cnt, vmin, vmax))
-            yield pd.DataFrame(
-                rows, columns=["series_key", "bucket_ts", "means",
-                               "weights", "cnt", "vmin", "vmax"])
+            ms, ws, cnts, vmins, vmaxs = _merge_batch_vectorized(
+                pdf["_parts"], delta)
+            yield pd.DataFrame({
+                "series_key": pdf["series_key"].to_numpy(),
+                "bucket_ts": pdf["_coarse"].to_numpy(),
+                "means": [list(m) for m in ms],
+                "weights": [list(w) for w in ws],
+                "cnt": cnts,
+                "vmin": vmins,
+                "vmax": vmaxs,
+            })
 
     return grouped.mapInPandas(merge, TDIGEST_SCHEMA)
+
+
+def _merge_batch_vectorized(parts_col, delta: int):
+    """Merge EVERY coarse bucket of an Arrow batch in one numpy pass —
+    the cascade analog of :func:`_build_batch_vectorized`, asserted
+    bit-identical to per-group :func:`_merge` in tests.
+
+    Exactness argument for the segment trick: tier weights are sums of
+    unit weights, i.e. integer-valued float64s, so the global running
+    sum minus each segment's base is EXACTLY the per-group cumulative
+    sum (integer arithmetic below 2^53 is exact in float64), and the
+    stable lexsort on (segment, mean) reproduces each group's stable
+    mean argsort including tie order."""
+    seg_lens, cnts, vmins, vmaxs = [], [], [], []
+    m_chunks, w_chunks = [], []
+    for parts in parts_col:
+        total_len = 0
+        cnt = 0
+        vmin = np.inf
+        vmax = -np.inf
+        for p in parts:
+            m = np.asarray(p["means"], dtype=np.float64)
+            m_chunks.append(m)
+            w_chunks.append(np.asarray(p["weights"], dtype=np.float64))
+            total_len += len(m)
+            cnt += int(p["cnt"])
+            vmin = min(vmin, float(p["vmin"]))
+            vmax = max(vmax, float(p["vmax"]))
+        seg_lens.append(total_len)
+        cnts.append(cnt)
+        vmins.append(vmin)
+        vmaxs.append(vmax)
+    n_groups = len(seg_lens)
+    if n_groups == 0:
+        return [], [], cnts, np.empty(0), np.empty(0)
+    seg_lens = np.asarray(seg_lens, dtype=np.int64)
+    m_all = np.concatenate(m_chunks)
+    w_all = np.concatenate(w_chunks)
+    seg_all = np.repeat(np.arange(n_groups), seg_lens)
+    order = np.lexsort((m_all, seg_all))
+    m_s, w_s = m_all[order], w_all[order]
+    total = m_s.shape[0]
+    starts = np.concatenate([[0], np.cumsum(seg_lens)[:-1]])
+    csw = np.cumsum(w_s)
+    base = np.repeat(
+        np.concatenate([[0.0], csw[np.cumsum(seg_lens)[:-1] - 1]]),
+        seg_lens)
+    seg_total = np.repeat(csw[np.cumsum(seg_lens) - 1] - base[starts],
+                          seg_lens)
+    q_left = (csw - base - w_s) / seg_total
+    k = np.floor(delta * (np.arcsin(2.0 * q_left - 1.0) / np.pi + 0.5))
+    boundary = np.empty(total, dtype=bool)
+    boundary[0] = True
+    boundary[1:] = k[1:] != k[:-1]
+    boundary[starts] = True
+    grp = np.cumsum(boundary) - 1
+    ws_all = np.bincount(grp, w_s)
+    ms_all = np.bincount(grp, w_s * m_s) / ws_all
+    n_clusters = np.bincount(seg_all[boundary], minlength=n_groups)
+    splits = np.cumsum(n_clusters)[:-1]
+    ms_parts = np.split(ms_all, splits)
+    ws_parts = np.split(ws_all, splits)
+    # Single-centroid groups: _compress early-returns the centroid
+    # untouched, so bypass the (w*m)/w round-trip (ulp-exact parity).
+    for i in np.nonzero(seg_lens == 1)[0]:
+        ms_parts[i] = m_s[starts[i]:starts[i] + 1].copy()
+        ws_parts[i] = w_s[starts[i]:starts[i] + 1].copy()
+    return (ms_parts, ws_parts, cnts,
+            np.asarray(vmins), np.asarray(vmaxs))
 
 
 def tdigest_quantiles(digests: DataFrame,

@@ -215,6 +215,45 @@ def test_vectorized_batch_build_is_bit_identical():
             assert (np.asarray(ws_v[i]) == ws).all(), (i, delta)
 
 
+def test_vectorized_batch_merge_is_bit_identical():
+    """The segment-aware whole-batch cascade merge must equal per-group
+    _merge bit-for-bit — incl. stable tie ordering, integer-weight
+    cumulative exactness, and the single-centroid early-return."""
+    from json_time_series_extractor_spark.operators.tdigest import (
+        _merge_batch_vectorized,
+    )
+
+    rng = np.random.default_rng(33)
+    groups = []
+    for i in range(250):
+        n_parts = int(rng.integers(1, 6))
+        parts = []
+        for _ in range(n_parts):
+            n = int(rng.integers(1, 40))
+            vals = (np.full(n, 2.5) if i % 7 == 0
+                    else rng.normal(0, 10 ** (i % 3), n))
+            ms, ws, cnt, vmin, vmax = _build(np.sort(vals), 100,
+                                             presorted=True)
+            parts.append({"means": ms, "weights": ws, "cnt": cnt,
+                          "vmin": vmin, "vmax": vmax})
+        groups.append(parts)
+    # One adversarial single-centroid group (hits the early-return).
+    groups.append([{"means": np.array([1.0 / 3.0]),
+                    "weights": np.array([3.0]), "cnt": 3,
+                    "vmin": 0.3, "vmax": 0.35}])
+
+    ms_v, ws_v, cnts, vmins, vmaxs = _merge_batch_vectorized(groups, 100)
+    for i, parts in enumerate(groups):
+        tuples = [(np.asarray(p["means"]), np.asarray(p["weights"]),
+                   int(p["cnt"]), float(p["vmin"]), float(p["vmax"]))
+                  for p in parts]
+        ms, ws, cnt, vmin, vmax = _merge(tuples, 100)
+        assert cnts[i] == cnt and vmins[i] == vmin and vmaxs[i] == vmax
+        assert len(ms_v[i]) == len(ms), i
+        assert (np.asarray(ms_v[i]) == ms).all(), i
+        assert (np.asarray(ws_v[i]) == ws).all(), i
+
+
 def test_spark_rollup_and_cascade(spark):
     """1m sketches cascade to 1h; the cascaded estimates agree with
     Spark's exact percentile within the rank-error tolerance, and cnt is
