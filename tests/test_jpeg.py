@@ -209,3 +209,23 @@ def test_real_jpeg_decode_through_spark(spark):
     assert out.shape == (8, 8, 3)
     # Halves survive the resample within lossy tolerance.
     assert out[:, :4].mean() < 30 and out[:, 4:].mean() > 225
+
+
+def test_resize_handles_progressive_and_noninterleaved_input(spark):
+    """The Spark resize path accepts every supported JPEG layout: SOF2
+    progressive and ns=1 non-interleaved inputs decode transparently and
+    re-encode as baseline."""
+    img = _gradient(24, 40)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(img, 85, progressive=True))),
+         (2, bytearray(encode_jpeg(img, 85, interleave=False)))],
+        "media_id long, media binary")
+    from json_time_series_extractor_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    out = {r.media_id: r for r in
+           resize_images(media, 10, 8, decode_stub="real").collect()}
+    for mid in (1, 2):
+        resized = decode_jpeg(bytes(out[mid].media))
+        assert resized.shape == (8, 10, 3)
