@@ -16,6 +16,8 @@ aggregates (min/max/count/last) stay exact.
 
 from __future__ import annotations
 
+import os.path
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -780,9 +782,17 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly 1.0 on this corpus at sf0.01 and sf0.1 — so the oracle is
     the full exact-Jaccard pair set (the same inverted-index SQL as
     ngram_jaccard at 0.5): a real value check of the banded path, which
-    fails if LSH ever drops a qualifying pair."""
+    fails if LSH ever drops a qualifying pair.
+
+    max_bucket_size=1000 exercises the mega-bucket star-capping plan
+    (bucket size annotation + split) live under the oracle; the corpus'
+    largest band bucket is orders of magnitude below the cap, so the
+    output is provably identical to the uncapped all-pairs path (the
+    capping semantics themselves are pytest-gated on a 10^4-member
+    cluster)."""
     out = minhash_lsh_dedup_pairs(_docs(spark, sf_dir), num_hashes=32,
-                                  bands=16, threshold=0.5)
+                                  bands=16, threshold=0.5,
+                                  max_bucket_size=1000)
     return _quant6(out, "jaccard")
 
 
@@ -1062,7 +1072,11 @@ def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quant6(out, "mean_luma")
 
 
-_MEDIA_REAL_FIXTURE = "/root/repo/tests/fixtures/media_real.parquet"
+# Fixture paths derive from this file's location so any checkout works
+# (ADVICE r4: the absolute /root/repo/... paths broke relocated clones).
+_FIXTURES_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tests", "fixtures")
+_MEDIA_REAL_FIXTURE = os.path.join(_FIXTURES_DIR, "media_real.parquet")
 
 
 def q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1092,8 +1106,8 @@ FROM '{_MEDIA_REAL_FIXTURE}'
 """
 
 
-_MEDIA_REAL_AUDIO_FIXTURE = \
-    "/root/repo/tests/fixtures/media_real_audio.parquet"
+_MEDIA_REAL_AUDIO_FIXTURE = os.path.join(_FIXTURES_DIR,
+                                         "media_real_audio.parquet")
 
 
 def q_media_real_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1120,8 +1134,8 @@ FROM '{_MEDIA_REAL_AUDIO_FIXTURE}'
 """
 
 
-_MEDIA_REAL_FRAMES_FIXTURE = \
-    "/root/repo/tests/fixtures/media_real_frames.parquet"
+_MEDIA_REAL_FRAMES_FIXTURE = os.path.join(_FIXTURES_DIR,
+                                          "media_real_frames.parquet")
 
 
 def q_media_real_frames(spark: SparkSession, sf_dir: str) -> DataFrame:

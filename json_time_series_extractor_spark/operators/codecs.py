@@ -248,7 +248,9 @@ def decode_png(blob: bytes) -> np.ndarray:
 
     Returns (h, w) for grayscale, (h, w, 3) for RGB/palette, (h, w, 2)
     for gray+alpha (incl. grayscale+tRNS), (h, w, 4) for RGBA (incl.
-    palette+tRNS). Bit depths: 1/2/4/8/16 for grayscale, 1/2/4/8 for
+    palette+tRNS and truecolor+tRNS — the RGB-key transparency path,
+    matched exactly in the source bit depth before the 8-bit downscale).
+    Bit depths: 1/2/4/8/16 for grayscale, 1/2/4/8 for
     palette, 8/16 for the multi-channel types (the spec's full matrix);
     sub-byte samples are unpacked big-endian-first and grayscale is
     rescaled to 8-bit (0..255), 16-bit samples keep their high byte
@@ -295,16 +297,29 @@ def decode_png(blob: bytes) -> np.ndarray:
     channels = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(b"".join(idat))
     bpp = max(1, channels * bit_depth // 8)
+    # tRNS matching is an EXACT sample comparison per the spec, so when a
+    # 16-bit image carries tRNS the full 16-bit samples must survive to
+    # the compare — the high-byte downscale (uint8 output API) happens
+    # only AFTER the alpha mask is computed (ADVICE r4: high-byte-only
+    # matching wrongly keyed pixels differing in the low byte).
+    keep16 = (bit_depth == 16 and trns is not None
+              and color_type in (0, 2))
 
     def pass_stride(w: int) -> int:
         return -(-w * channels * bit_depth // 8)
 
     def rows_to_pixels(rows: np.ndarray, w: int) -> np.ndarray:
-        """Packed unfiltered scanlines -> (rows, w, channels) uint8."""
+        """Packed unfiltered scanlines -> (rows, w, channels) uint8
+        (uint16 full samples when a 16-bit tRNS compare is pending)."""
         hh = rows.shape[0]
         if bit_depth == 8:
             return rows[:, :w * channels].reshape(hh, w, channels)
         if bit_depth == 16:
+            if keep16:
+                be = rows.reshape(hh, -1, 2)[:, :w * channels, :] \
+                    .astype(np.uint16)
+                return ((be[:, :, 0] << 8) | be[:, :, 1]) \
+                    .reshape(hh, w, channels)
             # Big-endian samples; keep the high byte (uint8 output API).
             return rows.reshape(hh, -1, 2)[:, :w * channels, 0] \
                 .reshape(hh, w, channels)
@@ -328,7 +343,8 @@ def decode_png(blob: bytes) -> np.ndarray:
         # Adam7: seven independently-filtered sub-images scattered onto
         # the pass grid (empty passes contribute no bytes; each pass
         # packs its own scanlines, so sub-byte depths re-pad per pass).
-        img = np.zeros((height, width, channels), np.uint8)
+        img = np.zeros((height, width, channels),
+                       np.uint16 if keep16 else np.uint8)
         rp = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = max(0, -(-(width - x0) // dx))
@@ -354,20 +370,40 @@ def decode_png(blob: bytes) -> np.ndarray:
     if channels == 1:
         gray = img[:, :, 0]
         if trns is not None:
-            # Grayscale tRNS: one 16-bit sample value, compared in the
-            # decoded 8-bit space (high byte at depth 16, rescaled at
-            # sub-byte depths).
+            # Grayscale tRNS: one sample value, compared EXACTLY in the
+            # source bit depth (full 16-bit samples at depth 16 — kept
+            # via keep16 — rescaled at sub-byte depths), then the pixels
+            # downscale to the uint8 output API.
             (gray_level,) = struct.unpack(">H", trns[:2])
             if bit_depth == 16:
-                level = gray_level >> 8
-            elif bit_depth == 8:
-                level = gray_level & 0xFF
+                alpha = np.where(gray == gray_level, 0, 255) \
+                    .astype(np.uint8)
+                gray = (gray >> 8).astype(np.uint8)
             else:
-                level = (gray_level & ((1 << bit_depth) - 1)) \
-                    * (255 // ((1 << bit_depth) - 1))
-            alpha = np.where(gray == level, 0, 255).astype(np.uint8)
+                if bit_depth == 8:
+                    level = gray_level & 0xFF
+                else:
+                    level = (gray_level & ((1 << bit_depth) - 1)) \
+                        * (255 // ((1 << bit_depth) - 1))
+                alpha = np.where(gray == level, 0, 255).astype(np.uint8)
             return np.dstack([gray, alpha])
         return gray
+    if color_type == 2 and trns is not None:
+        # Truecolor tRNS: a 3x16-bit RGB key; pixels equal to the key in
+        # ALL three samples become fully transparent -> RGBA (previously
+        # silently ignored, returning an opaque image — ADVICE r4).
+        r_key, g_key, b_key = struct.unpack(">HHH", trns[:6])
+        if bit_depth == 16:
+            key = np.array([r_key, g_key, b_key], np.uint16)
+            alpha = np.where((img == key).all(axis=2), 0, 255) \
+                .astype(np.uint8)
+            img = (img >> 8).astype(np.uint8)
+        else:
+            key = np.array([r_key & 0xFF, g_key & 0xFF, b_key & 0xFF],
+                           np.uint8)
+            alpha = np.where((img == key).all(axis=2), 0, 255) \
+                .astype(np.uint8)
+        return np.dstack([img, alpha])
     return img
 
 

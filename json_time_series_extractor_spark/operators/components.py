@@ -148,8 +148,14 @@ def _connected_components_star(pairs: DataFrame, *, id_a: str, id_b: str,
              .where(F.col("u") != F.col("v"))
              .distinct()
              .localCheckpoint(eager=True))
-    # Isolated self-pairs (id_a == id_b) contribute no edges; every node
-    # in `pairs` with a real partner appears in `edges`.
+    # Self-pairs (id_a == id_b) contribute no edges, so a node appearing
+    # ONLY in self-pairs would vanish from the star output while the
+    # min-label path emits (node, node) for it. Record those isolated
+    # nodes up front and union them back at the end — the two algorithms
+    # advertise result-identity (ADVICE r4).
+    isolated = (pairs.where(F.col(id_a) == F.col(id_b))
+                .select(F.col(id_a).alias("node")).distinct()
+                .localCheckpoint(eager=True))
     for _ in range(max_iterations):
         after = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         # Converged when the edge sets match exactly (both directions of
@@ -163,7 +169,11 @@ def _connected_components_star(pairs: DataFrame, *, id_a: str, id_b: str,
                 .withColumn("component", F.col("node"))
             members = edges.select(F.col("u").alias("node"),
                                    F.col("v").alias("component"))
-            return members.unionByName(roots)
+            out = members.unionByName(roots)
+            lonely = (isolated.join(out.select("node"), "node",
+                                    "left_anti")
+                      .withColumn("component", F.col("node")))
+            return out.unionByName(lonely)
     edges.unpersist()
     raise RuntimeError(
         f"star connected-components did not converge in {max_iterations} "

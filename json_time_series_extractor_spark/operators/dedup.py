@@ -111,26 +111,74 @@ def minhash_signatures(docs: DataFrame, *, text_col: str = "text",
 
 
 def lsh_candidate_pairs(signatures: DataFrame, *, bands: int = 16,
-                        rows_per_band: Optional[int] = None) -> DataFrame:
+                        rows_per_band: Optional[int] = None,
+                        max_bucket_size: Optional[int] = None,
+                        observation=None) -> DataFrame:
     """Band the signatures and self-join on the band bucket.
 
     Output: distinct (id_a, id_b) with id_a < id_b. Shuffle key is
     (band_id, band_hash): hot buckets are real near-dup clusters, which is
-    inherent to LSH, not key skew.
+    inherent to LSH, not key skew — but at web scale a templated/
+    boilerplate cluster can put 10^5-10^6 members in ONE bucket, and the
+    self-join would emit B^2 pairs from it (10^10+ from a single bucket).
+
+    ``max_bucket_size`` bounds that: buckets with more than this many
+    members skip the self-join and instead emit STAR edges
+    (bucket-min, member) — linear in B and connected-components-
+    equivalent to the clique (every member still reaches the same
+    cluster), at the cost that downstream Jaccard verification sees each
+    capped member paired with the bucket representative only. ``None``
+    (default) keeps the exact all-pairs behavior.
+
+    Capping is never silent: pass a ``pyspark.sql.Observation`` as
+    ``observation`` and the action that consumes the pairs records
+    ``capped_buckets`` (buckets that overflowed) and ``total_buckets``
+    alongside the result.
     """
     banded = signatures.select(
         "doc_id",
         F.posexplode_outer(_band_hashes(F.col("signature"), bands))
         .alias("band_id", "band_hash"))
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (left.join(right,
-                      (F.col("l.band_id") == F.col("r.band_id"))
-                      & (F.col("l.band_hash") == F.col("r.band_hash"))
-                      & (F.col("l.doc_id") < F.col("r.doc_id")))
-            .select(F.col("l.doc_id").alias("id_a"),
-                    F.col("r.doc_id").alias("id_b"))
-            .distinct())
+    if max_bucket_size is not None:
+        if max_bucket_size < 2:
+            raise ValueError(
+                f"max_bucket_size must be >= 2, got {max_bucket_size}")
+        from pyspark.sql import Window
+        # One pass over the banded rows annotates each with its bucket
+        # size and representative (min id). The window shuffles on the
+        # SAME key the self-join needs, so the join below reuses the
+        # exchange; the mega-bucket's window task is a linear count/min,
+        # not a sort.
+        w = Window.partitionBy("band_id", "band_hash")
+        banded = (banded
+                  .withColumn("_bn", F.count(F.lit(1)).over(w))
+                  .withColumn("_rep", F.min("doc_id").over(w)))
+        if observation is not None:
+            is_rep = F.col("doc_id") == F.col("_rep")
+            banded = banded.observe(
+                observation,
+                F.sum((is_rep & (F.col("_bn") > max_bucket_size))
+                      .cast("long")).alias("capped_buckets"),
+                F.sum(is_rep.cast("long")).alias("total_buckets"))
+        small = banded.where(F.col("_bn") <= max_bucket_size)
+        star = (banded
+                .where((F.col("_bn") > max_bucket_size)
+                       & (F.col("doc_id") != F.col("_rep")))
+                .select(F.col("_rep").alias("id_a"),
+                        F.col("doc_id").alias("id_b")))
+    else:
+        small, star = banded, None
+    left = small.alias("l")
+    right = small.alias("r")
+    pairs = (left.join(right,
+                       (F.col("l.band_id") == F.col("r.band_id"))
+                       & (F.col("l.band_hash") == F.col("r.band_hash"))
+                       & (F.col("l.doc_id") < F.col("r.doc_id")))
+             .select(F.col("l.doc_id").alias("id_a"),
+                     F.col("r.doc_id").alias("id_b")))
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def _band_hashes(signature: Column, bands: int) -> Column:
@@ -149,12 +197,18 @@ def minhash_lsh_dedup_pairs(docs: DataFrame, *, text_col: str = "text",
                             id_col: str = "doc_id", num_hashes: int = 64,
                             bands: int = 16, shingle_n: int = 3,
                             threshold: float = 0.8,
-                            materialize: bool = True) -> DataFrame:
+                            materialize: bool = True,
+                            max_bucket_size: Optional[int] = None,
+                            observation=None) -> DataFrame:
     """Full near-dup pipeline: signatures -> LSH candidates -> exact
     Jaccard verify (>= threshold). Output: (id_a, id_b, jaccard).
 
     ``materialize`` persists the signature and shingle tables, which the
     self-join and verify stages each read twice (see :func:`_materialize`).
+    ``max_bucket_size``/``observation`` pass through to
+    :func:`lsh_candidate_pairs` (mega-bucket star capping + its metrics);
+    capped members are Jaccard-verified against the bucket representative
+    only.
     """
     if num_hashes % bands != 0 or bands > num_hashes:
         # _band_hashes slices rows = num_hashes/bands per band: a remainder
@@ -166,7 +220,9 @@ def minhash_lsh_dedup_pairs(docs: DataFrame, *, text_col: str = "text",
                               num_hashes=num_hashes, shingle_n=shingle_n)
     if materialize:
         sigs = _materialize(sigs)
-    cands = lsh_candidate_pairs(sigs, bands=bands)
+    cands = lsh_candidate_pairs(sigs, bands=bands,
+                                max_bucket_size=max_bucket_size,
+                                observation=observation)
     shingled = docs.select(F.col(id_col).alias("doc_id"),
                            word_shingles(F.col(text_col), shingle_n)
                            .alias("sh"))

@@ -349,6 +349,12 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, *,
     """
     _check_decode_stub(decode_stub, allowed=("fake", "real", "raise"))
     _check_on_error(on_error)
+    # Driver-side argument check: a nonpositive stride inside the kernel
+    # would raise a ValueError that on_error='null'/'skip' absorbs as if
+    # the BLOB were corrupt (ValueError is in _DATA_ERRORS) — a bad
+    # argument must fail fast instead (ADVICE r4).
+    if not isinstance(every_ms, int) or every_ms < 1:
+        raise ValueError(f"every_ms must be an int >= 1, got {every_ms!r}")
 
     def _real_frames(blob: bytes):
         from json_time_series_extractor_spark.operators.codecs import (

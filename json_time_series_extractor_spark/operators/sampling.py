@@ -27,6 +27,7 @@ can swap ``hash_fn`` the same way simhash does.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
@@ -85,7 +86,17 @@ def sample_per_group(df: DataFrame, group_cols: Sequence[str], n: int, *,
     survive the pre-filter, so ranking survivors selects exactly the
     same rows; otherwise the fallback ranks the full group. The cost of
     exactness is extra map-only passes over the input (counts + filter),
-    which parallelize perfectly — the straggler sort is gone."""
+    which parallelize perfectly — the straggler sort is gone.
+
+    Null semantics match the naive window too: a NULL group value is its
+    own stratum (groupBy already treats it so; every join here is
+    null-safe ``<=>``, so null groups flow through the count/pre-filter/
+    fallback machinery like any other), and a NULL ``key_col`` yields a
+    NULL rank which the window's default ``asc_nulls_first`` ordering
+    places ahead of every real rank — so null-key rows unconditionally
+    survive the pre-filter (they are the group's smallest ranks by
+    definition) and are selected exactly as the naive plan selects
+    them."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if safety <= 1.0:
@@ -93,6 +104,19 @@ def sample_per_group(df: DataFrame, group_cols: Sequence[str], n: int, *,
     gcols = list(group_cols)
     rank = hash_rank(F.col(key_col), seed)
     out_cols = df.columns
+
+    def nullsafe_on(right: DataFrame) -> Column:
+        """Join condition `df.g <=> right._g_i` for every group col —
+        plain `=` would silently drop null-group rows from the join."""
+        return functools.reduce(
+            lambda a, b: a & b,
+            [df[g].eqNullSafe(right[f"_g_{i}"])
+             for i, g in enumerate(gcols)])
+
+    def g_renamed(frame: DataFrame, extra: Sequence[str] = ()) -> DataFrame:
+        return frame.select(
+            *[F.col(g).alias(f"_g_{i}") for i, g in enumerate(gcols)],
+            *[F.col(c) for c in extra])
 
     # One row per group — materialize it (localCheckpoint) so the three
     # downstream references cost lookups, not three re-aggregations of
@@ -102,8 +126,11 @@ def sample_per_group(df: DataFrame, group_cols: Sequence[str], n: int, *,
               .withColumn("_thr", F.least(
                   F.lit(1.0), F.lit(float(safety) * n) / F.col("_gcnt")))
               .localCheckpoint(eager=True))
-    survivors = (df.join(F.broadcast(counts), gcols, "inner")
-                 .where(rank < F.col("_thr")))
+    counts_r = g_renamed(counts, ["_thr"])
+    survivors = (df.join(F.broadcast(counts_r), nullsafe_on(counts_r),
+                         "inner")
+                 .drop(*[f"_g_{i}" for i in range(len(gcols))])
+                 .where(rank.isNull() | (rank < F.col("_thr"))))
 
     # Both window functions share the group partitioning (one shuffle of
     # the ~safety*n survivors per group): the rank, and the group's
@@ -126,13 +153,16 @@ def sample_per_group(df: DataFrame, group_cols: Sequence[str], n: int, *,
                         & ((F.col("_scnt") >= n)
                            | (F.col("_thr") >= 1.0)))
                  .select(*out_cols))
-    satisfied = (ranked.where((F.col("_rn") == 1)
-                              & (F.col("_scnt") >= n))
-                 .select(*gcols))
-    bad = (counts.where(F.col("_thr") < 1.0)
-           .select(*gcols)
-           .join(satisfied, gcols, "left_anti"))
-    bad_rows = (df.join(F.broadcast(bad), gcols, "left_semi")
+    satisfied = g_renamed(ranked.where((F.col("_rn") == 1)
+                                       & (F.col("_scnt") >= n)))
+    anti_on = functools.reduce(
+        lambda a, b: a & b,
+        [counts[g].eqNullSafe(satisfied[f"_g_{i}"])
+         for i, g in enumerate(gcols)])
+    bad = g_renamed(counts.where(F.col("_thr") < 1.0)
+                    .join(satisfied, anti_on, "left_anti")
+                    .select(*gcols))
+    bad_rows = (df.join(F.broadcast(bad), nullsafe_on(bad), "left_semi")
                 .withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") <= n)
                 .select(*out_cols))

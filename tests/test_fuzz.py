@@ -347,3 +347,81 @@ def test_png_depth_matrix_roundtrip(w, h, combo, interlaced, seed):
         assert (out == (samples * (255 // maxv)).astype(np.uint8)).all()
     else:
         assert (out.reshape(samples.shape) == samples).all()
+
+
+def _hand_png(samples, depth, color_type, trns=None):
+    """Spec-straight PNG constructor (filter None rows), independent of
+    encode_png — mirrors test_png_depth_matrix_roundtrip's builder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = samples.shape[:2]
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    raw = bytearray()
+    flat2d = samples.reshape(h, -1)
+    for row in flat2d:
+        if depth == 16:
+            raw += b"\x00" + row.astype(">u2").tobytes()
+        else:
+            raw += b"\x00" + bytes(row.astype(np.uint8))
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth,
+                                         color_type, 0, 0, 0)))
+    if trns is not None:
+        blob += chunk(b"tRNS", trns)
+    return blob + chunk(b"IDAT", zlib.compress(bytes(raw))) \
+        + chunk(b"IEND", b"")
+
+
+def test_png_trns_truecolor_and_exact_16bit_match():
+    """tRNS on truecolor yields RGBA keyed on the EXACT RGB sample
+    triple, and 16-bit tRNS matching is exact in 16-bit space — a pixel
+    differing from the key only in the LOW byte stays opaque (ADVICE r4:
+    the key was previously compared on the high byte only, and truecolor
+    tRNS was silently ignored)."""
+    import struct
+
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.codecs import (
+        decode_png)
+
+    # Truecolor 8-bit, key (10, 20, 30): one exact-match pixel.
+    px8 = np.array([[[10, 20, 30], [10, 20, 31]],
+                    [[200, 20, 30], [10, 20, 30]]], np.uint8)
+    out = decode_png(_hand_png(px8, 8, 2,
+                               trns=struct.pack(">HHH", 10, 20, 30)))
+    assert out.shape == (2, 2, 4)
+    assert (out[:, :, :3] == px8).all()
+    assert out[:, :, 3].tolist() == [[0, 255], [255, 0]]
+
+    # Truecolor 16-bit, key (0x1234, 0x5678, 0x9ABC): the low-byte-only
+    # neighbor shares every HIGH byte with the key yet must stay opaque.
+    px16 = np.array([[[0x1234, 0x5678, 0x9ABC],
+                      [0x1235, 0x5678, 0x9ABC]]], np.uint16)
+    out = decode_png(_hand_png(px16, 16, 2,
+                               trns=struct.pack(">HHH", 0x1234, 0x5678,
+                                                0x9ABC)))
+    assert out.shape == (1, 2, 4)
+    assert (out[:, :, :3] == (px16 >> 8).astype(np.uint8)).all()
+    assert out[0, :, 3].tolist() == [0, 255]
+
+    # Grayscale 16-bit, key 0x8000: 0x80FF shares the high byte but is a
+    # different 16-bit sample -> opaque (the r4 high-byte compare marked
+    # it transparent).
+    g16 = np.array([[0x8000, 0x80FF, 0x7FFF]], np.uint16)
+    out = decode_png(_hand_png(g16, 16, 0,
+                               trns=struct.pack(">H", 0x8000)))
+    assert out.shape == (1, 3, 2)
+    assert out[0, :, 0].tolist() == [0x80, 0x80, 0x7F]
+    assert out[0, :, 1].tolist() == [0, 255, 255]
+
+    # No-tRNS truecolor 16-bit still returns plain RGB high bytes.
+    out = decode_png(_hand_png(px16, 16, 2))
+    assert out.shape == (1, 2, 3) and out.dtype == np.uint8

@@ -568,11 +568,15 @@ def test_star_components_match_minlabel_and_beat_diameter(spark):
         connected_components)
 
     # Mixed shapes: a chain, a dense clique-ish cluster, a pair, shuffled
-    # ids so component minima are not positional.
+    # ids so component minima are not positional. Self-pairs cover both
+    # flavors: node 300 appears ONLY as a self-pair (must still surface
+    # as its own singleton component — ADVICE r4), node 7 has a
+    # redundant self-pair on top of real edges.
     edges = ([(7, 3), (3, 19), (19, 42), (42, 8)]            # chain
              + [(100, 105), (105, 101), (101, 100), (103, 105)]  # dense
              + [(201, 200)]                                   # pair
-             + [(55, 56), (56, 57), (55, 57)])                # triangle
+             + [(55, 56), (56, 57), (55, 57)]                 # triangle
+             + [(300, 300), (7, 7)])                          # self-pairs
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     by_min = {r.node: r.component
               for r in connected_components(pairs).collect()}
@@ -580,6 +584,16 @@ def test_star_components_match_minlabel_and_beat_diameter(spark):
                for r in connected_components(
                    pairs, algorithm="star").collect()}
     assert by_star == by_min
+    assert by_star[300] == 300  # self-pair-only node is its own cluster
+
+    # Degenerate graph of ONLY self-pairs: every node is a singleton in
+    # both algorithms.
+    selfs = spark.createDataFrame([(9, 9), (4, 4)], "id_a long, id_b long")
+    for algo in ("minlabel", "star"):
+        got = {r.node: r.component
+               for r in connected_components(selfs,
+                                             algorithm=algo).collect()}
+        assert got == {9: 9, 4: 4}, algo
 
     # Diameter-40 chain: min-label needs 40 rounds (> its 25-round cap,
     # which raises by design); star converges in ~log rounds.
@@ -1164,6 +1178,87 @@ def test_gif_animation_frames_and_real_video_sampling(spark):
                             decode_stub="real").collect()
 
 
+def test_lsh_mega_bucket_cap_linear_and_component_equivalent(spark):
+    """A 10^4-member near-dup cluster (every doc identical) lands in one
+    bucket per band; uncapped it would emit ~5*10^7 pairs. With a cap the
+    bucket emits (bucket-min, member) star edges instead — LINEAR in the
+    cluster size, same connected components — and the Observation
+    records exactly how many buckets were capped (no silent truncation).
+    VERDICT r4 'What's wrong #2'."""
+    from pyspark.sql import Observation
+
+    from json_time_series_extractor_spark.operators.components import (
+        connected_components)
+    from json_time_series_extractor_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures)
+
+    big = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate template page text repeated "
+              "across the whole mirror").alias("text"))
+    sigs = minhash_signatures(big).persist()
+    obs = Observation("lsh_cap")
+    pairs = lsh_candidate_pairs(sigs, max_bucket_size=100,
+                                observation=obs)
+    # Star edges: (0, m) for every other member, deduped across bands.
+    assert pairs.count() == 9_999
+    got = obs.get
+    assert got["capped_buckets"] == 16 and got["total_buckets"] == 16
+    comps = connected_components(pairs)
+    assert comps.count() == 10_000
+    assert comps.select("component").distinct().count() == 1
+
+    # Below the cap the output is EXACTLY the uncapped pair set, and the
+    # observation shows zero capped buckets.
+    # Clusters use fully disjoint vocabularies so no cross-cluster band
+    # ever collides (members within a cluster are identical).
+    small = spark.createDataFrame(
+        [(c * 100 + i, " ".join(f"tok{c}x{j}" for j in range(12)))
+         for c in range(4) for i in range(10)],
+        "doc_id long, text string")
+    ssigs = minhash_signatures(small).persist()
+    base = {(r.id_a, r.id_b)
+            for r in lsh_candidate_pairs(ssigs).collect()}
+    obs2 = Observation("lsh_cap_small")
+    capped = {(r.id_a, r.id_b)
+              for r in lsh_candidate_pairs(ssigs, max_bucket_size=20,
+                                           observation=obs2).collect()}
+    assert capped == base and len(base) == 4 * 45
+    assert obs2.get["capped_buckets"] == 0
+
+    # A cap BELOW the cluster size changes the pair set (star edges) but
+    # never the components.
+    tight = lsh_candidate_pairs(ssigs, max_bucket_size=5)
+    by_star = {r.node: r.component
+               for r in connected_components(tight).collect()}
+    by_full = {r.node: r.component
+               for r in connected_components(
+                   spark.createDataFrame(sorted(base),
+                                         "id_a long, id_b long")).collect()}
+    assert by_star == by_full
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_bucket_size"):
+        lsh_candidate_pairs(ssigs, max_bucket_size=1)
+    sigs.unpersist()
+    ssigs.unpersist()
+
+
+def test_sample_video_frames_rejects_bad_stride(spark):
+    """A nonpositive (or non-int) every_ms fails fast driver-side rather
+    than surfacing as a per-blob 'data error' the corrupt-blob policy
+    would absorb (ADVICE r4)."""
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.multimodal import (
+        sample_video_frames, synthesize_media)
+
+    media = synthesize_media(spark, 3, kind="video")
+    for bad in (0, -500, 2.5):
+        with _pytest.raises(ValueError, match="every_ms"):
+            sample_video_frames(media, every_ms=bad, on_error="null")
+
+
 def test_deterministic_sampling_is_partition_invariant(spark):
     """The keyed sample selects the same rows regardless of layout, and
     the per-group variant enforces exact caps deterministically."""
@@ -1260,6 +1355,36 @@ def test_sample_per_group_fallback_is_exact(spark):
             for r in _naive_per_group(docs, ["lang"], 5, 7).collect()}
     assert got == want
     assert sum(1 for _, g in got if g == "xx") == 5
+
+
+def test_sample_per_group_null_groups_and_keys(spark):
+    """NULL group values form their own stratum and NULL keys rank first
+    (asc_nulls_first), exactly as the naive window treats them — the r4
+    plan's plain equi-joins silently dropped both (ADVICE r4, medium).
+    One null key per group keeps the tie order deterministic; several
+    null keys in one group tie in BOTH plans identically-undefined."""
+    from json_time_series_extractor_spark.operators.sampling import (
+        sample_per_group)
+
+    rows = ([(i, None) for i in range(30)]            # big NULL-lang group
+            + [(None, None)]                          # null key in it
+            + [(100 + i, "en") for i in range(20)]    # big named group
+            + [(None, "en")]                          # null key in it
+            + [(200 + i, "fr") for i in range(3)])    # group smaller than n
+    docs = spark.createDataFrame(rows, "doc_id long, lang string") \
+        .repartition(8)
+    got = {(r.doc_id, r.lang)
+           for r in sample_per_group(docs, ["lang"], 5, seed=7,
+                                     safety=2.0).collect()}
+    want = {(r.doc_id, r.lang)
+            for r in _naive_per_group(docs, ["lang"], 5, 7).collect()}
+    assert got == want
+    # The null-key rows are each group's smallest rank -> always kept.
+    assert (None, None) in got and (None, "en") in got
+    by_group = {}
+    for _, g in got:
+        by_group[g] = by_group.get(g, 0) + 1
+    assert by_group == {None: 5, "en": 5, "fr": 3}
 
 
 def test_dedup_incremental_exact_and_minhash(spark):
