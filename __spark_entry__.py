@@ -703,6 +703,50 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "quality_score")
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (duplicate-line/paragraph
+    fractions, top-2/3-gram character share) under full value check.
+
+    The synthetic corpus has no newlines, so the query first gives every
+    document a deterministic line/paragraph structure the oracle can
+    reproduce exactly: tokens re-chunk into 3-token lines, lines whose
+    length is divisible by 3 are doubled (genuine duplicate lines),
+    5-line paragraphs, and every 4th document repeats its first
+    paragraph. The signals then run over that structured text — so every
+    fraction exercises real duplicate content, not degenerate zeros."""
+    from json_time_series_extractor_spark.operators.textstats import (
+        with_repetition_signals)
+
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    n = F.size(toks)
+    empty = F.array().cast("array<string>")
+    lines0 = F.when(n >= 1, F.transform(
+        F.sequence(F.lit(0), F.ceil(n / F.lit(3.0)).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 3 + 1, 3)))) \
+        .otherwise(empty)
+    lines = F.flatten(F.transform(
+        lines0,
+        lambda x: F.when(F.length(x) % 3 == 0,
+                         F.array(x, x)).otherwise(F.array(x))))
+    nl_count = F.size(lines)
+    paras0 = F.when(nl_count >= 1, F.transform(
+        F.sequence(F.lit(0),
+                   F.ceil(nl_count / F.lit(5.0)).cast("int") - 1),
+        lambda j: F.concat_ws("\n", F.slice(lines, j * 5 + 1, 5)))) \
+        .otherwise(empty)
+    paras = F.when((F.col("doc_id") % 4 == 0) & (F.size(paras0) > 0),
+                   F.concat(F.slice(paras0, 1, 1), paras0)) \
+        .otherwise(paras0)
+    structured = _docs(spark, sf_dir).select(
+        "doc_id", F.concat_ws("\n\n", paras).alias("text"))
+    out = with_repetition_signals(structured).select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "top_2gram_char_frac", "top_3gram_char_frac")
+    return _quant6(out, "dup_line_frac", "dup_line_char_frac",
+                   "dup_para_frac", "top_2gram_char_frac",
+                   "top_3gram_char_frac")
+
+
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic marker-word language ID with deterministic tie-break."""
     return with_lang_id(_docs(spark, sf_dir)).select(
@@ -1229,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_extract_rollup": q_pages_extract_rollup,
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
+        "doc_repetition": q_doc_repetition,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "html_text_extract": q_html_text_extract,
@@ -1538,6 +1583,128 @@ SELECT doc_id, n_chars_calc, n_tokens,
            + (CASE WHEN punct_ratio < 0.1 THEN 1.0 ELSE 0.0 END) * 0.2)
            * 1000000 + 0.5) AS BIGINT) AS quality_score
 FROM r
+""",
+        # doc_repetition: rebuild the SAME deterministic line/paragraph
+        # structure (3-token lines, mod-3-length line doubling, 5-line
+        # paragraphs, first-paragraph repeat on doc_id%4==0), then
+        # recompute every repetition signal from first principles —
+        # duplicate fractions from list_distinct, top n-gram share from
+        # an unnest+group-by mode with the same count-desc/gram-asc
+        # tie-break the Spark fold's sorted-run scan implies.
+        "doc_repetition": """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+               AS toks
+    FROM documents),
+l0 AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 1 THEN list_transform(
+               generate_series(0, CAST(ceil(len(toks) / 3.0) AS INT) - 1),
+               i -> array_to_string(toks[i*3+1:i*3+3], ' '))
+           ELSE [] END AS lines0
+    FROM t),
+l AS (
+    SELECT doc_id,
+           flatten(list_transform(lines0,
+               x -> CASE WHEN length(x) % 3 = 0 THEN [x, x]
+                         ELSE [x] END)) AS lines
+    FROM l0),
+p0 AS (
+    SELECT doc_id, lines,
+           CASE WHEN len(lines) >= 1 THEN list_transform(
+               generate_series(0, CAST(ceil(len(lines) / 5.0) AS INT) - 1),
+               j -> array_to_string(lines[j*5+1:j*5+5], chr(10)))
+           ELSE [] END AS paras0
+    FROM l),
+base AS (
+    SELECT doc_id, lines,
+           CASE WHEN doc_id % 4 = 0 AND len(paras0) > 0
+                THEN list_concat([paras0[1]], paras0)
+                ELSE paras0 END AS paras
+    FROM p0),
+nl AS (
+    -- Line metrics recover lines from the FINAL text (so the repeated
+    -- first paragraph's lines count twice, exactly as the operator's
+    -- split of the structured text sees them).
+    SELECT doc_id, paras,
+           array_to_string(paras, chr(10) || chr(10)) AS txt,
+           list_filter(list_transform(
+               string_split(array_to_string(paras, chr(10) || chr(10)),
+                            chr(10)),
+               x -> trim(x)), x -> x <> '') AS lines
+    FROM base),
+tk AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(txt), '\\s+'),
+                       x -> x <> '') AS tk2
+    FROM nl),
+g2 AS (
+    SELECT doc_id, array_to_string(tk2[CAST(i AS INT):CAST(i AS INT)+1],
+                                   ' ') AS g
+    FROM tk, unnest(generate_series(1, len(tk2) - 1)) AS u(i)
+    WHERE len(tk2) >= 2),
+top2 AS (
+    SELECT doc_id, cnt * length(g) AS cov
+    FROM (SELECT doc_id, g, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY count(*) DESC, g) AS rn
+          FROM g2 GROUP BY doc_id, g)
+    WHERE rn = 1),
+g3 AS (
+    SELECT doc_id, array_to_string(tk2[CAST(i AS INT):CAST(i AS INT)+2],
+                                   ' ') AS g
+    FROM tk, unnest(generate_series(1, len(tk2) - 2)) AS u(i)
+    WHERE len(tk2) >= 3),
+top3 AS (
+    SELECT doc_id, cnt * length(g) AS cov
+    FROM (SELECT doc_id, g, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY count(*) DESC, g) AS rn
+          FROM g3 GROUP BY doc_id, g)
+    WHERE rn = 1),
+m AS (
+    SELECT n.doc_id,
+           len(n.lines) AS n_lines,
+           CASE WHEN len(n.lines) > 0
+                THEN (len(n.lines) - len(list_distinct(n.lines)))
+                     / CAST(len(n.lines) AS DOUBLE)
+                ELSE 0.0 END AS dup_line_frac,
+           COALESCE(list_aggregate(
+               list_transform(n.lines, x -> length(x)), 'sum'), 0)
+               AS line_chars,
+           COALESCE(list_aggregate(
+               list_transform(list_distinct(n.lines), x -> length(x)),
+               'sum'), 0) AS uniq_chars,
+           CASE WHEN len(n.paras) > 0
+                THEN (len(n.paras) - len(list_distinct(n.paras)))
+                     / CAST(len(n.paras) AS DOUBLE)
+                ELSE 0.0 END AS dup_para_frac,
+           length(n.txt) AS n_chars,
+           COALESCE(t2.cov, 0) AS cov2,
+           COALESCE(t3.cov, 0) AS cov3
+    FROM nl n
+    LEFT JOIN top2 t2 ON n.doc_id = t2.doc_id
+    LEFT JOIN top3 t3 ON n.doc_id = t3.doc_id)
+SELECT doc_id, n_lines,
+       CAST(floor(dup_line_frac * 1000000 + 0.5) AS BIGINT)
+           AS dup_line_frac,
+       CAST(floor((CASE WHEN line_chars > 0
+                        THEN (line_chars - uniq_chars)
+                             / CAST(line_chars AS DOUBLE)
+                        ELSE 0.0 END) * 1000000 + 0.5) AS BIGINT)
+           AS dup_line_char_frac,
+       CAST(floor(dup_para_frac * 1000000 + 0.5) AS BIGINT)
+           AS dup_para_frac,
+       CAST(floor((CASE WHEN n_chars > 0
+                        THEN cov2 / CAST(n_chars AS DOUBLE)
+                        ELSE 0.0 END) * 1000000 + 0.5) AS BIGINT)
+           AS top_2gram_char_frac,
+       CAST(floor((CASE WHEN n_chars > 0
+                        THEN cov3 / CAST(n_chars AS DOUBLE)
+                        ELSE 0.0 END) * 1000000 + 0.5) AS BIGINT)
+           AS top_3gram_char_frac
+FROM m
 """,
         "doc_lang_id": """
 WITH s AS (

@@ -7,6 +7,8 @@ workers anywhere. Each function adds columns to a documents DataFrame
 Operators:
 - token counting (whitespace + a BPE-ish regex variant),
 - quality scoring (length / punctuation / stopword / word-length signals),
+- Gopher-style repetition filters (duplicate line/paragraph fractions,
+  top n-gram character share — Rae et al. 2021 §A1.1),
 - language ID (marker-word n-gram heuristic with deterministic tie-break),
 - document fingerprinting (normalized md5 + a shingle-based rolling hash).
 """
@@ -97,6 +99,107 @@ def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for lang, score in scores.items():
         out = out.withColumn(f"lang_score_{lang}", score)
     return out.withColumn("lang_pred", pred)
+
+
+def _line_char_sum(lines: Column) -> Column:
+    """Total characters across an array of strings (pure fold)."""
+    return F.aggregate(lines, F.lit(0).cast("long"),
+                       lambda acc, x: acc + F.length(x))
+
+
+def _dup_fraction(parts: Column) -> Column:
+    """(len - distinct len) / len over an array; 0 for empty arrays."""
+    n = F.size(parts)
+    return F.when(n > 0,
+                  (n - F.size(F.array_distinct(parts)))
+                  / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def _dup_char_fraction(parts: Column) -> Column:
+    """Fraction of characters in repeat occurrences beyond each part's
+    first appearance; 0 when the array is empty or all-empty."""
+    total = _line_char_sum(parts)
+    uniq = _line_char_sum(F.array_distinct(parts))
+    return F.when(total > 0,
+                  (total - uniq) / total.cast("double")) \
+        .otherwise(F.lit(0.0))
+
+
+def top_ngram_char_fraction(text: Column, n: int) -> Column:
+    """Fraction of the document's characters covered by its most frequent
+    word ``n``-gram: count(top gram) * len(top gram) / len(text) — the
+    Gopher repetition signal (Rae et al. 2021, table A1). Ties break to
+    the lexicographically smallest gram (deterministic; the count and
+    gram length are what matter). Documents shorter than ``n`` tokens
+    score 0.
+
+    Pure expression: the gram array is sorted and a single ``aggregate``
+    fold tracks the longest equal-run — no explode, no per-doc shuffle;
+    at 10^12 docs this stays a map-only pass like the other signals."""
+    toks = tokens(F.lower(text))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    zero = F.struct(F.lit("").alias("prev"),
+                    F.lit(0).alias("run"),
+                    F.lit(0).alias("best"),
+                    F.lit("").alias("bestg"))
+
+    def step(acc: Column, x: Column) -> Column:
+        newrun = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = newrun > acc["best"]
+        return F.struct(
+            x.alias("prev"), newrun.alias("run"),
+            F.when(better, newrun).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["bestg"]).alias("bestg"))
+
+    top = F.aggregate(F.array_sort(grams), zero, step)
+    n_chars = F.length(text)
+    return F.when(
+        (n_chars > 0) & (top["best"] > 0),
+        (top["best"] * F.length(top["bestg"])) / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def with_repetition_signals(docs: DataFrame,
+                            text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1) — the
+    first-pass quality gates of a pretraining pipeline, next to
+    :func:`with_quality_score`. All pure Column expressions (zero
+    Python, map-only at any scale):
+
+    - ``n_lines`` — nonempty trimmed lines (split on ``\\n``);
+    - ``dup_line_frac`` — fraction of line slots occupied by repeats of
+      an earlier identical line;
+    - ``dup_line_char_frac`` — fraction of line characters in those
+      repeats (long duplicated lines weigh more);
+    - ``dup_para_frac`` — same repeat fraction over paragraphs (split on
+      blank lines, ``\\n{2,}``);
+    - ``top_2gram_char_frac`` / ``top_3gram_char_frac`` — characters
+      covered by the most frequent word 2-/3-gram over total characters.
+
+    Typical Gopher cut-offs: drop docs with dup_line_frac > 0.30,
+    dup_para_frac > 0.30, top_2gram_char_frac > 0.20,
+    top_3gram_char_frac > 0.18."""
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "")
+    paras = F.filter(
+        F.transform(F.split(t, r"\n{2,}"), lambda x: F.trim(x)),
+        lambda x: x != "")
+    return (docs
+            .withColumn("n_lines", F.size(lines))
+            .withColumn("dup_line_frac", F.round(_dup_fraction(lines), 6))
+            .withColumn("dup_line_char_frac",
+                        F.round(_dup_char_fraction(lines), 6))
+            .withColumn("dup_para_frac", F.round(_dup_fraction(paras), 6))
+            .withColumn("top_2gram_char_frac",
+                        F.round(top_ngram_char_fraction(t, 2), 6))
+            .withColumn("top_3gram_char_frac",
+                        F.round(top_ngram_char_fraction(t, 3), 6)))
 
 
 def normalized_fingerprint(text: Column) -> Column:

@@ -1178,6 +1178,36 @@ def test_gif_animation_frames_and_real_video_sampling(spark):
                             decode_stub="real").collect()
 
 
+def test_repetition_signals_hand_computed(spark):
+    """Gopher repetition filters against hand-counted expectations,
+    including the top-n-gram lexicographic tie-break and the empty-text
+    degenerate."""
+    from json_time_series_extractor_spark.operators.textstats import (
+        with_repetition_signals)
+
+    text = ("aaa bbb\naaa bbb\nccc\n\n"
+            "aaa bbb\naaa bbb\nccc\n\nddd")
+    docs = spark.createDataFrame([(1, text), (2, "")],
+                                 "doc_id long, text string")
+    rows = {r.doc_id: r for r in with_repetition_signals(docs).collect()}
+    r1 = rows[1]
+    # 7 line slots, 3 distinct -> 4/7; chars 4*7+2*3+3=37, distinct 13.
+    assert r1.n_lines == 7
+    assert r1.dup_line_frac == round(4 / 7, 6)
+    assert r1.dup_line_char_frac == round(24 / 37, 6)
+    # paragraphs: [p, p, 'ddd'] -> 1/3.
+    assert r1.dup_para_frac == round(1 / 3, 6)
+    # tokens: aaa bbb aaa bbb ccc aaa bbb aaa bbb ccc ddd.
+    # top bigram 'aaa bbb' x4 (len 7); top trigram ties at 2 -> the
+    # lexicographically smallest 'aaa bbb aaa' (len 11) wins.
+    assert r1.top_2gram_char_frac == round(4 * 7 / len(text), 6)
+    assert r1.top_3gram_char_frac == round(2 * 11 / len(text), 6)
+    r2 = rows[2]
+    assert (r2.n_lines, r2.dup_line_frac, r2.dup_line_char_frac,
+            r2.dup_para_frac, r2.top_2gram_char_frac,
+            r2.top_3gram_char_frac) == (0, 0.0, 0.0, 0.0, 0.0, 0.0)
+
+
 def test_lsh_mega_bucket_cap_linear_and_component_equivalent(spark):
     """A 10^4-member near-dup cluster (every doc identical) lands in one
     bucket per band; uncapped it would emit ~5*10^7 pairs. With a cap the
