@@ -1107,6 +1107,90 @@ def q_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quant6(out, "sum_value")
 
 
+def q_streaming_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming t-digest tier under oracle check — the one previously
+    pytest-only tier, now driven through a REAL file-source micro-batch
+    run inside the harness.
+
+    The events feed splits into an on-time file and a late file (late
+    rows arrive a microbatch later but within the 2h watermark), plus a
+    far-future '_flush' sentinel row in the last file that advances the
+    watermark past every real window — so append mode deterministically
+    emits ALL real (series, hour) windows and ONLY those (the sentinel's
+    own window never closes). Each streamed sketch is then compared
+    BIT-EXACTLY to the batch rollup_tdigest sketch of the same bucket
+    in-query; the oracle recomputes the exact per-window count/min/max
+    in SQL and pins the booleans TRUE — so a watermark regression, a
+    dropped/duplicated window, or any sketch drift flips the row red."""
+    import os
+    import shutil
+    from datetime import timedelta
+
+    from json_time_series_extractor_spark.operators.tdigest import (
+        rollup_tdigest)
+    from json_time_series_extractor_spark.streaming.stream import (
+        streaming_tdigest)
+
+    samples = _event_samples(spark, sf_dir)
+    tag = "".join(c if c.isalnum() else "_"
+                  for c in os.path.basename(sf_dir.rstrip("/")))
+    base = f"/tmp/jtse_stream_td_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    on_time = samples.where("pmod(hash(series_key, ts), 5) != 0")
+    late = samples.where("pmod(hash(series_key, ts), 5) = 0")
+    flush_ts = samples.agg(F.max("ts")).first()[0] + timedelta(days=365)
+    flush = spark.createDataFrame(
+        [("_flush", flush_ts, 0.0)],
+        "series_key string, ts timestamp, value_double double")
+    on_time.coalesce(1).write.parquet(base + "/src/f1")
+    late.unionByName(flush).coalesce(1).write.parquet(base + "/src/f2")
+
+    stream = (spark.readStream
+              .schema("series_key string, ts timestamp, "
+                      "value_double double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(base + "/src/*"))
+    sink = f"td_stream_oracle_{tag}"
+    q = (streaming_tdigest(stream, tier="1 hour", watermark="2 hours",
+                           delta=100)
+         .writeStream.outputMode("append").format("memory")
+         .queryName(sink)
+         .option("checkpointLocation", base + "/ckpt").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.table(sink).localCheckpoint(eager=True)
+
+    batch = rollup_tdigest(samples, "1 hour", delta=100)
+    s, b = streamed.alias("s"), batch.alias("b")
+    out = (s.join(b, ["series_key", "bucket_ts"], "left")
+           .select("series_key", "bucket_ts",
+                   F.col("s.cnt").alias("cnt"),
+                   F.col("s.vmin").alias("vmin"),
+                   F.col("s.vmax").alias("vmax"),
+                   (F.col("b.cnt").isNotNull()
+                    & (F.col("s.means") == F.col("b.means"))
+                    & (F.col("s.weights") == F.col("b.weights"))
+                    & (F.col("s.cnt") == F.col("b.cnt"))
+                    & (F.col("s.vmin") == F.col("b.vmin"))
+                    & (F.col("s.vmax") == F.col("b.vmax")))
+                   .alias("sketch_matches_batch")))
+    return _quant6(out, "vmin", "vmax")
+
+
+_ORACLE_STREAMING_TDIGEST = """
+SELECT event_type AS series_key,
+       date_trunc('hour', ts) AS bucket_ts,
+       CAST(count(value) AS BIGINT) AS cnt,
+       CAST(floor(min(value) * 1000000 + 0.5) AS BIGINT) AS vmin,
+       CAST(floor(max(value) * 1000000 + 0.5) AS BIGINT) AS vmax,
+       TRUE AS sketch_matches_batch
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: deterministic fake image decode over binary
     blobs via mapInPandas; features are sha256-derived so the oracle can
@@ -1259,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d_salted": q_rollup_1d_salted,
         "rollup_percentiles": q_rollup_percentiles,
         "rollup_tdigest": q_rollup_tdigest,
+        "streaming_tdigest": q_streaming_tdigest,
         "counter_rate": q_counter_rate,
         "rollup_histogram": q_rollup_histogram,
         "time_weighted_avg": q_time_weighted_avg,
@@ -1352,6 +1437,7 @@ FROM base
         "rollup_1h_cascade": _ORACLE_ROLLUP_TIER.format(unit="hour"),
         "rollup_1d_salted": _ORACLE_ROLLUP_TIER.format(unit="day"),
         "rollup_tdigest": _ORACLE_ROLLUP_TDIGEST,
+        "streaming_tdigest": _ORACLE_STREAMING_TDIGEST,
         "rollup_percentiles": """
 SELECT event_type AS series_key,
        date_trunc('hour', ts) AS bucket_ts,
