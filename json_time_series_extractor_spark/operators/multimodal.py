@@ -104,6 +104,34 @@ def attach_media_metadata(df: DataFrame, blob_col: str = "media",
         F.length(F.col(blob_col)).cast("long").alias("size_bytes")))
 
 
+def _real_decode_pixels(blob: bytes) -> tuple:
+    """Sniff + decode via the pure-Python codecs -> (fmt, pixel array).
+
+    The shared real-decode entry for feature extraction and pixel
+    hashing; PIL/opencv extend this one call site to the remaining
+    formats (WebP, AVIF, ...)."""
+    from json_time_series_extractor_spark.operators.codecs import (
+        decode_bmp, decode_gif, decode_png, decode_ppm,
+        sniff_media_format)
+
+    fmt = sniff_media_format(blob)
+    if fmt == "ppm":
+        return fmt, decode_ppm(blob)
+    if fmt == "bmp":
+        return fmt, decode_bmp(blob)
+    if fmt == "png":
+        return fmt, decode_png(blob)
+    if fmt == "jpeg":
+        from json_time_series_extractor_spark.operators.jpeg import (
+            decode_jpeg)
+        return fmt, decode_jpeg(blob)
+    if fmt == "gif":
+        return fmt, decode_gif(blob)
+    raise NotImplementedError(
+        f"no dependency-free decoder for format {fmt!r}; PIL/"
+        "opencv plug in here (WebP, AVIF, ...)")
+
+
 def _fake_image_features(blob: bytes) -> tuple:
     """Deterministic stand-in for a real image decode: features derived
     from a sha256 of the bytes. Replaces PIL decode in this container."""
@@ -130,28 +158,9 @@ def extract_image_features(df: DataFrame, *, id_col: str = "media_id",
     """
     def _real_image_features(blob: bytes) -> tuple:
         from json_time_series_extractor_spark.operators.codecs import (
-            decode_bmp, decode_png, decode_ppm, image_features,
-            sniff_media_format)
+            image_features)
 
-        fmt = sniff_media_format(blob)
-        if fmt == "ppm":
-            pixels = decode_ppm(blob)
-        elif fmt == "bmp":
-            pixels = decode_bmp(blob)
-        elif fmt == "png":
-            pixels = decode_png(blob)
-        elif fmt == "jpeg":
-            from json_time_series_extractor_spark.operators.jpeg import (
-                decode_jpeg)
-            pixels = decode_jpeg(blob)
-        elif fmt == "gif":
-            from json_time_series_extractor_spark.operators.codecs import (
-                decode_gif)
-            pixels = decode_gif(blob)
-        else:
-            raise NotImplementedError(
-                f"no dependency-free decoder for format {fmt!r}; PIL/"
-                "opencv plug in here (WebP, AVIF, ...)")
+        _fmt, pixels = _real_decode_pixels(blob)
         w, h, c, luma, phash = image_features(pixels)
         return w, h, c, luma, phash
 
@@ -183,6 +192,60 @@ def extract_image_features(df: DataFrame, *, id_col: str = "media_id",
             yield feats
 
     return df.select(id_col, blob_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+PIXEL_HASH_SCHEMA = ("media_id long, fmt string, width int, height int, "
+                     "n_channels int, pix_sha string")
+
+
+def image_pixel_hashes(df: DataFrame, *, id_col: str = "media_id",
+                       blob_col: str = "media",
+                       on_error: str = "raise") -> DataFrame:
+    """REAL decode -> canonical pixel hash, via Arrow-batched
+    ``mapInPandas`` (map-only; scales like any per-blob kernel).
+
+    The canonical hash is ``sha256("h|w|c|" + row-major uint8 bytes)``
+    of the decoder's documented output array (2-D grayscale hashes as
+    c=1). This is the contract the spec-constructed conformance fixture
+    (tools/build_conformance_fixture.py) stamps INDEPENDENTLY from its
+    a-priori sample arrays — the `media_conformance` oracle row compares
+    the two, proving decoder-vs-spec correctness rather than
+    decoder-vs-itself stability. Also useful at corpus scale for exact
+    pixel-level dedup of re-encoded images (same pixels, different
+    container bytes)."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    _check_on_error(on_error)
+
+    def _kernel(blob: bytes) -> tuple:
+        fmt, pixels = _real_decode_pixels(blob)
+        arr = np.ascontiguousarray(pixels, np.uint8)
+        h, w = arr.shape[:2]
+        c = 1 if arr.ndim == 2 else arr.shape[2]
+        dig = _hashlib.sha256(
+            b"%d|%d|%d|" % (h, w, c) + arr.tobytes()).hexdigest()
+        return fmt, w, h, c, dig
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rows = [], []
+            for mid, b in zip(pdf[id_col], pdf[blob_col]):
+                ok, out = _guard(_kernel, bytes(b), on_error)
+                if ok:
+                    ids.append(mid)
+                    rows.append(out)
+                elif on_error == "null":
+                    ids.append(mid)
+                    rows.append((None, None, None, None, None))
+            res = pd.DataFrame(rows, columns=["fmt", "width", "height",
+                                              "n_channels", "pix_sha"])
+            res.insert(0, "media_id",
+                       pd.Series(ids, dtype=pdf[id_col].dtype))
+            yield res
+
+    return df.select(id_col, blob_col).mapInPandas(run, PIXEL_HASH_SCHEMA)
 
 
 RESIZED_SCHEMA = ("media_id long, media binary, width int, height int, "

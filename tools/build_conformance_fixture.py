@@ -1,0 +1,623 @@
+"""Build tests/fixtures/media_conformance.parquet — INDEPENDENT codec
+ground truth (round-5 verdict item 1).
+
+The existing `media_real_decode` fixture is self-referential: blobs are
+encoded by this repo's codecs and expectations stamped by this repo's
+decoders, so a symmetric encoder/decoder bug (mirrored zigzag, mirrored
+filter) stays green. This fixture closes that gap the only way an
+offline sandbox allows: every blob below is assembled BYTE-BY-BYTE from
+the published format specifications —
+
+  * PNG    — W3C PNG spec (chunk layout, §9 filters, Adam7 §8.2,
+             tRNS §11.3.2); compression via stdlib zlib (independent).
+  * JPEG   — ITU-T T.81 (baseline SOF0 marker layout, Annex C canonical
+             Huffman code generation, Annex F entropy coding). Vectors
+             are DC-only so every decoded pixel is integer-exact
+             (IDCT of a DC-only block is flat dc*q/8; neutral chroma
+             makes YCbCr->RGB the identity on Y) — no rounding-
+             convention ambiguity can hide a bug.
+  * GIF    — GIF89a spec (LSD, GCE transparency, interlace row order,
+             Appendix-F LZW written fresh here).
+  * BMP    — BITMAPINFOHEADER, bottom-up AND top-down, row padding.
+  * PPM    — netpbm P6 with comment/whitespace header variations.
+
+— and every EXPECTATION (width/height/channels/pixel-sha) is computed
+from the a-priori sample arrays the blobs were built FROM. Nothing in
+this file imports the repo package (tests/test_conformance.py asserts
+that), so the decoders cannot influence the expected values: the oracle
+row proves "decoder reproduces spec-constructed pixel data", not
+"decoder unchanged since fixture build".
+
+Deterministic (seeded rng, no wall clock). Re-run:
+
+    python tools/build_conformance_fixture.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+OUT = "/root/repo/tests/fixtures/media_conformance.parquet"
+SEED = 20260817
+
+# ---------------------------------------------------------------------------
+# Canonical pixel hash — the contract the Spark-side kernel reproduces:
+# sha256 over "h|w|c|" + row-major uint8 bytes of the decoder's documented
+# output array (2-D grayscale hashes as c=1).
+# ---------------------------------------------------------------------------
+
+
+def _sha(arr: np.ndarray) -> tuple:
+    a = np.ascontiguousarray(arr, np.uint8)
+    h, w = a.shape[:2]
+    c = 1 if a.ndim == 2 else a.shape[2]
+    dig = hashlib.sha256(b"%d|%d|%d|" % (h, w, c) + a.tobytes()).hexdigest()
+    return w, h, c, dig
+
+
+# ---------------------------------------------------------------------------
+# PNG — spec-level assembly
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _pack_row(samples, depth: int) -> bytes:
+    """One scanline of channel-flattened integer samples -> packed bytes
+    (sub-byte samples MSB-first, 16-bit big-endian) per PNG §7.2."""
+    if depth == 8:
+        return bytes(int(s) & 0xFF for s in samples)
+    if depth == 16:
+        return b"".join(struct.pack(">H", int(s)) for s in samples)
+    acc = nb = 0
+    out = bytearray()
+    for s in samples:
+        acc = (acc << depth) | (int(s) & ((1 << depth) - 1))
+        nb += depth
+        while nb >= 8:
+            out.append((acc >> (nb - 8)) & 0xFF)
+            nb -= 8
+            acc &= (1 << nb) - 1
+    if nb:
+        out.append((acc << (8 - nb)) & 0xFF)
+    return bytes(out)
+
+
+def _filter_row(prev: bytes, cur: bytes, bpp: int, ftype: int) -> bytes:
+    """Apply PNG filter `ftype` (spec §9) to one packed scanline."""
+    out = bytearray([ftype])
+    for i, x in enumerate(cur):
+        a = cur[i - bpp] if i >= bpp else 0
+        b = prev[i] if prev else 0
+        c = (prev[i - bpp] if prev else 0) if i >= bpp else 0
+        if ftype == 0:
+            v = x
+        elif ftype == 1:
+            v = x - a
+        elif ftype == 2:
+            v = x - b
+        elif ftype == 3:
+            v = x - (a + b) // 2
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            v = x - pred
+        out.append(v & 0xFF)
+    return bytes(out)
+
+
+def _rows_of(samples: np.ndarray):
+    """(h, w) or (h, w, ch) integer array -> per-row flattened sample
+    lists."""
+    if samples.ndim == 2:
+        return [list(map(int, r)) for r in samples]
+    return [list(map(int, r.reshape(-1))) for r in samples]
+
+
+def _png_seq(samples: np.ndarray, depth: int, color_type: int, filters,
+             *, palette=None, trns: bytes | None = None) -> bytes:
+    """Non-interlaced PNG; `filters` gives the per-row filter type."""
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    h, w = samples.shape[:2]
+    bpp = max(1, channels * depth // 8)
+    raw = bytearray()
+    prev = b""
+    for y, row in enumerate(_rows_of(samples)):
+        cur = _pack_row(row, depth)
+        raw += _filter_row(prev, cur, bpp, filters[y % len(filters)])
+        prev = cur
+    out = _PNG_SIG + _chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 0))
+    if palette is not None:
+        out += _chunk(b"PLTE", bytes(int(v) for v in palette.reshape(-1)))
+    if trns is not None:
+        out += _chunk(b"tRNS", trns)
+    return out + _chunk(b"IDAT", zlib.compress(bytes(raw))) \
+        + _chunk(b"IEND", b"")
+
+
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_adam7(samples: np.ndarray, depth: int, color_type: int,
+               filters) -> bytes:
+    """Adam7-interlaced PNG: each pass packed and filtered independently
+    (PNG §8.2) — exercises per-pass sub-byte re-padding."""
+    channels = {0: 1, 2: 3, 3: 1}[color_type]
+    h, w = samples.shape[:2]
+    bpp = max(1, channels * depth // 8)
+    raw = bytearray()
+    fi = 0
+    for x0, y0, dx, dy in _ADAM7:
+        sub = samples[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        prev = b""
+        for row in _rows_of(sub):
+            cur = _pack_row(row, depth)
+            raw += _filter_row(prev, cur, bpp, filters[fi % len(filters)])
+            prev = cur
+            fi += 1
+    return (_PNG_SIG
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth,
+                                          color_type, 0, 0, 1))
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
+# JPEG — ITU-T T.81 spec-level assembly, DC-only (integer-exact output)
+# ---------------------------------------------------------------------------
+
+#: DC table: 12 categories, all 5-bit codes (no all-ones code). AC table:
+#: EOB only, one 2-bit code. Canonical generation per T.81 Annex C.2.
+_DC_BITS = [0, 0, 0, 0, 12] + [0] * 11
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 1] + [0] * 14
+_AC_VALS = [0x00]
+
+
+def _huffcodes(bits, vals):
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitW:
+    """MSB-first bit writer with T.81 §B.1.1.5 byte stuffing and
+    1-padding on alignment."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, val: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)
+                self.acc = self.n = 0
+
+    def align(self) -> None:
+        if self.n:
+            self.bits((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _put_dc(bw: _BitW, codes, diff: int) -> None:
+    """T.81 F.1.2.1: category code then the low-order magnitude bits."""
+    if diff == 0:
+        bw.bits(*reversed(codes[0]))  # (len, code) -> bits(code, len)
+        return
+    s = abs(diff).bit_length()
+    ln, code = codes[s]
+    bw.bits(code, ln)
+    bw.bits(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) \
+        + payload
+
+
+def _jpeg_dc(w: int, h: int, layout: str, ydc: np.ndarray, *, q: int = 16,
+             dri: int = 0, comment: bytes | None = None) -> bytes:
+    """Hand-assembled baseline JPEG whose only nonzero coefficients are
+    luma DCs: decoded pixel == clip(128 + q*dc/8), chroma neutral.
+
+    layout: 'gray' | '444' | '420' (interleaved) | '444ni'
+    (one non-interleaved scan per component). ydc indexes the Y block
+    grid (row-major; for 420 the grid is 2x2 blocks per MCU)."""
+    color = layout != "gray"
+    out = bytearray(b"\xFF\xD8")                       # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00"          # APP0
+                + struct.pack(">HHBB", 1, 1, 0, 0))
+    if comment is not None:
+        out += _seg(0xFE, comment)                     # COM (skipped)
+    out += _seg(0xDB, bytes([0x00]) + bytes([q] * 64))  # DQT luma
+    if color:
+        out += _seg(0xDB, bytes([0x01]) + bytes([q] * 64))
+    if layout == "gray":
+        comps = [(1, 1, 1, 0)]
+    elif layout == "420":
+        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    else:
+        comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, ch, cv, tq in comps:
+        sof += bytes([cid, (ch << 4) | cv, tq])
+    out += _seg(0xC0, sof)                             # SOF0 baseline
+    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS)  # DHT DC class 0
+                + bytes(_DC_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS)  # DHT AC class 0
+                + bytes(_AC_VALS))
+    if dri:
+        out += _seg(0xDD, struct.pack(">H", dri))
+    dc_codes = _huffcodes(_DC_BITS, _DC_VALS)
+    ac_codes = _huffcodes(_AC_BITS, _AC_VALS)
+    eob_len, eob_code = ac_codes[0x00]
+
+    def block(bw: _BitW, pred: int, dc: int) -> int:
+        _put_dc(bw, dc_codes, dc - pred)
+        bw.bits(eob_code, eob_len)                     # EOB: ACs all zero
+        return dc
+
+    def sos(comp_ids) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])                 # Td=0, Ta=0
+        return _seg(0xDA, body + bytes([0, 63, 0]))    # Ss Se AhAl
+
+    if layout == "444ni":
+        # One full-spectral scan per component (T.81 non-interleaved).
+        bh, bw_ = -(-h // 8), -(-w // 8)
+        for cid, _, _, _ in comps:
+            out += sos([cid])
+            bw = _BitW()
+            pred = 0
+            for by in range(bh):
+                for bx in range(bw_):
+                    pred = block(bw, pred,
+                                 int(ydc[by, bx]) if cid == 1 else 0)
+            bw.align()
+            out += bw.buf
+    else:
+        out += sos([c[0] for c in comps])
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mw, mh = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+        bw = _BitW()
+        preds = {cid: 0 for cid, _, _, _ in comps}
+        rst = 0
+        for mi in range(mh * mw):
+            if dri and mi and mi % dri == 0:
+                bw.align()
+                bw.buf += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                preds = {cid: 0 for cid, _, _, _ in comps}
+            my, mx = divmod(mi, mw)
+            for cid, ch, cv, _ in comps:
+                for r in range(cv):
+                    for c in range(ch):
+                        dc = (int(ydc[my * cv + r, mx * ch + c])
+                              if cid == 1 else 0)
+                        preds[cid] = block(bw, preds[cid], dc)
+        bw.align()
+        out += bw.buf
+    out += b"\xFF\xD9"                                 # EOI
+    return bytes(out)
+
+
+def _jpeg_expected(w: int, h: int, layout: str, ydc: np.ndarray,
+                   q: int = 16) -> np.ndarray:
+    """A-priori decoded pixels: per-block flat 128 + q*dc/8, cropped."""
+    tiles = np.clip(128 + q * ydc.astype(np.int64) / 8, 0, 255) \
+        .astype(np.uint8)
+    ypix = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)[:h, :w]
+    if layout == "gray":
+        return ypix
+    return np.repeat(ypix[:, :, None], 3, axis=2)
+
+
+# ---------------------------------------------------------------------------
+# GIF — GIF89a spec-level assembly with a fresh Appendix-F LZW encoder
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw(data: bytes, min_code: int) -> bytes:
+    """Greedy LZW, LSB-first packing; width grows when the just-added
+    table entry's code reaches 1<<width (the GIF/giflib deferred rule)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    state = [0, 0]                                     # acc, nbits
+
+    def put(code: int, width: int) -> None:
+        state[0] |= code << state[1]
+        state[1] += width
+        while state[1] >= 8:
+            out.append(state[0] & 0xFF)
+            state[0] >>= 8
+            state[1] -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    nxt, width = eoi + 1, min_code + 1
+    put(clear, width)
+    cur = b""
+    for b in data:
+        cand = cur + bytes([b])
+        if cand in table:
+            cur = cand
+            continue
+        put(table[cur], width)
+        if nxt < 4096:
+            table[cand] = nxt
+            if nxt == (1 << width) and width < 12:
+                width += 1
+            nxt += 1
+        else:
+            put(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            nxt, width = eoi + 1, min_code + 1
+        cur = bytes([b])
+    if cur:
+        put(table[cur], width)
+    put(eoi, width)
+    if state[1]:
+        out.append(state[0] & 0xFF)
+    return bytes(out)
+
+
+def _gif_interlace_rows(h: int):
+    return ([*range(0, h, 8)] + [*range(4, h, 8)]
+            + [*range(2, h, 4)] + [*range(1, h, 2)])
+
+
+def _gif(idx: np.ndarray, palette: np.ndarray, *, interlace=False,
+         transparent=None, local=False) -> bytes:
+    h, w = idx.shape
+    n = len(palette)
+    assert n & (n - 1) == 0 and n >= 4
+    size_field = n.bit_length() - 2                    # 2 << s == n
+    pal = bytes(int(v) for v in palette.reshape(-1))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h,
+                       0 if local else (0x80 | size_field), 0, 0)
+    if not local:
+        out += pal
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0x00])
+    ipacked = (0x80 | size_field if local else 0) | (0x40 if interlace
+                                                     else 0)
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, ipacked)
+    if local:
+        out += pal
+    rows = idx[_gif_interlace_rows(h)] if interlace else idx
+    stream = bytes(int(v) for v in rows.reshape(-1))
+    min_code = max(2, size_field + 1)
+    out += bytes([min_code])
+    coded = _gif_lzw(stream, min_code)
+    for i in range(0, len(coded), 255):
+        sub = coded[i:i + 255]
+        out += bytes([len(sub)]) + sub
+    out += bytes([0x00, 0x3B])
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# BMP / PPM — trivial spec-level assembly
+# ---------------------------------------------------------------------------
+
+
+def _bmp(rgb: np.ndarray, *, top_down=False) -> bytes:
+    h, w = rgb.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    rows = rgb if top_down else rgb[::-1]
+    for row in rows:
+        line = bytearray()
+        for px in row:
+            line += bytes([int(px[2]), int(px[1]), int(px[0])])  # BGR
+        line += b"\x00" * (stride - len(line))
+        body += line
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h, 1,
+                       24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+def _ppm(rgb: np.ndarray) -> bytes:
+    h, w = rgb.shape[:2]
+    header = (b"P6\n# spec-constructed conformance vector\n"
+              + b"  %d\t%d\n# maxval next\n255\n" % (w, h))
+    return header + bytes(int(v) for v in rgb.reshape(-1))
+
+
+# ---------------------------------------------------------------------------
+# Vector construction
+# ---------------------------------------------------------------------------
+
+
+def _vectors(rng: np.random.Generator):
+    """Yield (fmt, note, blob, expected_array)."""
+    # --- PNG ---
+    g = rng.integers(0, 256, (7, 9))
+    yield ("png", "gray8 filters 0-4",
+           _png_seq(g, 8, 0, [0, 1, 2, 3, 4, 2, 4]), g)
+
+    rgb = rng.integers(0, 256, (6, 5, 3))
+    yield ("png", "rgb8 all-paeth", _png_seq(rgb, 8, 2, [4]), rgb)
+
+    rgba = rng.integers(0, 256, (5, 8, 4))
+    yield ("png", "rgba8 mixed filters",
+           _png_seq(rgba, 8, 6, [3, 4, 1, 2, 0]), rgba)
+
+    ga = rng.integers(0, 256, (6, 4, 2))
+    yield ("png", "gray-alpha average", _png_seq(ga, 8, 4, [3]), ga)
+
+    pal = rng.integers(0, 256, (5, 3))
+    idx = rng.integers(0, 5, (9, 11))
+    trns = bytes([0, 130, 255])                       # trailing opaque
+    alpha = np.array([0, 130, 255, 255, 255], np.uint8)[idx]
+    yield ("png", "palette8 + partial tRNS",
+           _png_seq(idx, 8, 3, [0, 2], palette=pal, trns=trns),
+           np.dstack([pal[idx].astype(np.uint8), alpha]))
+
+    g1 = rng.integers(0, 2, (5, 13))
+    yield ("png", "1-bit gray", _png_seq(g1, 1, 0, [0, 2]),
+           (g1 * 255).astype(np.uint8))
+
+    g2 = rng.integers(0, 4, (4, 7))
+    yield ("png", "2-bit gray", _png_seq(g2, 2, 0, [0]),
+           (g2 * 85).astype(np.uint8))
+
+    pal16 = rng.integers(0, 256, (16, 3))
+    idx4 = rng.integers(0, 16, (6, 10))
+    yield ("png", "4-bit palette", _png_seq(idx4, 4, 3, [0, 2],
+                                            palette=pal16),
+           pal16[idx4].astype(np.uint8))
+
+    g16 = rng.integers(0, 1 << 16, (5, 6))
+    yield ("png", "16-bit gray filters 0-4",
+           _png_seq(g16, 16, 0, [0, 1, 2, 3, 4]),
+           (g16 >> 8).astype(np.uint8))
+
+    # 16-bit gray tRNS: exact-16-bit key matching (the r4 ADVICE fix) —
+    # pixels sharing the key's HIGH byte but differing low bytes must
+    # stay opaque.
+    key = 0xAB40
+    gt = rng.integers(0, 1 << 16, (4, 5))
+    gt[0, 0] = gt[2, 3] = key                          # exact matches
+    gt[1, 1], gt[3, 4] = 0xAB41, 0xAB00                # high-byte twins
+    yield ("png", "16-bit gray tRNS low-byte discrimination",
+           _png_seq(gt, 16, 0, [0, 2], trns=struct.pack(">H", key)),
+           np.dstack([(gt >> 8).astype(np.uint8),
+                      np.where(gt == key, 0, 255).astype(np.uint8)]))
+
+    # Truecolor tRNS RGB key (the r4 ADVICE color-type-2 path).
+    rt = rng.integers(0, 256, (5, 7, 3))
+    rkey = (10, 200, 30)
+    rt[1, 2] = rt[4, 0] = rkey
+    rt[2, 2] = (10, 200, 31)                           # one channel off
+    amask = np.where((rt == np.array(rkey)).all(axis=2), 0, 255) \
+        .astype(np.uint8)
+    yield ("png", "truecolor tRNS key",
+           _png_seq(rt, 8, 2, [0, 1, 2],
+                    trns=struct.pack(">HHH", *rkey)),
+           np.dstack([rt.astype(np.uint8), amask]))
+
+    a7 = rng.integers(0, 256, (10, 9, 3))
+    yield ("png", "Adam7 rgb8", _png_adam7(a7, 8, 2, [0, 2]), a7)
+
+    a7g4 = rng.integers(0, 16, (9, 5))
+    yield ("png", "Adam7 4-bit gray (per-pass packing)",
+           _png_adam7(a7g4, 4, 0, [0, 2]),
+           (a7g4 * 17).astype(np.uint8))
+
+    # --- JPEG (DC-only, integer-exact) ---
+    d1 = np.array([[5]])
+    yield ("jpeg", "gray single 8x8 block",
+           _jpeg_dc(8, 8, "gray", d1), _jpeg_expected(8, 8, "gray", d1))
+
+    d2 = rng.integers(-60, 61, (3, 2))
+    yield ("jpeg", "gray 13x21 DC gradient (crop, DC prediction)",
+           _jpeg_dc(13, 21, "gray", d2),
+           _jpeg_expected(13, 21, "gray", d2))
+
+    d3 = rng.integers(-60, 61, (2, 3))
+    yield ("jpeg", "4:4:4 neutral chroma + COM marker",
+           _jpeg_dc(24, 16, "444", d3, comment=b"conformance"),
+           _jpeg_expected(24, 16, "444", d3))
+
+    d4 = rng.integers(-60, 61, (4, 4))
+    yield ("jpeg", "4:2:0 odd dims 18x20",
+           _jpeg_dc(18, 20, "420", d4),
+           _jpeg_expected(18, 20, "420", d4))
+
+    d5 = rng.integers(-60, 61, (4, 2))
+    yield ("jpeg", "4:2:0 restart interval 1 (DC pred reset)",
+           _jpeg_dc(16, 32, "420", d5, dri=1),
+           _jpeg_expected(16, 32, "420", d5))
+
+    d6 = rng.integers(-60, 61, (2, 2))
+    yield ("jpeg", "4:4:4 non-interleaved (scan per component)",
+           _jpeg_dc(12, 10, "444ni", d6),
+           _jpeg_expected(12, 10, "444ni", d6))
+
+    # --- GIF ---
+    pal8 = rng.integers(0, 256, (8, 3))
+    gi = rng.integers(0, 8, (7, 9))
+    yield ("gif", "global palette", _gif(gi, pal8),
+           pal8[gi].astype(np.uint8))
+
+    pal8b = rng.integers(0, 256, (8, 3))
+    gi2 = rng.integers(0, 8, (11, 6))
+    yield ("gif", "interlaced, local palette",
+           _gif(gi2, pal8b, interlace=True, local=True),
+           pal8b[gi2].astype(np.uint8))
+
+    gi3 = rng.integers(0, 8, (6, 8))
+    gi3[2, 2] = gi3[5, 1] = 2
+    yield ("gif", "transparent index",
+           _gif(gi3, pal8, transparent=2),
+           np.dstack([pal8[gi3].astype(np.uint8),
+                      np.where(gi3 == 2, 0, 255).astype(np.uint8)]))
+
+    # --- BMP ---
+    b1 = rng.integers(0, 256, (5, 5, 3))
+    yield ("bmp", "bottom-up, padded stride", _bmp(b1), b1)
+
+    b2 = rng.integers(0, 256, (4, 6, 3))
+    yield ("bmp", "top-down (negative height)",
+           _bmp(b2, top_down=True), b2)
+
+    # --- PPM ---
+    p1 = rng.integers(0, 256, (7, 4, 3))
+    yield ("ppm", "comments + mixed whitespace header", _ppm(p1), p1)
+
+
+def main() -> None:
+    rng = np.random.default_rng(SEED)
+    rows = []
+    for vid, (fmt, note, blob, expected) in enumerate(_vectors(rng)):
+        w, h, c, dig = _sha(expected)
+        rows.append((vid, fmt, note, blob, w, h, c, dig))
+    fmts = sorted({r[1] for r in rows})
+    assert len(rows) >= 10 and len(fmts) >= 5, (len(rows), fmts)
+    table = pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.int64()),
+        "fmt": pa.array([r[1] for r in rows], pa.string()),
+        "note": pa.array([r[2] for r in rows], pa.string()),
+        "media": pa.array([r[3] for r in rows], pa.binary()),
+        "width": pa.array([r[4] for r in rows], pa.int32()),
+        "height": pa.array([r[5] for r in rows], pa.int32()),
+        "n_channels": pa.array([r[6] for r in rows], pa.int32()),
+        "pix_sha": pa.array([r[7] for r in rows], pa.string()),
+    })
+    pq.write_table(table, OUT, compression="zstd")
+    print(f"wrote {OUT}: {len(rows)} spec-constructed vectors "
+          f"across {fmts}")
+
+
+if __name__ == "__main__":
+    main()
