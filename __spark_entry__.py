@@ -1295,11 +1295,13 @@ _MEDIA_CONFORMANCE_FIXTURE = os.path.join(_FIXTURES_DIR,
 
 
 def q_media_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INDEPENDENT codec ground truth (round-5): 25 blobs assembled
+    """INDEPENDENT codec ground truth (round-5): 32 blobs assembled
     byte-by-byte from the published specs (PNG filters/depths/Adam7/tRNS
     variants, DC-only integer-exact baseline JPEG incl. 4:2:0/restart/
     non-interleaved, GIF89a incl. interlace+transparency with a freshly
-    written LZW, BMP top-down/bottom-up, PPM comment headers) by
+    written LZW, WebP VP8L incl. simple+normal prefix codes, LZ77,
+    subtract-green/color-indexing/predictor transforms,
+    BMP top-down/bottom-up, PPM comment headers) by
     tools/build_conformance_fixture.py — which imports NOTHING from this
     repo. Expected width/height/channels/pixel-sha were stamped from the
     a-priori sample arrays the blobs were built FROM, never from the

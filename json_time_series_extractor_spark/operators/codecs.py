@@ -58,13 +58,17 @@ def truncation_boundary(fn):
 
 
 def sniff_media_format(blob: bytes) -> str:
-    """'ppm'|'bmp'|'wav'|'png'|'jpeg'|'gif'|'unknown' from magic bytes."""
+    """'ppm'|'bmp'|'wav'|'webp'|'png'|'jpeg'|'gif'|'unknown' from magic
+    bytes (WebP and WAV are both RIFF; the form type at offset 8
+    disambiguates)."""
     if blob[:2] == b"P6":
         return "ppm"
     if blob[:2] == b"BM":
         return "bmp"
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return "wav"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        return "webp"
     if blob[:8] == _PNG_SIG:
         return "png"
     if blob[:3] == b"\xFF\xD8\xFF":

@@ -4,10 +4,11 @@ Media payloads are opaque ``binary`` columns with a typed metadata struct;
 the Spark-side plumbing (schemas, partition-friendly batch iteration,
 Arrow-batched UDF signatures) is real and tested. Decode kernels come in
 three modes: ``decode_stub="real"`` actually decodes via the
-dependency-free codecs in :mod:`.codecs` / :mod:`.jpeg` (baseline AND
-progressive JPEG, PNG, GIF, PPM, BMP, WAV — the formats a web corpus
-actually contains; PIL/ffmpeg extend the same call sites to
-WebP/AVIF/video); ``decode_stub="fake"`` derives deterministic features
+dependency-free codecs in :mod:`.codecs` / :mod:`.jpeg` / :mod:`.vp8l`
+(baseline AND progressive JPEG, PNG, GIF, lossless WebP, PPM, BMP, WAV —
+the formats a web corpus actually contains; PIL/ffmpeg extend the same
+call sites to AVIF/lossy-WebP/video); ``decode_stub="fake"`` derives
+deterministic features
 from a hash of the bytes (oracle-reproducible pipelines at any scale);
 ``decode_stub="raise"`` marks the plug point explicitly.
 
@@ -127,9 +128,13 @@ def _real_decode_pixels(blob: bytes) -> tuple:
         return fmt, decode_jpeg(blob)
     if fmt == "gif":
         return fmt, decode_gif(blob)
+    if fmt == "webp":
+        from json_time_series_extractor_spark.operators.vp8l import (
+            decode_webp)
+        return fmt, decode_webp(blob)
     raise NotImplementedError(
         f"no dependency-free decoder for format {fmt!r}; PIL/"
-        "opencv plug in here (WebP, AVIF, ...)")
+        "opencv plug in here (AVIF, lossy-VP8 WebP, ...)")
 
 
 def _fake_image_features(blob: bytes) -> tuple:
@@ -296,10 +301,16 @@ def resize_images(df: DataFrame, width: int, height: int, *,
             if px.ndim == 3 and px.shape[2] == 4:
                 return encode_png(px)
             return encode_gif(px)
+        elif fmt == "webp":
+            # Lossless WebP round-trips as lossless WebP (VP8L).
+            from json_time_series_extractor_spark.operators.vp8l import (
+                decode_webp, encode_vp8l)
+            return encode_vp8l(resize_nearest(decode_webp(blob),
+                                              width, height))
         else:
             raise NotImplementedError(
                 f"no dependency-free decoder for format {fmt!r}; PIL/"
-                "opencv plug in here (WebP, AVIF, ...)")
+                "opencv plug in here (AVIF, lossy-VP8 WebP, ...)")
         return encode_ppm(resize_nearest(pixels, width, height))
 
     _check_decode_stub(decode_stub)

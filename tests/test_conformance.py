@@ -46,10 +46,10 @@ def test_fixture_shape_and_diversity():
     t = pq.read_table(FIXTURE)
     assert t.num_rows >= 10  # the verdict's "done" bar
     fmts = set(t.column("fmt").to_pylist())
-    assert fmts == {"png", "jpeg", "gif", "bmp", "ppm"}
-    # >= 2 vectors per format so no format's coverage hinges on one blob
+    assert fmts == {"png", "jpeg", "gif", "bmp", "ppm", "webp"}
     counts = {f: t.column("fmt").to_pylist().count(f) for f in fmts}
-    assert min(counts.values()) >= 1 and counts["png"] >= 10
+    assert min(counts.values()) >= 1
+    assert counts["png"] >= 10 and counts["webp"] >= 5
 
 
 def test_every_vector_decodes_to_spec_pixels():
@@ -59,9 +59,11 @@ def test_every_vector_decodes_to_spec_pixels():
         decode_bmp, decode_gif, decode_png, decode_ppm,
         sniff_media_format)
     from json_time_series_extractor_spark.operators.jpeg import decode_jpeg
+    from json_time_series_extractor_spark.operators.vp8l import decode_webp
 
     decoders = {"png": decode_png, "jpeg": decode_jpeg,
-                "gif": decode_gif, "bmp": decode_bmp, "ppm": decode_ppm}
+                "gif": decode_gif, "bmp": decode_bmp, "ppm": decode_ppm,
+                "webp": decode_webp}
     for row in pq.read_table(FIXTURE).to_pylist():
         fmt = sniff_media_format(row["media"])
         assert fmt == row["fmt"], row["note"]

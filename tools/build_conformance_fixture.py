@@ -425,6 +425,321 @@ def _gif(idx: np.ndarray, palette: np.ndarray, *, interlace=False,
 
 
 # ---------------------------------------------------------------------------
+# WebP VP8L — spec-level assembly (WebP Lossless Bitstream Specification)
+# ---------------------------------------------------------------------------
+
+
+class _LsbW:
+    """LSB-first bit writer (VP8L bit order); prefix codes go MSB-first
+    per the spec's canonical-code read order."""
+
+    def __init__(self) -> None:
+        self.bits: list = []
+
+    def w(self, value: int, nbits: int) -> None:
+        for i in range(nbits):
+            self.bits.append((value >> i) & 1)
+
+    def code(self, length: int, code: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.bits.append((code >> i) & 1)
+
+    def bytes(self) -> bytes:
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, b in enumerate(self.bits):
+            out[i >> 3] |= b << (i & 7)
+        return bytes(out)
+
+
+def _vp8l_canon(lengths: dict) -> dict:
+    """{symbol: length} -> {symbol: (length, code)} canonical (deflate
+    order: by length then symbol)."""
+    codes, code = {}, 0
+    for ln in range(1, 16):
+        for sym in sorted(s for s, sl in lengths.items() if sl == ln):
+            codes[sym] = (ln, code)
+            code += 1
+        code <<= 1
+    return codes
+
+
+def _vp8l_simple(bw: _LsbW, syms: list) -> dict:
+    """Write a 'simple' prefix code (1-2 symbols <= 255); return the
+    emit table ({} for the 0-bit single-symbol case)."""
+    bw.w(1, 1)
+    bw.w(len(syms) - 1, 1)
+    bw.w(1, 1)                       # first symbol in 8 bits
+    bw.w(syms[0], 8)
+    if len(syms) == 1:
+        return {}
+    bw.w(syms[1], 8)
+    return _vp8l_canon({syms[0]: 1, syms[1]: 1})
+
+
+_VP8L_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+                  13, 14, 15]
+
+
+def _vp8l_normal(bw: _LsbW, lengths: dict, alphabet: int) -> dict:
+    """Write a 'normal' prefix code: 3-bit code-length-code lengths in
+    the spec order, then per-symbol lengths with 17/18 zero runs."""
+    used_cl = sorted({ln for ln in lengths.values()} | {0, 17, 18})
+    # Balanced complete code over the used CL symbols.
+    k = len(used_cl)
+    level = max(1, (k - 1).bit_length())
+    cl_lengths = {s: (level - 1 if i < (1 << level) - k else level)
+                  for i, s in enumerate(used_cl)}
+    num_cl = max(_VP8L_CL_ORDER.index(s) for s in cl_lengths) + 1
+    bw.w(0, 1)                       # not simple
+    bw.w(num_cl - 4, 4)
+    for i in range(num_cl):
+        bw.w(cl_lengths.get(_VP8L_CL_ORDER[i], 0), 3)
+    bw.w(0, 1)                       # no explicit max_symbol
+    cl_codes = _vp8l_canon(cl_lengths)
+    sym = 0
+    while sym < alphabet:
+        if sym in lengths:
+            bw.code(*cl_codes[lengths[sym]])
+            sym += 1
+            continue
+        run = 0
+        while sym + run < alphabet and (sym + run) not in lengths:
+            run += 1
+        sym += run
+        while run:
+            if run >= 11:
+                chunk = min(run, 138)
+                bw.code(*cl_codes[18])
+                bw.w(chunk - 11, 7)
+                run -= chunk
+            elif run >= 3:
+                bw.code(*cl_codes[17])
+                bw.w(run - 3, 3)
+                run = 0
+            else:
+                bw.code(*cl_codes[0])  # isolated zero(s)
+                run -= 1
+    return _vp8l_canon(lengths)
+
+
+def _vp8l_value_prefix(value: int) -> tuple:
+    """LZ77 length/distance value -> (prefix sym, payload, extra bits)
+    per spec §4.2.2."""
+    if value <= 4:
+        return value - 1, 0, 0
+    t = value - 1
+    extra = t.bit_length() - 2
+    second = (t >> extra) & 1
+    return 2 * extra + 2 + second, t - ((2 + second) << extra), extra
+
+
+def _vp8l_wrap(bw: _LsbW) -> bytes:
+    payload = b"\x2F" + bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _vp8l_header(bw: _LsbW, w: int, h: int, alpha: bool) -> None:
+    bw.w(w - 1, 14)
+    bw.w(h - 1, 14)
+    bw.w(1 if alpha else 0, 1)
+    bw.w(0, 3)                       # version
+
+
+def _vp8l_two_color(w: int, h: int, mask: np.ndarray, c0: tuple,
+                    c1: tuple, *, subtract_green=False) -> bytes:
+    """Literal-only VP8L with two (a, r, g, b) colors chosen per a 0/1
+    mask, all five codes 'simple'."""
+    bw = _LsbW()
+    alpha_vals = sorted({c0[0], c1[0]})
+    _vp8l_header(bw, w, h, alpha_vals != [255])
+    if subtract_green:
+        bw.w(1, 1)
+        bw.w(2, 2)                   # transform type: subtract green
+        enc0 = (c0[0], (c0[1] - c0[2]) % 256, c0[2], (c0[3] - c0[2]) % 256)
+        enc1 = (c1[0], (c1[1] - c1[2]) % 256, c1[2], (c1[3] - c1[2]) % 256)
+    else:
+        enc0, enc1 = c0, c1
+    bw.w(0, 1)                       # end of transforms
+    bw.w(0, 1)                       # no color cache
+    bw.w(0, 1)                       # no meta codes
+    tables = []
+    for ch in (2, 1, 3, 0):          # green, red, blue, alpha channel idx
+        syms = sorted({enc0[ch], enc1[ch]})
+        tables.append(_vp8l_simple(bw, syms))
+    _vp8l_simple(bw, [0])            # distance code, never used
+    green_t, red_t, blue_t, alpha_t = tables
+    for bit in mask.reshape(-1):
+        px = enc1 if bit else enc0
+        for tab, ch in ((green_t, 2), (red_t, 1), (blue_t, 3),
+                        (alpha_t, 0)):
+            if tab:
+                tab_entry = tab[px[ch]]
+                bw.code(*tab_entry)
+    return _vp8l_wrap(bw)
+
+
+def _vp8l_lz77_flat(w: int, h: int, color: tuple) -> bytes:
+    """One literal + a single distance-1 backreference covering the
+    rest: exercises the normal (code-length-coded) green code, length
+    extra bits, and the >120 plain-distance path."""
+    a, r, g, b = color
+    run = w * h - 1
+    lp, lpay, lbits = _vp8l_value_prefix(run)
+    dp, dpay, dbits = _vp8l_value_prefix(121)   # scanline distance 1
+    bw = _LsbW()
+    _vp8l_header(bw, w, h, False)
+    bw.w(0, 1)                       # no transforms
+    bw.w(0, 1)                       # no cache
+    bw.w(0, 1)                       # no meta
+    green_t = _vp8l_normal(bw, {g: 1, 256 + lp: 1}, 256 + 24)
+    _vp8l_simple(bw, [r])
+    _vp8l_simple(bw, [b])
+    _vp8l_simple(bw, [a])
+    _vp8l_simple(bw, [dp])
+    bw.code(*green_t[g])             # the literal (others 0-bit)
+    bw.code(*green_t[256 + lp])      # backref length
+    bw.w(lpay, lbits)
+    bw.w(dpay, dbits)                # distance (prefix code is 0-bit)
+    return _vp8l_wrap(bw)
+
+
+def _vp8l_palette(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """Color-indexing transform. palette: (n, 4) ARGB rows. n <= 16
+    bundles indices into the green channel (width_bits per spec); the
+    palette sub-image is component-delta coded. Index/delta content
+    must keep every code's alphabet <= 2 symbols (simple codes) or this
+    helper raises — vectors are designed to satisfy that."""
+    h, w = idx.shape
+    n = len(palette)
+    bw = _LsbW()
+    _vp8l_header(bw, w, h, bool((palette[:, 0] != 255).any()))
+    bw.w(1, 1)
+    bw.w(3, 2)                       # transform: color indexing
+    bw.w(n - 1, 8)
+    # Palette sub-image: n x 1, delta-coded per channel.
+    deltas = []
+    prev = (0, 0, 0, 0)
+    for entry in palette:
+        deltas.append(tuple((int(entry[c]) - prev[c]) % 256
+                            for c in range(4)))
+        prev = tuple(int(v) for v in entry)
+    bw.w(0, 1)                       # palette image: no cache
+    dtables = []
+    for ch in (2, 1, 3, 0):          # green, red, blue, alpha
+        syms = sorted({d[ch] for d in deltas})
+        if len(syms) > 2:
+            raise ValueError("palette deltas need <=2 per channel")
+        dtables.append(_vp8l_simple(bw, syms))
+    _vp8l_simple(bw, [0])
+    for d in deltas:
+        for tab, ch in zip(dtables, (2, 1, 3, 0)):
+            if tab:
+                bw.code(*tab[d[ch]])
+    bw.w(0, 1)                       # end of transforms
+    # Main image: indices (bundled when n <= 16) in the green channel.
+    if n <= 2:
+        wb = 3
+    elif n <= 4:
+        wb = 2
+    elif n <= 16:
+        wb = 1
+    else:
+        wb = 0
+    if wb:
+        per, ibits = 1 << wb, 8 >> wb
+        pw = -(-w // per)
+        packed = np.zeros((h, pw), np.int64)
+        for k in range(per):
+            cols = idx[:, k::per]
+            packed[:, :cols.shape[1]] |= cols.astype(np.int64) \
+                << (k * ibits)
+        greens = packed
+    else:
+        greens = idx.astype(np.int64)
+    bw.w(0, 1)                       # no cache
+    bw.w(0, 1)                       # no meta
+    syms = sorted({int(v) for v in greens.reshape(-1)})
+    if len(syms) <= 2:
+        gt = _vp8l_simple(bw, syms)
+    else:
+        # Balanced complete lengths over the used symbols.
+        k = len(syms)
+        level = max(1, (k - 1).bit_length())
+        gl = {s: (level - 1 if i < (1 << level) - k else level)
+              for i, s in enumerate(syms)}
+        gt = _vp8l_normal(bw, gl, 256 + 24)
+    _vp8l_simple(bw, [0])            # red
+    _vp8l_simple(bw, [0])            # blue
+    _vp8l_simple(bw, [255])          # alpha
+    _vp8l_simple(bw, [0])            # distance
+    for v in greens.reshape(-1):
+        if gt:
+            bw.code(*gt[int(v)])
+    return _vp8l_wrap(bw)
+
+
+def _vp8l_predictor_top(img: np.ndarray) -> bytes:
+    """Predictor transform with mode 2 (top) in every block: residuals
+    computed a-priori per the spec edge rules ((0,0) predicts opaque
+    black, row 0 predicts left, column 0 predicts top)."""
+    h, w = img.shape[:2]
+    argb = np.zeros((h, w, 4), np.int64)
+    argb[:, :, 0] = 255
+    argb[:, :, 1:] = img
+    res = np.zeros_like(argb)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = (255, 0, 0, 0)
+            elif y == 0:
+                pred = tuple(argb[0, x - 1])
+            elif x == 0:
+                pred = tuple(argb[y - 1, 0])
+            else:
+                pred = tuple(argb[y - 1, x])          # mode 2: top
+            res[y, x] = (argb[y, x] - pred) % 256
+    bits = 2                                          # block size 4
+    sw, sh = -(-w // 4), -(-h // 4)
+    bw = _LsbW()
+    _vp8l_header(bw, w, h, False)
+    bw.w(1, 1)
+    bw.w(0, 2)                       # transform: predictor
+    bw.w(bits - 2, 3)
+    bw.w(0, 1)                       # predictor image: no cache
+    _vp8l_simple(bw, [2])            # green = mode 2 everywhere
+    _vp8l_simple(bw, [0])
+    _vp8l_simple(bw, [0])
+    _vp8l_simple(bw, [255])
+    _vp8l_simple(bw, [0])
+    # 0-bit codes: the (sw*sh) predictor pixels consume no bits.
+    assert sw * sh >= 1
+    bw.w(0, 1)                       # end of transforms
+    bw.w(0, 1)                       # no cache
+    bw.w(0, 1)                       # no meta
+    tables = []
+    for ch, alphabet in ((2, 256 + 24), (1, 256), (3, 256), (0, 256)):
+        syms = sorted({int(v) for v in res[:, :, ch].reshape(-1)})
+        if len(syms) <= 2:
+            tables.append(_vp8l_simple(bw, syms))
+        else:
+            k = len(syms)
+            level = max(1, (k - 1).bit_length())
+            ls = {s: (level - 1 if i < (1 << level) - k else level)
+                  for i, s in enumerate(syms)}
+            tables.append(_vp8l_normal(bw, ls, alphabet))
+    _vp8l_simple(bw, [0])            # distance
+    for y in range(h):
+        for x in range(w):
+            for tab, ch in zip(tables, (2, 1, 3, 0)):
+                if tab:
+                    bw.code(*tab[int(res[y, x, ch])])
+    return _vp8l_wrap(bw)
+
+
+# ---------------------------------------------------------------------------
 # BMP / PPM — trivial spec-level assembly
 # ---------------------------------------------------------------------------
 
@@ -594,6 +909,67 @@ def _vectors(rng: np.random.Generator):
     # --- PPM ---
     p1 = rng.integers(0, 256, (7, 4, 3))
     yield ("ppm", "comments + mixed whitespace header", _ppm(p1), p1)
+
+    # --- WebP VP8L ---
+    m = rng.integers(0, 2, (9, 14))
+    c0, c1 = (255, 30, 99, 200), (255, 240, 17, 5)
+    exp2 = np.where(m[:, :, None] == 1,
+                    np.array(c1[1:], np.uint8),
+                    np.array(c0[1:], np.uint8)).astype(np.uint8)
+    yield ("webp", "VP8L two-color literals, simple codes",
+           _vp8l_two_color(14, 9, m, c0, c1), exp2)
+
+    m2 = rng.integers(0, 2, (6, 11))
+    exp3 = np.where(m2[:, :, None] == 1,
+                    np.array(c1[1:], np.uint8),
+                    np.array(c0[1:], np.uint8)).astype(np.uint8)
+    yield ("webp", "VP8L subtract-green transform",
+           _vp8l_two_color(11, 6, m2, c0, c1, subtract_green=True), exp3)
+
+    ca, cb = (100, 5, 6, 7), (255, 250, 251, 252)
+    m3 = rng.integers(0, 2, (5, 8))
+    exp4 = np.where(m3[:, :, None] == 1,
+                    np.array((cb[1], cb[2], cb[3], cb[0]), np.uint8),
+                    np.array((ca[1], ca[2], ca[3], ca[0]),
+                             np.uint8)).astype(np.uint8)
+    yield ("webp", "VP8L non-opaque alpha (RGBA output)",
+           _vp8l_two_color(8, 5, m3, ca, cb), exp4)
+
+    flat = (255, 64, 128, 192)
+    yield ("webp", "VP8L LZ77 run, normal green code, distance > 120",
+           _vp8l_lz77_flat(13, 7, flat),
+           np.tile(np.array(flat[1:], np.uint8), (7, 13, 1)))
+
+    # Bundled color indexing: 4 colors -> 2 index-bits, 4 px per green
+    # byte; index pattern chosen so the packed bytes take two values.
+    pal4 = np.array([[255, 10, 20, 30], [255, 60, 70, 80],
+                     [255, 110, 120, 130], [255, 160, 170, 180]],
+                    np.int64)
+    pat = np.tile(np.array([0, 1, 2, 3], np.int64), 3)    # packed 0xE4
+    pat_rev = np.tile(np.array([3, 2, 1, 0], np.int64), 3)  # packed 0x1B
+    idxb = np.stack([pat, pat_rev, pat, pat, pat_rev, pat_rev])
+    yield ("webp", "VP8L color indexing, bundled 2-bit indices",
+           _vp8l_palette(idxb, pal4),
+           pal4[idxb][:, :, 1:].astype(np.uint8))
+
+    # Unbundled color indexing: 17 arithmetic palette entries (constant
+    # channel deltas) exercise delta accumulation + a multi-length
+    # normal code over the 17 index symbols.
+    pal17 = np.stack([np.full(17, 255),
+                      20 + 13 * np.arange(17),
+                      20 + 11 * np.arange(17),
+                      20 + 7 * np.arange(17)], axis=1).astype(np.int64)
+    assert (pal17 < 256).all()
+    idx17 = rng.integers(0, 17, (8, 9))
+    for s in range(17):              # every palette entry referenced
+        idx17.reshape(-1)[s] = s
+    yield ("webp", "VP8L color indexing, 17-entry palette (unbundled)",
+           _vp8l_palette(idx17, pal17),
+           pal17[idx17][:, :, 1:].astype(np.uint8))
+
+    pimg = rng.integers(0, 256, (10, 13, 3))
+    yield ("webp", "VP8L predictor transform (mode 2 / top)",
+           _vp8l_predictor_top(pimg), pimg.astype(np.uint8))
 
 
 def main() -> None:
