@@ -289,6 +289,37 @@ def q_extract_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_kind", "ts_source")
 
 
+def q_hll_distinct_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketch tier (round-5): HyperLogLog
+    registers built at 1m, cascaded to 1h by register-MAX (sketch rows
+    only, like the t-digest/histogram cascades), then estimated.
+    Unlike the t-digest row this is a FULL value check: the md5hi hash,
+    register index, trailing-zero rank, integer fixed-point harmonic
+    sum, and the linear-counting correction are all recomputed by the
+    DuckDB oracle (operators/hll.py::hll_oracle_sql) — registers and
+    estimates must agree exactly (estimate quantized 1e-6)."""
+    from json_time_series_extractor_spark.operators.hll import (
+        hll_cascade, hll_estimate, hll_rollup)
+
+    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          .select(F.col("event_type").alias("series_key"), "ts",
+                  F.col("user_id").cast("string").alias("key")))
+    regs = hll_cascade(hll_rollup(ev, "1 minute", key_col="key"),
+                       "1 hour")
+    return _quant6(hll_estimate(regs), "ndv_est")
+
+
+def _oracle_hll_distinct_1h() -> str:
+    from json_time_series_extractor_spark.operators.hll import (
+        hll_oracle_sql)
+
+    sql = hll_oracle_sql("events", key_expr="CAST(user_id AS VARCHAR)",
+                         series_expr="event_type")
+    return (f"SELECT series_key, bucket_ts, n_zero, inv_fp40, "
+            f"CAST(floor(ndv_est * 1000000 + 0.5) AS BIGINT) AS ndv_est "
+            f"FROM ({sql})")
+
+
 def q_rollup_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch tier: t-digest 1m -> 1h cascade (coarse
     tier reads sketch rows, never raw data — the cascading answer
@@ -1377,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d_salted": q_rollup_1d_salted,
         "rollup_percentiles": q_rollup_percentiles,
         "rollup_tdigest": q_rollup_tdigest,
+        "hll_distinct_1h": q_hll_distinct_1h,
         "streaming_tdigest": q_streaming_tdigest,
         "counter_rate": q_counter_rate,
         "rollup_histogram": q_rollup_histogram,
@@ -1472,6 +1504,7 @@ FROM base
         "rollup_1h_cascade": _ORACLE_ROLLUP_TIER.format(unit="hour"),
         "rollup_1d_salted": _ORACLE_ROLLUP_TIER.format(unit="day"),
         "rollup_tdigest": _ORACLE_ROLLUP_TDIGEST,
+        "hll_distinct_1h": _oracle_hll_distinct_1h(),
         "streaming_tdigest": _ORACLE_STREAMING_TDIGEST,
         "rollup_percentiles": """
 SELECT event_type AS series_key,

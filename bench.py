@@ -105,12 +105,18 @@ def run_benchmarks() -> None:
         # for a deterministic workload.
         best = None
         result = None
+        runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             result = fn()
             dt = time.perf_counter() - t0
+            runs.append(round(dt, 3))
             best = dt if best is None else min(best, dt)
             spark.catalog.clearCache()
+        if os.environ.get("SPARK_GRAFT_BENCH_TRIPLES"):
+            # Bench-hygiene audit trail (BENCH/NOTES): all three runs,
+            # so host-noise churn is adjudicable without a re-run.
+            print(f"# {name} runs: {runs}", file=sys.stderr)
         timings[name] = round(best, 3)
         if isinstance(result, dict):
             extras.update(result)
@@ -142,7 +148,7 @@ def run_benchmarks() -> None:
                  "rollup_1m",
                  "rollup_1h_cascade", "rollup_1d_salted",
                  "rollup_percentiles", "rollup_tdigest", "counter_rate",
-                 "rollup_histogram",
+                 "rollup_histogram", "hll_distinct_1h",
                  "top_k_series",
                  "time_weighted_avg", "gapfill_locf",
                  "gapfill_locf_partitioned", "gapfill_linear",

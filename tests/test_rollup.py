@@ -620,3 +620,73 @@ def test_histogram_bounds_validation(spark):
         with pytest.raises(ValueError, match="strictly increasing"):
             rollup_histogram(df, "1 hour", bounds=bad)
     rollup_histogram(df, "1 hour", bounds=(1.0, 2.0))  # valid: no raise
+
+
+def test_hll_cascade_matches_direct_build(spark):
+    """Register-MAX merging is associative/idempotent: 1m -> 1h cascade
+    must produce registers identical to a direct 1h build (the same
+    contract rollup_cascade/histogram_cascade/tdigest_cascade test)."""
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.hll import (
+        hll_cascade, hll_rollup)
+
+    rng = np.random.default_rng(11)
+    rows = [(f"s{i % 3}",
+             datetime(2024, 1, 1, int(i // 500), int(i % 60)),
+             f"k{rng.integers(0, 400)}")
+            for i in range(3000)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, key string")
+    direct = hll_rollup(df, "1 hour", key_col="key")
+    cascaded = hll_cascade(hll_rollup(df, "1 minute", key_col="key"),
+                           "1 hour")
+    assert direct.exceptAll(cascaded).count() == 0
+    assert cascaded.exceptAll(direct).count() == 0
+
+
+def test_hll_estimate_accuracy_and_small_range(spark):
+    """b=9 (512 registers) HLL has ~4.6% standard error; assert < 10%
+    on a 5k-distinct group, and that tiny groups (linear-counting
+    branch) estimate near-exactly."""
+    from json_time_series_extractor_spark.operators.hll import (
+        hll_estimate, hll_rollup)
+
+    big = [("big", datetime(2024, 1, 1, 0, 0), f"u{i}")
+           for i in range(5000)]
+    small = [("small", datetime(2024, 1, 1, 0, 0), f"v{i % 7}")
+             for i in range(100)]
+    df = spark.createDataFrame(
+        big + small, "series_key string, ts timestamp, key string")
+    est = {r["series_key"]: r for r in hll_estimate(
+        hll_rollup(df, "1 hour", key_col="key")).collect()}
+    assert abs(est["big"]["ndv_est"] - 5000) / 5000 < 0.10
+    assert abs(est["small"]["ndv_est"] - 7) < 1.0
+    assert est["small"]["n_zero"] > 500 - 10  # sparse registers
+
+
+def test_hll_stays_jvm_side(spark):
+    """The whole sketch pipeline is Column expressions — no Python
+    workers in the plan (the 100 TB hot-path rule)."""
+    from json_time_series_extractor_spark.operators.hll import (
+        hll_cascade, hll_estimate, hll_rollup)
+
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1), "k")],
+        "series_key string, ts timestamp, key string")
+    plan = hll_estimate(hll_cascade(
+        hll_rollup(df, "1 minute", key_col="key"), "1 hour")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_hll_register_bits_validated(spark):
+    from json_time_series_extractor_spark.operators.hll import hll_rollup
+
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1), "k")],
+        "series_key string, ts timestamp, key string")
+    for bad in (0, 3, 15):
+        with pytest.raises(ValueError, match="register_bits"):
+            hll_rollup(df, "1 hour", key_col="key", register_bits=bad)
