@@ -184,10 +184,31 @@ def _images(rng: np.random.Generator):
     yield "jpeg", encode_jpeg(pat(32, 32), 88, subsample=False,
                               progressive=True)
     yield "jpeg", encode_jpeg(pat(29, 53, 1), 70, progressive=True)
+    # Lossless WebP (VP8L) — round-5 codec addition. Appended AFTER all
+    # earlier yields, on a dedicated rng stream, so blobs 0-33 AND the
+    # audio/frames fixtures (which draw from the shared rng later) stay
+    # byte-identical across rebuilds.
+    from json_time_series_extractor_spark.operators.vp8l import encode_vp8l
+
+    wrng = np.random.default_rng(SEED + 5)
+
+    def wpat(h, w, c=3):
+        img = wrng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        return img[..., 0] if c == 1 else img
+
+    yield "webp", encode_vp8l(wpat(23, 31))
+    yield "webp", encode_vp8l(wpat(18, 18, 1))
+    yield "webp", encode_vp8l(np.dstack([wpat(12, 40),
+                                         wpat(12, 40, 1) // 2]))
+
+
+def _decode_webp(blob: bytes):
+    from json_time_series_extractor_spark.operators.vp8l import decode_webp
+    return decode_webp(blob)
 
 
 _DECODERS = {"jpeg": decode_jpeg, "png": decode_png, "gif": decode_gif,
-             "bmp": decode_bmp, "ppm": decode_ppm}
+             "bmp": decode_bmp, "ppm": decode_ppm, "webp": _decode_webp}
 
 
 def main() -> None:
