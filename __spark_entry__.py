@@ -734,6 +734,135 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "quality_score")
 
 
+def _synth_url_expr_spark() -> "F.Column":
+    """Deterministic URL per doc_id with the messes canonicalization
+    must fix (case, default ports, fragments, tracking params, param
+    order, schemeless), mirrored verbatim by _SYNTH_URL_SQL."""
+    d = F.col("doc_id")
+    host = F.concat(F.lit("Site"), (d % 7).cast("string"), F.lit(".COM"))
+    page = (d % 19).cast("string")
+    return (F.when(d % 4 == 0,
+                   F.concat(F.lit("HTTP://"), host, F.lit(":80/Page/"),
+                            page, F.lit("?b=2&utm_source=x&a=1#frag")))
+            .when(d % 4 == 1,
+                  F.concat(F.lit("https://"), F.lower(host),
+                           F.lit(":443/Page/"), page))
+            .when(d % 4 == 2,
+                  F.concat(F.lit("http://"), host, F.lit("/Page/"),
+                           page, F.lit("?a=1&b=2")))
+            .otherwise(F.concat(F.lit("Mailto-Like:Opaque/"), page)))
+
+
+_SYNTH_URL_SQL = """
+CASE
+  WHEN doc_id % 4 = 0 THEN 'HTTP://' || 'Site' || CAST(doc_id % 7 AS VARCHAR)
+       || '.COM' || ':80/Page/' || CAST(doc_id % 19 AS VARCHAR)
+       || '?b=2&utm_source=x&a=1#frag'
+  WHEN doc_id % 4 = 1 THEN 'https://' || lower('Site'
+       || CAST(doc_id % 7 AS VARCHAR) || '.COM') || ':443/Page/'
+       || CAST(doc_id % 19 AS VARCHAR)
+  WHEN doc_id % 4 = 2 THEN 'http://' || 'Site' || CAST(doc_id % 7 AS VARCHAR)
+       || '.COM' || '/Page/' || CAST(doc_id % 19 AS VARCHAR) || '?a=1&b=2'
+  ELSE 'Mailto-Like:Opaque/' || CAST(doc_id % 19 AS VARCHAR)
+END
+"""
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (round-5) — the first
+    stage of a crawl dedup pipeline — under FULL value check: the
+    oracle rebuilds the same synthetic URLs from doc_id, applies the
+    mirrored canonicalization expression
+    (operators/urltools.py::canonical_url_oracle_expr — byte-identical
+    to the Spark Column chain, unit-asserted), and reruns the min-id
+    survivor aggregation. Canonicalization collapses case/port/
+    fragment/tracking-param variants ACROSS the three schemed branches
+    (cases 0 and 2 canonicalize identically), so n_dupes > 1 rows prove
+    the normalization, not just the groupBy."""
+    from json_time_series_extractor_spark.operators.urltools import (
+        dedup_by_canonical_url)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    urls = docs.select("doc_id", _synth_url_expr_spark().alias("url"))
+    return dedup_by_canonical_url(urls)
+
+
+def _oracle_url_dedup() -> str:
+    from json_time_series_extractor_spark.operators.urltools import (
+        canonical_url_oracle_expr)
+
+    canon = canonical_url_oracle_expr("url")
+    return f"""
+WITH urls AS (
+    SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents),
+canon AS (
+    SELECT doc_id, {canon} AS canonical_url FROM urls)
+SELECT canonical_url, MIN(doc_id) AS doc_id,
+       COUNT(*) AS n_dupes
+FROM canon GROUP BY canonical_url
+"""
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document paragraph dedup (round-5): every paragraph
+    survives only at its globally-first (doc, position); docs
+    reassemble from survivors in order. The synthetic corpus is
+    single-line, so each doc first gets a deterministic 3-paragraph
+    structure (6-token slices — short vocabulary makes cross-doc
+    boilerplate genuinely common). FULL value check: the oracle
+    re-chunks identically, re-derives keepers with the same packed
+    (doc<<20|pos) min, and re-assembles via ordered string_agg."""
+    from json_time_series_extractor_spark.operators.dedup import (
+        dedup_paragraphs)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = F.split(F.col("text"), " ")
+
+    def para(start: int) -> "F.Column":
+        return F.array_join(F.slice(toks, start, 6), " ")
+
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws("\n\n", para(1), para(7), para(13)).alias("text"))
+    return dedup_paragraphs(multi)
+
+
+_ORACLE_PARAGRAPH_DEDUP = r"""
+WITH multi AS (
+    -- COALESCE: DuckDB list_slice past the end yields NULL where Spark
+    -- F.slice yields an empty array (=> '' after the join).
+    SELECT doc_id,
+           COALESCE(array_to_string(
+               list_slice(string_split(text, ' '), 1, 6), ' '), '')
+           || e'\n\n' ||
+           COALESCE(array_to_string(
+               list_slice(string_split(text, ' '), 7, 12), ' '), '')
+           || e'\n\n' ||
+           COALESCE(array_to_string(
+               list_slice(string_split(text, ' '), 13, 18), ' '), '')
+           AS text
+    FROM documents),
+paras AS (
+    SELECT doc_id,
+           generate_subscripts(string_split(text, e'\n\n'), 1) - 1 AS pos,
+           unnest(string_split(text, e'\n\n')) AS para
+    FROM multi),
+keep AS (
+    SELECT para, MIN(doc_id * 1048576 + pos) AS keeper
+    FROM paras GROUP BY para),
+k AS (
+    SELECT p.doc_id, p.pos, p.para,
+           (p.doc_id * 1048576 + p.pos) = keep.keeper AS kept
+    FROM paras p JOIN keep USING (para))
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN kept THEN para END, e'\n\n'
+                           ORDER BY pos), '') AS clean_text,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM k GROUP BY doc_id
+"""
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (duplicate-line/paragraph
     fractions, top-2/3-gram character share) under full value check.
@@ -1426,6 +1555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
         "doc_repetition": q_doc_repetition,
+        "url_dedup": q_url_dedup,
+        "paragraph_dedup": q_paragraph_dedup,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "html_text_extract": q_html_text_extract,
@@ -1746,6 +1877,8 @@ FROM r
         # duplicate fractions from list_distinct, top n-gram share from
         # an unnest+group-by mode with the same count-desc/gram-asc
         # tie-break the Spark fold's sorted-run scan implies.
+        "url_dedup": _oracle_url_dedup(),
+        "paragraph_dedup": _ORACLE_PARAGRAPH_DEDUP,
         "doc_repetition": """
 WITH t AS (
     SELECT doc_id,

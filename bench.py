@@ -156,7 +156,8 @@ def run_benchmarks() -> None:
                  "asof_join_forward", "asof_join_nearest",
                  "chunk_roundtrip", "doc_token_count",
                  "doc_quality", "doc_lang_id", "doc_fingerprint",
-                 "html_text_extract",
+                 "html_text_extract", "doc_repetition",
+                 "url_dedup", "paragraph_dedup",
                  "dedup_exact", "ngram_jaccard", "minhash_lsh_pairs",
                  "neardup_components", "neardup_components_star",
                  "dedup_incremental",
@@ -165,6 +166,7 @@ def run_benchmarks() -> None:
                  "embedding_neardup_lsh", "retention_expiry",
                  "media_image_features", "media_frame_sample",
                  "media_real_decode", "media_real_audio", "media_real_frames",
+                 "media_conformance",
                  "cosine_scores", "ann_topk", "ann_lsh_topk",
                  "ann_ivf_topk"]:
         timed(name,

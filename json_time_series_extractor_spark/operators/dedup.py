@@ -74,6 +74,57 @@ def dedup_exact(docs: DataFrame, *, text_col: str = "text",
                  F.count("*").alias("n_dups")))
 
 
+def dedup_paragraphs(docs: DataFrame, *, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     sep: str = "\n\n") -> DataFrame:
+    """Cross-document paragraph-level exact dedup (the boilerplate
+    remover real pretraining pipelines run after URL/doc dedup: nav
+    bars, cookie banners and footers repeat verbatim across a site).
+
+    A paragraph survives only in its FIRST occurrence — the smallest
+    ``(doc_id, position)`` over all documents containing it; every later
+    copy is dropped and the documents are reassembled from their
+    surviving paragraphs in original order.
+
+    Output: (doc_id, clean_text, n_paras, n_dropped).
+
+    Scale shape: posexplode (map-only) -> one partial/final hash
+    aggregate keyed by paragraph to pick the keeper (a million-fold
+    boilerplate paragraph collapses MAP-SIDE — deliberately an
+    aggregate+join, not a window over partitionBy(paragraph), which
+    would funnel each hot paragraph through one task) -> equi-join back
+    -> one aggregate by document to reassemble. Positions pack into
+    ``doc_id * 2^20 + pos`` for a single-BIGINT min (documents are
+    bounded far below 2^20 paragraphs; asserted at runtime).
+    """
+    paras = (docs.select(F.col(id_col).alias("_doc"),
+                         F.posexplode(F.split(F.col(text_col), sep))
+                         .alias("_pos", "_para")))
+    pos_ok = F.when(F.col("_pos") < F.lit(1 << 20), F.col("_pos")) \
+        .otherwise(F.raise_error(F.lit(
+            "dedup_paragraphs: document exceeds 2^20 paragraphs; "
+            "packed (doc, pos) ordering would corrupt silently")))
+    packed = (F.col("_doc") * F.lit(1 << 20)) + pos_ok
+    keepers = (paras
+               .groupBy("_para")
+               .agg(F.min(packed).alias("_keeper")))
+    kept = (paras
+            .join(keepers, "_para")
+            .withColumn("_keep", packed == F.col("_keeper")))
+    return (kept.groupBy("_doc")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(
+                        F.col("_keep"),
+                        F.struct(F.col("_pos").alias("p"),
+                                 F.col("_para").alias("t"))))),
+                    lambda s: s["t"]), sep).alias("clean_text"),
+                 F.sum(F.col("_keep").cast("int")).alias("n_paras"),
+                 F.sum((~F.col("_keep")).cast("int")).alias("n_dropped"))
+            .select(F.col("_doc").alias(id_col), "clean_text",
+                    "n_paras", "n_dropped"))
+
+
 def minhash_signatures(docs: DataFrame, *, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 64,
                        shingle_n: int = 3) -> DataFrame:

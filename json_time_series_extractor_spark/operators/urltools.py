@@ -1,0 +1,106 @@
+"""URL canonicalization + URL-level dedup — pure Column expressions.
+
+The first dedup stage a real pretraining crawl pipeline runs is URL
+dedup: the same page is fetched under trivially different URLs (scheme
+case, default ports, fragments, tracking query params, param order).
+Canonicalizing before any content hashing removes the bulk of exact
+re-crawl duplicates with zero text processing.
+
+Canonical form (documented contract, mirrored verbatim by the DuckDB
+oracle in ``__spark_entry__``):
+
+1. trim; URLs without a ``scheme://`` prefix pass through lowercased
+   (opaque identifiers — not parsed further);
+2. drop the ``#fragment``;
+3. lowercase scheme and authority (host[:port]);
+4. strip the scheme's default port (``:80`` http, ``:443`` https);
+5. empty path becomes ``/``;
+6. query: split on ``&``, drop empty and tracking params
+   (``utm_*``, ``gclid``, ``fbclid``, ``ref``), byte-sort the rest,
+   rejoin; an emptied query drops its ``?``.
+
+Everything is ``regexp_extract`` / array expressions — whole-stage
+codegen end to end, no Python, map-only until the dedup aggregate.
+At 100 TB the dedup is one partial/final hash aggregate on the
+canonical string; hot URLs collapse map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: tracking-parameter regex (anchored match on the full param).
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=.*$"
+
+_SCHEME_BODY = r"[A-Za-z][A-Za-z0-9+.\-]*"
+_SCHEME_RE = f"^({_SCHEME_BODY})://"
+_AUTH_RE = f"^{_SCHEME_BODY}://([^/?#]*)"
+_PATH_RE = f"^{_SCHEME_BODY}://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of *url* per the module contract."""
+    u = F.regexp_replace(F.trim(url), "#.*$", "")     # drop fragment
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    auth = F.lower(F.regexp_extract(u, _AUTH_RE, 1))
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    query = F.regexp_extract(u, _QUERY_RE, 1)
+
+    default_port = F.when(scheme == "http", F.lit(":80")) \
+        .when(scheme == "https", F.lit(":443")).otherwise(F.lit(""))
+    host = F.when((default_port != "") & auth.endswith(default_port),
+                  F.substring(auth, 1,
+                              F.length(auth) - F.length(default_port))
+                  ).otherwise(auth)
+
+    path_n = F.when(path == "", F.lit("/")).otherwise(path)
+
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE)))
+    query_n = F.when(F.size(params) > 0,
+                     F.concat(F.lit("?"), F.array_join(params, "&"))) \
+        .otherwise(F.lit(""))
+
+    return F.when(scheme == "", F.lower(F.trim(url))).otherwise(
+        F.concat(scheme, F.lit("://"), host, path_n, query_n))
+
+
+def dedup_by_canonical_url(df: DataFrame, *, url_col: str = "url",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest *id_col* per canonical URL (deterministic
+    survivor rule, same as ``dedup_exact``). One partial/final hash
+    aggregate on the canonical string; re-crawl storms of a hot URL
+    collapse map-side before the shuffle."""
+    canon = df.withColumn("canonical_url",
+                          canonical_url(F.col(url_col)))
+    keep = (canon.groupBy("canonical_url")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("n_dupes")))
+    return keep.select(id_col, "canonical_url", "n_dupes")
+
+
+def canonical_url_oracle_expr(url_sql: str) -> str:
+    """DuckDB SQL expression mirroring :func:`canonical_url` exactly
+    (kept next to the implementation so the two evolve together)."""
+    u = f"regexp_replace(trim({url_sql}), '#.*$', '')"
+    scheme = f"lower(regexp_extract({u}, '{_SCHEME_RE}', 1))"
+    auth = f"lower(regexp_extract({u}, '{_AUTH_RE}', 1))"
+    path = f"regexp_extract({u}, '{_PATH_RE}', 1)"
+    query = f"regexp_extract({u}, '{_QUERY_RE}', 1)"
+    dport = (f"CASE WHEN {scheme} = 'http' THEN ':80' "
+             f"WHEN {scheme} = 'https' THEN ':443' ELSE '' END")
+    host = (f"CASE WHEN {dport} <> '' AND ends_with({auth}, {dport}) "
+            f"THEN substring({auth}, 1, length({auth}) - length({dport})) "
+            f"ELSE {auth} END")
+    path_n = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    params = (f"list_sort(list_filter(string_split({query}, '&'), "
+              f"p -> p <> '' AND NOT regexp_matches(p, "
+              f"'{TRACKING_PARAM_RE}')))")
+    query_n = (f"CASE WHEN len({params}) > 0 "
+               f"THEN '?' || array_to_string({params}, '&') "
+               f"ELSE '' END")
+    return (f"CASE WHEN {scheme} = '' THEN lower(trim({url_sql})) "
+            f"ELSE {scheme} || '://' || {host} || {path_n} || {query_n} "
+            f"END")

@@ -1540,3 +1540,101 @@ def test_html_to_text_extraction(spark):
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
                  "FlatMapGroupsInPandas"):
         assert node not in plan
+
+
+def test_canonical_url_contract(spark):
+    """Each documented canonicalization step, hand-computed."""
+    from json_time_series_extractor_spark.operators.urltools import (
+        canonical_url)
+
+    cases = [
+        # fragment + scheme/host case + default port + param noise
+        ("HTTP://ExAmple.COM:80/Path/x?b=2&utm_source=t&a=1#frag",
+         "http://example.com/Path/x?a=1&b=2"),
+        # https default port, empty path
+        ("https://Site.Org:443", "https://site.org/"),
+        # non-default port preserved; path case preserved
+        ("http://h.com:8080/A/B", "http://h.com:8080/A/B"),
+        # all params stripped -> no '?'
+        ("http://h.com/p?utm_campaign=x&gclid=1&ref=z", "http://h.com/p"),
+        # empty params dropped, rest byte-sorted
+        ("http://h.com/p?z=1&&a=2", "http://h.com/p?a=2&z=1"),
+        # no scheme: opaque, lowercased only
+        ("  Not-A-Url/Thing#x  ", "not-a-url/thing#x"),
+        # ftp: no default-port rule, port kept
+        ("FTP://Host.com:21/f", "ftp://host.com:21/f"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_canonical_url_oracle_expr_matches_spark(spark):
+    """The DuckDB mirror expression produces byte-identical canonicals
+    on adversarial inputs (the contract the driver oracle relies on)."""
+    import duckdb
+
+    from json_time_series_extractor_spark.operators.urltools import (
+        canonical_url, canonical_url_oracle_expr)
+
+    urls = ["HTTP://A.com:80/?utm_x=1", "https://B.de:443/p?x=1&a=9#z",
+            "http://c.io:80", "weird", "HtTpS://D.com/Q?ref=a&z=0&y=",
+            "http://e.com/p?a=1&a=0", "svc+x://H.COM:99/"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+    con = duckdb.connect()
+    expr = canonical_url_oracle_expr("url")
+    want = [con.sql(f"SELECT {expr} FROM (SELECT ? AS url)",
+                    params=[u]).fetchone()[0] for u in urls]
+    assert got == want
+
+
+def test_dedup_by_canonical_url(spark):
+    from json_time_series_extractor_spark.operators.urltools import (
+        dedup_by_canonical_url)
+
+    rows = [(1, "http://a.com/x?utm_source=t"),
+            (2, "HTTP://A.COM:80/x"),
+            (3, "http://a.com/x?real=1"),
+            (4, "https://b.com/")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["canonical_url"]: (r["doc_id"], r["n_dupes"])
+           for r in dedup_by_canonical_url(df).collect()}
+    assert out["http://a.com/x"] == (1, 2)       # min id survives
+    assert out["http://a.com/x?real=1"] == (3, 1)
+    assert out["https://b.com/"] == (4, 1)
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    from json_time_series_extractor_spark.operators.dedup import (
+        dedup_paragraphs)
+
+    docs = [(1, "alpha\n\nshared\n\nbeta"),
+            (2, "shared\n\ngamma\n\nshared"),     # both copies dropped
+            (3, "gamma\n\ndelta")]                # gamma already in doc 2
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+    assert out[1]["clean_text"] == "alpha\n\nshared\n\nbeta"
+    assert (out[1]["n_paras"], out[1]["n_dropped"]) == (3, 0)
+    assert out[2]["clean_text"] == "gamma"
+    assert (out[2]["n_paras"], out[2]["n_dropped"]) == (1, 2)
+    assert out[3]["clean_text"] == "delta"
+    # a doc whose every paragraph is boilerplate reassembles to ""
+    df2 = spark.createDataFrame(
+        [(1, "x"), (2, "x")], "doc_id long, text string")
+    out2 = {r["doc_id"]: r for r in dedup_paragraphs(df2).collect()}
+    assert out2[2]["clean_text"] == "" and out2[2]["n_paras"] == 0
+
+
+def test_dedup_paragraphs_stays_jvm_side_and_agg_shaped(spark):
+    """No Python boundaries, and the keeper choice is an aggregate +
+    equi-join (hot boilerplate collapses map-side), not a window over
+    partitionBy(paragraph)."""
+    from json_time_series_extractor_spark.operators.dedup import (
+        dedup_paragraphs)
+
+    df = spark.createDataFrame([(1, "a\n\nb")], "doc_id long, text string")
+    plan = dedup_paragraphs(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
