@@ -469,6 +469,84 @@ def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rate", F.col("increase") / F.lit(3600.0))
 
 
+def q_counter_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL family completion (round-5): resets() (restart count,
+    segment-partitioned plan), gauge delta() (last - first per bucket,
+    struct-max/min tie-break), and irate() (last two samples per
+    bucket, reset-aware, null on single-sample buckets) — one row per
+    (series, 1h bucket) under FULL value check. The oracle recomputes
+    resets with a whole-series lag window (proving the segmented plan
+    identical), and delta/irate from rank-from-each-end row_numbers
+    with the same (ts, value) tie-breaks."""
+    from json_time_series_extractor_spark.operators.rate import (
+        counter_irate, counter_resets, gauge_delta)
+
+    s = _event_samples(spark, sf_dir)
+    r = counter_resets(s, "1 hour", segment="1 day")
+    g = gauge_delta(s, "1 hour").select("series_key", "bucket_ts",
+                                        "delta")
+    i = counter_irate(s, "1 hour").select("series_key", "bucket_ts",
+                                          "irate")
+    out = (r.join(g, ["series_key", "bucket_ts"])
+           .join(i, ["series_key", "bucket_ts"]))
+    out = _quant6(out, "delta", "irate")
+    # Null irate (single-sample bucket) -> sentinel: a nullable BIGINT
+    # round-trips as float64 through the oracle harness's pandas frame
+    # (the house oracle-typing rule).
+    return out.withColumn(
+        "irate", F.coalesce(F.col("irate"), F.lit(-(10 ** 15))))
+
+
+_ORACLE_COUNTER_ANALYTICS = """
+WITH d AS (
+    SELECT event_type AS series_key, ts, value,
+           value - lag(value) OVER (PARTITION BY event_type
+                                    ORDER BY ts, value) AS delta
+    FROM events WHERE value IS NOT NULL),
+res AS (
+    SELECT series_key, date_trunc('hour', ts) AS bucket_ts,
+           CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS resets,
+           count(*) AS n_samples
+    FROM d GROUP BY 1, 2),
+r AS (
+    SELECT event_type AS series_key, date_trunc('hour', ts) AS bucket_ts,
+           ts, value,
+           row_number() OVER (PARTITION BY event_type,
+                              date_trunc('hour', ts)
+                              ORDER BY ts DESC, value DESC) AS rk,
+           row_number() OVER (PARTITION BY event_type,
+                              date_trunc('hour', ts)
+                              ORDER BY ts ASC, value ASC) AS rka
+    FROM events WHERE value IS NOT NULL),
+gd AS (
+    SELECT series_key, bucket_ts,
+           CAST(floor((MAX(CASE WHEN rk = 1 THEN value END)
+                       - MAX(CASE WHEN rka = 1 THEN value END))
+                      * 1000000 + 0.5) AS BIGINT) AS delta
+    FROM r GROUP BY 1, 2),
+ir AS (
+    SELECT series_key, bucket_ts,
+           MAX(CASE WHEN rk = 1 THEN value END) AS lv,
+           MAX(CASE WHEN rk = 2 THEN value END) AS pv,
+           MAX(CASE WHEN rk = 1 THEN ts END) AS lt,
+           MAX(CASE WHEN rk = 2 THEN ts END) AS pt
+    FROM r GROUP BY 1, 2)
+SELECT res.series_key, res.bucket_ts, res.resets, res.n_samples,
+       gd.delta,
+       CASE WHEN ir.pv IS NOT NULL AND epoch(ir.lt) > epoch(ir.pt)
+            THEN CAST(floor((CASE WHEN ir.lv >= ir.pv THEN ir.lv - ir.pv
+                             ELSE ir.lv END)
+                            / (epoch(ir.lt) - epoch(ir.pt))
+                            * 1000000 + 0.5) AS BIGINT)
+            ELSE CAST(-1000000000000000 AS BIGINT)
+       END AS irate
+FROM res
+JOIN gd USING (series_key, bucket_ts)
+JOIN ir USING (series_key, bucket_ts)
+"""
+
+
 #: Explicit histogram bounds for the events value distribution (0-561).
 _HIST_BOUNDS = (1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0, 200.0, 500.0)
 
@@ -1541,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_1h": q_hll_distinct_1h,
         "streaming_tdigest": q_streaming_tdigest,
         "counter_rate": q_counter_rate,
+        "counter_analytics": q_counter_analytics,
         "rollup_histogram": q_rollup_histogram,
         "time_weighted_avg": q_time_weighted_avg,
         "top_k_series": q_top_k_series,
@@ -1698,6 +1777,7 @@ GROUP BY 1, 2
         # counter_rate: oracle uses a whole-series lag window; the Spark
         # side runs the segment-partitioned plan — equality proves the
         # bounded-window decomposition correct, not just self-consistent.
+        "counter_analytics": _ORACLE_COUNTER_ANALYTICS,
         "counter_rate": """
 WITH d AS (
     SELECT event_type AS series_key, ts, value,

@@ -41,16 +41,18 @@ def _contrib(delta, value):
             .otherwise(value))
 
 
-def counter_increase(
+def _sample_deltas(
     samples: DataFrame,
-    tier: str = "1 hour",
-    *,
-    key_col: str = "series_key",
-    ts_col: str = "ts",
-    value_col: str = "value_double",
-    segment: Optional[str] = "1 day",
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    segment: Optional[str],
 ) -> DataFrame:
-    """(series_key, bucket_ts, increase, n_samples) per tier bucket."""
+    """Per-sample reset-aware delta stream shared by the counter
+    family: (series_key, _ts, _v, _delta), _delta null only for a
+    series' globally-first sample. ``segment`` picks the bounded
+    (series, segment)-window plan with the per-segment carry summary;
+    ``None`` the whole-series window (result-identical)."""
     v = F.col(value_col)
     s = samples.where(v.isNotNull()).select(
         F.col(key_col).alias("series_key"),
@@ -59,14 +61,9 @@ def counter_increase(
 
     if segment is None:
         w = Window.partitionBy("series_key").orderBy("_ts", "_v")
-        delta = F.col("_v") - F.lag("_v").over(w)
-        contrib = _contrib(delta, F.col("_v"))
-        return (s.select("series_key",
-                         _bucket("_ts", tier).alias("bucket_ts"),
-                         contrib.alias("_c"))
-                .groupBy("series_key", "bucket_ts")
-                .agg(F.sum("_c").alias("increase"),
-                     F.count(F.lit(1)).alias("n_samples")))
+        return s.select(
+            "series_key", "_ts", "_v",
+            (F.col("_v") - F.lag("_v").over(w)).alias("_delta"))
 
     seg_s = _interval_seconds(segment)
     s = s.select("series_key", "_ts", "_v",
@@ -97,10 +94,25 @@ def counter_increase(
                        F.when(F.col("_prev_last").isNotNull(),
                               F.col("_v") - F.col("_prev_last"))) \
                  .otherwise(delta)
-    contrib = _contrib(eff_delta, F.col("_v"))
-    return (joined.select("series_key",
-                          _bucket("_ts", tier).alias("bucket_ts"),
-                          contrib.alias("_c"))
+    return joined.select("series_key", "_ts", "_v",
+                         eff_delta.alias("_delta"))
+
+
+def counter_increase(
+    samples: DataFrame,
+    tier: str = "1 hour",
+    *,
+    key_col: str = "series_key",
+    ts_col: str = "ts",
+    value_col: str = "value_double",
+    segment: Optional[str] = "1 day",
+) -> DataFrame:
+    """(series_key, bucket_ts, increase, n_samples) per tier bucket."""
+    d = _sample_deltas(samples, key_col, ts_col, value_col, segment)
+    contrib = _contrib(F.col("_delta"), F.col("_v"))
+    return (d.select("series_key",
+                     _bucket("_ts", tier).alias("bucket_ts"),
+                     contrib.alias("_c"))
             .groupBy("series_key", "bucket_ts")
             .agg(F.sum("_c").alias("increase"),
                  F.count(F.lit(1)).alias("n_samples")))
@@ -121,3 +133,101 @@ def counter_rate(
                            value_col=value_col, segment=segment)
     return inc.withColumn(
         "rate", F.col("increase") / F.lit(float(_interval_seconds(tier))))
+
+
+def counter_resets(
+    samples: DataFrame,
+    tier: str = "1 hour",
+    *,
+    key_col: str = "series_key",
+    ts_col: str = "ts",
+    value_col: str = "value_double",
+    segment: Optional[str] = "1 day",
+) -> DataFrame:
+    """PromQL ``resets()``: count of counter restarts (negative deltas)
+    per tier bucket — the restart-frequency signal operators alert on.
+    Output: (series_key, bucket_ts, resets, n_samples)."""
+    d = _sample_deltas(samples, key_col, ts_col, value_col, segment)
+    return (d.select("series_key",
+                     _bucket("_ts", tier).alias("bucket_ts"),
+                     (F.col("_delta") < 0).cast("long").alias("_r"))
+            .groupBy("series_key", "bucket_ts")
+            .agg(F.coalesce(F.sum("_r"), F.lit(0)).alias("resets"),
+                 F.count(F.lit(1)).alias("n_samples")))
+
+
+def gauge_delta(
+    samples: DataFrame,
+    tier: str = "1 hour",
+    *,
+    key_col: str = "series_key",
+    ts_col: str = "ts",
+    value_col: str = "value_double",
+) -> DataFrame:
+    """PromQL ``delta()`` for gauges, per-bucket form: last - first
+    value inside each tier bucket (no reset semantics — gauges go both
+    ways). A single hash aggregate: first/last picked by (ts, value)
+    struct min/max with the family's deterministic tie-break.
+    Output: (series_key, bucket_ts, delta, n_samples)."""
+    v = F.col(value_col)
+    s = samples.where(v.isNotNull()).select(
+        F.col(key_col).alias("series_key"),
+        _bucket(ts_col, tier).alias("bucket_ts"),
+        F.struct(F.col(ts_col).alias("t"), v.alias("v")).alias("_tv"))
+    return (s.groupBy("series_key", "bucket_ts")
+            .agg((F.max("_tv")["v"] - F.min("_tv")["v"]).alias("delta"),
+                 F.count(F.lit(1)).alias("n_samples")))
+
+
+def counter_irate(
+    samples: DataFrame,
+    tier: str = "1 hour",
+    *,
+    key_col: str = "series_key",
+    ts_col: str = "ts",
+    value_col: str = "value_double",
+) -> DataFrame:
+    """PromQL ``irate()``, per-bucket form: instantaneous per-second
+    rate from the LAST TWO samples of each tier bucket, reset-aware
+    (a drop treats the last value as the post-reset increase). Buckets
+    with one sample or a zero time-gap yield null.
+
+    Scale shape: one bounded (series, bucket) window to rank from the
+    end, rows kept only for rank <= 2, then a hash aggregate — the
+    window partition is a tier bucket, never a whole series.
+    Output: (series_key, bucket_ts, irate, n_samples)."""
+    v = F.col(value_col)
+    s = samples.where(v.isNotNull()).select(
+        F.col(key_col).alias("series_key"),
+        _bucket(ts_col, tier).alias("bucket_ts"),
+        F.col(ts_col).alias("_ts"), v.alias("_v"))
+    w = Window.partitionBy("series_key", "bucket_ts") \
+        .orderBy(F.col("_ts").desc(), F.col("_v").desc())
+    ranked = s.select("series_key", "bucket_ts", "_ts", "_v",
+                      F.row_number().over(w).alias("_rk"),
+                      F.count(F.lit(1)).over(
+                          Window.partitionBy("series_key", "bucket_ts"))
+                      .alias("_n"))
+    top2 = ranked.where(F.col("_rk") <= 2)
+    last_tv = F.max(F.when(F.col("_rk") == 1,
+                           F.struct(F.col("_ts").alias("t"),
+                                    F.col("_v").alias("v"))))
+    prev_tv = F.max(F.when(F.col("_rk") == 2,
+                           F.struct(F.col("_ts").alias("t"),
+                                    F.col("_v").alias("v"))))
+    agg = (top2.groupBy("series_key", "bucket_ts")
+           .agg(last_tv.alias("_l"), prev_tv.alias("_p"),
+                F.max("_n").alias("n_samples")))
+    # Fractional-second epoch with DuckDB-epoch() op order (micros /
+    # 1e6 per timestamp, THEN subtract) so the oracle's doubles match
+    # bit-for-bit; unix_timestamp would truncate to whole seconds.
+    def _epoch(c):
+        return F.unix_micros(c.cast("timestamp")) / F.lit(1e6)
+
+    dt = _epoch(F.col("_l.t")) - _epoch(F.col("_p.t"))
+    dv = F.when(F.col("_l.v") >= F.col("_p.v"),
+                F.col("_l.v") - F.col("_p.v")) \
+        .otherwise(F.col("_l.v"))                 # reset: post-reset value
+    irate = F.when(F.col("_p").isNotNull() & (dt > 0), dv / dt)
+    return agg.select("series_key", "bucket_ts",
+                      irate.alias("irate"), "n_samples")

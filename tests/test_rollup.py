@@ -690,3 +690,45 @@ def test_hll_register_bits_validated(spark):
     for bad in (0, 3, 15):
         with pytest.raises(ValueError, match="register_bits"):
             hll_rollup(df, "1 hour", key_col="key", register_bits=bad)
+
+
+def test_counter_resets_delta_irate_hand_computed(spark):
+    """PromQL family additions (r5): resets/gauge-delta/irate on a
+    hand-computed series with an in-bucket reset, a cross-bucket reset,
+    and a single-sample bucket."""
+    from json_time_series_extractor_spark.operators.rate import (
+        counter_irate, counter_resets, gauge_delta)
+
+    rows = [("a", datetime(2024, 1, 1, 0, 0, 0), 10.0),
+            ("a", datetime(2024, 1, 1, 0, 10, 0), 20.0),
+            ("a", datetime(2024, 1, 1, 0, 20, 0), 5.0),    # reset
+            ("a", datetime(2024, 1, 1, 0, 40, 0), 8.0),
+            ("a", datetime(2024, 1, 1, 1, 5, 0), 2.0),     # reset x-bucket
+            ("b", datetime(2024, 1, 1, 0, 30, 0), 100.0)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+
+    res = {(r["series_key"], r["bucket_ts"].hour): r["resets"]
+           for r in counter_resets(df).collect()}
+    assert res == {("a", 0): 1, ("a", 1): 1, ("b", 0): 0}
+    # segmented plan == whole-series plan
+    res_g = {(r["series_key"], r["bucket_ts"].hour): r["resets"]
+             for r in counter_resets(df, segment=None).collect()}
+    assert res_g == res
+
+    d = {(r["series_key"], r["bucket_ts"].hour): r["delta"]
+         for r in gauge_delta(df).collect()}
+    assert d == {("a", 0): -2.0, ("a", 1): 0.0, ("b", 0): 0.0}
+
+    ir = {(r["series_key"], r["bucket_ts"].hour): r["irate"]
+          for r in counter_irate(df).collect()}
+    # last two in a/h0: 5@0:20 -> 8@0:40: 3/1200s
+    assert ir[("a", 0)] == pytest.approx(3.0 / 1200.0)
+    assert ir[("a", 1)] is None and ir[("b", 0)] is None
+    # reset between the last two samples: post-reset value over dt
+    df2 = spark.createDataFrame(
+        [("c", datetime(2024, 1, 1, 0, 0, 0), 50.0),
+         ("c", datetime(2024, 1, 1, 0, 0, 10), 4.0)],
+        "series_key string, ts timestamp, value_double double")
+    (row,) = counter_irate(df2).collect()
+    assert row["irate"] == pytest.approx(4.0 / 10.0)

@@ -68,6 +68,12 @@ AUDITED = [
     ("hll_distinct_1h", "zero Python: register build + cascade + "
      "estimate are three partial/final hash aggregates over pure "
      "expressions; per-group state bounded at 2^b register rows"),
+    ("url_dedup", "zero Python: regexp/array canonicalization is "
+     "map-only; dedup is one partial/final hash aggregate (hot URLs "
+     "collapse map-side)"),
+    ("paragraph_dedup", "zero Python, zero windows: keeper choice is a "
+     "partial/final aggregate keyed by paragraph + equi-join (hot "
+     "boilerplate collapses map-side), reassembly one aggregate"),
 ]
 
 
