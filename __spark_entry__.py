@@ -547,6 +547,28 @@ JOIN ir USING (series_key, bucket_ts)
 """
 
 
+def q_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB visualization downsample (round-5, Timescale-hyperfunction
+    parity; parallel bucket-mean-anchor variant documented in
+    operators/downsample.py): one largest-triangle point per (series,
+    1h bucket), first/last buckets keeping the series' true first/last
+    samples. FULL value check: the oracle rebuilds quantized anchors,
+    the identical IEEE area expression, and the same (ord, ts, value)
+    lexicographic pick."""
+    from json_time_series_extractor_spark.operators.downsample import (
+        downsample_lttb)
+
+    return downsample_lttb(_event_samples(spark, sf_dir), "1 hour")
+
+
+def _oracle_downsample_lttb() -> str:
+    from json_time_series_extractor_spark.operators.downsample import (
+        lttb_oracle_sql)
+
+    return lttb_oracle_sql("events", series_expr="event_type",
+                           ts_col="ts", value_col="value")
+
+
 #: Explicit histogram bounds for the events value distribution (0-561).
 _HIST_BOUNDS = (1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0, 200.0, 500.0)
 
@@ -1620,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_tdigest": q_streaming_tdigest,
         "counter_rate": q_counter_rate,
         "counter_analytics": q_counter_analytics,
+        "downsample_lttb": q_downsample_lttb,
         "rollup_histogram": q_rollup_histogram,
         "time_weighted_avg": q_time_weighted_avg,
         "top_k_series": q_top_k_series,
@@ -1778,6 +1801,7 @@ GROUP BY 1, 2
         # side runs the segment-partitioned plan — equality proves the
         # bounded-window decomposition correct, not just self-consistent.
         "counter_analytics": _ORACLE_COUNTER_ANALYTICS,
+        "downsample_lttb": _oracle_downsample_lttb(),
         "counter_rate": """
 WITH d AS (
     SELECT event_type AS series_key, ts, value,

@@ -732,3 +732,42 @@ def test_counter_resets_delta_irate_hand_computed(spark):
         "series_key string, ts timestamp, value_double double")
     (row,) = counter_irate(df2).collect()
     assert row["irate"] == pytest.approx(4.0 / 10.0)
+
+
+def test_downsample_lttb_keeps_extremes_and_endpoints(spark):
+    """LTTB (bucket-mean-anchor variant): first/last buckets keep the
+    series' first/last samples; an interior bucket keeps its most
+    trend-deviating point (the spike, not the on-trend samples)."""
+    from json_time_series_extractor_spark.operators.downsample import (
+        downsample_lttb)
+
+    rows = ([("a", datetime(2024, 1, 1, 0, m), 10.0 + m) for m in
+             (5, 25, 45)]                                 # hour 0: trend
+            + [("a", datetime(2024, 1, 1, 1, 10), 70.0),
+               ("a", datetime(2024, 1, 1, 1, 30), 500.0),  # the spike
+               ("a", datetime(2024, 1, 1, 1, 50), 74.0)]
+            + [("a", datetime(2024, 1, 1, 2, m), 130.0 + m) for m in
+               (10, 20, 55)])                             # hour 2: trend
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+    out = {r["bucket_ts"].hour: (r["ts"], r["value"])
+           for r in downsample_lttb(df, "1 hour").collect()}
+    assert out[0] == (datetime(2024, 1, 1, 0, 5), 15.0)    # series first
+    assert out[1] == (datetime(2024, 1, 1, 1, 30), 500.0)  # the spike
+    assert out[2] == (datetime(2024, 1, 1, 2, 55), 185.0)  # series last
+
+
+def test_downsample_lttb_plan_shape(spark):
+    """No Python; the only windows run over the per-bucket summary
+    (lag/lead of bucket means), never over raw samples."""
+    from json_time_series_extractor_spark.operators.downsample import (
+        downsample_lttb)
+
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1), 1.0)],
+        "series_key string, ts timestamp, value_double double")
+    plan = downsample_lttb(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Python" not in plan
+    # the pick is an aggregate (struct-min), not a row_number window
+    assert plan.count("Window") == 1
