@@ -547,6 +547,51 @@ JOIN ir USING (series_key, bucket_ts)
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (round-5): label events with the
+    deterministic per-(series, day) maintenance windows [02:00, 08:00].
+    The operator turns the pure range predicate into a bucketed
+    EQUI-join (intervals explode onto the day grid; range check is a
+    post-filter) — `operators/joins.py:interval_join`; the oracle is
+    DuckDB's native BETWEEN range join over the identical synthetic
+    intervals, a FULL value check of the rewrite."""
+    from json_time_series_extractor_spark.operators.joins import (
+        interval_join)
+
+    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          .select("event_id", F.col("event_type").alias("series_key"),
+                  "ts"))
+    days = (ev.select("series_key",
+                      F.date_trunc("day", F.col("ts")).alias("_d"))
+            .distinct())
+    iv = days.select(
+        "series_key",
+        (F.col("_d") + F.expr("INTERVAL 2 HOURS")).alias("start_ts"),
+        (F.col("_d") + F.expr("INTERVAL 8 HOURS")).alias("end_ts"),
+        F.concat(F.lit("maint-"), F.date_format("_d", "yyyyMMdd"))
+        .alias("label"))
+    return interval_join(ev, iv)
+
+
+_ORACLE_INTERVAL_JOIN = """
+WITH days AS (
+    SELECT DISTINCT event_type AS series_key,
+           date_trunc('day', ts) AS d
+    FROM events),
+iv AS (
+    SELECT series_key,
+           d + INTERVAL 2 HOUR AS start_ts,
+           d + INTERVAL 8 HOUR AS end_ts,
+           'maint-' || strftime(d, '%Y%m%d') AS label
+    FROM days)
+SELECT e.event_id, e.event_type AS series_key, e.ts,
+       i.start_ts, i.end_ts, i.label
+FROM events e
+JOIN iv i ON e.event_type = i.series_key
+         AND e.ts BETWEEN i.start_ts AND i.end_ts
+"""
+
+
 def q_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB visualization downsample (round-5, Timescale-hyperfunction
     parity; parallel bucket-mean-anchor variant documented in
@@ -1643,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate": q_counter_rate,
         "counter_analytics": q_counter_analytics,
         "downsample_lttb": q_downsample_lttb,
+        "interval_join": q_interval_join,
         "rollup_histogram": q_rollup_histogram,
         "time_weighted_avg": q_time_weighted_avg,
         "top_k_series": q_top_k_series,
@@ -1802,6 +1848,7 @@ GROUP BY 1, 2
         # bounded-window decomposition correct, not just self-consistent.
         "counter_analytics": _ORACLE_COUNTER_ANALYTICS,
         "downsample_lttb": _oracle_downsample_lttb(),
+        "interval_join": _ORACLE_INTERVAL_JOIN,
         "counter_rate": """
 WITH d AS (
     SELECT event_type AS series_key, ts, value,

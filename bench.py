@@ -148,7 +148,7 @@ def run_benchmarks() -> None:
                  "rollup_1m",
                  "rollup_1h_cascade", "rollup_1d_salted",
                  "rollup_percentiles", "rollup_tdigest", "counter_rate",
-                 "counter_analytics", "downsample_lttb",
+                 "counter_analytics", "downsample_lttb", "interval_join",
                  "rollup_histogram", "hll_distinct_1h",
                  "top_k_series",
                  "time_weighted_avg", "gapfill_locf",

@@ -27,6 +27,11 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from json_time_series_extractor_spark.operators.gapfill import (
+    _epoch_floor,
+    _interval_seconds,
+)
+
 
 def asof_join(
     left: DataFrame,
@@ -155,3 +160,54 @@ def asof_join(
     out_cols.extend(F.when(keep, F.col("_m")[c]).alias(f"{prefix}{c}")
                     for c in value_cols)
     return carried.where(F.col("_is_left") == 1).select(*out_cols)
+
+
+def interval_join(events: DataFrame, intervals: DataFrame, *,
+                  ts_col: str = "ts", start_col: str = "start_ts",
+                  end_col: str = "end_ts",
+                  on: Sequence[str] = ("series_key",),
+                  bucket: str = "1 day", how: str = "inner",
+                  max_span_buckets: int = 4000) -> DataFrame:
+    """Point-in-interval join: each event row pairs with every interval
+    row (same ``on`` keys) whose ``[start, end]`` range contains its
+    timestamp (inclusive both ends). ``how``: 'inner' or 'left' (left
+    keeps unmatched events with null interval columns).
+
+    Plain Spark would plan the pure range predicate as a nested-loop /
+    broadcast-nested-loop join — O(events x intervals) per key at
+    corpus scale. This operator makes it an EQUI-join: every interval
+    explodes into the epoch-aligned ``bucket`` grid cells it covers
+    (cells per interval = span/bucket, guarded by
+    ``max_span_buckets``), events bucket map-only, and the join keys
+    become (on..., bucket) with the range check as a post-filter. An
+    event matches at most one exploded copy of any interval (its own
+    bucket), so no dedup pass is needed. Choose ``bucket`` near the
+    typical interval length: cost is events + intervals x span/bucket
+    rows through one shuffle.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    overlap = (set(events.columns) & set(intervals.columns)) - set(on)
+    if overlap:
+        raise ValueError(
+            f"ambiguous columns {sorted(overlap)}: rename before joining")
+    bsec = _interval_seconds(bucket)
+    start, end = F.col(start_col), F.col(end_col)
+    span_ok = ((end >= start)
+               & ((F.unix_micros(end.cast("timestamp"))
+                   - F.unix_micros(start.cast("timestamp")))
+                  / 1_000_000 / bsec < max_span_buckets))
+    grid = F.when(span_ok, F.sequence(
+        _epoch_floor(start, bsec), _epoch_floor(end, bsec),
+        F.expr(f"INTERVAL {bsec} SECONDS"))) \
+        .otherwise(F.raise_error(F.lit(
+            f"interval_join: interval empty or wider than "
+            f"{max_span_buckets} x {bucket}")))
+    iv = intervals.withColumn("_ib", F.explode(grid))
+    ev = events.withColumn("_ib", _epoch_floor(F.col(ts_col), bsec))
+    cond = [ev[k] == iv[k] for k in on] + [ev["_ib"] == iv["_ib"]] + [
+        ev[ts_col] >= iv[start_col], ev[ts_col] <= iv[end_col]]
+    joined = ev.join(iv, cond, how)
+    out = [ev[c] for c in events.columns] + [
+        iv[c] for c in intervals.columns if c not in on]
+    return joined.select(*out)

@@ -771,3 +771,43 @@ def test_downsample_lttb_plan_shape(spark):
     assert "Python" not in plan
     # the pick is an aggregate (struct-min), not a row_number window
     assert plan.count("Window") == 1
+
+
+def test_interval_join_semantics_and_plan(spark):
+    """Bucketed range join: inclusive bounds, multi-bucket intervals,
+    overlapping intervals multiply, left keeps unmatched; and the plan
+    is an equi-join (no nested-loop/cartesian) despite the range
+    predicate."""
+    from json_time_series_extractor_spark.operators.joins import (
+        interval_join)
+
+    ev = spark.createDataFrame(
+        [(1, "a", datetime(2024, 1, 1, 3)),
+         (2, "a", datetime(2024, 1, 2, 12)),
+         (3, "a", datetime(2024, 1, 5, 3)),
+         (4, "b", datetime(2024, 1, 1, 3))],
+        "event_id long, series_key string, ts timestamp")
+    iv = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 2), datetime(2024, 1, 3, 4), "m1"),
+         ("a", datetime(2024, 1, 1, 2, 30), datetime(2024, 1, 1, 3),
+          "m2")],   # inclusive end boundary hits event 1 exactly
+        "series_key string, start_ts timestamp, end_ts timestamp, "
+        "label string")
+    inner = sorted((r["event_id"], r["label"])
+                   for r in interval_join(ev, iv).collect())
+    assert inner == [(1, "m1"), (1, "m2"), (2, "m1")]
+    left = sorted((r["event_id"], r["label"])
+                  for r in interval_join(ev, iv, how="left").collect())
+    assert left == inner + [(3, None), (4, None)]
+    plan = interval_join(ev, iv)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+    with pytest.raises(ValueError, match="ambiguous"):
+        interval_join(ev, iv.withColumnRenamed("label", "ts"))
+    with pytest.raises(Exception, match="wider than|SparkRuntimeException"):
+        wide = spark.createDataFrame(
+            [("a", datetime(2000, 1, 1), datetime(2024, 1, 1), "w")],
+            "series_key string, start_ts timestamp, end_ts timestamp, "
+            "label string")
+        interval_join(ev, wide).collect()
