@@ -547,6 +547,57 @@ JOIN ir USING (series_key, bucket_ts)
 """
 
 
+def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal (round-5, Lee et al. ACL'22
+    suffix-array dedup filter): per doc, the fraction of positional
+    token 8-grams occurring >= 2 times anywhere in the corpus. md5hi
+    hashing so the oracle recomputes the FULL pipeline (windows, 64-bit
+    hashes, corpus counts, per-doc fractions) in SQL."""
+    from json_time_series_extractor_spark.operators.dedup import (
+        duplicate_ngram_stats)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return duplicate_ngram_stats(docs, n=8, hash_fn="md5hi")
+
+
+_ORACLE_DUP_NGRAM = r"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '') AS toks
+    FROM documents),
+w AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 8
+                THEN list_transform(range(0, len(toks) - 7),
+                     i -> array_to_string(list_slice(toks, i + 1, i + 8),
+                                          ' '))
+                ELSE [] END AS wins
+    FROM t),
+e AS (SELECT doc_id, unnest(wins) AS win FROM w),
+h AS (
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(md5(win), 1, 8)) AS BIGINT)
+                AS HUGEINT) * 4294967296
+           + CAST(concat('0x', substr(md5(win), 9, 8)) AS BIGINT) AS hu
+    FROM e),
+c AS (SELECT hu, count(*) AS cnt FROM h GROUP BY hu),
+per_doc AS (
+    SELECT h.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_windows
+    FROM h JOIN c USING (hu) GROUP BY h.doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_windows, 0) AS n_windows,
+       COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+       CASE WHEN COALESCE(p.n_windows, 0) > 0
+            THEN CAST(p.n_dup_windows AS DOUBLE) / p.n_windows
+            ELSE 0.0 END AS dup_fraction
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join (round-5): label events with the
     deterministic per-(series, day) maintenance windows [02:00, 08:00].
@@ -1689,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_analytics": q_counter_analytics,
         "downsample_lttb": q_downsample_lttb,
         "interval_join": q_interval_join,
+        "dup_ngram_stats": q_dup_ngram_stats,
         "rollup_histogram": q_rollup_histogram,
         "time_weighted_avg": q_time_weighted_avg,
         "top_k_series": q_top_k_series,
@@ -1849,6 +1901,7 @@ GROUP BY 1, 2
         "counter_analytics": _ORACLE_COUNTER_ANALYTICS,
         "downsample_lttb": _oracle_downsample_lttb(),
         "interval_join": _ORACLE_INTERVAL_JOIN,
+        "dup_ngram_stats": _ORACLE_DUP_NGRAM,
         "counter_rate": """
 WITH d AS (
     SELECT event_type AS series_key, ts, value,

@@ -158,7 +158,7 @@ def run_benchmarks() -> None:
                  "chunk_roundtrip", "doc_token_count",
                  "doc_quality", "doc_lang_id", "doc_fingerprint",
                  "html_text_extract", "doc_repetition",
-                 "url_dedup", "paragraph_dedup",
+                 "url_dedup", "paragraph_dedup", "dup_ngram_stats",
                  "dedup_exact", "ngram_jaccard", "minhash_lsh_pairs",
                  "neardup_components", "neardup_components_star",
                  "dedup_incremental",

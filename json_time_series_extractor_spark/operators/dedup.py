@@ -654,3 +654,60 @@ def dedup_incremental(new_docs: DataFrame, ref_docs: DataFrame, *,
                .select(F.col("_nid").alias(id_col))
                .distinct())
     return new_docs.join(matched, id_col, "left_anti")
+
+
+def duplicate_ngram_stats(docs: DataFrame, *, n: int = 8,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          hash_fn: str = "xxhash64") -> DataFrame:
+    """Exact-substring duplication signal (the filter behind suffix-
+    array dedup in Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022): the fraction of a document's
+    positional token ``n``-grams that occur anywhere else in the corpus
+    (another doc OR another position of the same doc). High fractions
+    flag templated/boilerplate pages that survive whole-doc dedup.
+
+    Output: (doc_id, n_windows, n_dup_windows, dup_fraction); documents
+    shorter than ``n`` tokens have zero windows and fraction 0.0.
+
+    Scale shape: positional windows explode (~tokens-per-doc rows),
+    collapse through ONE partial/final hash aggregate on the 64-bit
+    window hash (corpus-repeated boilerplate combines map-side), then
+    an equi-join back and a per-doc aggregate. ``hash_fn='md5hi'``
+    makes the pipeline SQL-recomputable (same contract as simhash);
+    xxhash64 is the JVM-native scale default. Positional windows are
+    deliberately NOT de-duplicated per doc — a phrase repeated inside
+    one document is corpus duplication too (same-doc repeats count
+    toward the >= 2 occurrence threshold).
+    """
+    from json_time_series_extractor_spark.operators.textstats import (
+        tokens)
+
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    toks = tokens(F.lower(F.col(text_col)))
+    wins = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = (docs.select(F.col(id_col).alias("doc_id"),
+                            F.explode_outer(wins).alias("_w"))
+                .select("doc_id",
+                        F.when(F.col("_w").isNotNull(),
+                               _token_hash64(F.col("_w"), hash_fn))
+                        .alias("_h")))
+    counts = (exploded.where(F.col("_h").isNotNull())
+              .groupBy("_h").agg(F.count(F.lit(1)).alias("_cnt")))
+    marked = (exploded
+              .join(counts, "_h", "left")
+              .groupBy("doc_id")
+              .agg(F.sum(F.when(F.col("_h").isNotNull(), 1)
+                         .otherwise(0)).alias("n_windows"),
+                   F.sum(F.when(F.col("_cnt") >= 2, 1).otherwise(0))
+                   .alias("n_dup_windows")))
+    frac = F.when(F.col("n_windows") > 0,
+                  F.col("n_dup_windows")
+                  / F.col("n_windows").cast("double")).otherwise(0.0)
+    return marked.select("doc_id", "n_windows", "n_dup_windows",
+                         frac.alias("dup_fraction"))

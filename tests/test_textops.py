@@ -1638,3 +1638,27 @@ def test_dedup_paragraphs_stays_jvm_side_and_agg_shaped(spark):
         .toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" not in plan
+
+
+def test_duplicate_ngram_stats_hand_computed(spark):
+    """Positional n-gram duplication: cross-doc AND same-doc repeats
+    count; short docs have zero windows and fraction 0."""
+    from json_time_series_extractor_spark.operators.dedup import (
+        duplicate_ngram_stats)
+
+    docs = [(1, "a b c d e"),       # windows: "a b c", "b c d", "c d e"
+            (2, "x y a b c d q"),   # shares "a b c" and "b c d" with 1
+            (3, "p q p q p q p"),   # self-repeats: "p q p", "q p q" x2+
+            (4, "too short")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           duplicate_ngram_stats(df, n=3).collect()}
+    assert (out[1]["n_windows"], out[1]["n_dup_windows"]) == (3, 2)
+    assert out[2]["n_windows"] == 5 and out[2]["n_dup_windows"] == 2
+    # doc 3: windows p-q-p, q-p-q, p-q-p, q-p-q, p-q-p -> all dup'd
+    assert (out[3]["n_windows"], out[3]["n_dup_windows"]) == (5, 5)
+    assert out[3]["dup_fraction"] == 1.0
+    assert (out[4]["n_windows"], out[4]["dup_fraction"]) == (0, 0.0)
+
+    with pytest.raises(ValueError, match="n must be"):
+        duplicate_ngram_stats(df, n=1)
