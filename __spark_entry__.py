@@ -547,6 +547,41 @@ JOIN ir USING (series_key, bucket_ts)
 """
 
 
+def q_rolling_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL range-vector aggregates (round-5): trailing-6-bucket
+    avg/min/max/sum_over_time of the 1h request count per series —
+    the smoothing behind alert rules. Full value check: the oracle
+    replays the identical bounded ROWS frame; the value column is the
+    exact integer count, so frame aggregation is bit-exact in both
+    engines regardless of their internal frame-sum strategies."""
+    from json_time_series_extractor_spark.operators.rollup import (
+        rolling_over_time, rollup)
+
+    r1h = rollup(_event_samples(spark, sf_dir), "1 hour")
+    out = rolling_over_time(r1h, 6, value_col="count")
+    return out.select("series_key", "bucket_ts", "count",
+                      "buckets_in_window", "avg_over_time",
+                      "min_over_time", "max_over_time", "sum_over_time")
+
+
+_ORACLE_ROLLING_OVER_TIME = """
+WITH r AS (
+    SELECT event_type AS series_key,
+           date_trunc('hour', ts) AS bucket_ts,
+           count(*) AS cnt
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+SELECT series_key, bucket_ts, cnt AS count,
+       CAST(count(cnt) OVER w AS BIGINT) AS buckets_in_window,
+       avg(cnt) OVER w AS avg_over_time,
+       CAST(min(cnt) OVER w AS BIGINT) AS min_over_time,
+       CAST(max(cnt) OVER w AS BIGINT) AS max_over_time,
+       CAST(sum(cnt) OVER w AS BIGINT) AS sum_over_time
+FROM r
+WINDOW w AS (PARTITION BY series_key ORDER BY bucket_ts
+             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication signal (round-5, Lee et al. ACL'22
     suffix-array dedup filter): per doc, the fraction of positional
@@ -1741,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample_lttb": q_downsample_lttb,
         "interval_join": q_interval_join,
         "dup_ngram_stats": q_dup_ngram_stats,
+        "rolling_over_time": q_rolling_over_time,
         "rollup_histogram": q_rollup_histogram,
         "time_weighted_avg": q_time_weighted_avg,
         "top_k_series": q_top_k_series,
@@ -1902,6 +1938,7 @@ GROUP BY 1, 2
         "downsample_lttb": _oracle_downsample_lttb(),
         "interval_join": _ORACLE_INTERVAL_JOIN,
         "dup_ngram_stats": _ORACLE_DUP_NGRAM,
+        "rolling_over_time": _ORACLE_ROLLING_OVER_TIME,
         "counter_rate": """
 WITH d AS (
     SELECT event_type AS series_key, ts, value,

@@ -149,6 +149,7 @@ def run_benchmarks() -> None:
                  "rollup_1h_cascade", "rollup_1d_salted",
                  "rollup_percentiles", "rollup_tdigest", "counter_rate",
                  "counter_analytics", "downsample_lttb", "interval_join",
+                 "rolling_over_time",
                  "rollup_histogram", "hll_distinct_1h",
                  "top_k_series",
                  "time_weighted_avg", "gapfill_locf",

@@ -322,3 +322,44 @@ def rollup_salted(
             F.max("last_ts").alias("last_ts"),
         )
     )
+
+
+def rolling_over_time(rollup_df: DataFrame, k_buckets: int, *,
+                      value_col: str = "mean",
+                      aggs: tuple = ("avg", "min", "max", "sum"),
+                      min_buckets: int = 1) -> DataFrame:
+    """PromQL range-vector aggregates (``avg_over_time`` family) over a
+    rollup tier: for every (series, bucket) row, aggregate *value_col*
+    across the trailing ``k_buckets`` PRESENT rows of that series (the
+    smoothing behind alert rules and dashboards).
+
+    Output: input columns + ``<agg>_over_time`` per requested agg +
+    ``buckets_in_window``; rows with fewer than ``min_buckets`` trailing
+    rows emit null aggregates (PromQL returns nothing for an empty
+    range — the count column lets callers apply stricter policies).
+
+    Scale shape: one window per series ordered by bucket with a
+    BOUNDED row frame (k-1 preceding .. current). The window partition
+    is a series' ROLLUP rows (one per bucket — days/years of buckets,
+    not raw samples), the same summary-sized partitions every other
+    tier-level window here uses; gap-fill first if empty buckets must
+    participate.
+    """
+    if k_buckets < 1:
+        raise ValueError(f"k_buckets must be >= 1, got {k_buckets}")
+    allowed = {"avg", "min", "max", "sum", "count"}
+    bad = set(aggs) - allowed
+    if bad:
+        raise ValueError(f"unknown aggs {sorted(bad)}; allowed {allowed}")
+    w = (Window.partitionBy("series_key").orderBy("bucket_ts")
+         .rowsBetween(-(k_buckets - 1), 0))
+    v = F.col(value_col)
+    n = F.count(v).over(w)
+    out = rollup_df.withColumn("buckets_in_window", n)
+    gate = n >= min_buckets
+    fns = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum,
+           "count": F.count}
+    for a in aggs:
+        out = out.withColumn(f"{a}_over_time",
+                             F.when(gate, fns[a](v).over(w)))
+    return out

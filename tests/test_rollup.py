@@ -811,3 +811,35 @@ def test_interval_join_semantics_and_plan(spark):
             "series_key string, start_ts timestamp, end_ts timestamp, "
             "label string")
         interval_join(ev, wide).collect()
+
+
+def test_rolling_over_time_hand_computed(spark):
+    from json_time_series_extractor_spark.operators.rollup import (
+        rolling_over_time)
+
+    rows = [("a", datetime(2024, 1, 1, h), float(v))
+            for h, v in [(0, 10), (1, 20), (2, 60), (4, 4)]]  # gap at 3
+    df = spark.createDataFrame(
+        rows, "series_key string, bucket_ts timestamp, mean double")
+    out = {r["bucket_ts"].hour: r for r in
+           rolling_over_time(df, 3, aggs=("avg", "max", "count"))
+           .collect()}
+    assert out[0]["avg_over_time"] == 10.0
+    assert out[1]["avg_over_time"] == 15.0
+    assert out[2]["avg_over_time"] == 30.0 and out[2]["max_over_time"] == 60.0
+    # PRESENT-row frame: the gap at hour 3 does not shrink hour 4's
+    # window of trailing rollup rows.
+    assert out[4]["avg_over_time"] == 28.0  # (20+60+4)/3
+    assert out[4]["buckets_in_window"] == 3
+
+    # min_buckets gates the aggregates but keeps the count column.
+    strict = {r["bucket_ts"].hour: r for r in
+              rolling_over_time(df, 3, aggs=("avg",), min_buckets=3)
+              .collect()}
+    assert strict[0]["avg_over_time"] is None
+    assert strict[2]["avg_over_time"] == 30.0
+
+    with pytest.raises(ValueError, match="k_buckets"):
+        rolling_over_time(df, 0)
+    with pytest.raises(ValueError, match="unknown aggs"):
+        rolling_over_time(df, 2, aggs=("median",))
