@@ -547,6 +547,45 @@ JOIN ir USING (series_key, bucket_ts)
 """
 
 
+def q_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch tier (round-5): registers build at
+    1m, cascade to 1h by elementwise SUM (sketch rows only), then
+    point-estimate every (series, hour, user) frequency. FULL value
+    check: the oracle (operators/cmsketch.py::cm_oracle_sql) recomputes
+    the md5hi row hashes, the power-of-two bucket masking, the register
+    sums, and the min-over-rows estimates, and carries the exact count
+    so the one-sided bound (cm_est >= exact) is visible per row."""
+    from json_time_series_extractor_spark.operators.cmsketch import (
+        cm_cascade, cm_estimate, cm_rollup)
+
+    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          .select(F.col("event_type").alias("series_key"), "ts",
+                  F.col("user_id").cast("string").alias("key")))
+    regs = cm_cascade(cm_rollup(ev, "1 minute", key_col="key"),
+                      "1 hour")
+    keys = (ev.select("series_key",
+                      F.window("ts", "1 hour")["start"].alias("bucket_ts"),
+                      "key").distinct())
+    est = cm_estimate(regs, keys)
+    exact = (ev.groupBy("series_key",
+                        F.window("ts", "1 hour")["start"]
+                        .alias("bucket_ts"), "key")
+             .agg(F.count(F.lit(1)).alias("exact_cnt")))
+    return (est.join(exact, ["series_key", "bucket_ts", "key"])
+            .select("series_key", "bucket_ts", "key", "cm_est",
+                    "exact_cnt",
+                    (F.col("cm_est") >= F.col("exact_cnt"))
+                    .alias("one_sided_ok")))
+
+
+def _oracle_cm_frequency() -> str:
+    from json_time_series_extractor_spark.operators.cmsketch import (
+        cm_oracle_sql)
+
+    return cm_oracle_sql("events", key_expr="CAST(user_id AS VARCHAR)",
+                         series_expr="event_type")
+
+
 def q_rolling_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL range-vector aggregates (round-5): trailing-6-bucket
     avg/min/max/sum_over_time of the 1h request count per series —
@@ -1777,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "dup_ngram_stats": q_dup_ngram_stats,
         "rolling_over_time": q_rolling_over_time,
+        "cm_frequency": q_cm_frequency,
         "rollup_histogram": q_rollup_histogram,
         "time_weighted_avg": q_time_weighted_avg,
         "top_k_series": q_top_k_series,
@@ -1939,6 +1979,7 @@ GROUP BY 1, 2
         "interval_join": _ORACLE_INTERVAL_JOIN,
         "dup_ngram_stats": _ORACLE_DUP_NGRAM,
         "rolling_over_time": _ORACLE_ROLLING_OVER_TIME,
+        "cm_frequency": _oracle_cm_frequency(),
         "counter_rate": """
 WITH d AS (
     SELECT event_type AS series_key, ts, value,

@@ -150,7 +150,7 @@ def run_benchmarks() -> None:
                  "rollup_percentiles", "rollup_tdigest", "counter_rate",
                  "counter_analytics", "downsample_lttb", "interval_join",
                  "rolling_over_time",
-                 "rollup_histogram", "hll_distinct_1h",
+                 "rollup_histogram", "hll_distinct_1h", "cm_frequency",
                  "top_k_series",
                  "time_weighted_avg", "gapfill_locf",
                  "gapfill_locf_partitioned", "gapfill_linear",

@@ -1,0 +1,160 @@
+"""Count-Min frequency sketch tier — mergeable, oracle-checkable.
+
+Completes the mergeable-sketch family (SURVEY.md §2.4): histogram =
+distribution, t-digest = quantiles, HLL = distinct count, Count-Min =
+per-key FREQUENCY. Per tumbling window and series, a depth x width
+counter matrix (Cormode & Muthukrishnan, "An improved data stream
+summary: the count-min sketch and its applications", J. Algorithms
+2005) answers "how often did key k occur?" with one-sided error:
+estimate >= truth, over-count <= e/width * total with probability
+1 - (1/2)^depth. Registers merge by elementwise SUM, so tiers cascade
+raw -> 1m -> 1h -> 1d on sketch rows only — the exact contract of
+every other tier here.
+
+Oracle verifiability (house rule): row hashes are md5-high-64 of
+"<row>|<key>" (the [[oracle-typing-rules]] md5hi construction), the
+width is a power of two so bucket = low log2(width) hash bits in both
+engines (signed int64 masking == unsigned modulo), and counters are
+integer SUMs — the whole register matrix and every min-estimate is
+exactly recomputable in SQL. Pure Column expressions; one partial/
+final hash aggregate per tier (hot keys collapse map-side).
+
+State size: depth x width counters per (series, window) stored as
+sparse rows — at most depth x distinct-keys rows when the window sees
+fewer keys than the width.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from json_time_series_extractor_spark.operators.hll import _md5hi64
+from json_time_series_extractor_spark.operators.rollup import _bucket
+
+CM_REGISTER_SCHEMA = ("series_key string, bucket_ts timestamp, "
+                      "cm_row int, cm_bucket int, cnt bigint")
+
+
+def _check_params(depth: int, width: int) -> None:
+    if not 1 <= depth <= 8:
+        raise ValueError(f"depth must be 1..8, got {depth}")
+    if width < 16 or width & (width - 1):
+        raise ValueError(f"width must be a power of two >= 16, "
+                         f"got {width}")
+
+
+def _cm_bucket(key: Column, row: int, width: int) -> Column:
+    """Row-``row`` counter index for *key*: low bits of the md5hi64 of
+    '<row>|<key>' (power-of-two width makes the signed mask identical
+    to the oracle's unsigned modulo)."""
+    h = _md5hi64(F.concat(F.lit(f"{row}|"), key.cast("string")))
+    return h.bitwiseAND(F.lit(width - 1)).cast("int")
+
+
+def cm_rollup(df: DataFrame, tier: str, *, key_col: str,
+              series_col: str = "series_key", ts_col: str = "ts",
+              depth: int = 4, width: int = 1024) -> DataFrame:
+    """(series, ts, key) rows -> sparse Count-Min registers per window:
+    (series_key, bucket_ts, cm_row, cm_bucket, cnt). Absent counters
+    are implicitly zero."""
+    _check_params(depth, width)
+    key = F.col(key_col)
+    rows = F.array(*[
+        F.struct(F.lit(j).alias("r"),
+                 _cm_bucket(key, j, width).alias("b"))
+        for j in range(depth)])
+    return (df.select(F.col(series_col).alias("series_key"),
+                      _bucket(ts_col, tier).alias("bucket_ts"),
+                      F.explode(rows).alias("_rb"))
+            .groupBy("series_key", "bucket_ts",
+                     F.col("_rb.r").alias("cm_row"),
+                     F.col("_rb.b").alias("cm_bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cm_cascade(registers: DataFrame, tier: str) -> DataFrame:
+    """Merge registers into a coarser window: elementwise SUM —
+    associative/commutative, so any cascade chain equals a direct
+    build (same contract and test strategy as the other tiers)."""
+    return (registers
+            .groupBy("series_key",
+                     _bucket("bucket_ts", tier).alias("bucket_ts"),
+                     "cm_row", "cm_bucket")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def cm_estimate(registers: DataFrame, keys: DataFrame, *,
+                key_col: str = "key", depth: int = 4,
+                width: int = 1024) -> DataFrame:
+    """Point-query the sketch: for every (series_key, bucket_ts, key)
+    row of *keys*, the Count-Min estimate min over rows of that key's
+    counter (missing counter = 0). Output: keys columns + ``cm_est``
+    (one-sided: cm_est >= true count whenever the sketch saw the same
+    stream)."""
+    _check_params(depth, width)
+    key = F.col(key_col)
+    probes = keys.select(
+        "series_key", "bucket_ts", key.alias(key_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("cm_row"),
+                     _cm_bucket(key, j, width).alias("cm_bucket"))
+            for j in range(depth)])).alias("_rb")) \
+        .select("series_key", "bucket_ts", key_col,
+                F.col("_rb.cm_row").alias("cm_row"),
+                F.col("_rb.cm_bucket").alias("cm_bucket"))
+    joined = probes.join(
+        registers, ["series_key", "bucket_ts", "cm_row", "cm_bucket"],
+        "left")
+    return (joined
+            .groupBy("series_key", "bucket_ts", key_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("cm_est")))
+
+
+def cm_oracle_sql(table: str, *, key_expr: str, series_expr: str,
+                  ts_col: str = "ts", unit: str = "hour",
+                  depth: int = 4, width: int = 1024) -> str:
+    """DuckDB recomputation of build + estimate for every distinct
+    (series, window, key): registers from the same md5hi row hashes and
+    power-of-two masking, estimates as the min over rows, plus the
+    exact count so the one-sided bound is visible in the oracle row."""
+    _check_params(depth, width)
+    hu = (f"CAST(CAST(concat('0x', substr(md5(CAST({{j}} AS VARCHAR) "
+          f"|| '|' || {key_expr}), 1, 8)) AS BIGINT) AS HUGEINT) "
+          f"* 4294967296 "
+          f"+ CAST(concat('0x', substr(md5(CAST({{j}} AS VARCHAR) "
+          f"|| '|' || {key_expr}), 9, 8)) AS BIGINT)")
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT {series_expr} AS series_key, "
+        f"date_trunc('{unit}', {ts_col}) AS bucket_ts, "
+        f"{key_expr} AS key, {j} AS cm_row, "
+        f"CAST(({hu.format(j=j)}) % {width} AS INT) AS cm_bucket "
+        f"FROM {table}"
+        for j in range(depth))
+    return f"""
+WITH probes AS (
+{probe_rows}),
+regs AS (
+    SELECT series_key, bucket_ts, cm_row, cm_bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM probes GROUP BY 1, 2, 3, 4),
+keyrows AS (
+    SELECT DISTINCT series_key, bucket_ts, key, cm_row, cm_bucket
+    FROM probes),
+est AS (
+    SELECT k.series_key, k.bucket_ts, k.key,
+           CAST(MIN(r.cnt) AS BIGINT) AS cm_est
+    FROM keyrows k
+    JOIN regs r USING (series_key, bucket_ts, cm_row, cm_bucket)
+    GROUP BY 1, 2, 3),
+exact AS (
+    SELECT {series_expr} AS series_key,
+           date_trunc('{unit}', {ts_col}) AS bucket_ts,
+           {key_expr} AS key, CAST(count(*) AS BIGINT) AS exact_cnt
+    FROM {table} GROUP BY 1, 2, 3)
+SELECT e.series_key, e.bucket_ts, e.key, e.cm_est, x.exact_cnt,
+       e.cm_est >= x.exact_cnt AS one_sided_ok
+FROM est e JOIN exact x USING (series_key, bucket_ts, key)
+"""

@@ -843,3 +843,52 @@ def test_rolling_over_time_hand_computed(spark):
         rolling_over_time(df, 0)
     with pytest.raises(ValueError, match="unknown aggs"):
         rolling_over_time(df, 2, aggs=("median",))
+
+
+def test_cm_sketch_cascade_estimates_and_bound(spark):
+    """Count-Min: cascade == direct registers; estimates are exact when
+    width >> keys; one-sided (>= truth) always; params validated."""
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.cmsketch import (
+        cm_cascade, cm_estimate, cm_rollup)
+
+    rng = np.random.default_rng(7)
+    rows = [(f"s{i % 2}",
+             datetime(2024, 1, 1, int(i // 1000), int(i % 60)),
+             f"k{rng.zipf(1.5) % 50}")
+            for i in range(2000)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, key string")
+
+    direct = cm_rollup(df, "1 hour", key_col="key")
+    cascaded = cm_cascade(cm_rollup(df, "1 minute", key_col="key"),
+                          "1 hour")
+    assert direct.exceptAll(cascaded).count() == 0
+    assert cascaded.exceptAll(direct).count() == 0
+
+    keys = df.select("series_key",
+                     F.window("ts", "1 hour")["start"].alias("bucket_ts"),
+                     "key").distinct()
+    exact = {(r["series_key"], r["bucket_ts"], r["key"]): r["cnt"]
+             for r in df.groupBy(
+                 "series_key",
+                 F.window("ts", "1 hour")["start"].alias("bucket_ts"),
+                 "key").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    est = {(r["series_key"], r["bucket_ts"], r["key"]): r["cm_est"]
+           for r in cm_estimate(direct, keys).collect()}
+    assert est.keys() == exact.keys()
+    assert all(est[k] >= exact[k] for k in exact)       # one-sided
+    # ~50 keys vs width 1024: collisions across all 4 rows are rare
+    # enough that >= 95% of estimates are exact.
+    exact_hits = sum(1 for k in exact if est[k] == exact[k])
+    assert exact_hits / len(exact) >= 0.95
+
+    plan = cm_estimate(direct, keys)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan
+
+    with pytest.raises(ValueError, match="depth"):
+        cm_rollup(df, "1 hour", key_col="key", depth=0)
+    with pytest.raises(ValueError, match="power of two"):
+        cm_rollup(df, "1 hour", key_col="key", width=1000)

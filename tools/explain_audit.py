@@ -74,6 +74,18 @@ AUDITED = [
     ("paragraph_dedup", "zero Python, zero windows: keeper choice is a "
      "partial/final aggregate keyed by paragraph + equi-join (hot "
      "boilerplate collapses map-side), reassembly one aggregate"),
+    ("interval_join", "range predicate rewritten to an equi-join on "
+     "(keys, bucket) via interval explosion — no nested-loop join"),
+    ("downsample_lttb", "zero Python: pick is a struct-min hash "
+     "aggregate; the only window runs over the per-bucket summary"),
+    ("dup_ngram_stats", "zero Python: windows are array expressions; "
+     "one partial/final hash agg on the 64-bit window hash + join-back"),
+    ("rolling_over_time", "one bounded ROWS-frame window over rollup "
+     "rows (tier summaries, not raw samples)"),
+    ("counter_analytics", "segmented lag plan + (series, bucket)-bounded "
+     "rank windows; no whole-series sample windows"),
+    ("cm_frequency", "zero Python: register build/cascade/estimate are "
+     "partial/final hash aggregates + one equi-join of d probes"),
 ]
 
 
