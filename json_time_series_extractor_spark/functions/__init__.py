@@ -28,12 +28,16 @@ from json_time_series_extractor_spark.operators.textstats import (
     token_count,
     tokens,
 )
+from json_time_series_extractor_spark.operators.urltools import (
+    canonical_url,
+)
 from json_time_series_extractor_spark.sources.pages import (
     html_payload_text,
 )
 
 __all__ = [
     "bpe_ish_token_count",
+    "canonical_url",
     "cosine",
     "cosine_flat",
     "dot_flat",

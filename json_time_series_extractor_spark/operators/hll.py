@@ -69,6 +69,22 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+def hll_reg_rank(key: Column, register_bits: int) -> tuple:
+    """(register index, rank) expressions for *key* — shared by the
+    batch tier and the streaming tier so streamed registers are
+    definitionally identical to batch registers."""
+    if not 4 <= register_bits <= 14:
+        raise ValueError(f"register_bits must be 4..14, got {register_bits}")
+    low = 64 - register_bits
+    h = _md5hi64(key.cast("string"))
+    v = h.bitwiseAND(F.lit((1 << low) - 1))
+    reg = F.shiftright(h, low).bitwiseAND(F.lit((1 << register_bits) - 1))
+    # Rank = trailing zeros + 1; v == 0 (probability 2^-low) saturates.
+    rank = F.when(v == 0, F.lit(low + 1)).otherwise(
+        (F.log2(v.bitwiseAND(-v).cast("double")) + 1).cast("int"))
+    return reg, rank
+
+
 def hll_rollup(df: DataFrame, tier: str, *, key_col: str,
                series_col: str = "series_key", ts_col: str = "ts",
                register_bits: int = 9) -> DataFrame:
@@ -78,15 +94,7 @@ def hll_rollup(df: DataFrame, tier: str, *, key_col: str,
     implicitly rank 0 (``hll_estimate`` accounts for them), so the state
     stays sparse when windows see few keys.
     """
-    if not 4 <= register_bits <= 14:
-        raise ValueError(f"register_bits must be 4..14, got {register_bits}")
-    low = 64 - register_bits
-    h = _md5hi64(F.col(key_col).cast("string"))
-    v = h.bitwiseAND(F.lit((1 << low) - 1))
-    reg = F.shiftright(h, low).bitwiseAND(F.lit((1 << register_bits) - 1))
-    # Rank = trailing zeros + 1; v == 0 (probability 2^-low) saturates.
-    rank = F.when(v == 0, F.lit(low + 1)).otherwise(
-        (F.log2(v.bitwiseAND(-v).cast("double")) + 1).cast("int"))
+    reg, rank = hll_reg_rank(F.col(key_col), register_bits)
     return (df.select(F.col(series_col).alias("series_key"),
                       _bucket(ts_col, tier).alias("bucket_ts"),
                       reg.cast("int").alias("reg"), rank.alias("rank"))
@@ -138,21 +146,16 @@ def hll_estimate(registers: DataFrame, *,
         inv.alias("inv_fp40"), est.alias("ndv_est"))
 
 
-def hll_oracle_sql(table: str, *, key_expr: str, series_expr: str,
-                   ts_col: str = "ts", unit: str = "hour",
-                   register_bits: int = 9) -> str:
-    """ANSI-SQL (DuckDB) recomputation of the full register + estimate
-    pipeline — the md5 hash via HUGEINT (unsigned 64-bit semantics),
-    integer register/rank math, the exact fixed-point harmonic sum, and
-    the identical correction branch. Generated here so the driver
-    oracle and any ad-hoc verification share one recipe."""
-    m = 1 << register_bits
+def hll_registers_oracle_sql(table: str, *, key_expr: str,
+                             series_expr: str, ts_col: str = "ts",
+                             unit: str = "hour",
+                             register_bits: int = 9) -> str:
+    """ANSI-SQL (DuckDB) recomputation of the REGISTER matrix alone —
+    md5 via HUGEINT (unsigned 64-bit), integer register/rank math.
+    Used directly as the streaming-HLL oracle (streamed registers are
+    definitionally batch registers) and as the base of
+    :func:`hll_oracle_sql`."""
     low = 64 - register_bits
-    # One pre-multiplied double literal, computed in Python exactly like
-    # the Spark side's F.lit(...) — and CAST AS DOUBLE everywhere,
-    # because DuckDB types bare decimal literals as DECIMAL (which both
-    # overflows on multiplication and rounds differently than IEEE).
-    numer = _alpha(m) * m * m * float(1 << _FP)
     return f"""
 WITH h AS (
     SELECT {series_expr} AS series_key,
@@ -166,13 +169,34 @@ r AS (
     SELECT series_key, bucket_ts,
            CAST(hu // {1 << low} AS INT) AS reg,
            CAST(hu % {1 << low} AS BIGINT) AS v
-    FROM h),
-rk AS (
-    SELECT series_key, bucket_ts, reg,
-           MAX(CASE WHEN v = 0 THEN {low + 1}
-               ELSE CAST(log2(CAST(v & (-v) AS DOUBLE)) AS INT) + 1
-               END) AS max_rank
-    FROM r GROUP BY 1, 2, 3),
+    FROM h)
+SELECT series_key, bucket_ts, reg,
+       MAX(CASE WHEN v = 0 THEN {low + 1}
+           ELSE CAST(log2(CAST(v & (-v) AS DOUBLE)) AS INT) + 1
+           END) AS max_rank
+FROM r GROUP BY 1, 2, 3
+"""
+
+
+def hll_oracle_sql(table: str, *, key_expr: str, series_expr: str,
+                   ts_col: str = "ts", unit: str = "hour",
+                   register_bits: int = 9) -> str:
+    """ANSI-SQL (DuckDB) recomputation of the full register + estimate
+    pipeline — the md5 hash via HUGEINT (unsigned 64-bit semantics),
+    integer register/rank math, the exact fixed-point harmonic sum, and
+    the identical correction branch. Generated here so the driver
+    oracle and any ad-hoc verification share one recipe."""
+    m = 1 << register_bits
+    # One pre-multiplied double literal, computed in Python exactly like
+    # the Spark side's F.lit(...) — and CAST AS DOUBLE everywhere,
+    # because DuckDB types bare decimal literals as DECIMAL (which both
+    # overflows on multiplication and rounds differently than IEEE).
+    numer = _alpha(m) * m * m * float(1 << _FP)
+    regs = hll_registers_oracle_sql(
+        table, key_expr=key_expr, series_expr=series_expr, ts_col=ts_col,
+        unit=unit, register_bits=register_bits)
+    return f"""
+WITH rk AS ({regs}),
 g AS (
     SELECT series_key, bucket_ts,
            CAST({m} - count(*) AS INT) AS n_zero,

@@ -137,3 +137,34 @@ def streaming_tdigest(sample_stream: DataFrame,
                .select("series_key",
                        F.col("window.start").alias("bucket_ts"), "_vals"))
     return grouped.mapInPandas(digest_build_fn(delta), TDIGEST_SCHEMA)
+
+
+def streaming_hll(sample_stream: DataFrame,
+                  tier: str = "1 hour",
+                  watermark: str = "10 minutes",
+                  key_col: str = "key",
+                  register_bits: int = 9) -> DataFrame:
+    """Watermarked streaming version of ``hll.hll_rollup``: live
+    distinct-count registers per closed (series, window) — the "unique
+    visitors per window" streaming staple — append-mode ready.
+
+    One built-in streaming aggregate: register index and rank come from
+    the SAME expressions as the batch tier (``hll.hll_reg_rank``), the
+    state per group is one int (MAX rank), and late rows within the
+    watermark merge by MAX exactly like the batch cascade. Streamed
+    registers are therefore definitionally identical to batch registers
+    over the same rows, and ``hll_cascade`` / ``hll_estimate`` consume
+    them unchanged."""
+    from json_time_series_extractor_spark.operators.hll import (
+        hll_reg_rank)
+
+    reg, rank = hll_reg_rank(F.col(key_col), register_bits)
+    return (sample_stream
+            .where(F.col(key_col).isNotNull())
+            .withWatermark("ts", watermark)
+            .groupBy("series_key", F.window("ts", tier),
+                     reg.cast("int").alias("reg"))
+            .agg(F.max(rank).alias("max_rank"))
+            .select("series_key",
+                    F.col("window.start").alias("bucket_ts"),
+                    "reg", "max_rank"))

@@ -849,3 +849,46 @@ def test_streaming_histogram_matches_batch(spark, tmp_path):
     assert day.count() > 0
     total_stream = sum(c for _, c in got.values())
     assert sum(r.cnt for r in day.collect()) == total_stream
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """Streamed HLL registers equal batch hll_rollup registers on
+    closed windows (same reg/rank expressions, MAX-merged late rows),
+    and feed hll_estimate unchanged."""
+    from datetime import datetime, timedelta
+
+    from json_time_series_extractor_spark.operators.hll import (
+        hll_estimate, hll_rollup)
+    from json_time_series_extractor_spark.streaming.stream import (
+        streaming_hll)
+
+    rows = [("s", datetime(2024, 1, 1, 0, m % 60), f"u{m % 37}")
+            for m in range(300)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, key string")
+    on_time = df.where("pmod(hash(key), 4) != 0")
+    late = df.where("pmod(hash(key), 4) = 0")
+    flush = spark.createDataFrame(
+        [("_flush", datetime(2024, 1, 1, 0) + timedelta(days=30), "k")],
+        "series_key string, ts timestamp, key string")
+    src = str(tmp_path / "src")
+    on_time.coalesce(1).write.parquet(src + "/f1")
+    late.unionByName(flush).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (spark.readStream
+              .schema("series_key string, ts timestamp, key string")
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+    q = (streaming_hll(stream, tier="1 hour", watermark="2 hours")
+         .writeStream.outputMode("append").format("memory")
+         .queryName("hll_stream_test")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.table("hll_stream_test").localCheckpoint(eager=True)
+    batch = hll_rollup(df, "1 hour", key_col="key")
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    (est,) = hll_estimate(streamed).collect()
+    assert abs(est["ndv_est"] - 37) < 4  # ~37 distinct keys
