@@ -234,6 +234,15 @@ def run_benchmarks() -> None:
           lambda: _noop(simhash_near_dup_pairs(_docs(SF_DIR))),
           warm=lambda: _noop(simhash_near_dup_pairs(_docs(WARM_SF_DIR))))
 
+    from json_time_series_extractor_spark.operators.dedup import (
+        duplicate_ngram_stats)
+
+    # Same split for the exact-substring signal: the driver query's
+    # md5hi mode exists for the oracle; xxhash64 is the scale default.
+    timed("dup_ngram_default",
+          lambda: _noop(duplicate_ngram_stats(_docs(SF_DIR))),
+          warm=lambda: _noop(duplicate_ngram_stats(_docs(WARM_SF_DIR))))
+
     from json_time_series_extractor_spark.operators.tdigest import (
         rollup_tdigest, tdigest_cascade, tdigest_quantiles)
 

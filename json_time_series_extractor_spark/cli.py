@@ -69,7 +69,8 @@ def _build_parser() -> argparse.ArgumentParser:
     corp.add_argument("--op", required=True,
                       choices=["dedup-exact", "dedup-minhash",
                                "sample-fraction", "sample-per-group",
-                               "neardup-components"])
+                               "neardup-components", "url-dedup",
+                               "dedup-paragraphs", "dup-ngram-stats"])
     corp.add_argument("--fraction", type=float, default=0.1,
                       help="sample-fraction: keep probability")
     corp.add_argument("--group-col", default="lang")
@@ -84,6 +85,12 @@ def _build_parser() -> argparse.ArgumentParser:
                       help="neardup-components: BSP min-label (rounds = "
                            "diameter) or large-star/small-star (O(log^2 n) "
                            "rounds for adversarial graphs)")
+    corp.add_argument("--url-col", default="url",
+                      help="url-dedup: URL column name")
+    corp.add_argument("--paragraph-sep", default="\\n\\n",
+                      help="dedup-paragraphs: separator (escapes decoded)")
+    corp.add_argument("--ngram-n", type=int, default=8,
+                      help="dup-ngram-stats: window length in tokens")
 
     pipe = sub.add_parser("pipeline", help="run the resumable pipeline")
     pipe.add_argument("--input", required=True,
@@ -352,6 +359,19 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
         keepers = surv.selectExpr("keep_id AS doc_id")
         drop = members.join(keepers, "doc_id", "left_anti")
         out = docs.join(drop, "doc_id", "left_anti")
+    elif args.op == "url-dedup":
+        from json_time_series_extractor_spark.operators.urltools import (
+            dedup_by_canonical_url)
+        out = dedup_by_canonical_url(docs, url_col=args.url_col)
+    elif args.op == "dedup-paragraphs":
+        from json_time_series_extractor_spark.operators.dedup import (
+            dedup_paragraphs)
+        sep = args.paragraph_sep.encode().decode("unicode_escape")
+        out = dedup_paragraphs(docs, sep=sep)
+    elif args.op == "dup-ngram-stats":
+        from json_time_series_extractor_spark.operators.dedup import (
+            duplicate_ngram_stats)
+        out = duplicate_ngram_stats(docs, n=args.ngram_n)
     elif args.op == "sample-fraction":
         out = deterministic_sample(docs, args.fraction, seed=args.seed)
     elif args.op == "sample-per-group":

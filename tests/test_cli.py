@@ -246,3 +246,43 @@ def test_corpus_subcommand_ops(spark, tmp_path):
 
     re = run_corpus(spark, args(out="e1", op="dedup-exact"))
     assert 0 < re["rows_out"] <= re["rows_in"]
+
+
+def test_corpus_subcommand_r5_ops(spark, tmp_path):
+    """Round-5 corpus CLI ops: paragraph dedup, dup-ngram stats (over
+    the stock documents table) and url-dedup (over a derived table with
+    a url column)."""
+    import argparse
+
+    from json_time_series_extractor_spark.cli import run_corpus
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+
+    def args(**kw):
+        base = dict(input=src, output=str(tmp_path / kw.pop("out")),
+                    op=None, fraction=0.1, group_col="lang",
+                    per_group_n=20, threshold=0.5, num_hashes=32,
+                    bands=16, seed=7, components_algorithm="minlabel",
+                    url_col="url", paragraph_sep="\\n\\n", ngram_n=4)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    rp = run_corpus(spark, args(out="p1", op="dedup-paragraphs"))
+    assert rp["rows_out"] == rp["rows_in"]  # one row per doc
+    cols = set(spark.read.parquet(rp["output"]).columns)
+    assert cols == {"doc_id", "clean_text", "n_paras", "n_dropped"}
+
+    rg = run_corpus(spark, args(out="g1", op="dup-ngram-stats"))
+    out = spark.read.parquet(rg["output"])
+    assert out.where("dup_fraction > 0").count() > 0
+
+    urls = (spark.read.parquet(src)
+            .selectExpr("doc_id",
+                        "concat('HTTP://H', doc_id % 5, "
+                        "'.COM:80/p?utm_source=x&a=1') AS url"))
+    usrc = str(tmp_path / "urls_src")
+    urls.write.parquet(usrc)
+    ru = run_corpus(spark, args(input=usrc, out="u1", op="url-dedup"))
+    assert ru["rows_out"] == 5              # 5 hosts -> 5 canonicals
+    u = spark.read.parquet(ru["output"]).collect()
+    assert all(r["canonical_url"].startswith("http://h") for r in u)
