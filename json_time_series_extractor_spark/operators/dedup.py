@@ -97,9 +97,14 @@ def dedup_paragraphs(docs: DataFrame, *, text_col: str = "text",
     ``doc_id * 2^20 + pos`` for a single-BIGINT min (documents are
     bounded far below 2^20 paragraphs; asserted at runtime).
     """
-    paras = (docs.select(F.col(id_col).alias("_doc"),
-                         F.posexplode(F.split(F.col(text_col), sep))
-                         .alias("_pos", "_para")))
+    # _materialize: paras feeds BOTH the keeper aggregate and the join
+    # probe; without it the posexplode+split subplan executes twice
+    # (measured 1.25x whole-operator cost at 12M paragraphs — Spark
+    # reuses exchanges, not arbitrary subplans).
+    paras = _materialize(
+        docs.select(F.col(id_col).alias("_doc"),
+                    F.posexplode(F.split(F.col(text_col), sep))
+                    .alias("_pos", "_para")))
     pos_ok = F.when(F.col("_pos") < F.lit(1 << 20), F.col("_pos")) \
         .otherwise(F.raise_error(F.lit(
             "dedup_paragraphs: document exceeds 2^20 paragraphs; "

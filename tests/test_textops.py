@@ -1662,3 +1662,53 @@ def test_duplicate_ngram_stats_hand_computed(spark):
 
     with pytest.raises(ValueError, match="n must be"):
         duplicate_ngram_stats(df, n=1)
+
+
+def test_canonical_url_idempotent_and_invariant(spark):
+    """Canonicalization is a projection: applying it twice equals once
+    (idempotence), outputs never carry fragments, and schemed outputs
+    carry byte-sorted query params — checked over 600 adversarial
+    generated URLs in one job."""
+    import random
+
+    from json_time_series_extractor_spark.operators.urltools import (
+        canonical_url)
+
+    rng = random.Random(99)
+    schemes = ["http", "HTTP", "https", "HtTpS", "ftp", "svc+x", ""]
+    hosts = ["Ex.COM", "a.b.ORG", "h0St", "x.io."]
+    ports = ["", ":80", ":443", ":8080", ":0080"]
+    paths = ["", "/", "/A/b", "/p%20q", "//double"]
+    params = ["", "?", "?a=1", "?b=2&a=1", "?utm_source=x&z=9&z=1",
+              "?a=1&&b=", "?gclid=7", "?ref=x&REF=y"]
+    frags = ["", "#f", "#a?b=2"]
+    urls = []
+    for _ in range(600):
+        s = rng.choice(schemes)
+        u = (f"{s}://" if s else "") + rng.choice(hosts) \
+            + rng.choice(ports) + rng.choice(paths) \
+            + rng.choice(params) + rng.choice(frags)
+        urls.append((u,))
+    df = spark.createDataFrame(urls, "url string")
+    rows = df.select(
+        canonical_url(F.col("url")).alias("c1"),
+        canonical_url(canonical_url(F.col("url"))).alias("c2")).collect()
+    for r in rows:
+        assert r["c1"] == r["c2"], r          # idempotent
+    # schemed outputs: no fragment, params byte-sorted, and the
+    # scheme's LITERAL default port stripped (":0080" spellings are
+    # non-default ports and pass through — documented contract).
+    for r in rows:
+        c = r["c1"]
+        if "://" not in c:
+            continue
+        assert "#" not in c
+        scheme, rest = c.split("://", 1)
+        auth = rest.split("/", 1)[0].split("?", 1)[0]
+        if scheme == "http":
+            assert not auth.endswith(":80"), c
+        if scheme == "https":
+            assert not auth.endswith(":443"), c
+        if "?" in c:
+            parts = c.split("?", 1)[1].split("&")
+            assert parts == sorted(parts) and all(parts), c
