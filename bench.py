@@ -290,7 +290,7 @@ def run_benchmarks() -> None:
             rstats["bytes"] / max(rstats["points"], 1), 2)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    full = {
         "metric": "headline query wall time (extract+rollup pipeline "
                   "+ driver-contract queries)",
         "value": total,
@@ -299,6 +299,30 @@ def run_benchmarks() -> None:
         "sf": _sf_label(SF_DIR),
         "cpus": CPUS,
         **extras,
+    }
+    # Per-query dict (60+ entries) goes to a file artifact: printed as
+    # the headline it overflowed the driver's tail-capture window and
+    # BENCH_r05.json recorded "parsed": null. Full record first (own
+    # line, greppable), COMPACT summary LAST so the driver's last-line
+    # JSON parse always succeeds.
+    artifact = os.path.join(REPO, "BENCH", "QUERIES_last.json")
+    os.makedirs(os.path.dirname(artifact), exist_ok=True)
+    with open(artifact, "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full))
+    heaviest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    print(json.dumps({
+        "metric": "headline query wall time (extract+rollup pipeline "
+                  "+ driver-contract queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": heaviest,
+        "n_queries": len(timings),
+        "queries_file": "BENCH/QUERIES_last.json",
+        "sf": _sf_label(SF_DIR),
+        "cpus": CPUS,
+        "docs_per_sec": extras.get("docs_per_sec"),
+        "points_per_sec": extras.get("points_per_sec"),
     }))
 
 

@@ -79,6 +79,12 @@ def _build_parser() -> argparse.ArgumentParser:
                       help="dedup-minhash/neardup: Jaccard threshold")
     corp.add_argument("--num-hashes", type=int, default=64)
     corp.add_argument("--bands", type=int, default=16)
+    corp.add_argument("--max-bucket-size", type=int, default=10_000,
+                      help="dedup-minhash/neardup: LSH buckets larger "
+                           "than this emit linear star edges instead of "
+                           "all pairs (B^2 blowup guard at web scale; "
+                           "components-equivalent). 0 disables the cap "
+                           "(exact all-pairs, verification runs only)")
     corp.add_argument("--seed", type=int, default=7)
     corp.add_argument("--components-algorithm",
                       choices=["minlabel", "star"], default="minlabel",
@@ -336,6 +342,8 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
     """Corpus-pipeline dispatch: every op is a pure DataFrame transform
     from the operator modules (deterministic, partition-invariant), so
     the CLI surface is exactly the library surface."""
+    from pyspark.sql import Observation
+
     from json_time_series_extractor_spark.operators.components import (
         dedup_survivors)
     from json_time_series_extractor_spark.operators.dedup import (
@@ -345,12 +353,22 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
 
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
+    # LSH mega-bucket cap: ON by default from the CLI (10^4) — a
+    # templated cluster of 10^6 members in one bucket would otherwise
+    # emit 10^12 pairs from the self-join. --max-bucket-size 0 restores
+    # exact all-pairs for verification runs. Capping is metered via an
+    # Observation surfaced in the report.
+    cap = args.max_bucket_size if getattr(args, "max_bucket_size",
+                                          0) > 0 else None
+    obs = None
     if args.op == "dedup-exact":
         out = dedup_exact(docs)
     elif args.op == "dedup-minhash":
+        obs = Observation("lsh_buckets") if cap else None
         pairs = minhash_lsh_dedup_pairs(
             docs, num_hashes=args.num_hashes, bands=args.bands,
-            threshold=args.threshold)
+            threshold=args.threshold, max_bucket_size=cap,
+            observation=obs)
         surv = dedup_survivors(pairs,
                                algorithm=args.components_algorithm)
         # Drop every clustered doc except its canonical survivor.
@@ -378,15 +396,21 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
         out = sample_per_group(docs, [args.group_col], args.per_group_n,
                                seed=args.seed)
     else:  # neardup-components
+        obs = Observation("lsh_buckets") if cap else None
         pairs = minhash_lsh_dedup_pairs(
             docs, num_hashes=args.num_hashes, bands=args.bands,
-            threshold=args.threshold)
+            threshold=args.threshold, max_bucket_size=cap,
+            observation=obs)
         out = dedup_survivors(pairs,
                               algorithm=args.components_algorithm)
     out.write.mode("overwrite").parquet(args.output)
     n_out = spark.read.parquet(args.output).count()
-    return {"command": "corpus", "op": args.op, "rows_in": n_in,
-            "rows_out": n_out, "output": args.output}
+    report = {"command": "corpus", "op": args.op, "rows_in": n_in,
+              "rows_out": n_out, "output": args.output}
+    if obs is not None:
+        report["lsh_bucket_cap"] = cap
+        report["lsh_buckets"] = obs.get
+    return report
 
 
 def main(argv: Optional[List[str]] = None) -> None:

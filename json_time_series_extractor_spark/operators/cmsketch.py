@@ -53,36 +53,68 @@ def _cm_bucket(key: Column, row: int, width: int) -> Column:
     return h.bitwiseAND(F.lit(width - 1)).cast("int")
 
 
+def _stamp_params(cnt: Column, depth: int, width: int) -> Column:
+    """Tag the counter column with the sketch's build parameters so
+    :func:`cm_estimate` can detect a probe-side depth/width mismatch
+    (a wrong width silently misses every bucket and breaks the
+    one-sided guarantee)."""
+    return cnt.alias("cnt", metadata={"cm_depth": depth,
+                                      "cm_width": width})
+
+
+def _read_params(registers: DataFrame) -> tuple:
+    md = registers.schema["cnt"].metadata if "cnt" in registers.columns \
+        else {}
+    return md.get("cm_depth"), md.get("cm_width")
+
+
 def cm_rollup(df: DataFrame, tier: str, *, key_col: str,
               series_col: str = "series_key", ts_col: str = "ts",
               depth: int = 4, width: int = 1024) -> DataFrame:
     """(series, ts, key) rows -> sparse Count-Min registers per window:
     (series_key, bucket_ts, cm_row, cm_bucket, cnt). Absent counters
-    are implicitly zero."""
+    are implicitly zero.
+
+    NULL keys are dropped (a NULL contributes no frequency): md5(NULL)
+    would otherwise produce NULL-bucket register rows unreachable by
+    any probe, and the generated DuckDB oracle cannot hash NULL at all.
+
+    The build (depth, width) are stamped as column metadata on ``cnt``
+    so :func:`cm_estimate` rejects mismatched probe parameters.
+    """
     _check_params(depth, width)
     key = F.col(key_col)
     rows = F.array(*[
         F.struct(F.lit(j).alias("r"),
                  _cm_bucket(key, j, width).alias("b"))
         for j in range(depth)])
-    return (df.select(F.col(series_col).alias("series_key"),
-                      _bucket(ts_col, tier).alias("bucket_ts"),
-                      F.explode(rows).alias("_rb"))
-            .groupBy("series_key", "bucket_ts",
-                     F.col("_rb.r").alias("cm_row"),
-                     F.col("_rb.b").alias("cm_bucket"))
-            .agg(F.count(F.lit(1)).alias("cnt")))
+    out = (df.where(key.isNotNull())
+           .select(F.col(series_col).alias("series_key"),
+                   _bucket(ts_col, tier).alias("bucket_ts"),
+                   F.explode(rows).alias("_rb"))
+           .groupBy("series_key", "bucket_ts",
+                    F.col("_rb.r").alias("cm_row"),
+                    F.col("_rb.b").alias("cm_bucket"))
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    return out.withColumn(
+        "cnt", _stamp_params(F.col("cnt"), depth, width))
 
 
 def cm_cascade(registers: DataFrame, tier: str) -> DataFrame:
     """Merge registers into a coarser window: elementwise SUM —
     associative/commutative, so any cascade chain equals a direct
-    build (same contract and test strategy as the other tiers)."""
-    return (registers
-            .groupBy("series_key",
-                     _bucket("bucket_ts", tier).alias("bucket_ts"),
-                     "cm_row", "cm_bucket")
-            .agg(F.sum("cnt").alias("cnt")))
+    build (same contract and test strategy as the other tiers).
+    Propagates the (depth, width) metadata stamp when present."""
+    depth, width = _read_params(registers)
+    merged = (registers
+              .groupBy("series_key",
+                       _bucket("bucket_ts", tier).alias("bucket_ts"),
+                       "cm_row", "cm_bucket")
+              .agg(F.sum("cnt").alias("cnt")))
+    if depth is not None:
+        merged = merged.withColumn(
+            "cnt", _stamp_params(F.col("cnt"), depth, width))
+    return merged
 
 
 def cm_estimate(registers: DataFrame, keys: DataFrame, *,
@@ -92,9 +124,25 @@ def cm_estimate(registers: DataFrame, keys: DataFrame, *,
     row of *keys*, the Count-Min estimate min over rows of that key's
     counter (missing counter = 0). Output: keys columns + ``cm_est``
     (one-sided: cm_est >= true count whenever the sketch saw the same
-    stream)."""
+    stream).
+
+    If *registers* carries the (depth, width) metadata stamp written by
+    :func:`cm_rollup` / :func:`cm_cascade`, a probe-side mismatch
+    raises instead of silently returning non-one-sided estimates (the
+    bucket indices would simply miss). NULL probe keys are dropped,
+    mirroring the build side.
+    """
     _check_params(depth, width)
+    built_depth, built_width = _read_params(registers)
+    if built_depth is not None and (built_depth, built_width) != (depth,
+                                                                  width):
+        raise ValueError(
+            f"cm_estimate(depth={depth}, width={width}) does not match "
+            f"the registers' build parameters (depth={built_depth}, "
+            f"width={built_width}); estimates would silently lose the "
+            f"one-sided guarantee")
     key = F.col(key_col)
+    keys = keys.where(key.isNotNull())
     probes = keys.select(
         "series_key", "bucket_ts", key.alias(key_col),
         F.explode(F.array(*[
@@ -131,7 +179,7 @@ def cm_oracle_sql(table: str, *, key_expr: str, series_expr: str,
         f"date_trunc('{unit}', {ts_col}) AS bucket_ts, "
         f"{key_expr} AS key, {j} AS cm_row, "
         f"CAST(({hu.format(j=j)}) % {width} AS INT) AS cm_bucket "
-        f"FROM {table}"
+        f"FROM {table} WHERE {key_expr} IS NOT NULL"
         for j in range(depth))
     return f"""
 WITH probes AS (
@@ -153,7 +201,7 @@ exact AS (
     SELECT {series_expr} AS series_key,
            date_trunc('{unit}', {ts_col}) AS bucket_ts,
            {key_expr} AS key, CAST(count(*) AS BIGINT) AS exact_cnt
-    FROM {table} GROUP BY 1, 2, 3)
+    FROM {table} WHERE {key_expr} IS NOT NULL GROUP BY 1, 2, 3)
 SELECT e.series_key, e.bucket_ts, e.key, e.cm_est, x.exact_cnt,
        e.cm_est >= x.exact_cnt AS one_sided_ok
 FROM est e JOIN exact x USING (series_key, bucket_ts, key)

@@ -93,9 +93,11 @@ def dedup_paragraphs(docs: DataFrame, *, text_col: str = "text",
     boilerplate paragraph collapses MAP-SIDE — deliberately an
     aggregate+join, not a window over partitionBy(paragraph), which
     would funnel each hot paragraph through one task) -> equi-join back
-    -> one aggregate by document to reassemble. Positions pack into
-    ``doc_id * 2^20 + pos`` for a single-BIGINT min (documents are
-    bounded far below 2^20 paragraphs; asserted at runtime).
+    -> one aggregate by document to reassemble. The keeper key is
+    ``min(struct(doc_id, pos))`` — lexicographic struct ordering, so it
+    works for ANY orderable id type (string URLs, the natural key of a
+    crawl corpus, included) with no numeric packing and therefore no
+    overflow or paragraph-count bound.
     """
     # _materialize: paras feeds BOTH the keeper aggregate and the join
     # probe; without it the posexplode+split subplan executes twice
@@ -105,17 +107,13 @@ def dedup_paragraphs(docs: DataFrame, *, text_col: str = "text",
         docs.select(F.col(id_col).alias("_doc"),
                     F.posexplode(F.split(F.col(text_col), sep))
                     .alias("_pos", "_para")))
-    pos_ok = F.when(F.col("_pos") < F.lit(1 << 20), F.col("_pos")) \
-        .otherwise(F.raise_error(F.lit(
-            "dedup_paragraphs: document exceeds 2^20 paragraphs; "
-            "packed (doc, pos) ordering would corrupt silently")))
-    packed = (F.col("_doc") * F.lit(1 << 20)) + pos_ok
+    occ = F.struct(F.col("_doc").alias("d"), F.col("_pos").alias("p"))
     keepers = (paras
                .groupBy("_para")
-               .agg(F.min(packed).alias("_keeper")))
+               .agg(F.min(occ).alias("_keeper")))
     kept = (paras
             .join(keepers, "_para")
-            .withColumn("_keep", packed == F.col("_keeper")))
+            .withColumn("_keep", occ == F.col("_keeper")))
     return (kept.groupBy("_doc")
             .agg(F.array_join(
                 F.transform(
@@ -264,7 +262,10 @@ def minhash_lsh_dedup_pairs(docs: DataFrame, *, text_col: str = "text",
     ``max_bucket_size``/``observation`` pass through to
     :func:`lsh_candidate_pairs` (mega-bucket star capping + its metrics);
     capped members are Jaccard-verified against the bucket representative
-    only.
+    only. The library default is ``None`` (exact all-pairs) so oracle /
+    verification runs stay exhaustive; every CLI-reachable path defaults
+    the cap to 10^4 (``cli.py --max-bucket-size``) because one templated
+    10^6-member bucket would otherwise self-join into 10^12 pairs.
     """
     if num_hashes % bands != 0 or bands > num_hashes:
         # _band_hashes slices rows = num_hashes/bands per band: a remainder
@@ -696,12 +697,19 @@ def duplicate_ngram_stats(docs: DataFrame, *, n: int = 8,
         F.transform(F.sequence(F.lit(0), F.size(toks) - n),
                     lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     ).otherwise(F.array().cast("array<string>"))
-    exploded = (docs.select(F.col(id_col).alias("doc_id"),
-                            F.explode_outer(wins).alias("_w"))
-                .select("doc_id",
-                        F.when(F.col("_w").isNotNull(),
-                               _token_hash64(F.col("_w"), hash_fn))
-                        .alias("_h")))
+    # _materialize: exploded feeds BOTH the corpus-count aggregate and
+    # the join probe; without it the tokenize + window-concat + hash
+    # derivation (the dominant cost: ~tokens x docs rows) executes
+    # twice — the same defect measured and fixed in dedup_paragraphs
+    # (1.25x there, larger here because the per-row expression work is
+    # heavier).
+    exploded = _materialize(
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode_outer(wins).alias("_w"))
+        .select("doc_id",
+                F.when(F.col("_w").isNotNull(),
+                       _token_hash64(F.col("_w"), hash_fn))
+                .alias("_h")))
     counts = (exploded.where(F.col("_h").isNotNull())
               .groupBy("_h").agg(F.count(F.lit(1)).alias("_cnt")))
     marked = (exploded

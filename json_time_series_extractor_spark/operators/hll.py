@@ -93,9 +93,16 @@ def hll_rollup(df: DataFrame, tier: str, *, key_col: str,
     Output: (series_key, bucket_ts, reg, max_rank); absent registers are
     implicitly rank 0 (``hll_estimate`` accounts for them), so the state
     stays sparse when windows see few keys.
+
+    NULL keys are dropped (a NULL is not a distinct value): md5(NULL)
+    would otherwise emit a phantom (reg=NULL, max_rank=NULL) register
+    row that inflates ``_present`` in :func:`hll_estimate` — and the
+    streaming tier (streaming/stream.py) already filters them, so batch
+    and streamed registers stay definitionally identical.
     """
     reg, rank = hll_reg_rank(F.col(key_col), register_bits)
-    return (df.select(F.col(series_col).alias("series_key"),
+    return (df.where(F.col(key_col).isNotNull())
+            .select(F.col(series_col).alias("series_key"),
                       _bucket(ts_col, tier).alias("bucket_ts"),
                       reg.cast("int").alias("reg"), rank.alias("rank"))
             .groupBy("series_key", "bucket_ts", "reg")
@@ -164,7 +171,8 @@ WITH h AS (
                      AS BIGINT) AS HUGEINT) * 4294967296
            + CAST(concat('0x', substr(md5({key_expr}), 9, 8))
                   AS BIGINT) AS hu
-    FROM {table}),
+    FROM {table}
+    WHERE {key_expr} IS NOT NULL),
 r AS (
     SELECT series_key, bucket_ts,
            CAST(hu // {1 << low} AS INT) AS reg,

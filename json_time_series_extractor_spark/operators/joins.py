@@ -167,7 +167,8 @@ def interval_join(events: DataFrame, intervals: DataFrame, *,
                   end_col: str = "end_ts",
                   on: Sequence[str] = ("series_key",),
                   bucket: str = "1 day", how: str = "inner",
-                  max_span_buckets: int = 4000) -> DataFrame:
+                  max_span_buckets: int = 4000,
+                  on_null_bounds: str = "drop") -> DataFrame:
     """Point-in-interval join: each event row pairs with every interval
     row (same ``on`` keys) whose ``[start, end]`` range contains its
     timestamp (inclusive both ends). ``how``: 'inner' or 'left' (left
@@ -184,15 +185,38 @@ def interval_join(events: DataFrame, intervals: DataFrame, *,
     bucket), so no dedup pass is needed. Choose ``bucket`` near the
     typical interval length: cost is events + intervals x span/bucket
     rows through one shuffle.
+
+    Intervals with a NULL ``start``/``end`` bound cannot satisfy the
+    range predicate, so they match nothing — the exact semantics a SQL
+    range join would give (and what Catalyst's IsNotNull constraint
+    propagation enforces below the explode regardless of what we emit).
+    ``on_null_bounds`` picks the policy: ``'drop'`` (default) skips
+    those interval rows, documented here; ``'error'`` validates the
+    intervals EAGERLY (one small driver-side action over the intervals
+    frame — a lazy ``raise_error`` would be optimized away by the same
+    constraint propagation) and raises naming the null bounds.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if on_null_bounds not in ("error", "drop"):
+        raise ValueError(f"on_null_bounds must be 'error' or 'drop', "
+                         f"got {on_null_bounds!r}")
     overlap = (set(events.columns) & set(intervals.columns)) - set(on)
     if overlap:
         raise ValueError(
             f"ambiguous columns {sorted(overlap)}: rename before joining")
     bsec = _interval_seconds(bucket)
     start, end = F.col(start_col), F.col(end_col)
+    null_bounds = start.isNull() | end.isNull()
+    if on_null_bounds == "error":
+        n_null = intervals.where(null_bounds).count()
+        if n_null:
+            raise ValueError(
+                f"interval_join: {n_null} interval row(s) have a NULL "
+                f"{start_col}/{end_col} bound — they can match no "
+                f"event; pass on_null_bounds='drop' to skip them")
+    else:
+        intervals = intervals.where(~null_bounds)
     span_ok = ((end >= start)
                & ((F.unix_micros(end.cast("timestamp"))
                    - F.unix_micros(start.cast("timestamp")))

@@ -221,7 +221,8 @@ def test_corpus_subcommand_ops(spark, tmp_path):
         base = dict(input=src, output=str(tmp_path / kw.pop("out")),
                     op=None, fraction=0.1, group_col="lang",
                     per_group_n=20, threshold=0.5, num_hashes=32,
-                    bands=16, seed=7, components_algorithm="minlabel")
+                    bands=16, seed=7, components_algorithm="minlabel",
+                    max_bucket_size=10_000)
         base.update(kw)
         return argparse.Namespace(**base)
 
@@ -237,6 +238,12 @@ def test_corpus_subcommand_ops(spark, tmp_path):
 
     rd = run_corpus(spark, args(out="d1", op="dedup-minhash"))
     assert rd["rows_out"] < rd["rows_in"]  # near-dups exist in the table
+    # the mega-bucket cap is the CLI default (r6) and is metered: the
+    # report carries the Observation; fixture clusters sit below 10^4
+    # members, so nothing is capped here
+    assert rd["lsh_bucket_cap"] == 10_000
+    assert rd["lsh_buckets"]["capped_buckets"] == 0
+    assert rd["lsh_buckets"]["total_buckets"] > 0
 
     rc = run_corpus(spark, args(out="c1", op="neardup-components",
                                 components_algorithm="star"))

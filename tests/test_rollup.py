@@ -892,3 +892,92 @@ def test_cm_sketch_cascade_estimates_and_bound(spark):
         cm_rollup(df, "1 hour", key_col="key", depth=0)
     with pytest.raises(ValueError, match="power of two"):
         cm_rollup(df, "1 hour", key_col="key", width=1000)
+
+
+def test_hll_cm_null_keys_dropped(spark):
+    """NULL keys must not leave phantom registers (r6 ADVICE): a NULL
+    is not a distinct value and contributes no frequency — and the
+    DuckDB oracles cannot hash NULL at all. Registers with and without
+    NULL rows in the input must be identical, matching the streaming
+    tier's existing filter."""
+    from json_time_series_extractor_spark.operators.cmsketch import (
+        cm_rollup)
+    from json_time_series_extractor_spark.operators.hll import (
+        hll_rollup)
+
+    clean = [("a", datetime(2024, 1, 1, 0, i % 60), f"k{i}")
+             for i in range(50)]
+    dirty = clean + [("a", datetime(2024, 1, 1, 0, 5), None)] * 3
+    df_c = spark.createDataFrame(
+        clean, "series_key string, ts timestamp, key string")
+    df_d = spark.createDataFrame(
+        dirty, "series_key string, ts timestamp, key string")
+
+    h_c, h_d = (hll_rollup(d, "1 hour", key_col="key")
+                for d in (df_c, df_d))
+    assert h_d.where("reg IS NULL OR max_rank IS NULL").count() == 0
+    assert h_c.exceptAll(h_d).count() == 0
+    assert h_d.exceptAll(h_c).count() == 0
+
+    c_c, c_d = (cm_rollup(d, "1 hour", key_col="key")
+                for d in (df_c, df_d))
+    assert c_d.where("cm_bucket IS NULL").count() == 0
+    assert c_c.exceptAll(c_d).count() == 0
+    assert c_d.exceptAll(c_c).count() == 0
+
+
+def test_cm_estimate_param_mismatch_raises(spark):
+    """The (depth, width) stamp on the register output (r6 ADVICE):
+    probing with different parameters would silently miss buckets and
+    lose the one-sided guarantee, so cm_estimate must refuse — through
+    a cascade too."""
+    from json_time_series_extractor_spark.operators.cmsketch import (
+        cm_cascade, cm_estimate, cm_rollup)
+
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1), "k")],
+        "series_key string, ts timestamp, key string")
+    regs = cm_rollup(df, "1 minute", key_col="key", depth=4, width=1024)
+    keys = df.select("series_key",
+                     F.window("ts", "1 hour")["start"].alias("bucket_ts"),
+                     "key")
+    with pytest.raises(ValueError, match="does not match"):
+        cm_estimate(regs, keys, width=2048)
+    with pytest.raises(ValueError, match="does not match"):
+        cm_estimate(cm_cascade(regs, "1 hour"), keys, depth=2)
+    # matching params work, including after a cascade
+    assert cm_estimate(cm_cascade(regs, "1 hour"), keys).count() == 1
+    # registers without the stamp (e.g. read back from parquet) probe
+    # under the caller's responsibility — no spurious rejection
+    bare = spark.createDataFrame(regs.collect(), regs.schema)
+    bare = bare.select("series_key", "bucket_ts", "cm_row", "cm_bucket",
+                       F.col("cnt").alias("cnt"))
+    assert cm_estimate(bare, keys, width=1024).count() == 1
+
+
+def test_interval_join_null_bounds_policy(spark):
+    """NULL-bounded intervals (r6 ADVICE): they can satisfy no range
+    predicate, so the default drops them (documented SQL semantics);
+    on_null_bounds='error' validates eagerly with a message that names
+    the null bound instead of the misleading span error."""
+    from json_time_series_extractor_spark.operators.joins import (
+        interval_join)
+
+    ev = spark.createDataFrame(
+        [(1, "a", datetime(2024, 1, 1, 3))],
+        "event_id long, series_key string, ts timestamp")
+    iv = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1), datetime(2024, 1, 2), "ok"),
+         ("a", None, datetime(2024, 1, 2), "nullstart")],
+        "series_key string, start_ts timestamp, end_ts timestamp, "
+        "label string")
+    dropped = interval_join(ev, iv).collect()   # default: drop
+    assert [(r["event_id"], r["label"]) for r in dropped] == [(1, "ok")]
+    with pytest.raises(ValueError, match="NULL"):
+        interval_join(ev, iv, on_null_bounds="error")
+    # eager validation passes through when no bounds are null
+    clean = iv.where("start_ts IS NOT NULL")
+    ok = interval_join(ev, clean, on_null_bounds="error").collect()
+    assert [(r["event_id"], r["label"]) for r in ok] == [(1, "ok")]
+    with pytest.raises(ValueError, match="on_null_bounds"):
+        interval_join(ev, iv, on_null_bounds="ignore")

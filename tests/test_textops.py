@@ -1712,3 +1712,21 @@ def test_canonical_url_idempotent_and_invariant(spark):
         if "?" in c:
             parts = c.split("?", 1)[1].split("&")
             assert parts == sorted(parts) and all(parts), c
+
+
+def test_dedup_paragraphs_string_ids(spark):
+    """String doc ids (the natural key of a crawl corpus is the URL)
+    must work since r6: the keeper is min(struct(doc_id, pos)) —
+    lexicographic, any orderable id type, no numeric packing. The r5
+    packed form raised CAST_INVALID_INPUT under ANSI mode and would
+    silently null every keeper under ansi=false."""
+    from json_time_series_extractor_spark.operators.dedup import (
+        dedup_paragraphs)
+
+    docs = [("url/a", "alpha\n\nshared"),
+            ("url/b", "shared\n\nbeta")]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+    assert out["url/a"]["clean_text"] == "alpha\n\nshared"
+    assert out["url/b"]["clean_text"] == "beta"
+    assert out["url/b"]["n_dropped"] == 1
