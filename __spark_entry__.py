@@ -609,6 +609,67 @@ def _oracle_streaming_hll() -> str:
         series_expr="event_type")
 
 
+def q_streaming_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min frequency tier under a FULL-VALUE oracle
+    (round-6), completing the streaming sketch family next to
+    streaming_hll: the registers a live watermarked micro-batch run
+    emits are exactly SQL-recomputable (md5hi row hashes, power-of-two
+    bucket masking, additive COUNT merge), so the oracle rebuilds the
+    whole register matrix from the raw events and every streamed row
+    must match bit-for-bit.
+
+    Same harness shape as q_streaming_hll: an on-time file, a late file
+    (arrives a micro-batch later, inside the 2h watermark), and a
+    far-future '_flush' sentinel that closes every real window; append
+    mode emits ALL real (series, hour) windows and only those."""
+    import os as _os
+    import shutil
+    from datetime import timedelta
+
+    from json_time_series_extractor_spark.streaming.stream import (
+        streaming_cm)
+
+    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          .select(F.col("event_type").alias("series_key"), "ts",
+                  F.col("user_id").cast("string").alias("key")))
+    tag = "".join(c if c.isalnum() else "_"
+                  for c in _os.path.basename(sf_dir.rstrip("/")))
+    base = f"/tmp/jtse_stream_cm_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    on_time = ev.where("pmod(hash(series_key, ts), 5) != 0")
+    late = ev.where("pmod(hash(series_key, ts), 5) = 0")
+    flush_ts = ev.agg(F.max("ts")).first()[0] + timedelta(days=365)
+    flush = spark.createDataFrame(
+        [("_flush", flush_ts, "k")],
+        "series_key string, ts timestamp, key string")
+    on_time.coalesce(1).write.parquet(base + "/src/f1")
+    late.unionByName(flush).coalesce(1).write.parquet(base + "/src/f2")
+
+    stream = (spark.readStream
+              .schema("series_key string, ts timestamp, key string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(base + "/src/*"))
+    sink = f"cm_stream_oracle_{tag}"
+    q = (streaming_cm(stream, tier="1 hour", watermark="2 hours")
+         .writeStream.outputMode("append").format("memory")
+         .queryName(sink)
+         .option("checkpointLocation", base + "/ckpt").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink).localCheckpoint(eager=True)
+
+
+def _oracle_streaming_cm() -> str:
+    from json_time_series_extractor_spark.operators.cmsketch import (
+        cm_registers_oracle_sql)
+
+    return cm_registers_oracle_sql(
+        "events", key_expr="CAST(user_id AS VARCHAR)",
+        series_expr="event_type")
+
+
 def q_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketch tier (round-5): registers build at
     1m, cascade to 1h by elementwise SUM (sketch rows only), then
@@ -1880,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_over_time": q_rolling_over_time,
         "cm_frequency": q_cm_frequency,
         "streaming_hll": q_streaming_hll,
+        "streaming_cm": q_streaming_cm,
         "rollup_histogram": q_rollup_histogram,
         "time_weighted_avg": q_time_weighted_avg,
         "top_k_series": q_top_k_series,
@@ -2044,6 +2106,7 @@ GROUP BY 1, 2
         "rolling_over_time": _ORACLE_ROLLING_OVER_TIME,
         "cm_frequency": _oracle_cm_frequency(),
         "streaming_hll": _oracle_streaming_hll(),
+        "streaming_cm": _oracle_streaming_cm(),
         "counter_rate": """
 WITH d AS (
     SELECT event_type AS series_key, ts, value,

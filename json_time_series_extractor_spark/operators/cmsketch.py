@@ -161,6 +161,47 @@ def cm_estimate(registers: DataFrame, keys: DataFrame, *,
                  .alias("cm_est")))
 
 
+def _cm_probes_sql(table: str, *, key_expr: str, series_expr: str,
+                   ts_col: str, unit: str, depth: int,
+                   width: int) -> str:
+    """Shared DuckDB probe-row CTE body: every input row exploded into
+    its *depth* (cm_row, cm_bucket) coordinates via the same md5hi row
+    hashes and power-of-two masking as the Spark expressions."""
+    hu = (f"CAST(CAST(concat('0x', substr(md5(CAST({{j}} AS VARCHAR) "
+          f"|| '|' || {key_expr}), 1, 8)) AS BIGINT) AS HUGEINT) "
+          f"* 4294967296 "
+          f"+ CAST(concat('0x', substr(md5(CAST({{j}} AS VARCHAR) "
+          f"|| '|' || {key_expr}), 9, 8)) AS BIGINT)")
+    return "\nUNION ALL\n".join(
+        f"SELECT {series_expr} AS series_key, "
+        f"date_trunc('{unit}', {ts_col}) AS bucket_ts, "
+        f"{key_expr} AS key, {j} AS cm_row, "
+        f"CAST(({hu.format(j=j)}) % {width} AS INT) AS cm_bucket "
+        f"FROM {table} WHERE {key_expr} IS NOT NULL"
+        for j in range(depth))
+
+
+def cm_registers_oracle_sql(table: str, *, key_expr: str,
+                            series_expr: str, ts_col: str = "ts",
+                            unit: str = "hour", depth: int = 4,
+                            width: int = 1024) -> str:
+    """DuckDB recomputation of the REGISTER matrix alone — used
+    directly as the streaming-CM oracle (streamed registers are
+    definitionally batch registers) and as the base of
+    :func:`cm_oracle_sql`."""
+    _check_params(depth, width)
+    probe_rows = _cm_probes_sql(table, key_expr=key_expr,
+                                series_expr=series_expr, ts_col=ts_col,
+                                unit=unit, depth=depth, width=width)
+    return f"""
+WITH probes AS (
+{probe_rows})
+SELECT series_key, bucket_ts, cm_row, cm_bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM probes GROUP BY 1, 2, 3, 4
+"""
+
+
 def cm_oracle_sql(table: str, *, key_expr: str, series_expr: str,
                   ts_col: str = "ts", unit: str = "hour",
                   depth: int = 4, width: int = 1024) -> str:
@@ -169,18 +210,9 @@ def cm_oracle_sql(table: str, *, key_expr: str, series_expr: str,
     power-of-two masking, estimates as the min over rows, plus the
     exact count so the one-sided bound is visible in the oracle row."""
     _check_params(depth, width)
-    hu = (f"CAST(CAST(concat('0x', substr(md5(CAST({{j}} AS VARCHAR) "
-          f"|| '|' || {key_expr}), 1, 8)) AS BIGINT) AS HUGEINT) "
-          f"* 4294967296 "
-          f"+ CAST(concat('0x', substr(md5(CAST({{j}} AS VARCHAR) "
-          f"|| '|' || {key_expr}), 9, 8)) AS BIGINT)")
-    probe_rows = "\nUNION ALL\n".join(
-        f"SELECT {series_expr} AS series_key, "
-        f"date_trunc('{unit}', {ts_col}) AS bucket_ts, "
-        f"{key_expr} AS key, {j} AS cm_row, "
-        f"CAST(({hu.format(j=j)}) % {width} AS INT) AS cm_bucket "
-        f"FROM {table} WHERE {key_expr} IS NOT NULL"
-        for j in range(depth))
+    probe_rows = _cm_probes_sql(table, key_expr=key_expr,
+                                series_expr=series_expr, ts_col=ts_col,
+                                unit=unit, depth=depth, width=width)
     return f"""
 WITH probes AS (
 {probe_rows}),

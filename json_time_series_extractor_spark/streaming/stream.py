@@ -168,3 +168,46 @@ def streaming_hll(sample_stream: DataFrame,
             .select("series_key",
                     F.col("window.start").alias("bucket_ts"),
                     "reg", "max_rank"))
+
+
+def streaming_cm(sample_stream: DataFrame,
+                 tier: str = "1 hour",
+                 watermark: str = "10 minutes",
+                 key_col: str = "key",
+                 depth: int = 4, width: int = 1024) -> DataFrame:
+    """Watermarked streaming version of ``cmsketch.cm_rollup``: live
+    Count-Min frequency registers per closed (series, window) — "how
+    hot is key k this hour", answerable the moment the window closes —
+    append-mode ready.
+
+    The depth probe rows explode STATELESSLY before the watermarked
+    aggregate (explode adds no state), then ONE built-in streaming
+    COUNT per (series, window, cm_row, cm_bucket); late rows within the
+    watermark merge additively exactly like the batch ``cm_cascade``
+    SUM. Bucket indices come from the SAME ``_cm_bucket`` expressions
+    as the batch tier, so streamed registers are definitionally
+    identical to batch registers over the same rows, and
+    ``cm_cascade`` / ``cm_estimate`` consume them unchanged
+    (``cm_estimate``'s parameter stamp included)."""
+    from json_time_series_extractor_spark.operators.cmsketch import (
+        _check_params, _cm_bucket, _stamp_params)
+
+    _check_params(depth, width)
+    key = F.col(key_col)
+    rows = F.array(*[
+        F.struct(F.lit(j).alias("r"),
+                 _cm_bucket(key, j, width).alias("b"))
+        for j in range(depth)])
+    out = (sample_stream
+           .where(key.isNotNull())
+           .withWatermark("ts", watermark)
+           .select("series_key", "ts", F.explode(rows).alias("_rb"))
+           .groupBy("series_key", F.window("ts", tier),
+                    F.col("_rb.r").alias("cm_row"),
+                    F.col("_rb.b").alias("cm_bucket"))
+           .agg(F.count(F.lit(1)).alias("cnt"))
+           .select("series_key",
+                   F.col("window.start").alias("bucket_ts"),
+                   "cm_row", "cm_bucket", "cnt"))
+    return out.withColumn(
+        "cnt", _stamp_params(F.col("cnt"), depth, width))

@@ -892,3 +892,56 @@ def test_streaming_hll_matches_batch(spark, tmp_path):
     assert batch.exceptAll(streamed).count() == 0
     (est,) = hll_estimate(streamed).collect()
     assert abs(est["ndv_est"] - 37) < 4  # ~37 distinct keys
+
+
+def test_streaming_cm_matches_batch(spark, tmp_path):
+    """Streamed Count-Min registers equal batch cm_rollup registers on
+    closed windows (same _cm_bucket expressions, additive COUNT-merged
+    late rows), and feed cm_estimate unchanged — the parameter stamp
+    included."""
+    from datetime import datetime, timedelta
+
+    from json_time_series_extractor_spark.operators.cmsketch import (
+        cm_estimate, cm_rollup)
+    from json_time_series_extractor_spark.streaming.stream import (
+        streaming_cm)
+
+    rows = [("s", datetime(2024, 1, 1, 0, m % 60), f"u{m % 23}")
+            for m in range(300)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, key string")
+    on_time = df.where("pmod(hash(key), 4) != 0")
+    late = df.where("pmod(hash(key), 4) = 0")
+    flush = spark.createDataFrame(
+        [("_flush", datetime(2024, 1, 1, 0) + timedelta(days=30), "k")],
+        "series_key string, ts timestamp, key string")
+    src = str(tmp_path / "src")
+    on_time.coalesce(1).write.parquet(src + "/f1")
+    late.unionByName(flush).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (spark.readStream
+              .schema("series_key string, ts timestamp, key string")
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+    q = (streaming_cm(stream, tier="1 hour", watermark="2 hours")
+         .writeStream.outputMode("append").format("memory")
+         .queryName("cm_stream_test")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.table("cm_stream_test").localCheckpoint(eager=True)
+    batch = cm_rollup(df, "1 hour", key_col="key")
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    # estimates off the streamed registers: exact here (23 keys << 1024
+    # width, collisions possible but the one-sided bound always holds)
+    keys = df.select("series_key",
+                     F.date_trunc("hour", "ts").alias("bucket_ts"),
+                     "key").distinct()
+    exact = {r["key"]: r["cnt"] for r in df.groupBy("key").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    # memory-sink schema drops the metadata stamp? assert the contract
+    # still verifies: estimates are one-sided vs truth
+    for r in cm_estimate(streamed, keys).collect():
+        assert r["cm_est"] >= exact[r["key"]]
