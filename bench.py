@@ -144,6 +144,17 @@ def run_benchmarks() -> None:
 
     # Driver-contract queries over the provided test tables.
     queries = entry.queries()
+    # Pre-warm the ANN grading baseline (the memoized exact top-k in
+    # __spark_entry__): it is pure GRADING cost shared by ann_lsh_topk /
+    # ann_ivf_topk recall checks; without this, whichever recall query
+    # runs FIRST (order- and SPARK_GRAFT_BENCH_ONLY-dependent) pays the
+    # Q x N cross join inside its first timed repeat — the r5 driver
+    # sweep recorded a 3.5x phantom spike on ann_ivf_topk this way.
+    _only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if not _only or {"ann_lsh_topk", "ann_ivf_topk"} & set(
+            _only.split(",")):
+        entry._exact_topk_baseline(spark, SF_DIR)
+        entry._exact_topk_baseline(spark, WARM_SF_DIR)
     for name in ["extract_flat", "extract_fixed", "extract_ts_raw",
                  "rollup_1m",
                  "rollup_1h_cascade", "rollup_1d_salted",

@@ -17,10 +17,11 @@ org.apache.iceberg:iceberg-spark-runtime-<ver> --conf
 spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog ...`` and all
 of these helpers become live.
 
-Environment re-checked 2026-08-17 (round 5): no iceberg jar anywhere on
-the filesystem (``find / -name '*iceberg*'``), pyspark's bundled jars
-dir has none, and pip has no reachable index (``pip download pyiceberg``
--> "no versions"), so the runtime remains environment-blocked; the
+Environment re-checked 2026-08-17 (rounds 5 AND 6, independent checks):
+no iceberg jar anywhere on the filesystem (``find / -name
+'*iceberg*'``), pyspark's bundled jars dir has none, pyiceberg is not
+importable, and the network is blocked outright (urllib to Maven
+Central -> URLError), so the runtime remains environment-blocked; the
 frozen golden-SQL surface (coverage-asserted in
 ``tests/test_textops.py::test_iceberg_golden_surface_complete``) stays
 the best obtainable evidence.

@@ -981,3 +981,71 @@ def test_interval_join_null_bounds_policy(spark):
     assert [(r["event_id"], r["label"]) for r in ok] == [(1, "ok")]
     with pytest.raises(ValueError, match="on_null_bounds"):
         interval_join(ev, iv, on_null_bounds="ignore")
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ij_minutes = st.integers(min_value=0, max_value=600)
+
+
+@st.composite
+def _ij_case(draw):
+    """Random events/intervals over a 10-hour span with 1-hour buckets:
+    overlapping intervals, zero-length intervals (start == end), and
+    multi-key rows all arise naturally."""
+    events = draw(st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), _ij_minutes),
+        min_size=1, max_size=12))
+    intervals = draw(st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), _ij_minutes,
+                  st.integers(min_value=0, max_value=180)),
+        min_size=1, max_size=8))
+    return events, intervals
+
+
+@settings(max_examples=10, deadline=None)
+@given(_ij_case())
+def test_interval_join_matches_bruteforce(spark, case):
+    """Property test pinning the bucketed equi-rewrite beyond the
+    deterministic oracle fixture (r5 verdict item 9): inner and left
+    results must equal a brute-force in-memory range join on random
+    inputs including overlapping and zero-length intervals."""
+    from datetime import datetime, timedelta
+
+    from json_time_series_extractor_spark.operators.joins import (
+        interval_join)
+
+    events, intervals = case
+    base = datetime(2024, 3, 1)
+    ev_rows = [(i, k, base + timedelta(minutes=m))
+               for i, (k, m) in enumerate(events)]
+    iv_rows = [(j, k, base + timedelta(minutes=s),
+                base + timedelta(minutes=s + ln))
+               for j, (k, s, ln) in enumerate(intervals)]
+    ev = spark.createDataFrame(
+        ev_rows, "event_id long, series_key string, ts timestamp")
+    iv = spark.createDataFrame(
+        iv_rows, "iv_id long, series_key string, start_ts timestamp, "
+                 "end_ts timestamp")
+
+    expect_inner = sorted(
+        (e_id, i_id)
+        for e_id, ek, ets in ev_rows
+        for i_id, ik, s, t in iv_rows
+        if ek == ik and s <= ets <= t)
+    got_inner = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in interval_join(ev, iv, bucket="1 hour",
+                               max_span_buckets=100).collect())
+    assert got_inner == expect_inner
+
+    matched = {e for e, _ in expect_inner}
+    expect_left = sorted(expect_inner
+                         + [(e_id, None) for e_id, _, _ in ev_rows
+                            if e_id not in matched])
+    got_left = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in interval_join(ev, iv, how="left", bucket="1 hour",
+                               max_span_buckets=100).collect())
+    assert got_left == expect_left
