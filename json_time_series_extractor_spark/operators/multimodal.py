@@ -5,9 +5,10 @@ the Spark-side plumbing (schemas, partition-friendly batch iteration,
 Arrow-batched UDF signatures) is real and tested. Decode kernels come in
 three modes: ``decode_stub="real"`` actually decodes via the
 dependency-free codecs in :mod:`.codecs` / :mod:`.jpeg` / :mod:`.vp8l`
-(baseline AND progressive JPEG, PNG, GIF, lossless WebP, PPM, BMP, WAV —
-the formats a web corpus actually contains; PIL/ffmpeg extend the same
-call sites to AVIF/lossy-WebP/video); ``decode_stub="fake"`` derives
+/ :mod:`.vp8` (baseline AND progressive JPEG, PNG, GIF, lossless AND
+lossy WebP, PPM, BMP, WAV — the formats a web corpus actually contains;
+PIL/ffmpeg extend the same call sites to AVIF/video);
+``decode_stub="fake"`` derives
 deterministic features
 from a hash of the bytes (oracle-reproducible pipelines at any scale);
 ``decode_stub="raise"`` marks the plug point explicitly.
@@ -134,7 +135,7 @@ def _real_decode_pixels(blob: bytes) -> tuple:
         return fmt, decode_webp(blob)
     raise NotImplementedError(
         f"no dependency-free decoder for format {fmt!r}; PIL/"
-        "opencv plug in here (AVIF, lossy-VP8 WebP, ...)")
+        "opencv plug in here (AVIF, ...)")
 
 
 def _fake_image_features(blob: bytes) -> tuple:
@@ -302,7 +303,8 @@ def resize_images(df: DataFrame, width: int, height: int, *,
                 return encode_png(px)
             return encode_gif(px)
         elif fmt == "webp":
-            # Lossless WebP round-trips as lossless WebP (VP8L).
+            # WebP (lossless VP8L or lossy VP8, both decoded natively)
+            # re-encodes as lossless VP8L after the resize.
             from json_time_series_extractor_spark.operators.vp8l import (
                 decode_webp, encode_vp8l)
             return encode_vp8l(resize_nearest(decode_webp(blob),
@@ -310,7 +312,7 @@ def resize_images(df: DataFrame, width: int, height: int, *,
         else:
             raise NotImplementedError(
                 f"no dependency-free decoder for format {fmt!r}; PIL/"
-                "opencv plug in here (AVIF, lossy-VP8 WebP, ...)")
+                "opencv plug in here (AVIF, ...)")
         return encode_ppm(resize_nearest(pixels, width, height))
 
     _check_decode_stub(decode_stub)

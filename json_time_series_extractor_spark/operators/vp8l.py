@@ -560,8 +560,9 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
 
 def decode_webp(blob: bytes) -> np.ndarray:
     """RIFF WebP container -> pixels. Walks chunks (VP8X extended files
-    carry VP8L after metadata chunks); lossy VP8 is the explicit
-    NotImplementedError plug point."""
+    carry VP8L after metadata chunks); lossless VP8L decodes here,
+    lossy VP8 dispatches to the from-scratch RFC 6386 keyframe decoder
+    in :mod:`.vp8` (new in r6 — closes the r5 plug point)."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP header missing)")
     pos = 12
@@ -574,9 +575,9 @@ def decode_webp(blob: bytes) -> np.ndarray:
         if fourcc == b"VP8L":
             return decode_vp8l(payload)
         if fourcc == b"VP8 ":
-            raise NotImplementedError(
-                "lossy WebP (VP8) not supported — PIL/libwebp plug in "
-                "here; lossless VP8L decodes natively")
+            from json_time_series_extractor_spark.operators.vp8 import (
+                decode_vp8)
+            return decode_vp8(payload)
         pos += 8 + size + (size & 1)                  # chunks pad to even
     raise ValueError("WebP container has no VP8L/VP8 chunk")
 

@@ -89,10 +89,11 @@ def test_error_classification():
     good = encode_vp8l(np.full((4, 4), 9, np.uint8))
     with pytest.raises(ValueError):
         decode_webp(good[:20])  # truncated mid-stream
-    # Lossy VP8 is an explicit plug point, not a data error.
+    # Lossy VP8 decodes natively since r6; an EMPTY VP8 payload is a
+    # data error (truncated frame), not a missing feature.
     lossy = (b"RIFF" + struct.pack("<I", 12) + b"WEBP"
              + b"VP8 " + struct.pack("<I", 0))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="truncated"):
         decode_webp(lossy)
 
 
