@@ -1762,15 +1762,18 @@ _MEDIA_REAL_FIXTURE = os.path.join(_FIXTURES_DIR, "media_real.parquet")
 
 def q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode under oracle check: the fixture parquet holds
-    37 blobs actually encoded by this repo's codecs (baseline JPEG
+    40 blobs (baseline JPEG
     4:2:0/4:4:4/gray/restart-marker/progressive-SOF2/non-interleaved, PNG gray/gray+alpha/RGB/RGBA/
     palette/palette+tRNS/Adam7-interlaced/depth-4-palette/16-bit-gray, GIF interlaced+transparent, BMP, PPM,
-    lossless WebP VP8L gray/RGB/RGBA) plus the
-    feature values the decoders produced at fixture-build time
+    lossless WebP VP8L gray/RGB/RGBA, and — new r6 — three lossy WebP
+    VP8 blobs encoded by the public REFERENCE encoder, exercising
+    segmentation/B_PRED/loop-filter paths on foreign bitstreams) plus
+    the feature values the decoders produced at fixture-build time
     (tools/build_media_fixture.py). Spark re-decodes every blob through
     the pure-Python codec stack via mapInPandas; the oracle SELECTs the
     stored expectations — any decoder regression (filters, IDCT,
-    upsampling, LZW, transparency) flips this row red."""
+    upsampling, LZW, transparency, VP8 token/mode/deblock) flips this
+    row red."""
     from json_time_series_extractor_spark.operators.multimodal import (
         extract_image_features)
 
@@ -1849,12 +1852,16 @@ _MEDIA_CONFORMANCE_FIXTURE = os.path.join(_FIXTURES_DIR,
 
 
 def q_media_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INDEPENDENT codec ground truth (round-5): 32 blobs assembled
+    """INDEPENDENT codec ground truth (round-5, +VP8 in r6): 37 blobs
+    assembled
     byte-by-byte from the published specs (PNG filters/depths/Adam7/tRNS
     variants, DC-only integer-exact baseline JPEG incl. 4:2:0/restart/
     non-interleaved, GIF89a incl. interlace+transparency with a freshly
     written LZW, WebP VP8L incl. simple+normal prefix codes, LZ77,
-    subtract-green/color-indexing/predictor transforms,
+    subtract-green/color-indexing/predictor transforms, lossy WebP VP8
+    keyframes (RFC 6386: prediction-only mode grid with 127/129 border
+    rules, Y2 WHT DC cascade, single-AC IDCT, normal and simple
+    deblocking on a hand-computed 127|129 step),
     BMP top-down/bottom-up, PPM comment headers) by
     tools/build_conformance_fixture.py — which imports NOTHING from this
     repo. Expected width/height/channels/pixel-sha were stamped from the

@@ -773,6 +773,305 @@ def _ppm(rgb: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+
+
+# ---------------------------------------------------------------------------
+# WebP VP8 (lossy) — spec-level keyframe assembly (RFC 6386)
+# ---------------------------------------------------------------------------
+# Blobs are encoded here with an independent boolean arithmetic coder
+# (big-integer low, §8) and hand-chosen modes/coefficients; EXPECTED
+# pixels are computed from the spec's prediction/transform/loop-filter
+# arithmetic in this file — never by the repo's decoder. The normative
+# probability/quantizer tables used to ENCODE are read from the public
+# reference binary below; note they cannot influence the expected
+# pixels (a wrong table desynchronizes the arithmetic stream and turns
+# the oracle row red — it cannot silently validate a wrong decode).
+# The repo-side YUV->RGB conversion is not normative (RFC 6386 defines
+# decode only to YUV); expectations apply the repo's DOCUMENTED BT.601
+# contract (operators/vp8.py:yuv420_to_rgb), restated in _yuv_rgb here.
+
+_LIBWEBP = "/usr/lib/x86_64-linux-gnu/libwebp.so.7"
+
+
+def _vp8_norm_tables():
+    data = open(_LIBWEBP, "rb").read()
+    bm = data.find(bytes([231, 120, 48, 89, 115, 113, 120, 152, 112]))
+    coef = data.find(bytes([253, 136, 254, 255, 228, 219,
+                            128, 128, 128, 128, 128])) - 33
+    dc = data.find(bytes([4, 5, 6, 7, 8, 9, 10, 10, 11, 12, 13, 14,
+                          15, 16, 17, 17]))
+    if min(bm, coef, dc) < 0:
+        raise SystemExit("libwebp binary unavailable: cannot (re)build "
+                         "the VP8 conformance vectors")
+    upd = list(data[bm - 1056:bm])
+    probs = list(data[coef:coef + 1056])
+    dctab = list(data[dc:dc + 128])
+    actab = list(struct.unpack_from("<128H", data, dc - 256))
+    return upd, probs, dctab, actab
+
+
+class _VP8Bool:
+    """RFC 6386 §8 boolean encoder, big-integer low (carries propagate
+    by ordinary addition)."""
+
+    def __init__(self):
+        self.low, self.range, self.shifts = 0, 255, 0
+
+    def put(self, prob, bit):
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if bit:
+            self.low += split
+            self.range -= split
+        else:
+            self.range = split
+        while self.range < 128:
+            self.range <<= 1
+            self.low <<= 1
+            self.shifts += 1
+
+    def lit(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.put(128, (value >> i) & 1)
+
+    def bytes(self):
+        nbits = 8 + self.shifts
+        pad = (-nbits) % 8
+        return (self.low << pad).to_bytes((nbits + pad) // 8, "big")
+
+
+_VP8_BANDS = [0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7]
+#: (ymode value -> kf tree bit path over probs {145,156,163,128});
+#: B_PRED=0th leaf; DC/V/H/TM behind the first bit.
+_VP8_YMODE_BITS = {0: [(145, 1), (156, 0), (163, 0)],   # DC
+                   1: [(145, 1), (156, 0), (163, 1)],   # V
+                   2: [(145, 1), (156, 1), (128, 0)],   # H
+                   3: [(145, 1), (156, 1), (128, 1)]}   # TM
+_VP8_UVMODE_BITS = {0: [(142, 0)],                       # DC
+                    1: [(142, 1), (114, 0)],             # V
+                    2: [(142, 1), (114, 1), (183, 0)],   # H
+                    3: [(142, 1), (114, 1), (183, 1)]}   # TM
+
+
+def _vp8_header(bw, *, qi, simple, level, sharp, upd):
+    bw.lit(0, 1)                                 # color space
+    bw.lit(0, 1)                                 # clamping
+    bw.lit(0, 1)                                 # segmentation off
+    bw.lit(1 if simple else 0, 1)
+    bw.lit(level, 6)
+    bw.lit(sharp, 3)
+    bw.lit(0, 1)                                 # lf deltas off
+    bw.lit(0, 2)                                 # one token partition
+    bw.lit(qi, 7)
+    for _ in range(5):                           # quant deltas absent
+        bw.lit(0, 1)
+    bw.lit(1, 1)                                 # refresh entropy
+    for t in range(4):
+        for b in range(8):
+            for c in range(3):
+                for pnum in range(11):
+                    bw.put(upd[((t * 8 + b) * 3 + c) * 11 + pnum], 0)
+    bw.lit(1, 1)                                 # mb_no_coeff_skip
+    bw.lit(128, 8)                               # skip prob
+
+
+def _vp8_frame(mb_w, mb_h, modes, *, qi=60, simple=False, level=0,
+               sharp=0, tokens_fn=None):
+    """Assemble a keyframe: `modes` is a list of (skip, ymode, uvmode)
+    per MB in raster order; `tokens_fn(bw2, probs)` writes the token
+    partition for non-skip MBs."""
+    upd, probs, _, _ = _vp8_norm_tables()
+    bw = _VP8Bool()
+    _vp8_header(bw, qi=qi, simple=simple, level=level, sharp=sharp,
+                upd=upd)
+    for skip, ym, uv in modes:
+        bw.put(128, 1 if skip else 0)
+        for prob, bit in _VP8_YMODE_BITS[ym]:
+            bw.put(prob, bit)
+        for prob, bit in _VP8_UVMODE_BITS[uv]:
+            bw.put(prob, bit)
+    part0 = bw.bytes()
+    bw2 = _VP8Bool()
+    if tokens_fn is not None:
+        tokens_fn(bw2, probs)
+    part1 = bw2.bytes() if tokens_fn is not None else b"\x00\x00"
+    w, h = mb_w * 16, mb_h * 16
+    tag = (len(part0) << 5) | (1 << 4)           # keyframe, show_frame
+    payload = (tag.to_bytes(3, "little") + b"\x9d\x01\x2a"
+               + struct.pack("<HH", w, h) + part0 + part1)
+    return (b"RIFF" + struct.pack("<I", 12 + len(payload)
+                                  + (len(payload) & 1))
+            + b"WEBP" + b"VP8 " + struct.pack("<I", len(payload))
+            + payload + (b"\x00" if len(payload) & 1 else b""))
+
+
+def _vp8_prob_row(probs, t, band, ctx):
+    base = ((t * 8 + band) * 3 + ctx) * 11
+    return probs[base:base + 11]
+
+
+def _vp8_eob(bw, probs, t, band, ctx):
+    bw.put(_vp8_prob_row(probs, t, band, ctx)[0], 0)
+
+
+def _vp8_token(bw, probs, t, band, ctx, value, sign):
+    """Write one small-magnitude coefficient token (|value| in 1..4)."""
+    p = _vp8_prob_row(probs, t, band, ctx)
+    bw.put(p[0], 1)
+    bw.put(p[1], 1)
+    if value == 1:
+        bw.put(p[2], 0)
+    else:
+        bw.put(p[2], 1)
+        bw.put(p[3], 0)
+        if value == 2:
+            bw.put(p[4], 0)
+        else:
+            bw.put(p[4], 1)
+            bw.put(p[5], 0 if value == 3 else 1)
+    bw.put(128, sign)
+
+
+def _yuv_rgb(y, u, v):
+    """The repo's documented BT.601 conversion (not normative; see the
+    section comment)."""
+    r = int(np.clip(round(1.164 * (y - 16) + 1.596 * (v - 128)), 0, 255))
+    g = int(np.clip(round(1.164 * (y - 16) - 0.813 * (v - 128)
+                          - 0.391 * (u - 128)), 0, 255))
+    b = int(np.clip(round(1.164 * (y - 16) + 2.018 * (u - 128)), 0, 255))
+    return (r, g, b)
+
+
+def _vp8_vectors():
+    # V1 — prediction-only 2x2-MB mode grid, filter off. Border rules
+    # (§12.2): off-frame above = 127, off-frame left = 129. Y quadrant
+    # values: V=127 | DC(left 127)=127 ; H(left off-frame)=129 | TM
+    # (129 + 127 - 127)=129. Chroma modes DC/V/H/TM give
+    # 128|127 ; 129|128 by the same arithmetic.
+    modes = [(1, 1, 0), (1, 0, 1), (1, 2, 2), (1, 3, 3)]
+    blob = _vp8_frame(2, 2, modes, level=0)
+    yq = [[127, 127], [129, 129]]
+    # chroma: MB00 DC no nbrs=128; MB01 V: above off-frame=127;
+    # MB10 H: left off-frame=129; MB11 TM: above=MB01 bottom(127),
+    # left=MB10 right(129), tl=MB00 corner(128) -> 129+127-128=128.
+    cq = [[128, 127], [129, 128]]
+    exp = np.zeros((32, 32, 3), np.uint8)
+    for r in range(2):
+        for c in range(2):
+            exp[16 * r:16 * r + 16, 16 * c:16 * c + 16] = \
+                _yuv_rgb(yq[r][c], cq[r][c], cq[r][c])
+    yield ("webp", "VP8 prediction-only mode grid (V/DC/H/TM, "
+           "127/129 borders)", blob, exp)
+
+    # V2 — Y2 WHT DC cascade: single MB, DC_PRED(128), Y2 DC token +4.
+    _, _, dctab, actab = _vp8_norm_tables()
+    qi = 60
+    y2dc = dctab[qi] * 2
+    # §14.3 double pass on a lone DC d: column pass puts d in every
+    # column-0 slot, row pass emits (d + 3) >> 3 in all 16 outputs.
+    wht_out = (4 * y2dc + 3) >> 3
+    luma = max(0, min(255, 128 + ((wht_out + 4) >> 3)))
+
+    def tokens_v2(bw, probs):
+        _vp8_token(bw, probs, 1, _VP8_BANDS[0], 0, 4, 0)   # Y2 DC +4
+        _vp8_eob(bw, probs, 1, _VP8_BANDS[1], 2)           # ctx 2 (>1)
+        for _ in range(16):                                # Y: first=1
+            _vp8_eob(bw, probs, 0, _VP8_BANDS[1], 0)
+        for _ in range(8):                                 # U then V
+            _vp8_eob(bw, probs, 2, _VP8_BANDS[0], 0)
+
+    blob = _vp8_frame(1, 1, [(0, 0, 0)], qi=qi, tokens_fn=tokens_v2)
+    exp = np.tile(np.array(_yuv_rgb(luma, 128, 128), np.uint8),
+                  (16, 16, 1))
+    yield ("webp", f"VP8 Y2 DC cascade (qi={qi}, dequant {y2dc})",
+           blob, exp)
+
+    # V3 — single luma AC coefficient: IDCT computed here from the
+    # §14.4 constants (20091/35468), independent of the repo.
+    qi = 40
+    y1ac = actab[qi]
+
+    def idct_col1(vdc):
+        tmp = [0] * 16
+        for i in range(4):
+            cf = [0, vdc, 0, 0][i] if False else 0
+        # coefficient at raster (0,1): horizontal AC. Build full IDCT:
+        cf = [0] * 16
+        cf[1] = vdc
+        for i in range(4):
+            a1 = cf[i] + cf[8 + i]
+            b1 = cf[i] - cf[8 + i]
+            c1 = ((cf[4 + i] * 35468) >> 16) \
+                - (cf[12 + i] + ((cf[12 + i] * 20091) >> 16))
+            d1 = (cf[4 + i] + ((cf[4 + i] * 20091) >> 16)) \
+                + ((cf[12 + i] * 35468) >> 16)
+            tmp[i], tmp[12 + i] = a1 + d1, a1 - d1
+            tmp[4 + i], tmp[8 + i] = b1 + c1, b1 - c1
+        out = np.zeros((4, 4), np.int64)
+        for i in range(4):
+            r4 = 4 * i
+            a1 = tmp[r4] + tmp[r4 + 2]
+            b1 = tmp[r4] - tmp[r4 + 2]
+            c1 = ((tmp[r4 + 1] * 35468) >> 16) \
+                - (tmp[r4 + 3] + ((tmp[r4 + 3] * 20091) >> 16))
+            d1 = (tmp[r4 + 1] + ((tmp[r4 + 1] * 20091) >> 16)) \
+                + ((tmp[r4 + 3] * 35468) >> 16)
+            out[i, 0] = (a1 + d1 + 4) >> 3
+            out[i, 3] = (a1 - d1 + 4) >> 3
+            out[i, 1] = (b1 + c1 + 4) >> 3
+            out[i, 2] = (b1 - c1 + 4) >> 3
+        return out
+
+    res = idct_col1(-3 * y1ac)
+
+    def tokens_v3(bw, probs):
+        _vp8_eob(bw, probs, 1, _VP8_BANDS[0], 0)           # Y2 empty
+        # Y block 0: token at scan pos 1 (raster (0,1)), value -3.
+        _vp8_token(bw, probs, 0, _VP8_BANDS[1], 0, 3, 1)
+        _vp8_eob(bw, probs, 0, _VP8_BANDS[2], 2)
+        # blocks 1 and 4 neighbor the nonzero block: ctx 1.
+        for sb in range(1, 16):
+            r, c = sb >> 2, sb & 3
+            ctx = (1 if (r == 0 and c == 1) or (r == 1 and c == 0)
+                   else 0)
+            _vp8_eob(bw, probs, 0, _VP8_BANDS[1], ctx)
+        for _ in range(8):
+            _vp8_eob(bw, probs, 2, _VP8_BANDS[0], 0)
+
+    blob = _vp8_frame(1, 1, [(0, 0, 0)], qi=qi, tokens_fn=tokens_v3)
+    ylum = np.full((16, 16), 128, np.int64)
+    ylum[0:4, 0:4] = np.clip(128 + res, 0, 255)
+    exp = np.zeros((16, 16, 3), np.uint8)
+    for rr in range(16):
+        for cc in range(16):
+            exp[rr, cc] = _yuv_rgb(int(ylum[rr, cc]), 128, 128)
+    yield ("webp", f"VP8 single luma AC coefficient (qi={qi}, "
+           f"dequant {y1ac})", blob, exp)
+
+    # V4/V5 — deblocking on a hand-built 127|129 horizontal step
+    # (vertical stack of a V_PRED and an H_PRED macroblock). §15
+    # arithmetic applied by hand: 6-tap normal MB-edge filter maps rows
+    # 14..17 (p1 p0 q0 q1) from 127,127,129,129 to 128,128,128,128;
+    # the simple filter adjusts only q0 (f1=1) leaving p0 (f2=0).
+    for simple, rows, note in (
+            (False, {14: 128, 15: 128, 16: 128, 17: 128},
+             "VP8 normal loop filter, 6-tap MB edge on 127|129 step"),
+            (True, {16: 128},
+             "VP8 simple loop filter, 2-tap MB edge on 127|129 step")):
+        blob = _vp8_frame(1, 2, [(1, 1, 0), (1, 2, 0)], level=26,
+                          simple=simple)
+        yv = np.full(32, 0, np.int64)
+        yv[:16] = 127
+        yv[16:] = 129
+        for rr, val in rows.items():
+            yv[rr] = val
+        # chroma: MB0 DC no-nbrs = 128; MB1 DC above-only = 128; the
+        # chroma edge filter is an exact no-op on equal pixels.
+        exp = np.zeros((32, 16, 3), np.uint8)
+        for rr in range(32):
+            exp[rr, :] = _yuv_rgb(int(yv[rr]), 128, 128)
+        yield ("webp", note, blob, exp)
+
+
 def _vectors(rng: np.random.Generator):
     """Yield (fmt, note, blob, expected_array)."""
     # --- PNG ---
@@ -970,6 +1269,9 @@ def _vectors(rng: np.random.Generator):
     pimg = rng.integers(0, 256, (10, 13, 3))
     yield ("webp", "VP8L predictor transform (mode 2 / top)",
            _vp8l_predictor_top(pimg), pimg.astype(np.uint8))
+
+    # --- WebP VP8 (lossy keyframes, RFC 6386) — round-6 addition ---
+    yield from _vp8_vectors()
 
 
 def main() -> None:

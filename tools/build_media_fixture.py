@@ -201,6 +201,29 @@ def _images(rng: np.random.Generator):
     yield "webp", encode_vp8l(np.dstack([wpat(12, 40),
                                          wpat(12, 40, 1) // 2]))
 
+    # Lossy WebP (VP8) — round-6 codec addition, appended after all
+    # earlier yields on its own rng stream (same stability rule as the
+    # VP8L blobs above). Encoded at BUILD time by the PUBLIC REFERENCE
+    # encoder (tools/libwebp_ref, the system libwebp): these are real
+    # lossy bitstreams — segmentation, B_PRED, loop filter — not
+    # self-encoded ones, so the fixture freezes our decoder's output on
+    # genuinely foreign blobs (bit-exactness vs the reference decoder
+    # is separately asserted in tests/test_vp8.py).
+    from tools import libwebp_ref
+    if not libwebp_ref.available():                   # pragma: no cover
+        raise SystemExit("libwebp unavailable: cannot (re)build the "
+                         "lossy-WebP fixture blobs")
+    vrng = np.random.default_rng(SEED + 6)
+    yy, xx = np.mgrid[0:48, 0:64]
+    photo = np.dstack([128 + 90 * np.sin(xx / 7) * np.cos(yy / 11),
+                       128 + 70 * np.cos(xx / 13),
+                       128 + 60 * np.sin(yy / 5)]) \
+        .clip(0, 255).astype(np.uint8)
+    yield "webp", libwebp_ref.encode_rgb(photo, 75)
+    yield "webp", libwebp_ref.encode_rgb(
+        vrng.integers(0, 256, (21, 35, 3)).astype(np.uint8), 50)
+    yield "webp", libwebp_ref.encode_rgb(photo[:17, :29], 92)
+
 
 def _decode_webp(blob: bytes):
     from json_time_series_extractor_spark.operators.vp8l import decode_webp
