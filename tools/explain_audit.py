@@ -79,7 +79,10 @@ AUDITED = [
     ("downsample_lttb", "zero Python: pick is a struct-min hash "
      "aggregate; the only window runs over the per-bucket summary"),
     ("dup_ngram_stats", "zero Python: windows are array expressions; "
-     "one partial/final hash agg on the 64-bit window hash + join-back"),
+     "one partial/final hash agg on the 64-bit window hash + join-back; "
+     "exploded subplan materialized (r6) so the tokenize+window+hash "
+     "derivation shows as ONE InMemoryRelation reused by both the "
+     "count aggregate and the join probe, not two derivations"),
     ("rolling_over_time", "one bounded ROWS-frame window over rollup "
      "rows (tier summaries, not raw samples)"),
     ("counter_analytics", "segmented lag plan + (series, bucket)-bounded "
