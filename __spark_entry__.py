@@ -670,6 +670,62 @@ def _oracle_streaming_cm() -> str:
         series_expr="event_type")
 
 
+def q_streaming_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained streaming-to-streaming tier cascade (round-6) under the
+    SAME full-value oracle as the batch ``rollup_1h_cascade`` row: one
+    append-mode query runs raw -> 1m -> 1h as chained time-window
+    aggregates (Spark's multiple-stateful-operator support; the fine
+    tier's window carries event time to the coarse tier via
+    ``window_time``), and every emitted hourly row must equal the SQL
+    aggregate of the raw events — proving the live two-tier chain loses
+    nothing to the tier handoff, including late rows that arrive a
+    micro-batch after their on-time siblings and must MAX/SUM-merge
+    into fine-tier state before cascading.
+
+    Same harness shape as q_streaming_hll: an on-time file, a late file
+    (inside the 2h watermark), and a far-future '_flush' sentinel that
+    closes every real window at BOTH tiers."""
+    import os as _os
+    import shutil
+    from datetime import timedelta
+
+    from json_time_series_extractor_spark.streaming.stream import (
+        streaming_rollup_tiers)
+
+    ev = _event_samples(spark, sf_dir).where(F.col("value_double").isNotNull())
+    tag = "".join(c if c.isalnum() else "_"
+                  for c in _os.path.basename(sf_dir.rstrip("/")))
+    base = f"/tmp/jtse_stream_casc_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    on_time = ev.where("pmod(hash(series_key, ts), 5) != 0")
+    late = ev.where("pmod(hash(series_key, ts), 5) = 0")
+    flush_ts = ev.agg(F.max("ts")).first()[0] + timedelta(days=365)
+    flush = spark.createDataFrame(
+        [("_flush", flush_ts, 0.0)],
+        "series_key string, ts timestamp, value_double double")
+    on_time.coalesce(1).write.parquet(base + "/src/f1")
+    late.unionByName(flush).coalesce(1).write.parquet(base + "/src/f2")
+
+    stream = (spark.readStream
+              .schema("series_key string, ts timestamp, "
+                      "value_double double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(base + "/src/*"))
+    sink = f"casc_stream_oracle_{tag}"
+    q = (streaming_rollup_tiers(stream, ("1 minute", "1 hour"),
+                                watermark="2 hours",
+                                deterministic_last=True)
+         .writeStream.outputMode("append").format("memory")
+         .queryName(sink)
+         .option("checkpointLocation", base + "/ckpt").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return _rollup_select(
+        spark.table(sink).localCheckpoint(eager=True))
+
+
 def q_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketch tier (round-5): registers build at
     1m, cascade to 1h by elementwise SUM (sketch rows only), then
@@ -1949,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_frequency": q_cm_frequency,
         "streaming_hll": q_streaming_hll,
         "streaming_cm": q_streaming_cm,
+        "streaming_cascade": q_streaming_cascade,
         "rollup_histogram": q_rollup_histogram,
         "time_weighted_avg": q_time_weighted_avg,
         "top_k_series": q_top_k_series,
@@ -2114,6 +2171,7 @@ GROUP BY 1, 2
         "cm_frequency": _oracle_cm_frequency(),
         "streaming_hll": _oracle_streaming_hll(),
         "streaming_cm": _oracle_streaming_cm(),
+        "streaming_cascade": _ORACLE_ROLLUP_TIER.format(unit="hour"),
         "counter_rate": """
 WITH d AS (
     SELECT event_type AS series_key, ts, value,

@@ -8,9 +8,12 @@ with a watermark for late data. Late rows beyond the watermark are dropped
 by Spark; the watermark column is the sample timestamp.
 
 ``last`` uses ``max_by(value, ts)`` which is supported in streaming
-aggregations; the tier cascade applies downstream of the sink in batch
-(streaming-to-streaming cascades would need multiple queries sharing a
-sink — out of scope for the shell).
+aggregations; the tier cascade applies downstream of the sink in batch,
+OR — since round 6 — live inside one streaming query via
+:func:`streaming_rollup_tiers` (chained time-window aggregations,
+supported natively by Spark 3.5+/4.x multiple-stateful-operator
+support: the fine tier's window column carries event time forward via
+``window_time``, and both tiers' state is tracked under one watermark).
 """
 
 from __future__ import annotations
@@ -56,6 +59,71 @@ def streaming_rollup(pages_stream: DataFrame,
                  F.max("ts").alias("last_ts"))
             .select("series_key", F.col("window.start").alias("bucket_ts"),
                     "min", "max", "sum", "count", "mean", "last", "last_ts"))
+
+
+def streaming_rollup_tiers(sample_stream: DataFrame,
+                           tiers: tuple = ("1 minute", "1 hour"),
+                           watermark: str = "10 minutes",
+                           value_col: str = "value_double",
+                           deterministic_last: bool = False) -> DataFrame:
+    """Streaming-to-streaming tier cascade in ONE query (round 6):
+    raw samples -> tiers[0] windowed rollup -> tiers[1] merge -> ... ,
+    all chained inside a single append-mode streaming plan.
+
+    Closes the boundary the shell previously documented as out of
+    scope: Spark 3.5+/4.x supports multiple stateful operators in
+    append mode, and chained tumbling-window aggregations in
+    particular — the fine tier's ``window`` struct carries event time
+    downstream (re-derived with ``window_time``, which is
+    watermark-aware: it evaluates to ``window.end - 1µs``, so a closed
+    1m window lands in exactly one 1h window), and the engine tracks
+    every tier's state under the single watermark. A coarse window
+    emits once the watermark passes its end, by which point every
+    constituent fine window has closed and merged.
+
+    The merge algebra is ``rollup.rollup_cascade``'s, unchanged:
+    min of mins / max of maxes / sum of sums / sum of counts /
+    ``max_by(last, last_ts)`` (fine buckets have pairwise-distinct
+    ``last_ts``, so the merge is deterministic) — which is why a
+    streamed coarse tier equals a batch cascade over the same rows.
+    ``mean`` is derived terminally from the merged sum/count.
+
+    ``deterministic_last`` mirrors ``rollup.rollup``'s flag for the
+    raw tier (max-of-struct tie-break on equal timestamps; needed for
+    oracle-exact comparison, costs a SortAggregate on the fine tier).
+    """
+    if not tiers:
+        raise ValueError("tiers must name at least one window size")
+    v = F.col(value_col)
+    if deterministic_last:
+        last0 = F.max(F.struct(F.col("ts").alias("t"), v.alias("v")))["v"]
+    else:
+        last0 = F.max_by(v, F.col("ts"))
+    cur = (sample_stream
+           .where(v.isNotNull())
+           .withWatermark("ts", watermark)
+           .groupBy("series_key", F.window("ts", tiers[0]))
+           .agg(F.min(v).alias("min"),
+                F.max(v).alias("max"),
+                F.sum(v).alias("sum"),
+                F.count(v).alias("count"),
+                last0.alias("last"),
+                F.max("ts").alias("last_ts")))
+    for tier in tiers[1:]:
+        cur = (cur
+               .groupBy("series_key",
+                        F.window(F.window_time("window"), tier))
+               .agg(F.min("min").alias("min"),
+                    F.max("max").alias("max"),
+                    F.sum("sum").alias("sum"),
+                    F.sum("count").alias("count"),
+                    F.max_by("last", "last_ts").alias("last"),
+                    F.max("last_ts").alias("last_ts")))
+    return cur.select(
+        "series_key", F.col("window.start").alias("bucket_ts"),
+        "min", "max", "sum", "count",
+        (F.col("sum") / F.col("count")).alias("mean"),
+        "last", "last_ts")
 
 
 def run_to_memory_sink(rollup_stream: DataFrame, query_name: str,

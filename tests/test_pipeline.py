@@ -945,3 +945,59 @@ def test_streaming_cm_matches_batch(spark, tmp_path):
     # still verifies: estimates are one-sided vs truth
     for r in cm_estimate(streamed, keys).collect():
         assert r["cm_est"] >= exact[r["key"]]
+
+
+def test_streaming_rollup_tiers_matches_batch_cascade(spark, tmp_path):
+    """Chained streaming-to-streaming cascade (r6): ONE append-mode
+    query runs raw -> 1m -> 1h -> 1d as chained time-window aggregates
+    (multiple stateful operators under a single watermark), and the
+    emitted 1d tier equals the batch rollup -> cascade -> cascade chain
+    exactly — including late rows that arrive a micro-batch later and
+    must merge into the fine tier before cascading."""
+    from datetime import datetime, timedelta
+
+    from json_time_series_extractor_spark.operators.rollup import (
+        rollup, rollup_cascade)
+    from json_time_series_extractor_spark.streaming.stream import (
+        streaming_rollup_tiers)
+
+    # ~3 days, 3 series, irregular spacing, half-integer values (exact
+    # in binary, so sums are accumulation-order independent)
+    rows = [(f"s{m % 3}",
+             datetime(2024, 1, 1) + timedelta(minutes=(m * 17) % 4321,
+                                              seconds=m % 59),
+             (m % 13) - 3.5)
+            for m in range(700)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+    on_time = df.where("pmod(hash(series_key, ts), 4) != 0")
+    late = df.where("pmod(hash(series_key, ts), 4) = 0")
+    flush = spark.createDataFrame(
+        [("_flush", datetime(2025, 1, 1), 0.0)],
+        "series_key string, ts timestamp, value_double double")
+    src = str(tmp_path / "src")
+    on_time.coalesce(1).write.parquet(src + "/f1")
+    late.unionByName(flush).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (spark.readStream
+              .schema("series_key string, ts timestamp, "
+                      "value_double double")
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+    q = (streaming_rollup_tiers(stream, ("1 minute", "1 hour", "1 day"),
+                                watermark="2 hours",
+                                deterministic_last=True)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("tiers_stream_test")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.table("tiers_stream_test").localCheckpoint(eager=True)
+    batch = (rollup_cascade(rollup_cascade(
+        rollup(df, "1 minute", deterministic_last=True), "1 hour"), "1 day")
+        .select("series_key", "bucket_ts", "min", "max", "sum", "count",
+                "mean", "last", "last_ts"))
+    assert streamed.count() == batch.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
