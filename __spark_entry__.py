@@ -1852,11 +1852,15 @@ _MEDIA_REAL_AUDIO_FIXTURE = os.path.join(_FIXTURES_DIR,
 
 
 def q_media_real_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio decode under oracle check: the fixture holds PCM16 WAV
-    blobs (mono/stereo, 8-44.1 kHz, sine+noise) encoded by the repo's
-    codec with decode-time expected features; Spark re-decodes via
+    """REAL audio decode under oracle check: the fixture holds 11
+    committed WAV blobs (mono/stereo, 8-44.1 kHz, sine+noise) — PCM16
+    plus, since r6, G.711 A-law/mu-law, IEEE float32, PCM8 and a
+    WAVE_FORMAT_EXTENSIBLE-wrapped PCM24 — encoded by the repo's codec
+    with decode-time expected features; Spark re-decodes via
     extract_audio_features(decode_stub='real') and the oracle SELECTs
-    the stored duration/rate/RMS/fingerprint."""
+    the stored duration/rate/RMS/fingerprint. The G.711 reconstruction
+    tables are additionally bit-checked against CPython's independent
+    audioop implementation in test_textops.py."""
     from json_time_series_extractor_spark.operators.multimodal import (
         extract_audio_features)
 

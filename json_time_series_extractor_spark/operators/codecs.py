@@ -443,21 +443,151 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# WAV (RIFF PCM16)
+# WAV (RIFF): PCM 8/16/24/32, IEEE float 32/64, G.711 A-law / mu-law,
+# WAVE_FORMAT_EXTENSIBLE — the sample codings a web corpus's WAVs carry.
+# From the public specs: RIFF/WAVE (Multimedia Programming Interface and
+# Data Specification 1.0) and ITU-T G.711 (A-law / mu-law companding).
 # ---------------------------------------------------------------------------
+
+#: RIFF fmt-chunk codes (WAVE spec registry).
+_WAVE_FMT_PCM = 0x0001
+_WAVE_FMT_FLOAT = 0x0003
+_WAVE_FMT_ALAW = 0x0006
+_WAVE_FMT_ULAW = 0x0007
+_WAVE_FMT_EXTENSIBLE = 0xFFFE
+
+
+@functools.lru_cache(maxsize=1)
+def _g711_tables() -> Tuple[np.ndarray, np.ndarray]:
+    """(ulaw_table, alaw_table): the 256 linear reconstruction levels of
+    each G.711 coding, int32, index = wire byte.
+
+    Built from the ITU-T G.711 segment structure rather than transcribed,
+    on the conventional 16-bit linear scale: mu-law bytes are
+    ones-complemented on the wire; |x| decodes as
+    ((mantissa<<3) + 0x84) << exponent, minus the 0x84 bias (so byte
+    0xFF is 0 and the loudest code is 32124). A-law bytes are XORed
+    with 0x55 (alternate-bit inversion); segment 0 decodes as
+    (mantissa<<4)+8, segments 1-7 as ((mantissa<<4)+0x108) << (e-1)
+    (quietest codes are +/-8, loudest 32256)."""
+    b = np.arange(256, dtype=np.int64)
+
+    u = (~b) & 0xFF
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    ulaw = np.where(u & 0x80, -mag, mag)
+
+    a = b ^ 0x55
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    alaw = np.where(a & 0x80, mag, -mag)
+    return ulaw.astype(np.int32), alaw.astype(np.int32)
+
+
+@functools.lru_cache(maxsize=2)
+def _g711_encode_lut(law: str) -> Tuple[np.ndarray, np.ndarray]:
+    """(sorted reconstruction levels, wire byte per level) for nearest-
+    level companding: the encoder quantizes each sample to the closest
+    of the decoder's 256 reconstruction levels, which makes
+    decode(encode(level)) == level by construction — the optimal
+    quantizer for the coding, with no dependence on the spec's
+    encoder-side segment-search conventions."""
+    table = _g711_tables()[0 if law == "ulaw" else 1]
+    order = np.argsort(table, kind="stable")
+    return table[order].astype(np.float64), order.astype(np.uint8)
+
+
+def _nearest_level(x: np.ndarray, levels: np.ndarray,
+                   codes: np.ndarray) -> np.ndarray:
+    idx = np.searchsorted(levels, x)
+    idx = np.clip(idx, 1, len(levels) - 1)
+    left = levels[idx - 1]
+    right = levels[idx]
+    pick = np.where((x - left) <= (right - x), idx - 1, idx)
+    return codes[pick]
+
+
+def _iter_riff_chunks(blob: bytes):
+    """Yield (fourcc, payload) for each top-level RIFF sub-chunk,
+    honoring the spec's 2-byte alignment (odd-sized chunks carry a pad
+    byte that is not part of the payload)."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    end = min(len(blob), 8 + struct.unpack_from("<I", blob, 4)[0])
+    while pos + 8 <= end:
+        fourcc = blob[pos:pos + 4]
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        payload = blob[pos + 8:pos + 8 + size]
+        if len(payload) < size:
+            raise ValueError(f"truncated RIFF chunk {fourcc!r}")
+        yield fourcc, payload
+        pos += 8 + size + (size & 1)
+
 
 @truncation_boundary
 def decode_wav(blob: bytes) -> Tuple[np.ndarray, int]:
-    """PCM16 WAV -> ((n_samples, n_channels) float64 in [-1, 1], rate)."""
-    with wave.open(io.BytesIO(blob), "rb") as wf:
-        if wf.getsampwidth() != 2:
-            raise ValueError(
-                f"only PCM16 supported, got {wf.getsampwidth() * 8}-bit")
-        rate = wf.getframerate()
-        channels = wf.getnchannels()
-        frames = wf.readframes(wf.getnframes())
-    pcm = np.frombuffer(frames, dtype="<i2").reshape(-1, channels)
-    return pcm.astype(np.float64) / 32768.0, rate
+    """WAV -> ((n_samples, n_channels) float64 in [-1, 1], rate).
+
+    Sample codings: PCM 8-bit (unsigned) / 16 / 24 / 32-bit (signed LE),
+    IEEE float 32/64, ITU-T G.711 A-law and mu-law, each plain or
+    wrapped in WAVE_FORMAT_EXTENSIBLE (whose SubFormat GUID leads with
+    the equivalent 16-bit code per the spec)."""
+    fmt = None
+    data = None
+    for fourcc, payload in _iter_riff_chunks(blob):
+        if fourcc == b"fmt " and fmt is None:
+            fmt = payload
+        elif fourcc == b"data" and data is None:
+            data = payload
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("WAV fmt chunk too short")
+    (code, channels, rate, _byterate, _align,
+     bits) = struct.unpack_from("<HHIIHH", fmt, 0)
+    if code == _WAVE_FMT_EXTENSIBLE:
+        # fmt ext: cbSize(H) validBits(H) channelMask(I) SubFormat(16B);
+        # SubFormat's first two bytes are the base format code.
+        if len(fmt) < 26:
+            raise ValueError("extensible WAV fmt chunk too short")
+        code = struct.unpack_from("<H", fmt, 24)[0]
+    if channels < 1:
+        raise ValueError("WAV with zero channels")
+
+    if code == _WAVE_FMT_PCM and bits == 16:
+        out = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif code == _WAVE_FMT_PCM and bits == 8:
+        out = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+               - 128.0) / 128.0
+    elif code == _WAVE_FMT_PCM and bits == 24:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        raw = raw[:len(raw) - len(raw) % 3].reshape(-1, 3).astype(np.int64)
+        val = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        val = np.where(val >= 1 << 23, val - (1 << 24), val)
+        out = val.astype(np.float64) / float(1 << 23)
+    elif code == _WAVE_FMT_PCM and bits == 32:
+        out = (np.frombuffer(data, dtype="<i4").astype(np.float64)
+               / float(1 << 31))
+    elif code == _WAVE_FMT_FLOAT and bits == 32:
+        out = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    elif code == _WAVE_FMT_FLOAT and bits == 64:
+        out = np.frombuffer(data, dtype="<f8").astype(np.float64)
+    elif code in (_WAVE_FMT_ALAW, _WAVE_FMT_ULAW):
+        if bits not in (0, 8):
+            raise ValueError(f"G.711 WAV with {bits}-bit samples")
+        ulaw_t, alaw_t = _g711_tables()
+        table = ulaw_t if code == _WAVE_FMT_ULAW else alaw_t
+        out = (table[np.frombuffer(data, dtype=np.uint8)]
+               .astype(np.float64) / 32768.0)
+    else:
+        raise ValueError(
+            f"unsupported WAV coding: format=0x{code:04x} bits={bits}")
+    n = len(out) - len(out) % channels
+    return out[:n].reshape(-1, channels), rate
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
@@ -474,6 +604,76 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
         wf.setframerate(rate)
         wf.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+def encode_wav_fmt(samples: np.ndarray, rate: int, coding: str = "pcm16",
+                   *, extensible: bool = False) -> bytes:
+    """(n_samples, n_channels) float64 in [-1, 1] -> WAV bytes in any
+    coding :func:`decode_wav` reads: ``pcm8``/``pcm16``/``pcm24``/
+    ``pcm32``/``float32``/``float64``/``alaw``/``ulaw``.
+
+    G.711 encoding quantizes to the decoder's nearest reconstruction
+    level (see :func:`_g711_encode_lut`), so law round-trips are
+    idempotent after one pass. ``extensible=True`` wraps the fmt chunk
+    in WAVE_FORMAT_EXTENSIBLE with the coding's GUID (spec-defined
+    ``{code}-0000-0010-8000-00AA00389B71`` media subtype base)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    flat = x.reshape(-1)
+    if coding == "pcm16":
+        code, bits = _WAVE_FMT_PCM, 16
+        data = np.clip(np.round(flat * 32768.0), -32768,
+                       32767).astype("<i2").tobytes()
+    elif coding == "pcm8":
+        code, bits = _WAVE_FMT_PCM, 8
+        data = np.clip(np.round(flat * 128.0) + 128, 0,
+                       255).astype(np.uint8).tobytes()
+    elif coding == "pcm24":
+        code, bits = _WAVE_FMT_PCM, 24
+        v = np.clip(np.round(flat * float(1 << 23)), -(1 << 23),
+                    (1 << 23) - 1).astype(np.int64) & 0xFFFFFF
+        b3 = np.empty((len(v), 3), dtype=np.uint8)
+        b3[:, 0] = v & 0xFF
+        b3[:, 1] = (v >> 8) & 0xFF
+        b3[:, 2] = (v >> 16) & 0xFF
+        data = b3.tobytes()
+    elif coding == "pcm32":
+        code, bits = _WAVE_FMT_PCM, 32
+        data = np.clip(np.round(flat * float(1 << 31)), -(1 << 31),
+                       (1 << 31) - 1).astype("<i4").tobytes()
+    elif coding == "float32":
+        code, bits = _WAVE_FMT_FLOAT, 32
+        data = flat.astype("<f4").tobytes()
+    elif coding == "float64":
+        code, bits = _WAVE_FMT_FLOAT, 64
+        data = flat.astype("<f8").tobytes()
+    elif coding in ("alaw", "ulaw"):
+        code = _WAVE_FMT_ULAW if coding == "ulaw" else _WAVE_FMT_ALAW
+        bits = 8
+        levels, codes = _g711_encode_lut(coding)
+        data = _nearest_level(flat * 32768.0, levels, codes).tobytes()
+    else:
+        raise ValueError(f"unknown WAV coding {coding!r}")
+
+    channels = x.shape[1]
+    align = channels * bits // 8
+    if extensible:
+        sub = struct.pack("<H", code) + bytes.fromhex(
+            "0000000000108000 00aa00389b71".replace(" ", ""))
+        fmt = struct.pack("<HHIIHH", _WAVE_FMT_EXTENSIBLE, channels, rate,
+                          rate * align, align, bits)
+        fmt += struct.pack("<HHI", 22, bits, 0) + sub
+    else:
+        fmt = struct.pack("<HHIIHH", code, channels, rate,
+                          rate * align, align, bits)
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return (fourcc + struct.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) & 1 else b""))
+
+    body = b"WAVE" + chunk(b"fmt ", fmt) + chunk(b"data", data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 # ---------------------------------------------------------------------------

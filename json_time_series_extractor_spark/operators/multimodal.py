@@ -360,11 +360,13 @@ def extract_audio_features(df: DataFrame, *, id_col: str = "media_id",
     """Audio feature plumbing: duration/sample-rate/RMS/fingerprint.
 
     The fake kernel derives features from a sha256 of the bytes;
-    ``decode_stub='real'`` parses PCM16 WAV via :mod:`.codecs` (stdlib
-    ``wave`` + numpy: true duration, rate, RMS, 64-bit window-diff
-    fingerprint); librosa/ffmpeg extend the same call site to compressed
-    audio. The Spark-side shape — metadata passthrough, Arrow batching,
-    map-only plan — is identical in all modes.
+    ``decode_stub='real'`` parses WAV via :mod:`.codecs` (from-spec
+    RIFF parser, r6: PCM 8/16/24/32, IEEE float 32/64, ITU-T G.711
+    A-law/mu-law, WAVE_FORMAT_EXTENSIBLE; true duration, rate, RMS,
+    64-bit window-diff fingerprint); librosa/ffmpeg extend the same
+    call site to compressed audio. The Spark-side shape — metadata
+    passthrough, Arrow batching, map-only plan — is identical in all
+    modes.
     """
     _check_decode_stub(decode_stub)
     _check_on_error(on_error)

@@ -123,3 +123,10 @@ def test_fixture_counts_stay_documented():
     assert m and int(m.group(1)) == n_real
     m = re.search(r"(\d+) SPEC-CONSTRUCTED vectors", coverage)
     assert m and int(m.group(1)) == n_conf
+    # r6: the audio fixture count is prose-tracked too
+    n_audio = pq.read_table(REPO / "tests" / "fixtures"
+                            / "media_real_audio.parquet").num_rows
+    assert f"{n_audio} committed WAV blobs" in \
+        " ".join(entry.q_media_real_audio.__doc__.split())
+    m = re.search(r"REAL WAV decode of (\d+) committed blobs", coverage)
+    assert m and int(m.group(1)) == n_audio

@@ -500,6 +500,83 @@ def test_real_audio_decode_through_spark(spark):
     assert abs(f.rms - 0.5 / np.sqrt(2)) < 1e-3  # sine RMS = A/sqrt(2)
 
 
+def test_wav_codings_decode_and_roundtrip():
+    """From-spec RIFF parser (r6): PCM 8/16/24/32, IEEE float 32/64 and
+    ITU-T G.711 A-law/mu-law all decode, plain or WAVE_FORMAT_EXTENSIBLE-
+    wrapped; law companding round-trips idempotently; spec anchor values
+    hold; corrupt streams raise ValueError."""
+    import struct
+
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.codecs import (
+        _g711_tables, decode_wav, encode_wav, encode_wav_fmt)
+
+    ulaw, alaw = _g711_tables()
+    # G.711 anchors from the published decode tables: mu-law 0xFF/0x7F
+    # are +/- zero, 0x00/0x80 the loudest codes (+/-32124 on the 16-bit
+    # scale); A-law's quietest codes are +/-8, loudest +/-32256.
+    assert ulaw[0xFF] == 0 and ulaw[0x7F] == 0
+    assert ulaw[0x00] == -32124 and ulaw[0x80] == 32124
+    assert alaw[0x55] == -8 and alaw[0xD5] == 8
+    assert int(alaw.max()) == 32256 and int(alaw.min()) == -32256
+
+    rng = np.random.default_rng(7)
+    sig = np.clip(0.5 * np.sin(np.linspace(0, 20, 400))
+                  + 0.1 * rng.standard_normal(400), -1, 1)
+    sig2 = np.stack([sig, -sig], axis=1)
+
+    # stdlib-encoded PCM16 and the spec-path encoder agree bit-for-bit
+    s0, r0 = decode_wav(encode_wav(sig2, 16000))
+    s1, r1 = decode_wav(encode_wav_fmt(sig2, 16000, "pcm16"))
+    assert r0 == r1 == 16000 and np.array_equal(s0, s1)
+
+    for coding, tol in [("pcm8", 1 / 128), ("pcm16", 1 / 32768),
+                        ("pcm24", 2 ** -23), ("pcm32", 2 ** -30),
+                        ("float32", 1e-7), ("float64", 0.0)]:
+        dec, rr = decode_wav(encode_wav_fmt(sig2, 8000, coding))
+        assert rr == 8000 and dec.shape == sig2.shape
+        assert np.abs(dec - sig2).max() <= tol + 1e-12, coding
+        ext, _ = decode_wav(
+            encode_wav_fmt(sig2, 8000, coding, extensible=True))
+        assert np.array_equal(dec, ext), coding
+
+    for law in ("alaw", "ulaw"):
+        dec, rr = decode_wav(encode_wav_fmt(sig2, 8000, law))
+        assert rr == 8000 and np.abs(dec - sig2).max() < 0.04, law
+        # nearest-reconstruction-level companding: second pass exact
+        dec2, _ = decode_wav(encode_wav_fmt(dec, 8000, law))
+        assert np.array_equal(dec, dec2), law
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_wav(encode_wav_fmt(sig2, 8000, "pcm16")[:40])
+    bad = bytearray(encode_wav_fmt(sig, 8000, "pcm16"))
+    struct.pack_into("<H", bad, 20, 0x0055)  # unregistered format code
+    with pytest.raises(ValueError, match="unsupported WAV coding"):
+        decode_wav(bytes(bad))
+
+
+def test_g711_tables_match_independent_reference():
+    """Bit-exactness oracle: all 256 reconstruction levels of each G.711
+    coding equal CPython's independently-implemented audioop tables
+    (stdlib through 3.12; skipped where absent)."""
+    import numpy as np
+    import pytest
+
+    audioop = pytest.importorskip("audioop")
+    from json_time_series_extractor_spark.operators.codecs import (
+        _g711_tables)
+
+    ulaw, alaw = _g711_tables()
+    all_bytes = bytes(range(256))
+    ref_u = np.frombuffer(audioop.ulaw2lin(all_bytes, 2), dtype="<i2")
+    ref_a = np.frombuffer(audioop.alaw2lin(all_bytes, 2), dtype="<i2")
+    assert np.array_equal(ulaw, ref_u.astype(np.int32))
+    assert np.array_equal(alaw, ref_a.astype(np.int32))
+
+
 def test_iceberg_sql_goldens():
     """Pinned expected text for every SQL string the Iceberg layer emits —
     the runtime jars are absent here, so drift in these statements (the

@@ -269,6 +269,30 @@ def main() -> None:
         blob = encode_wav(np.clip(sig, -1, 1), rate)
         dur, srate, rms, fp = audio_features(*decode_wav(blob))
         arows.append((media_id, blob, dur, srate, rms, fp))
+
+    # r6: non-PCM16 codings — G.711 A-law/mu-law (telephony), IEEE
+    # float32, PCM8 and PCM24 (one wrapped in WAVE_FORMAT_EXTENSIBLE).
+    # A FRESH rng keeps the six original blobs byte-identical.
+    from json_time_series_extractor_spark.operators.codecs import (
+        encode_wav_fmt)
+
+    rng6 = np.random.default_rng(0xA0D10)
+    for coding, rate, chans, ms, ext in [
+            ("ulaw", 8000, 1, 340, False),
+            ("alaw", 8000, 1, 275, False),
+            ("float32", 22050, 2, 180, False),
+            ("pcm8", 11025, 1, 410, False),
+            ("pcm24", 16000, 2, 120, True)]:
+        media_id = len(arows)
+        n = rate * ms // 1000
+        t = np.arange(n) / rate
+        base = 0.4 * np.sin(2 * np.pi * (97 + 41 * media_id) * t)
+        sig = np.stack([base + 0.05 * rng6.standard_normal(n)
+                        for _ in range(chans)], axis=1)
+        blob = encode_wav_fmt(np.clip(sig, -1, 1), rate, coding,
+                              extensible=ext)
+        dur, srate, rms, fp = audio_features(*decode_wav(blob))
+        arows.append((media_id, blob, dur, srate, rms, fp))
     atable = pa.table({
         "media_id": pa.array([r[0] for r in arows], pa.int64()),
         "media": pa.array([r[1] for r in arows], pa.binary()),
