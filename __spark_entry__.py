@@ -1885,10 +1885,12 @@ _MEDIA_REAL_FRAMES_FIXTURE = os.path.join(_FIXTURES_DIR,
 
 def q_media_real_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video-frame sampling under oracle check: the fixture holds
-    animated GIFs (uniform + ragged frame delays) with the expected
-    sha256 of every sampled-frame PNG precomputed at build time. Spark
-    re-runs sample_video_frames(decode_stub='real') — full GIF89a
-    compositing — and the oracle SELECTs the stored expectations."""
+    animated GIFs and (r6) animated WebPs (uniform + ragged frame
+    delays) with the expected sha256 of every sampled-frame PNG
+    precomputed at build time. Spark re-runs
+    sample_video_frames(decode_stub='real') — full GIF89a compositing,
+    and ANIM/ANMF compositing through the from-scratch VP8L codec —
+    and the oracle SELECTs the stored expectations."""
     from json_time_series_extractor_spark.operators.multimodal import (
         sample_video_frames)
 

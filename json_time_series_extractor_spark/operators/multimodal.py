@@ -417,13 +417,15 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, *,
     """Frame-sampling plumbing: one video row -> N frame rows (UDTF shape).
 
     The fake decoder emits one deterministic pseudo-frame per sample
-    point. ``decode_stub='real'`` decodes animated GIFs — the one
-    moving-picture format a web corpus carries that needs no ffmpeg —
-    compositing the canvas per GIF89a (sub-rects, transparency,
-    disposal) and emitting the frame DISPLAYED at each sample point as
-    PNG bytes, with the true duration from the frame delays; other
-    containers raise the ffmpeg plug-point error (a data error under the
-    corrupt-blob policy taxonomy, but sample_video_frames is strict).
+    point. ``decode_stub='real'`` decodes animated GIFs (GIF89a
+    compositing: sub-rects, transparency, disposal) and — since r6 —
+    animated WebP (ANIM/ANMF compositing per the container spec:
+    sub-rects, alpha-blend/overwrite, dispose-to-background, frames
+    via the from-scratch VP8L/VP8 codecs), emitting the frame
+    DISPLAYED at each sample point as PNG bytes, with the true
+    duration from the frame delays; other containers raise the ffmpeg
+    plug-point error (a data error under the corrupt-blob policy
+    taxonomy, but sample_video_frames is strict).
     """
     _check_decode_stub(decode_stub, allowed=("fake", "real", "raise"))
     _check_on_error(on_error)
@@ -439,11 +441,19 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, *,
             decode_gif_frames, encode_png, sniff_media_format)
 
         fmt = sniff_media_format(blob)
-        if fmt != "gif":
+        if fmt == "gif":
+            frames, delays = decode_gif_frames(blob)
+        elif fmt == "webp":
+            # r6: animated WebP (ANIM/ANMF) — same composed-canvas
+            # contract as the GIF path, frames via the from-scratch
+            # VP8L/VP8 codecs.
+            from json_time_series_extractor_spark.operators.vp8l import (
+                decode_webp_frames)
+            frames, delays = decode_webp_frames(blob)
+        else:
             raise NotImplementedError(
                 f"no dependency-free frame decoder for format {fmt!r}; "
                 "ffmpeg plugs in here (mp4/webm/...)")
-        frames, delays = decode_gif_frames(blob)
         total = sum(delays)
         starts = [0]
         for d in delays[:-1]:

@@ -770,3 +770,208 @@ def encode_vp8l(pixels: np.ndarray) -> bytes:
     if len(payload) & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (VP8X + ANIM/ANMF container layer, public WebP container
+# spec). Frame payloads reuse the still codecs above (VP8L) and .vp8
+# (lossy), so the animation layer is pure container walk + compositing.
+# ---------------------------------------------------------------------------
+
+def _u24(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def _decode_alph(payload: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk -> (h, w) uint8 alpha plane. Raw compression (C=0)
+    with the four spec filters (none/horizontal/vertical/gradient);
+    lossless-compressed alpha (C=1, a headerless VP8L stream) is a
+    documented plug point next to the mp4/webm one."""
+    if not payload:
+        raise ValueError("empty ALPH chunk")
+    head = payload[0]
+    comp = head & 0x03
+    filt = (head >> 2) & 0x03
+    if comp != 0:
+        raise NotImplementedError(
+            "ALPH compression method 1 (VP8L-coded alpha) not decoded; "
+            "raw (method 0) with filters 0-3 is supported")
+    raw = np.frombuffer(payload, np.uint8, count=w * h, offset=1)
+    if raw.size < w * h:
+        raise ValueError("truncated ALPH plane")
+    a = raw.reshape(h, w).astype(np.int32)
+    if filt == 0:
+        return a.astype(np.uint8)
+    out = np.zeros((h, w), np.int32)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = 0
+            elif filt == 1:                       # horizontal
+                pred = out[y, x - 1] if x else out[y - 1, x]
+            elif filt == 2:                       # vertical
+                pred = out[y - 1, x] if y else out[y, x - 1]
+            else:                                 # gradient
+                if x == 0:
+                    pred = out[y - 1, x]
+                elif y == 0:
+                    pred = out[y, x - 1]
+                else:
+                    g = (int(out[y, x - 1]) + int(out[y - 1, x])
+                         - int(out[y - 1, x - 1]))
+                    pred = min(255, max(0, g))
+            out[y, x] = (a[y, x] + pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def _decode_frame_payload(sub: bytes) -> np.ndarray:
+    """ANMF frame data (sub-chunks: optional ALPH, then VP8/VP8L) ->
+    (h, w, 4) RGBA."""
+    alpha = None
+    pos = 0
+    while pos + 8 <= len(sub):
+        fourcc = sub[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", sub, pos + 4)
+        payload = sub[pos + 8:pos + 8 + size]
+        if len(payload) != size:
+            raise ValueError("truncated ANMF sub-chunk")
+        if fourcc == b"VP8L":
+            px = decode_vp8l(payload)
+            if px.ndim == 2:
+                px = np.dstack([px, px, px])
+            if px.shape[2] == 3:
+                px = np.dstack([px, np.full(px.shape[:2], 255, np.uint8)])
+            return px
+        if fourcc == b"VP8 ":
+            from json_time_series_extractor_spark.operators.vp8 import (
+                decode_vp8)
+            rgb = decode_vp8(payload)
+            h, w = rgb.shape[:2]
+            a = (_decode_alph(alpha, w, h) if alpha is not None
+                 else np.full((h, w), 255, np.uint8))
+            return np.dstack([rgb, a])
+        if fourcc == b"ALPH":
+            alpha = payload            # decoded once VP8 dims are known
+        pos += 8 + size + (size & 1)
+    raise ValueError("ANMF frame data has no VP8/VP8L chunk")
+
+
+def decode_webp_frames(blob: bytes) -> Tuple[list, list]:
+    """Animated WebP -> (frames, durations_ms): each frame is the
+    COMPOSED (canvas_h, canvas_w, 4) RGBA canvas at that point of the
+    animation, per the container spec's blending (B: 0 alpha-blend,
+    1 overwrite) and disposal (D: 1 fills the frame rect with the ANIM
+    background color) rules; durations from each ANMF header.
+
+    A non-animated WebP decodes as a single full-canvas frame with
+    duration 0 — same convention as a 1-frame GIF."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP header missing)")
+    pos = 12
+    canvas = None
+    bg = np.zeros(4, np.uint8)
+    frames: list = []
+    durations: list = []
+    saw_anim = False
+    still_alph = b""       # sibling ALPH chunk preceding a still VP8
+    while pos + 8 <= len(blob):
+        fourcc = blob[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", blob, pos + 4)
+        payload = blob[pos + 8:pos + 8 + size]
+        if len(payload) != size:
+            raise ValueError("truncated WebP chunk")
+        if fourcc == b"VP8X":
+            cw = _u24(payload, 4) + 1
+            ch = _u24(payload, 7) + 1
+            canvas = np.zeros((ch, cw, 4), np.uint8)
+        elif fourcc == b"ANIM":
+            # background color is stored B, G, R, A
+            bg = np.array([payload[2], payload[1], payload[0],
+                           payload[3]], np.uint8)
+            saw_anim = True
+        elif fourcc == b"ANMF":
+            if canvas is None:
+                raise ValueError("ANMF before VP8X canvas")
+            fx = _u24(payload, 0) * 2
+            fy = _u24(payload, 3) * 2
+            fw = _u24(payload, 6) + 1
+            fh = _u24(payload, 9) + 1
+            dur = _u24(payload, 12)
+            flags = payload[15]
+            overwrite = bool(flags & 0x02)        # B=1: do not blend
+            dispose_bg = bool(flags & 0x01)       # D=1: dispose to bg
+            px = _decode_frame_payload(payload[16:])
+            if px.shape[:2] != (fh, fw):
+                raise ValueError(
+                    f"ANMF dims {fw}x{fh} != coded {px.shape[1]}x"
+                    f"{px.shape[0]}")
+            region = canvas[fy:fy + fh, fx:fx + fw]
+            if region.shape[:2] != (fh, fw):
+                raise ValueError("ANMF rect outside canvas")
+            if overwrite:
+                region[:] = px
+            else:                                  # spec alpha-blend
+                sa = px[:, :, 3:4].astype(np.float64) / 255.0
+                da = region[:, :, 3:4].astype(np.float64) / 255.0
+                oa = sa + da * (1.0 - sa)
+                safe = np.where(oa == 0.0, 1.0, oa)
+                rgb = (px[:, :, :3] * sa
+                       + region[:, :, :3] * da * (1.0 - sa)) / safe
+                region[:, :, :3] = np.clip(
+                    np.round(rgb), 0, 255).astype(np.uint8)
+                region[:, :, 3] = np.clip(
+                    np.round(oa[:, :, 0] * 255.0), 0, 255).astype(np.uint8)
+            frames.append(canvas.copy())
+            durations.append(dur)
+            if dispose_bg:
+                canvas[fy:fy + fh, fx:fx + fw] = bg
+        elif fourcc == b"ALPH" and not saw_anim:
+            still_alph = blob[pos:pos + 8 + size + (size & 1)]
+        elif fourcc in (b"VP8L", b"VP8 ") and not saw_anim:
+            px = _decode_frame_payload(
+                still_alph + blob[pos:pos + 8 + size])
+            frames.append(px)
+            durations.append(0)
+        pos += 8 + size + (size & 1)
+    if not frames:
+        raise ValueError("WebP container has no frames")
+    return frames, durations
+
+
+def encode_webp_animation(frames: list, durations_ms: list, *,
+                          bg=(255, 255, 255, 0), loop: int = 0) -> bytes:
+    """RGBA/RGB uint8 frames + per-frame durations -> animated WebP
+    (VP8X + ANIM + one full-canvas VP8L ANMF per frame, overwrite
+    blending, no disposal) — lossless round-trip through
+    :func:`decode_webp_frames`."""
+    if len(frames) != len(durations_ms) or not frames:
+        raise ValueError("need equal, nonzero frame/duration counts")
+    arrs = []
+    for f in frames:
+        a = np.ascontiguousarray(f, np.uint8)
+        if a.ndim == 2:
+            a = np.dstack([a, a, a])
+        if a.shape[2] == 3:
+            a = np.dstack([a, np.full(a.shape[:2], 255, np.uint8)])
+        arrs.append(a)
+    h, w = arrs[0].shape[:2]
+    if any(a.shape[:2] != (h, w) for a in arrs):
+        raise ValueError("all frames must share the canvas size")
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return (fourcc + struct.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) & 1 else b""))
+
+    def u24(v: int) -> bytes:
+        return bytes([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF])
+
+    vp8x = bytes([0x12, 0, 0, 0]) + u24(w - 1) + u24(h - 1)  # A|ANIM flags
+    anim = bytes([bg[2], bg[1], bg[0], bg[3]]) + struct.pack("<H", loop)
+    body = chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim)
+    for a, dur in zip(arrs, durations_ms):
+        still = encode_vp8l(a)               # RIFF still; extract VP8L
+        sub = still[12:]                     # first chunk is VP8L
+        anmf = (u24(0) + u24(0) + u24(w - 1) + u24(h - 1)
+                + u24(int(dur)) + bytes([0x02]) + sub)
+        body += chunk(b"ANMF", anmf)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body

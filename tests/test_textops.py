@@ -1807,3 +1807,132 @@ def test_dedup_paragraphs_string_ids(spark):
     assert out["url/a"]["clean_text"] == "alpha\n\nshared"
     assert out["url/b"]["clean_text"] == "beta"
     assert out["url/b"]["n_dropped"] == 1
+
+
+def test_webp_animation_frames_and_sampling(spark):
+    """Animated WebP (r6): VP8X+ANIM/ANMF round-trip with durations;
+    hand-built ANMF containers pin the spec compositing rules
+    (sub-rect placement, alpha-blend vs overwrite, dispose-to-
+    background); ALPH raw filters invert; Spark frame sampling works
+    through the same UDTF path as GIF."""
+    import struct as _struct
+
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.codecs import (
+        decode_png)
+    from json_time_series_extractor_spark.operators.multimodal import (
+        sample_video_frames)
+    from json_time_series_extractor_spark.operators.vp8l import (
+        _decode_alph, decode_webp_frames, encode_vp8l,
+        encode_webp_animation)
+
+    rng = np.random.default_rng(47)
+    frames = [(rng.integers(0, 4, (8, 11, 4)) * 77).astype(np.uint8)
+              for _ in range(3)]
+    for f in frames:
+        f[:, :, 3] = 255
+    blob = encode_webp_animation(frames, [600, 300, 900])
+    dec, durs = decode_webp_frames(blob)
+    assert durs == [600, 300, 900]
+    for a, b in zip(frames, dec):
+        assert np.array_equal(a, b)
+
+    # --- hand-built container: sub-rect + blend modes + disposal ---
+    def chunk(fourcc, payload):
+        return (fourcc + _struct.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) & 1 else b""))
+
+    def u24(v):
+        return bytes([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF])
+
+    def anmf(x, y, px, dur, flags):
+        sub = encode_vp8l(px)[12:]          # VP8L chunk of the still
+        h, w = px.shape[:2]
+        return chunk(b"ANMF", u24(x // 2) + u24(y // 2) + u24(w - 1)
+                     + u24(h - 1) + u24(dur) + bytes([flags]) + sub)
+
+    base = np.zeros((6, 6, 4), np.uint8)
+    base[:, :] = (10, 20, 30, 255)
+    patch = np.zeros((2, 2, 4), np.uint8)
+    patch[:, :] = (200, 100, 50, 128)        # half-transparent
+
+    vp8x = bytes([0x12, 0, 0, 0]) + u24(5) + u24(5)
+    anim = bytes([7, 6, 5, 255]) + _struct.pack("<H", 0)  # bg BGRA
+    body = (chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim)
+            + anmf(0, 0, base, 100, 0x02)           # overwrite, keep
+            + anmf(2, 2, patch, 100, 0x00)          # BLEND, keep
+            + anmf(2, 2, patch, 100, 0x02 | 0x01))  # overwrite, dispose
+    hand = b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    fr, du = decode_webp_frames(hand)
+    assert du == [100, 100, 100] and len(fr) == 3
+    assert np.array_equal(fr[0], base)
+    # frame 2: spec alpha-blend of the half-transparent patch at (2,2)
+    sa = 128 / 255.0
+    want_rgb = np.round((patch[0, 0, :3] * sa
+                         + base[0, 0, :3].astype(float) * 1.0 * (1 - sa))
+                        / (sa + 1.0 * (1 - sa))).astype(np.uint8)
+    assert tuple(fr[1][2, 2, :3]) == tuple(want_rgb)
+    assert fr[1][3, 3, 3] == 255            # out_a = sa + da*(1-sa) = 1
+    assert np.array_equal(fr[1][0, 0], base[0, 0])  # outside rect
+    # frame 3: overwrite puts the raw patch (alpha 128) in the rect
+    assert tuple(fr[2][2, 2]) == (200, 100, 50, 128)
+    # and disposal paints the rect with the ANIM background (RGBA from
+    # the BGRA field: 5,6,7,255) — visible in a 4th frame if added; we
+    # assert via a fresh decode of a container with a trailing frame
+    tail = body + anmf(0, 0, base[:1, :1], 100, 0x00)  # 1x1 blend probe
+    hand2 = (b"RIFF" + _struct.pack("<I", 4 + len(tail)) + b"WEBP"
+             + tail)
+    fr2, _ = decode_webp_frames(hand2)
+    assert tuple(fr2[3][3, 3]) == (5, 6, 7, 255)    # disposed rect
+    assert tuple(fr2[3][0, 0]) == tuple(base[0, 0])
+
+    # --- ALPH raw filters invert (none/h/v/gradient) ---
+    plane = (rng.integers(0, 256, (5, 7))).astype(np.uint8)
+
+    def forward_filter(p, filt):
+        p = p.astype(np.int32)
+        out = np.zeros_like(p)
+        h, w = p.shape
+        rec = np.zeros_like(p)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif filt == 1:
+                    pred = rec[y, x - 1] if x else rec[y - 1, x]
+                elif filt == 2:
+                    pred = rec[y - 1, x] if y else rec[y, x - 1]
+                else:
+                    if x == 0:
+                        pred = rec[y - 1, x]
+                    elif y == 0:
+                        pred = rec[y, x - 1]
+                    else:
+                        g = (int(rec[y, x - 1]) + int(rec[y - 1, x])
+                             - int(rec[y - 1, x - 1]))
+                        pred = min(255, max(0, g))
+                out[y, x] = (p[y, x] - pred) & 0xFF
+                rec[y, x] = p[y, x]
+        return out.astype(np.uint8)
+
+    assert np.array_equal(
+        _decode_alph(bytes([0]) + plane.tobytes(), 7, 5), plane)
+    for filt in (1, 2, 3):
+        payload = bytes([filt << 2]) + forward_filter(plane,
+                                                      filt).tobytes()
+        assert np.array_equal(_decode_alph(payload, 7, 5), plane), filt
+
+    # --- through Spark, same UDTF path as GIF ---
+    media = spark.createDataFrame(
+        [(9, bytearray(blob), 0)],
+        "media_id long, media binary, duration_ms int")
+    rows = sorted(sample_video_frames(media, every_ms=450,
+                                      decode_stub="real").collect(),
+                  key=lambda r: r.frame_index)
+    # starts: 0, 600, 900; total 1800 -> samples at 0,450,900,1350
+    assert [r.frame_ts_ms for r in rows] == [0, 450, 900, 1350]
+    for r, want_i in zip(rows, [0, 0, 2, 2]):
+        out = decode_png(bytes(r.frame))
+        assert np.array_equal(out[..., :3], frames[want_i][..., :3]), \
+            r.frame_index

@@ -332,6 +332,33 @@ def main() -> None:
             png = encode_png(dec[shown])
             frows.append((media_id, blob, idx, t,
                           hashlib.sha256(png).hexdigest()))
+    # r6: animated WebP through the same expected-frame machinery —
+    # full-canvas VP8L ANMF frames, uniform + ragged durations. A fresh
+    # rng keeps the GIF rows byte-identical.
+    from json_time_series_extractor_spark.operators.vp8l import (
+        decode_webp_frames, encode_webp_animation)
+
+    rngw = np.random.default_rng(0xEB6)
+    wspecs = [(3, (8, 11), [600, 600, 600]),
+              (4, (12, 7), [250, 1100, 400, 900])]
+    for nf, (h, w), delays in wspecs:
+        media_id = len({r[0] for r in frows})
+        frames = [(rngw.integers(0, 4, (h, w, 4)) * 77).astype(np.uint8)
+                  for _ in range(nf)]
+        for f in frames:
+            f[:, :, 3] = 255
+        blob = encode_webp_animation(frames, delays)
+        dec, ddel = decode_webp_frames(blob)
+        starts = [0]
+        for d in ddel[:-1]:
+            starts.append(starts[-1] + d)
+        total = sum(ddel)
+        for idx, t in enumerate(range(0, max(total, 1), every_ms)):
+            shown = max(i for i, s in enumerate(starts) if s <= t)
+            png = encode_png(dec[shown])
+            frows.append((media_id, blob, idx, t,
+                          hashlib.sha256(png).hexdigest()))
+
     ftable = pa.table({
         "media_id": pa.array([r[0] for r in frows], pa.int64()),
         "media": pa.array([r[1] for r in frows], pa.binary()),
@@ -341,7 +368,7 @@ def main() -> None:
     })
     pq.write_table(ftable, OUT_FRAMES, compression="zstd")
     print(f"wrote {OUT_FRAMES}: {len(frows)} expected frames "
-          f"across {len(specs)} animations")
+          f"across {len(specs)} GIF + {len(wspecs)} WebP animations")
 
 
 if __name__ == "__main__":
