@@ -726,6 +726,49 @@ def q_streaming_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(sink).localCheckpoint(eager=True))
 
 
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership tier (round-6), completing the mergeable
+    sketch family (histogram/t-digest/HLL/Count-Min/Bloom): bit rows
+    build at 1m, cascade to 1h by UNION-distinct (sketch rows only),
+    then every distinct (series, hour, user) is probed twice — the key
+    itself (one-sided contract: must flag present) and an absent twin
+    (key || '#absent') whose verdict exposes the filter's REAL false
+    positives. FULL value check: the oracle
+    (operators/bloom.py::bloom_oracle_sql) recomputes the md5hi bit
+    matrix, both probe sets, and every verdict — the sketch is
+    deterministic, so even the false positives compare value-stably.
+    Verification-scale parameters (k=4, m=64) keep FPs visible; the
+    scale default is m=2^16+."""
+    from json_time_series_extractor_spark.operators.bloom import (
+        bloom_cascade, bloom_probe, bloom_rollup)
+
+    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          .select(F.col("event_type").alias("series_key"), "ts",
+                  F.col("user_id").cast("string").alias("key")))
+    regs = bloom_cascade(
+        bloom_rollup(ev, "1 minute", key_col="key", k=4, m=64), "1 hour")
+    seen = (ev.where(F.col("key").isNotNull())
+            .select("series_key",
+                    F.date_trunc("hour", "ts").alias("bucket_ts"),
+                    "key").distinct())
+    probe_keys = (seen.withColumn("expected", F.lit(True))
+                  .unionByName(
+                      seen.select("series_key", "bucket_ts",
+                                  F.concat("key", F.lit("#absent"))
+                                  .alias("key"))
+                      .withColumn("expected", F.lit(False))))
+    return bloom_probe(regs, probe_keys, k=4, m=64)
+
+
+def _oracle_bloom_membership() -> str:
+    from json_time_series_extractor_spark.operators.bloom import (
+        bloom_oracle_sql)
+
+    return bloom_oracle_sql(
+        "events", key_expr="CAST(user_id AS VARCHAR)",
+        series_expr="event_type", k=4, m=64)
+
+
 def q_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketch tier (round-5): registers build at
     1m, cascade to 1h by elementwise SUM (sketch rows only), then
@@ -2012,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll": q_streaming_hll,
         "streaming_cm": q_streaming_cm,
         "streaming_cascade": q_streaming_cascade,
+        "bloom_membership": q_bloom_membership,
         "rollup_histogram": q_rollup_histogram,
         "time_weighted_avg": q_time_weighted_avg,
         "top_k_series": q_top_k_series,
@@ -2178,6 +2222,7 @@ GROUP BY 1, 2
         "streaming_hll": _oracle_streaming_hll(),
         "streaming_cm": _oracle_streaming_cm(),
         "streaming_cascade": _ORACLE_ROLLUP_TIER.format(unit="hour"),
+        "bloom_membership": _oracle_bloom_membership(),
         "counter_rate": """
 WITH d AS (
     SELECT event_type AS series_key, ts, value,

@@ -1049,3 +1049,62 @@ def test_interval_join_matches_bruteforce(spark, case):
         for r in interval_join(ev, iv, how="left", bucket="1 hour",
                                max_span_buckets=100).collect())
     assert got_left == expect_left
+
+
+def test_bloom_tier_cascade_probe_and_prefilter(spark):
+    """Bloom membership tier (r6): cascade == direct build (union is
+    idempotent), probes have NO false negatives, the parameter stamp
+    rejects mismatched probes, and the incremental-dedup prefilter
+    passes a superset of true duplicates (exact join result unchanged
+    after pruning)."""
+    from datetime import datetime, timedelta
+
+    from json_time_series_extractor_spark.operators.bloom import (
+        bloom_cascade, bloom_prefilter, bloom_probe, bloom_rollup)
+
+    rows = [("s%d" % (i % 2), datetime(2024, 1, 1) +
+             timedelta(minutes=7 * i), "k%d" % (i % 41), )
+            for i in range(300)] + \
+           [("s0", datetime(2024, 1, 1, 3), None)]    # NULL key dropped
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, key string")
+
+    direct = bloom_rollup(df, "1 hour", key_col="key", k=3, m=256)
+    casc = bloom_cascade(
+        bloom_rollup(df, "1 minute", key_col="key", k=3, m=256), "1 hour")
+    assert direct.exceptAll(casc).count() == 0
+    assert casc.exceptAll(direct).count() == 0
+
+    # no false negatives: every seen (series, hour, key) probes true
+    seen = (df.where("key is not null")
+            .select("series_key",
+                    F.date_trunc("hour", "ts").alias("bucket_ts"),
+                    "key").distinct())
+    probed = bloom_probe(casc, seen, k=3, m=256)
+    assert probed.where("NOT maybe_present").count() == 0
+    assert probed.count() == seen.count()
+
+    # parameter stamp: a wrong-width probe raises instead of missing
+    import pytest
+    with pytest.raises(ValueError, match="do not match"):
+        bloom_probe(casc, seen, k=3, m=512)
+
+    # prefilter: reference corpus knows keys r0..r19; the new batch
+    # carries a mix of those and fresh n0..n79 keys. Every true
+    # duplicate must survive the prune; most fresh keys must not.
+    ref = spark.createDataFrame(
+        [("s0", datetime(2024, 1, 1), "r%d" % i) for i in range(20)],
+        "series_key string, ts timestamp, key string")
+    ref_regs = bloom_rollup(ref, "1 day", key_col="key", k=3, m=256)
+    new = spark.createDataFrame(
+        [("s0", datetime(2024, 1, 2), ("r%d" if i % 5 == 0 else "n%d")
+          % (i % 80)) for i in range(200)],
+        "series_key string, ts timestamp, key string")
+    kept = bloom_prefilter(new, ref_regs, key_col="key", k=3, m=256)
+    true_dups = new.join(ref.select("key").distinct(), "key")
+    kept_dups = kept.join(ref.select("key").distinct(), "key")
+    # one-sided guarantee: every true duplicate row is kept
+    assert true_dups.select(*new.columns).exceptAll(
+        kept_dups.select(*new.columns)).count() == 0
+    # and the prefilter really prunes the fresh-key majority
+    assert true_dups.count() <= kept.count() < new.count()
