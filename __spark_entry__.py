@@ -59,6 +59,7 @@ from json_time_series_extractor_spark.operators.gapfill import (
 from json_time_series_extractor_spark.operators.rate import counter_increase
 from json_time_series_extractor_spark.operators.rollup import (
     histogram_cascade,
+    histogram_quantile,
     rollup,
     rollup_cascade,
     rollup_histogram,
@@ -107,6 +108,56 @@ SELECT series_key, bucket_ts,
        {hs},
        count(*) AS cnt
 FROM b GROUP BY 1, 2
+"""
+
+
+#: Quantiles estimated from the histogram tier (histogram_quantile).
+_HIST_QS = ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+
+
+def _histogram_quantile_oracle_sql() -> str:
+    """Day-level histogram_quantile recomputed from raw events: same
+    cumulative-bin interpolation arithmetic as
+    operators/rollup.py::histogram_quantile, generated from the same
+    _HIST_BOUNDS/_HIST_QS literals so both engines evaluate identical
+    IEEE expressions in identical order (bin widths pre-computed in
+    Python — [[oracle-typing-rules]]: one literal, both engines)."""
+    bounds = ", ".join(str(b) for b in _HIST_BOUNDS)
+    n_bins = len(_HIST_BOUNDS) + 1
+    # Cumulative counts c0..c_{n-2} (c_{n-1} == cnt, never referenced:
+    # the last bin is the CASE's ELSE branch).
+    cs = ",\n       ".join(
+        f"CAST(sum(CASE WHEN idx <= {j} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS c{j}" for j in range(n_bins - 1))
+    pcols = []
+    for q, name in _HIST_QS:
+        rank = f"(CAST({q!r} AS DOUBLE) * cnt)"
+        branches = [f"WHEN c0 >= {rank} THEN CAST({_HIST_BOUNDS[0]!r} "
+                    f"AS DOUBLE)"]
+        for j in range(1, n_bins - 1):
+            lo = float(_HIST_BOUNDS[j - 1])
+            width = float(_HIST_BOUNDS[j]) - lo
+            branches.append(
+                f"WHEN c{j} >= {rank} THEN CAST({lo!r} AS DOUBLE) + "
+                f"CAST({width!r} AS DOUBLE) * ({rank} - c{j - 1}) / "
+                f"(c{j} - c{j - 1})")
+        branches.append(f"ELSE CAST({float(_HIST_BOUNDS[-1])!r} AS DOUBLE)")
+        case = "CASE " + "\n            ".join(branches) + " END"
+        pcols.append(f"CAST(floor({case} * 1e6 + 0.5) AS BIGINT) AS {name}")
+    ps = ",\n       ".join(pcols)
+    return f"""
+WITH b AS (
+    SELECT event_type AS series_key, date_trunc('day', ts) AS bucket_ts,
+           len(list_filter([{bounds}], x -> value >= x)) AS idx
+    FROM events WHERE value IS NOT NULL),
+h AS (
+    SELECT series_key, bucket_ts,
+       {cs},
+       count(*) AS cnt
+    FROM b GROUP BY 1, 2)
+SELECT series_key, bucket_ts, cnt,
+       {ps}
+FROM h
 """
 
 
@@ -976,6 +1027,23 @@ def q_rollup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = [F.element_at("hist", i + 1).alias(f"h{i}")
             for i in range(len(_HIST_BOUNDS) + 1)]
     return h1d.select("series_key", "bucket_ts", *cols, "cnt")
+
+
+def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL histogram_quantile from the mergeable histogram tier:
+    1h bins cascaded to 1d, then p50/p90/p99 interpolated from the day
+    bins — quantiles at a coarse tier WITHOUT re-reading raw data. The
+    oracle recomputes the day bins from raw and applies the identical
+    interpolation, proving cascade + estimator together."""
+    h1h = rollup_histogram(_event_samples(spark, sf_dir), "1 hour",
+                           bounds=_HIST_BOUNDS)
+    h1d = histogram_cascade(h1h, "1 day", n_bins=len(_HIST_BOUNDS) + 1)
+    out = histogram_quantile(h1d, [q for q, _ in _HIST_QS],
+                             bounds=_HIST_BOUNDS,
+                             names=tuple(n for _, n in _HIST_QS))
+    return _quant6(out.select("series_key", "bucket_ts", "cnt",
+                              *[n for _, n in _HIST_QS]),
+                   *[n for _, n in _HIST_QS])
 
 
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2057,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cascade": q_streaming_cascade,
         "bloom_membership": q_bloom_membership,
         "rollup_histogram": q_rollup_histogram,
+        "histogram_quantile": q_histogram_quantile,
         "time_weighted_avg": q_time_weighted_avg,
         "top_k_series": q_top_k_series,
         "gapfill_locf": q_gapfill_locf,
@@ -2168,6 +2237,7 @@ WHERE value IS NOT NULL
 GROUP BY 1, 2
 """,
         "rollup_histogram": _histogram_oracle_sql(),
+        "histogram_quantile": _histogram_quantile_oracle_sql(),
         "top_k_series": """
 WITH c AS (
     SELECT date_trunc('day', ts) AS bucket_ts,

@@ -363,3 +363,74 @@ def rolling_over_time(rollup_df: DataFrame, k_buckets: int, *,
         out = out.withColumn(f"{a}_over_time",
                              F.when(gate, fns[a](v).over(w)))
     return out
+
+
+def histogram_quantile(hist_df: DataFrame, qs, *, bounds,
+                       hist_col: str = "hist",
+                       cnt_col: str = "cnt",
+                       names: Optional[tuple] = None) -> DataFrame:
+    """PromQL ``histogram_quantile`` over the mergeable histogram tier
+    (:func:`rollup_histogram` / :func:`histogram_cascade` output): the
+    q-quantile estimated from explicit-bounds bin counts by linear
+    interpolation inside the target bin. Because histogram state merges
+    exactly across tiers, this yields quantile estimates at ANY tier
+    without touching raw data — the scale counterpart to
+    :func:`rollup_percentiles` (exact, but unmergeable).
+
+    Semantics per (row, q), with bins (-inf,b0), [b0,b1), ..
+    [b_{n-1},inf) and rank = q * cnt:
+
+    - target bin = first whose cumulative count >= rank;
+    - first bin: returns ``b0`` (no finite lower edge to interpolate
+      from — PromQL's clamp-to-lowest-bound behavior);
+    - last bin: returns ``b_{n-1}`` (PromQL clamps at the highest
+      finite bound rather than extrapolating into the open tail);
+    - interior bin j: ``b_{j-1} + (b_j - b_{j-1}) * (rank -
+      cum_{j-1}) / hist_j`` — the classic cumulative-histogram
+      interpolation;
+    - ``cnt = 0`` rows emit NULL.
+
+    The arithmetic is rational over integer bin counts and literal
+    bounds (bin widths are pre-computed Python floats so both engines
+    of an oracle comparison see one identical literal), so the result
+    is engine-deterministic given the same bins.
+
+    Scale shape: pure per-row expressions over tier rows (one row per
+    series-bucket) — no shuffle, no window, embarrassingly parallel.
+    """
+    bl = [float(b) for b in bounds]
+    if not bl or bl != sorted(bl) or len(set(bl)) != len(bl):
+        raise ValueError(
+            f"histogram bounds must be non-empty and strictly "
+            f"increasing, got {bl}")
+    qlist = [float(q) for q in qs]
+    if any(not (0.0 < q <= 1.0) for q in qlist):
+        raise ValueError(f"quantiles must be in (0, 1], got {qlist}")
+    if names is None:
+        names = tuple(f"p{q * 100:g}".replace(".", "_") for q in qlist)
+    if len(names) != len(qlist):
+        raise ValueError("names must align with qs")
+    n_bins = len(bl) + 1
+    # Cumulative bin counts c0..c_{n-1}; c_{n-1} == cnt by construction.
+    elems = [F.element_at(hist_col, i + 1) for i in range(n_bins)]
+    cums = []
+    acc = None
+    for e in elems:
+        acc = e if acc is None else acc + e
+        cums.append(acc)
+    out = hist_df
+    for q, name in zip(qlist, names):
+        rank = F.lit(q) * F.col(cnt_col)
+        # First-match-wins bin selection; the last bin is the otherwise
+        # branch (its cumulative count always reaches rank).
+        expr = F.when(cums[0] >= rank, F.lit(bl[0]))
+        for j in range(1, n_bins - 1):
+            lo, width = bl[j - 1], bl[j] - bl[j - 1]
+            expr = expr.when(
+                cums[j] >= rank,
+                F.lit(lo) + F.lit(width) * (rank - cums[j - 1])
+                / elems[j])
+        expr = expr.otherwise(F.lit(bl[-1]))
+        out = out.withColumn(name,
+                             F.when(F.col(cnt_col) > 0, expr))
+    return out

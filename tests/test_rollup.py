@@ -453,6 +453,42 @@ def test_rollup_histogram_cascade_mergeable(spark):
         assert sum(hist) == cnt
 
 
+def test_histogram_quantile_interpolation(spark):
+    """Interior-bin interpolation, first/last-bin clamps, cnt=0 NULL,
+    and parameter validation for histogram_quantile."""
+    from json_time_series_extractor_spark.operators.rollup import (
+        histogram_quantile)
+
+    bounds = (10.0, 20.0, 30.0)  # bins (-inf,10),[10,20),[20,30),[30,inf)
+    rows = [
+        # 10 values: 0 below 10, 4 in [10,20), 4 in [20,30), 2 >= 30.
+        ("a", [0, 4, 4, 2], 10),
+        # all mass below b0 -> every quantile clamps to b0.
+        ("lo", [5, 0, 0, 0], 5),
+        # all mass in the open tail -> clamps to b_{n-1}.
+        ("hi", [0, 0, 0, 7], 7),
+        ("empty", [0, 0, 0, 0], 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "series_key string, hist array<long>, cnt long")
+    out = {r.series_key: r for r in histogram_quantile(
+        df, (0.5, 0.9), bounds=bounds, names=("p50", "p90")).collect()}
+    # a: rank=5 -> cum(bin1)=4 < 5 <= cum(bin2)=8 -> bin2 [20,30):
+    # 20 + 10*(5-4)/4 = 22.5.  rank=9 -> bin3 (tail) clamps to 30.
+    assert out["a"].p50 == pytest.approx(22.5)
+    assert out["a"].p90 == pytest.approx(30.0)
+    assert out["lo"].p50 == pytest.approx(10.0)
+    assert out["hi"].p50 == pytest.approx(30.0)
+    assert out["empty"].p50 is None and out["empty"].p90 is None
+
+    with pytest.raises(ValueError, match="strictly"):
+        histogram_quantile(df, (0.5,), bounds=(2.0, 1.0))
+    with pytest.raises(ValueError, match="quantiles"):
+        histogram_quantile(df, (0.0,), bounds=bounds)
+    with pytest.raises(ValueError, match="align"):
+        histogram_quantile(df, (0.5, 0.9), bounds=bounds, names=("x",))
+
+
 def test_asof_join_directions(spark):
     """forward picks the earliest right row at-or-after; nearest picks the
     closer side with ties going backward; tolerance bounds both sides."""
