@@ -67,6 +67,10 @@ from json_time_series_extractor_spark.operators.rollup import (
     rollup_salted,
     top_k_series,
 )
+from json_time_series_extractor_spark.operators.trend import (
+    linear_trend_oracle_sql,
+    rollup_linear_trend,
+)
 from json_time_series_extractor_spark.operators.twa import time_weighted_avg
 from json_time_series_extractor_spark.operators.similarity import (
     cosine_flat,
@@ -1044,6 +1048,23 @@ def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quant6(out.select("series_key", "bucket_ts", "cnt",
                               *[n for _, n in _HIST_QS]),
                    *[n for _, n in _HIST_QS])
+
+
+def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL deriv()/predict_linear() per 1h bucket: exact integer
+    sufficient statistics (decimal sums over fixed-point y and
+    bucket-relative integer seconds), two float ops per output — the
+    oracle replays the identical arithmetic over HUGEINTs, so slope,
+    intercept, AND the extrapolated bucket-end value compare full-value.
+    Degenerate fits (n<2 or single-second buckets) carry a sentinel
+    plus fit_ok=false on both sides."""
+    out = rollup_linear_trend(_event_samples(spark, sf_dir), "1 hour")
+    sent = F.lit(-9.0e9)
+    cols = ("slope_per_s", "intercept", "predict_end")
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), sent))
+    return _quant6(out.select("series_key", "bucket_ts", "n", "fit_ok",
+                              *cols), *cols)
 
 
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2126,6 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "rollup_histogram": q_rollup_histogram,
         "histogram_quantile": q_histogram_quantile,
+        "linear_trend": q_linear_trend,
         "time_weighted_avg": q_time_weighted_avg,
         "top_k_series": q_top_k_series,
         "gapfill_locf": q_gapfill_locf,
@@ -2238,6 +2260,7 @@ GROUP BY 1, 2
 """,
         "rollup_histogram": _histogram_oracle_sql(),
         "histogram_quantile": _histogram_quantile_oracle_sql(),
+        "linear_trend": linear_trend_oracle_sql("events"),
         "top_k_series": """
 WITH c AS (
     SELECT date_trunc('day', ts) AS bucket_ts,

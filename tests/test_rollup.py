@@ -489,6 +489,41 @@ def test_histogram_quantile_interpolation(spark):
         histogram_quantile(df, (0.5, 0.9), bounds=bounds, names=("x",))
 
 
+def test_rollup_linear_trend(spark):
+    """Known-line fit, degenerate single-sample bucket, and the exact
+    fixed-point arithmetic (slope/intercept/predict from a hand
+    computation)."""
+    from datetime import datetime
+
+    from json_time_series_extractor_spark.operators.trend import (
+        rollup_linear_trend)
+
+    rows = [
+        # series 'a', one bucket: y = 1 + 0.1 * x over x = 0, 10, 20.
+        ("a", datetime(2024, 1, 1, 0, 0, 0), 1.0),
+        ("a", datetime(2024, 1, 1, 0, 0, 10), 2.0),
+        ("a", datetime(2024, 1, 1, 0, 0, 20), 3.0),
+        # series 'b': single sample -> degenerate.
+        ("b", datetime(2024, 1, 1, 0, 0, 5), 42.0),
+        # series 'c': two samples in the SAME second -> den = 0.
+        ("c", datetime(2024, 1, 1, 0, 0, 1, 100), 1.0),
+        ("c", datetime(2024, 1, 1, 0, 0, 1, 900), 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+    out = {r.series_key: r
+           for r in rollup_linear_trend(df, "1 hour").collect()}
+    a = out["a"]
+    assert a.n == 3 and a.fit_ok
+    assert a.slope_per_s == pytest.approx(0.1)
+    assert a.intercept == pytest.approx(1.0)
+    assert a.predict_end == pytest.approx(1.0 + 0.1 * 3600)
+    for k in ("b", "c"):
+        r = out[k]
+        assert not r.fit_ok
+        assert r.slope_per_s is None and r.predict_end is None
+
+
 def test_asof_join_directions(spark):
     """forward picks the earliest right row at-or-after; nearest picks the
     closer side with ties going backward; tolerance bounds both sides."""
