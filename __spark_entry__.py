@@ -67,6 +67,12 @@ from json_time_series_extractor_spark.operators.rollup import (
     rollup_salted,
     top_k_series,
 )
+from json_time_series_extractor_spark.operators.kmv import (
+    HASH_SPACE,
+    kmv_cascade,
+    kmv_rollup,
+    kmv_set_ops,
+)
 from json_time_series_extractor_spark.operators.trend import (
     linear_trend_oracle_sql,
     rollup_linear_trend,
@@ -1065,6 +1071,93 @@ def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.withColumn(c, F.coalesce(F.col(c), sent))
     return _quant6(out.select("series_key", "bucket_ts", "n", "fit_ok",
                               *cols), *cols)
+
+
+#: KMV sketch size for the retention query.
+_KMV_K = 128
+
+
+def q_kmv_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day distinct-user retention from KMV sketches: 1h
+    sketches cascaded to 1d (exact merge — the day-d sketch string is
+    compared full-value against a from-raw SQL sketch), then consecutive
+    days joined per series for union / Jaccard / intersection NDV
+    estimates. The set algebra is what the sketch family gains over
+    HLL; every output is deterministic integer or two-float-op
+    arithmetic, so the oracle replays it exactly."""
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("series_key"), "ts", "user_id")
+    h1 = kmv_rollup(ev, "1 hour", _KMV_K, item_col="user_id")
+    d1 = kmv_cascade(h1, "1 day", _KMV_K)
+    nxt = d1.select(
+        "series_key",
+        (F.col("bucket_ts") - F.expr("INTERVAL 1 DAY")).alias("bucket_ts"),
+        "kmv")
+    out = kmv_set_ops(d1, nxt, _KMV_K)
+    out = out.select(
+        "series_key", "bucket_ts",
+        F.concat_ws(",", F.col("kmv_a").cast("array<string>"))
+        .alias("sketch_a"),
+        F.size("kmv_a").cast("long").alias("n_a"),
+        F.size("kmv_b").cast("long").alias("n_b"),
+        F.col("m_both").cast("long").alias("m_both"),
+        F.col("k_union").cast("long").alias("k_union"),
+        "union_est", "jaccard_est", "inter_est")
+    return _quant6(out, "union_est", "jaccard_est", "inter_est")
+
+
+def _kmv_retention_oracle_sql() -> str:
+    """From-raw DuckDB replay of the full KMV retention pipeline: day
+    sketches built directly from distinct hashes (proving the Spark
+    1h->1d cascade is exact), consecutive-day self-join, and the same
+    estimator arithmetic (literals pre-computed in Python so both
+    engines see identical doubles)."""
+    k = _KMV_K
+    km1 = float(k - 1)
+    return f"""
+WITH h AS (
+    SELECT DISTINCT event_type AS series_key,
+           date_trunc('day', ts) AS bucket_ts,
+           CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+    FROM events WHERE user_id IS NOT NULL),
+r AS (
+    SELECT series_key, bucket_ts, h,
+           row_number() OVER (PARTITION BY series_key, bucket_ts
+                              ORDER BY h) AS rn
+    FROM h),
+d AS (
+    SELECT series_key, bucket_ts, list_sort(list(h)) AS kmv
+    FROM r WHERE rn <= {k} GROUP BY 1, 2),
+p AS (
+    SELECT a.series_key, a.bucket_ts, a.kmv AS ka, b.kmv AS kb,
+           list_slice(list_sort(list_distinct(a.kmv || b.kmv)), 1, {k}) AS u
+    FROM d a JOIN d b
+      ON a.series_key = b.series_key
+     AND b.bucket_ts - INTERVAL 1 DAY = a.bucket_ts),
+s AS (
+    SELECT series_key, bucket_ts, ka, kb, u,
+           len(list_filter(u, x -> list_contains(ka, x)
+                               AND list_contains(kb, x))) AS m_both,
+           len(u) AS k_union,
+           CASE WHEN len(u) < {k} THEN CAST(len(u) AS DOUBLE)
+                ELSE CAST({km1!r} AS DOUBLE)
+                     / (CAST(u[{k}] AS DOUBLE)
+                        / CAST({HASH_SPACE!r} AS DOUBLE)) END AS union_est
+    FROM p)
+SELECT series_key, bucket_ts,
+       COALESCE(array_to_string(ka, ','), '') AS sketch_a,
+       CAST(len(ka) AS BIGINT) AS n_a,
+       CAST(len(kb) AS BIGINT) AS n_b,
+       CAST(m_both AS BIGINT) AS m_both,
+       CAST(k_union AS BIGINT) AS k_union,
+       CAST(floor(union_est * 1e6 + 0.5) AS BIGINT) AS union_est,
+       CAST(floor(CAST(m_both AS DOUBLE) / k_union * 1e6 + 0.5)
+            AS BIGINT) AS jaccard_est,
+       CAST(floor(CAST(m_both AS DOUBLE) / k_union * union_est * 1e6
+                  + 0.5) AS BIGINT) AS inter_est
+FROM s
+"""
 
 
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2148,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_histogram": q_rollup_histogram,
         "histogram_quantile": q_histogram_quantile,
         "linear_trend": q_linear_trend,
+        "kmv_retention": q_kmv_retention,
         "time_weighted_avg": q_time_weighted_avg,
         "top_k_series": q_top_k_series,
         "gapfill_locf": q_gapfill_locf,
@@ -2261,6 +2355,7 @@ GROUP BY 1, 2
         "rollup_histogram": _histogram_oracle_sql(),
         "histogram_quantile": _histogram_quantile_oracle_sql(),
         "linear_trend": linear_trend_oracle_sql("events"),
+        "kmv_retention": _kmv_retention_oracle_sql(),
         "top_k_series": """
 WITH c AS (
     SELECT date_trunc('day', ts) AS bucket_ts,

@@ -524,6 +524,60 @@ def test_rollup_linear_trend(spark):
         assert r.slope_per_s is None and r.predict_end is None
 
 
+def test_kmv_sketch(spark):
+    """Cascade exactness (1h->1d sketch == from-raw 1d sketch),
+    exact-below-k counts, estimator accuracy above k, and set-ops
+    identities (self-join -> jaccard 1; disjoint -> m_both 0)."""
+    from datetime import datetime, timedelta
+
+    from json_time_series_extractor_spark.operators.kmv import (
+        kmv_cascade, kmv_estimate, kmv_rollup, kmv_set_ops)
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # series 'big': 3000 distinct users spread over 24 hours (above k).
+    for u in range(3000):
+        rows.append(("big", base + timedelta(hours=u % 24, minutes=7), u))
+    # series 'small': 9 distinct users, with repeats (below k -> exact).
+    for u in range(9):
+        rows.append(("small", base + timedelta(hours=u), 10_000 + u))
+        rows.append(("small", base + timedelta(hours=u, minutes=30),
+                     10_000 + u))
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, user_id long")
+
+    k = 64
+    d_raw = kmv_rollup(df, "1 day", k, item_col="user_id")
+    d_casc = kmv_cascade(kmv_rollup(df, "1 hour", k,
+                                    item_col="user_id"), "1 day", k)
+    raw = {(r.series_key, r.bucket_ts): list(r.kmv)
+           for r in d_raw.collect()}
+    casc = {(r.series_key, r.bucket_ts): list(r.kmv)
+            for r in d_casc.collect()}
+    assert raw == casc  # merge closure: cascade is bit-exact
+
+    ests = {r.series_key: r.est for r in d_raw.select(
+        "series_key", kmv_estimate(F.col("kmv"), k).alias("est"))
+        .collect()}
+    assert ests["small"] == 9.0  # below k: exact
+    assert abs(ests["big"] - 3000) / 3000 < 0.35  # ~1/sqrt(k) error
+
+    ops_self = kmv_set_ops(d_raw, d_raw, k).collect()
+    for r in ops_self:
+        assert r.m_both == r.k_union and r.jaccard_est == 1.0
+    # Disjoint user populations -> no shared sketch hashes.
+    other = spark.createDataFrame(
+        [("big", base + timedelta(hours=h), 900_000 + h)
+         for h in range(24)],
+        "series_key string, ts timestamp, user_id long")
+    d_other = kmv_rollup(other, "1 day", k, item_col="user_id")
+    for r in kmv_set_ops(d_raw, d_other, k).collect():
+        assert r.m_both == 0 and r.inter_est == 0.0
+
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_rollup(df, "1 day", 1)
+
+
 def test_asof_join_directions(spark):
     """forward picks the earliest right row at-or-after; nearest picks the
     closer side with ties going backward; tolerance bounds both sides."""
