@@ -67,6 +67,10 @@ from json_time_series_extractor_spark.operators.rollup import (
     rollup_salted,
     top_k_series,
 )
+from json_time_series_extractor_spark.operators.anomaly import (
+    anomaly_oracle_sql,
+    detect_anomalies,
+)
 from json_time_series_extractor_spark.operators.kmv import (
     HASH_SPACE,
     kmv_cascade,
@@ -1071,6 +1075,25 @@ def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.withColumn(c, F.coalesce(F.col(c), sent))
     return _quant6(out.select("series_key", "bucket_ts", "n", "fit_ok",
                               *cols), *cols)
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags over the 1h traffic tier: each
+    bucket's sample count scored against its series' trailing 24
+    present buckets (self-excluded). Exact decimal window sums + a
+    fixed two-division-one-sqrt float shape make z bit-reproducible;
+    the oracle replays it over HUGEINTs from raw."""
+    r1h = rollup(_event_samples(spark, sf_dir), "1 hour")
+    out = detect_anomalies(
+        r1h.select("series_key", "bucket_ts", "count"), 24)
+    out = out.select(
+        "series_key", "bucket_ts",
+        F.col("count").cast("long").alias("v"),
+        F.col("n_window").cast("long").alias("n_window"),
+        "scored",
+        F.coalesce(F.col("z"), F.lit(-9.0e9)).alias("z"),
+        "is_anomaly")
+    return _quant6(out, "z")
 
 
 #: KMV sketch size for the retention query.
@@ -2242,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantile": q_histogram_quantile,
         "linear_trend": q_linear_trend,
         "kmv_retention": q_kmv_retention,
+        "anomaly_zscore": q_anomaly_zscore,
         "time_weighted_avg": q_time_weighted_avg,
         "top_k_series": q_top_k_series,
         "gapfill_locf": q_gapfill_locf,
@@ -2356,6 +2380,7 @@ GROUP BY 1, 2
         "histogram_quantile": _histogram_quantile_oracle_sql(),
         "linear_trend": linear_trend_oracle_sql("events"),
         "kmv_retention": _kmv_retention_oracle_sql(),
+        "anomaly_zscore": anomaly_oracle_sql("events"),
         "top_k_series": """
 WITH c AS (
     SELECT date_trunc('day', ts) AS bucket_ts,

@@ -578,6 +578,43 @@ def test_kmv_sketch(spark):
         kmv_rollup(df, "1 day", 1)
 
 
+def test_detect_anomalies(spark):
+    """Injected spike flagged, warmup rows unscored, zero-variance
+    baseline unscored (not a spurious infinity)."""
+    from datetime import datetime, timedelta
+
+    from json_time_series_extractor_spark.operators.anomaly import (
+        detect_anomalies)
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    # 'noisy': counts alternate 10/12 for 20 buckets, then a 100 spike.
+    for i in range(20):
+        rows.append(("noisy", base + timedelta(hours=i),
+                     10 + 2 * (i % 2)))
+    rows.append(("noisy", base + timedelta(hours=20), 100))
+    # 'flat': constant counts -> zero variance -> never scored.
+    for i in range(10):
+        rows.append(("flat", base + timedelta(hours=i), 5))
+    df = spark.createDataFrame(
+        rows, "series_key string, bucket_ts timestamp, count long")
+    out = detect_anomalies(df, 12, min_buckets=6, threshold=3.0)
+    got = {(r.series_key, r.bucket_ts): r for r in out.collect()}
+
+    spike = got[("noisy", base + timedelta(hours=20))]
+    assert spike.scored and spike.is_anomaly and spike.z > 3.0
+    normal = got[("noisy", base + timedelta(hours=19))]
+    assert normal.scored and not normal.is_anomaly
+    warm = got[("noisy", base + timedelta(hours=2))]  # 2 trailing rows
+    assert not warm.scored and warm.z is None and not warm.is_anomaly
+    for i in range(10):
+        r = got[("flat", base + timedelta(hours=i))]
+        assert not r.scored and r.z is None and not r.is_anomaly
+
+    with pytest.raises(ValueError, match="k_buckets"):
+        detect_anomalies(df, 1)
+
+
 def test_asof_join_directions(spark):
     """forward picks the earliest right row at-or-after; nearest picks the
     closer side with ties going backward; tolerance bounds both sides."""
