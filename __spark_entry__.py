@@ -77,6 +77,12 @@ from json_time_series_extractor_spark.operators.kmv import (
     kmv_rollup,
     kmv_set_ops,
 )
+from json_time_series_extractor_spark.operators.pii import (
+    pii_count_exprs_sql,
+    pii_redact_expr_sql,
+    redact_pii,
+    with_pii_counts,
+)
 from json_time_series_extractor_spark.operators.trend import (
     linear_trend_oracle_sql,
     rollup_linear_trend,
@@ -1075,6 +1081,75 @@ def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.withColumn(c, F.coalesce(F.col(c), sent))
     return _quant6(out.select("series_key", "bucket_ts", "n", "fit_ok",
                               *cols), *cols)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the documents corpus. The synthetic corpus
+    carries no PII-shaped strings, so the query first augments each
+    text with deterministic doc_id-derived PII (emails / dotted quads /
+    phone / SSN / card forms on different id residues — both engines
+    build the identical string), then counts and redacts. The
+    md5-of-redacted column makes the oracle a full-text proof that the
+    Java-regex and RE2 replacement chains agree byte-for-byte."""
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" contact user"), s(did),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(did % 4 == 0,
+               F.concat(F.lit(" from 10."), s(did % 200), F.lit("."),
+                        s((did * 7) % 250), F.lit("."),
+                        s((did * 13) % 250))).otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" call 415-555-"),
+                        F.lpad(s(did % 10000), 4, "0")))
+        .otherwise(F.lit("")),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" ssn 123-45-"),
+                        F.lpad(s(did % 10000), 4, "0")))
+        .otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(" card 4111-1111-1111-1111"))
+        .otherwise(F.lit("")))
+    d = _docs(spark, sf_dir).select("doc_id", aug.alias("_t"))
+    d = with_pii_counts(d, text_col="_t")
+    d = redact_pii(d, text_col="_t")
+    return d.select(
+        "doc_id", "n_email", "n_cc", "n_ssn", "n_ipv4", "n_phone",
+        "has_pii",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+        F.length("redacted").cast("long").alias("redacted_len"))
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB replay of q_pii_redact: identical augmentation string,
+    counts and the chained global regexp_replace generated from the
+    same PII_PATTERNS table (operators/pii.py) — RE2 vs Java regex
+    equivalence is exactly what the md5 column gates."""
+    aug = """concat(text,
+        CASE WHEN doc_id % 3 = 0 THEN concat(' contact user',
+             CAST(doc_id AS VARCHAR), '@example.com') ELSE '' END,
+        CASE WHEN doc_id % 4 = 0 THEN concat(' from 10.',
+             CAST(doc_id % 200 AS VARCHAR), '.',
+             CAST((doc_id * 7) % 250 AS VARCHAR), '.',
+             CAST((doc_id * 13) % 250 AS VARCHAR)) ELSE '' END,
+        CASE WHEN doc_id % 5 = 0 THEN concat(' call 415-555-',
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+             ELSE '' END,
+        CASE WHEN doc_id % 7 = 0 THEN concat(' ssn 123-45-',
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+             ELSE '' END,
+        CASE WHEN doc_id % 11 = 0 THEN ' card 4111-1111-1111-1111'
+             ELSE '' END)"""
+    return f"""
+WITH a AS (SELECT doc_id, {aug} AS t FROM documents)
+SELECT doc_id,
+       {pii_count_exprs_sql('t')},
+       md5({pii_redact_expr_sql('t')}) AS redacted_md5,
+       CAST(len({pii_redact_expr_sql('t')}) AS BIGINT) AS redacted_len
+FROM a
+"""
 
 
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2266,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_trend": q_linear_trend,
         "kmv_retention": q_kmv_retention,
         "anomaly_zscore": q_anomaly_zscore,
+        "pii_redact": q_pii_redact,
         "time_weighted_avg": q_time_weighted_avg,
         "top_k_series": q_top_k_series,
         "gapfill_locf": q_gapfill_locf,
@@ -2381,6 +2457,7 @@ GROUP BY 1, 2
         "linear_trend": linear_trend_oracle_sql("events"),
         "kmv_retention": _kmv_retention_oracle_sql(),
         "anomaly_zscore": anomaly_oracle_sql("events"),
+        "pii_redact": _pii_oracle_sql(),
         "top_k_series": """
 WITH c AS (
     SELECT date_trunc('day', ts) AS bucket_ts,

@@ -1936,3 +1936,29 @@ def test_webp_animation_frames_and_sampling(spark):
         out = decode_png(bytes(r.frame))
         assert np.array_equal(out[..., :3], frames[want_i][..., :3]), \
             r.frame_index
+
+
+def test_pii_counts_and_redaction(spark):
+    """Known texts: per-family counts, chained redaction output, and
+    the order interplays (dotted quads not half-eaten by the dotted
+    phone form; SSN form not matching inside card groups)."""
+    from json_time_series_extractor_spark.operators.pii import (
+        redact_pii, with_pii_counts)
+
+    rows = [
+        (1, "mail a@b.io and c.d+x@e-f.org now"),
+        (2, "ip 10.0.0.1 phone 415-555-0123 dotted 415.555.0123"),
+        (3, "ssn 123-45-6789 card 4111-1111-1111-1111"),
+        (4, "clean text with numbers 123 456 7890 but no pii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r
+           for r in redact_pii(with_pii_counts(df)).collect()}
+    assert (out[1].n_email, out[1].has_pii) == (2, True)
+    assert out[1].redacted == "mail [EMAIL] and [EMAIL] now"
+    assert (out[2].n_ipv4, out[2].n_phone) == (1, 2)
+    assert out[2].redacted == "ip [IP] phone [PHONE] dotted [PHONE]"
+    assert (out[3].n_ssn, out[3].n_cc) == (1, 1)
+    assert out[3].redacted == "ssn [SSN] card [CARD]"
+    assert not out[4].has_pii
+    assert out[4].redacted == rows[3][1]
