@@ -161,8 +161,10 @@ def run_benchmarks() -> None:
                  "rollup_percentiles", "rollup_tdigest", "counter_rate",
                  "counter_analytics", "downsample_lttb", "interval_join",
                  "rolling_over_time",
-                 "rollup_histogram", "hll_distinct_1h", "cm_frequency",
-                 "top_k_series",
+                 "rollup_histogram", "histogram_quantile",
+                 "linear_trend", "anomaly_zscore",
+                 "hll_distinct_1h", "cm_frequency", "kmv_retention",
+                 "bloom_membership", "top_k_series",
                  "time_weighted_avg", "gapfill_locf",
                  "gapfill_locf_partitioned", "gapfill_linear",
                  "gapfill_linear_partitioned", "asof_join",
@@ -171,6 +173,7 @@ def run_benchmarks() -> None:
                  "doc_quality", "doc_lang_id", "doc_fingerprint",
                  "html_text_extract", "doc_repetition",
                  "url_dedup", "paragraph_dedup", "dup_ngram_stats",
+                 "pii_redact",
                  "dedup_exact", "ngram_jaccard", "minhash_lsh_pairs",
                  "neardup_components", "neardup_components_star",
                  "dedup_incremental",

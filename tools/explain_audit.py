@@ -78,6 +78,21 @@ AUDITED = [
      "(keys, bucket) via interval explosion — no nested-loop join"),
     ("downsample_lttb", "zero Python: pick is a struct-min hash "
      "aggregate; the only window runs over the per-bucket summary"),
+    ("histogram_quantile", "zero Python: interpolation is a map-only "
+     "expression layer over the cascaded day tier — no shuffle beyond "
+     "the two tier hash aggregates it inherits"),
+    ("linear_trend", "zero Python, zero windows: one partial/final "
+     "hash aggregate over five exact decimal sufficient statistics, "
+     "then map-only closed forms"),
+    ("kmv_retention", "distinct-hash partial/final aggregate, min-k "
+     "row_number window bounded by per-bucket NDV, exact cascade "
+     "re-selection, then a k-bounded equi-join for the set algebra "
+     "(O(k^2) per row, constant)"),
+    ("anomaly_zscore", "one bounded row-frame window per series over "
+     "TIER rows (summary-sized partitions) with exact decimal sums; "
+     "no Python"),
+    ("pii_redact", "map-only codegen regexp chain, zero Python, zero "
+     "shuffles (the single exchange is the harness _spread)"),
     ("dup_ngram_stats", "zero Python: windows are array expressions; "
      "one partial/final hash agg on the 64-bit window hash + join-back; "
      "exploded subplan materialized (r6) so the tokenize+window+hash "
