@@ -337,6 +337,9 @@ def run_benchmarks() -> None:
         "cpus": CPUS,
         "docs_per_sec": extras.get("docs_per_sec"),
         "points_per_sec": extras.get("points_per_sec"),
+        # run_scaling() parses the LAST json line for these two.
+        "flagship_docs": extras.get("flagship_docs"),
+        "flagship_points": extras.get("flagship_points"),
     }))
 
 

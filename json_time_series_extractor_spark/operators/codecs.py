@@ -58,9 +58,11 @@ def truncation_boundary(fn):
 
 
 def sniff_media_format(blob: bytes) -> str:
-    """'ppm'|'bmp'|'wav'|'webp'|'png'|'jpeg'|'gif'|'unknown' from magic
-    bytes (WebP and WAV are both RIFF; the form type at offset 8
-    disambiguates)."""
+    """'ppm'|'bmp'|'wav'|'webp'|'png'|'jpeg'|'gif'|'webm'|'unknown'
+    from magic bytes (WebP and WAV are both RIFF; the form type at
+    offset 8 disambiguates; WebM/Matroska is the EBML magic)."""
+    if blob[:4] == b"\x1a\x45\xdf\xa3":
+        return "webm"
     if blob[:2] == b"P6":
         return "ppm"
     if blob[:2] == b"BM":

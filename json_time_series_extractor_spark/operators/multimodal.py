@@ -450,10 +450,17 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, *,
             from json_time_series_extractor_spark.operators.vp8l import (
                 decode_webp_frames)
             frames, delays = decode_webp_frames(blob)
+        elif fmt == "webm":
+            # r6: WebM/Matroska demux (EBML) + the from-scratch VP8
+            # decoder — KEYFRAME sampling semantics (interframes are
+            # parsed but never decoded; see operators/webm.py).
+            from json_time_series_extractor_spark.operators.webm import (
+                decode_webm_keyframes)
+            frames, delays = decode_webm_keyframes(blob)
         else:
             raise NotImplementedError(
                 f"no dependency-free frame decoder for format {fmt!r}; "
-                "ffmpeg plugs in here (mp4/webm/...)")
+                "ffmpeg plugs in here (mp4/mov/avi/...; webm decodes natively since r6)")
         total = sum(delays)
         starts = [0]
         for d in delays[:-1]:

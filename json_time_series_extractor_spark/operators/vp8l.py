@@ -786,7 +786,7 @@ def _decode_alph(payload: bytes, w: int, h: int) -> np.ndarray:
     """ALPH chunk -> (h, w) uint8 alpha plane. Raw compression (C=0)
     with the four spec filters (none/horizontal/vertical/gradient);
     lossless-compressed alpha (C=1, a headerless VP8L stream) is a
-    documented plug point next to the mp4/webm one."""
+    documented plug point next to the mp4 one."""
     if not payload:
         raise ValueError("empty ALPH chunk")
     head = payload[0]

@@ -359,6 +359,50 @@ def main() -> None:
             frows.append((media_id, blob, idx, t,
                           hashlib.sha256(png).hexdigest()))
 
+    # r6b: WebM (VP8-in-Matroska) through the same expected-frame
+    # machinery — keyframes encoded by the PUBLIC REFERENCE encoder
+    # (libwebp, the same build-time oracle as the lossy-WebP blobs),
+    # wrapped by the minimal muxer, expectations from the KEYFRAME-
+    # sampling decode path (operators/webm.py). Fresh rng; appended
+    # after all other draws so prior rows stay byte-identical.
+    from json_time_series_extractor_spark.operators.webm import (
+        decode_webm_keyframes, encode_webm_vp8)
+    from tools.libwebp_ref import available as webp_available
+    from tools.libwebp_ref import encode_rgb
+
+    def _vp8_payload(webp: bytes) -> bytes:
+        assert webp[:4] == b"RIFF" and webp[8:12] == b"WEBP"
+        pos = 12
+        while pos < len(webp):
+            tag = webp[pos:pos + 4]
+            ln = int.from_bytes(webp[pos + 4:pos + 8], "little")
+            if tag == b"VP8 ":
+                return webp[pos + 8:pos + 8 + ln]
+            pos += 8 + ln + (ln & 1)
+        raise AssertionError("no VP8 chunk in reference-encoded WebP")
+
+    assert webp_available(), "libwebp required to build the WebM rows"
+    rngm = np.random.default_rng(0x3EB)
+    mspecs = [(3, (24, 32), [400, 700, 900]),
+              (2, (16, 16), [1500, 600])]
+    for nf, (h, w), delays in mspecs:
+        media_id = len({r[0] for r in frows})
+        imgs = [(rngm.integers(0, 4, (h, w, 3)) * 80).astype(np.uint8)
+                for _ in range(nf)]
+        payloads = [_vp8_payload(encode_rgb(img, 90.0)) for img in imgs]
+        blob = encode_webm_vp8(payloads, w, h, delays_ms=delays)
+        dec, ddel = decode_webm_keyframes(blob)
+        assert ddel == delays
+        starts = [0]
+        for d in ddel[:-1]:
+            starts.append(starts[-1] + d)
+        total = sum(ddel)
+        for idx, t in enumerate(range(0, max(total, 1), every_ms)):
+            shown = max(i for i, s in enumerate(starts) if s <= t)
+            png = encode_png(dec[shown])
+            frows.append((media_id, blob, idx, t,
+                          hashlib.sha256(png).hexdigest()))
+
     ftable = pa.table({
         "media_id": pa.array([r[0] for r in frows], pa.int64()),
         "media": pa.array([r[1] for r in frows], pa.binary()),
@@ -368,7 +412,8 @@ def main() -> None:
     })
     pq.write_table(ftable, OUT_FRAMES, compression="zstd")
     print(f"wrote {OUT_FRAMES}: {len(frows)} expected frames "
-          f"across {len(specs)} GIF + {len(wspecs)} WebP animations")
+          f"across {len(specs)} GIF + {len(wspecs)} WebP animations "
+          f"+ {len(mspecs)} WebM (VP8) videos")
 
 
 if __name__ == "__main__":
