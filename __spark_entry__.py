@@ -2208,12 +2208,15 @@ _MEDIA_REAL_FRAMES_FIXTURE = os.path.join(_FIXTURES_DIR,
 
 def q_media_real_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video-frame sampling under oracle check: the fixture holds
-    animated GIFs and (r6) animated WebPs (uniform + ragged frame
-    delays) with the expected sha256 of every sampled-frame PNG
+    animated GIFs, (r6) animated WebPs (uniform + ragged frame
+    delays), and (r6b) WebM videos — VP8 keyframes encoded by the
+    public reference encoder, wrapped in a from-scratch Matroska/EBML
+    container — with the expected sha256 of every sampled-frame PNG
     precomputed at build time. Spark re-runs
     sample_video_frames(decode_stub='real') — full GIF89a compositing,
-    and ANIM/ANMF compositing through the from-scratch VP8L codec —
-    and the oracle SELECTs the stored expectations."""
+    ANIM/ANMF compositing through the from-scratch VP8L codec, and
+    EBML demux + VP8 keyframe sampling (operators/webm.py) — and the
+    oracle SELECTs the stored expectations."""
     from json_time_series_extractor_spark.operators.multimodal import (
         sample_video_frames)
 
@@ -2267,6 +2270,56 @@ def q_media_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_MEDIA_CONFORMANCE = f"""
 SELECT media_id, fmt, width, height, n_channels, pix_sha
 FROM '{_MEDIA_CONFORMANCE_FIXTURE}'
+"""
+
+
+_MEDIA_CONTAINER_META_FIXTURE = os.path.join(
+    _FIXTURES_DIR, "media_container_meta.parquet")
+
+
+def q_media_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-container metadata WITHOUT decode (r6b): 8 blobs —
+    4 MP3 elementary streams (CBR/VBR/MPEG2-half-granule/Layer-I, ID3v2
+    skip), 3 ISO-BMFF movies (v0+v1 mvhd, largesize moov, v0+v1 tkhd,
+    avc1/hev1/mp4a sample entries), 1 WebM — built byte-by-byte from
+    the public specs by tools/build_container_meta_fixture.py, which
+    never imports operators/mediameta.py; expectations (exact
+    frame-summed duration, frame-weighted bitrate, dims, codec
+    fourccs) are stamped from the a-priori construction parameters
+    with the spec arithmetic inlined in the builder. Spark re-parses
+    every blob via extract_container_metadata (map-only mapInPandas);
+    the oracle SELECTs the independent expectations."""
+    from json_time_series_extractor_spark.operators.mediameta import (
+        extract_container_metadata)
+
+    media = spark.read.parquet(_MEDIA_CONTAINER_META_FIXTURE) \
+        .select("media_id", "media")
+    out = extract_container_metadata(media)
+    # Structural NULLs (mp3 has no dims, mp4 no frame count) would be
+    # pandas-floated on the oracle side — stringify losslessly on BOTH
+    # sides per the type-strict hash contract.
+    meta_cols = [c for c in out.columns if c not in ("media_id",
+                                                     "container")]
+    return out.select(
+        "media_id", "container",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("null")).alias(c)
+          for c in meta_cols])
+
+
+_ORACLE_MEDIA_CONTAINER_META = f"""
+SELECT media_id, container,
+       COALESCE(CAST(duration_ms AS VARCHAR), 'null') AS duration_ms,
+       COALESCE(CAST(sample_rate AS VARCHAR), 'null') AS sample_rate,
+       COALESCE(CAST(bitrate_kbps AS VARCHAR), 'null') AS bitrate_kbps,
+       COALESCE(CAST(n_frames AS VARCHAR), 'null') AS n_frames,
+       COALESCE(CAST(vbr AS VARCHAR), 'null') AS vbr,
+       COALESCE(CAST(width AS VARCHAR), 'null') AS width,
+       COALESCE(CAST(height AS VARCHAR), 'null') AS height,
+       COALESCE(video_codec, 'null') AS video_codec,
+       COALESCE(audio_codec, 'null') AS audio_codec,
+       COALESCE(CAST(track_count AS VARCHAR), 'null') AS track_count,
+       COALESCE(brand, 'null') AS brand
+FROM '{_MEDIA_CONTAINER_META_FIXTURE}'
 """
 
 
@@ -2379,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_real_audio": q_media_real_audio,
         "media_real_frames": q_media_real_frames,
         "media_conformance": q_media_conformance,
+        "media_container_meta": q_media_container_meta,
         "cosine_scores": q_cosine_scores,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -3033,6 +3087,7 @@ FROM f
         "media_real_audio": _ORACLE_MEDIA_REAL_AUDIO,
         "media_real_frames": _ORACLE_MEDIA_REAL_FRAMES,
         "media_conformance": _ORACLE_MEDIA_CONFORMANCE,
+        "media_container_meta": _ORACLE_MEDIA_CONTAINER_META,
         "cosine_scores": """
 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        CAST(floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),

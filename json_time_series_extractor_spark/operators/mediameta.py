@@ -1,0 +1,328 @@
+"""Compressed-container metadata WITHOUT decode: MP3, MP4, WebM.
+
+A web-crawl corpus is full of compressed audio/video whose *metadata*
+(duration, dimensions, codec, bitrate) is cheap to extract from
+container framing even when full decode is out of scope.  This module
+parses three container families from their public specifications and
+exposes one Arrow-batched operator, :func:`extract_container_metadata`,
+with the same map-only Spark shape, corrupt-blob policy, and fixture
+oracle as the image/audio/video feature operators in ``multimodal.py``.
+
+- **MP3** (MPEG-1/2/2.5 audio elementary stream): per-frame 4-byte
+  header scan per ISO/IEC 11172-3 section 2.4.1.3 (and the 13818-3 /
+  "2.5" lower-samplerate extensions), ID3v2 tag skip (informal spec
+  id3.org: syncsafe sizes, optional footer), Xing/Info and VBRI VBR
+  headers.  Duration is exact: sum of samples-per-frame / sample-rate
+  over every frame actually present — no bitrate-based estimation.
+- **MP4 / ISO BMFF** (ISO/IEC 14496-12): box walk over
+  ftyp/moov/mvhd/trak/tkhd/mdia/hdlr/minf/stbl/stsd — movie duration
+  from mvhd (version 0 and 1), track dimensions from the video trak's
+  tkhd (16.16 fixed point), codec fourccs from each trak's stsd sample
+  entry, 64-bit ``largesize`` and size-0 (to-EOF) boxes supported.
+  Sample decode (avc1/hev1/mp4a payloads) is the documented ffmpeg
+  plug point — metadata here is real, decode is not pretended.
+- **WebM**: delegated to the from-scratch EBML demuxer
+  (``operators/webm.py``) — duration, dimensions, codec id.
+
+Reference parity note: the reference repo (a JSON measurement
+extractor, ``TimeSeriesExtractor.cs``) has no media surface; this
+module belongs to the corpus-pipeline extension mandated by the build
+brief (multimodal columns over binary blobs).
+
+Scale: pure per-row byte parsing inside ``mapInPandas`` — map-only, no
+shuffle, no Python loop over collected rows; headers live in the first
+few KiB plus one linear frame walk for MP3 (the walk is O(n_frames)
+seeks, not a byte-at-a-time resync, on well-formed streams).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterable, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (BooleanType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+# --- MP3 tables (ISO/IEC 11172-3 tables; kbit/s, Hz) ---------------
+
+# bitrate_kbps[(version_group, layer)][bitrate_index]; index 0 is
+# "free format" (unsupported -> error), 15 is forbidden.
+_BR_V1_L1 = (None, 32, 64, 96, 128, 160, 192, 224,
+             256, 288, 320, 352, 384, 416, 448)
+_BR_V1_L2 = (None, 32, 48, 56, 64, 80, 96, 112,
+             128, 160, 192, 224, 256, 320, 384)
+_BR_V1_L3 = (None, 32, 40, 48, 56, 64, 80, 96,
+             112, 128, 160, 192, 224, 256, 320)
+_BR_V2_L1 = (None, 32, 48, 56, 64, 80, 96, 112,
+             128, 144, 160, 176, 192, 224, 256)
+_BR_V2_L23 = (None, 8, 16, 24, 32, 40, 48, 56,
+              64, 80, 96, 112, 128, 144, 160)
+
+# sample_rate[version_bits][samplerate_index]; version_bits: 0=MPEG2.5,
+# 2=MPEG2, 3=MPEG1 (1 is reserved).
+_SR = {3: (44100, 48000, 32000),
+       2: (22050, 24000, 16000),
+       0: (11025, 12000, 8000)}
+
+
+def _mp3_skip_id3v2(blob: bytes, pos: int) -> int:
+    """Skip an ID3v2 tag if present at ``pos`` (header + syncsafe size
+    + optional 10-byte footer when flag bit 4 is set)."""
+    if blob[pos:pos + 3] != b"ID3" or len(blob) < pos + 10:
+        return pos
+    flags = blob[pos + 5]
+    size = 0
+    for b in blob[pos + 6:pos + 10]:
+        if b & 0x80:
+            raise ValueError("mp3: non-syncsafe ID3v2 size byte")
+        size = (size << 7) | b
+    return pos + 10 + size + (10 if flags & 0x10 else 0)
+
+
+def _mp3_frame(blob: bytes, pos: int):
+    """Parse one frame header at ``pos`` -> (frame_len, samples,
+    sample_rate, bitrate_kbps) or raise ValueError."""
+    if len(blob) < pos + 4:
+        raise ValueError("mp3: truncated frame header")
+    h = struct.unpack(">I", blob[pos:pos + 4])[0]
+    if (h >> 21) & 0x7FF != 0x7FF:
+        raise ValueError("mp3: lost frame sync")
+    ver = (h >> 19) & 3          # 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    layer = (h >> 17) & 3        # 1=III, 2=II, 3=I; 0 reserved
+    br_idx = (h >> 12) & 0xF
+    sr_idx = (h >> 10) & 3
+    padding = (h >> 9) & 1
+    if ver == 1 or layer == 0 or sr_idx == 3 or br_idx == 15:
+        raise ValueError("mp3: reserved header field")
+    if br_idx == 0:
+        raise NotImplementedError(
+            "mp3: free-format bitrate (index 0) needs frame-length "
+            "discovery by resync — plug point")
+    sr = _SR[ver][sr_idx]
+    if layer == 3:                                   # Layer I
+        br = (_BR_V1_L1 if ver == 3 else _BR_V2_L1)[br_idx]
+        samples = 384
+        flen = (12000 * br // sr + padding) * 4
+    elif layer == 2:                                 # Layer II
+        br = (_BR_V1_L2 if ver == 3 else _BR_V2_L23)[br_idx]
+        samples = 1152
+        flen = 144000 * br // sr + padding
+    else:                                            # Layer III
+        br = (_BR_V1_L3 if ver == 3 else _BR_V2_L23)[br_idx]
+        if ver == 3:
+            samples, flen = 1152, 144000 * br // sr + padding
+        else:  # MPEG2/2.5: half-size granule
+            samples, flen = 576, 72000 * br // sr + padding
+    return flen, samples, sr, br
+
+
+def parse_mp3(blob: bytes) -> dict:
+    """Exact MP3 stream metadata from a full frame-header walk.
+
+    Returns duration_ms (exact, frame-summed), sample_rate, n_frames,
+    bitrate_kbps (frame-length-weighted average, rounded), and vbr
+    (True when bitrate indices differ across frames OR a Xing/VBRI
+    header is present in the first frame's side-info region).
+    """
+    pos = _mp3_skip_id3v2(blob, 0)
+    n = len(blob)
+    frames = 0
+    dur_num = 0              # sum of samples, per constant sample rate
+    sr0: Optional[int] = None
+    bitrates = set()
+    byte_total = 0
+    vbr_tag = False
+    first = True
+    while pos + 4 <= n:
+        # ID3v1 trailer ends the stream cleanly.
+        if blob[pos:pos + 3] == b"TAG" and n - pos == 128:
+            break
+        flen, samples, sr, br = _mp3_frame(blob, pos)
+        if pos + flen > n:
+            break                 # truncated final frame: not counted
+        if sr0 is None:
+            sr0 = sr
+        elif sr != sr0:
+            raise ValueError("mp3: sample rate changes mid-stream")
+        if first:
+            body = blob[pos + 4:pos + flen]
+            vbr_tag = b"Xing" in body or b"VBRI" in body
+            first = False
+        frames += 1
+        dur_num += samples
+        bitrates.add(br)
+        byte_total += flen
+        pos += flen
+    if frames == 0 or sr0 is None:
+        raise ValueError("mp3: no audio frames found")
+    duration_ms = dur_num * 1000 // sr0
+    avg_kbps = (byte_total * 8 * sr0 // dur_num + 500) // 1000
+    return {"container": "mp3", "duration_ms": duration_ms,
+            "sample_rate": sr0, "bitrate_kbps": avg_kbps,
+            "n_frames": frames, "vbr": vbr_tag or len(bitrates) > 1}
+
+
+# --- MP4 / ISO BMFF ------------------------------------------------
+
+def _iter_boxes(blob: bytes, pos: int, end: int):
+    """Yield (type, body_start, body_end) for each box in [pos, end);
+    handles 64-bit largesize and size==0 (extends to end)."""
+    while pos + 8 <= end:
+        size = struct.unpack(">I", blob[pos:pos + 4])[0]
+        btype = blob[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("mp4: truncated largesize box")
+            size = struct.unpack(">Q", blob[pos + 8:pos + 16])[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError("mp4: box size out of bounds")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _find_box(blob: bytes, pos: int, end: int, btype: bytes):
+    for t, s, e in _iter_boxes(blob, pos, end):
+        if t == btype:
+            return s, e
+    return None
+
+
+def parse_mp4(blob: bytes) -> dict:
+    """ISO BMFF movie metadata: brand, duration, video dims + codec
+    fourccs, track count.  Raises ValueError on malformed framing."""
+    ftyp = _find_box(blob, 0, len(blob), b"ftyp")
+    if ftyp is None:
+        raise ValueError("mp4: no ftyp box")
+    brand = blob[ftyp[0]:ftyp[0] + 4].decode("ascii", "replace")
+    moov = _find_box(blob, 0, len(blob), b"moov")
+    if moov is None:
+        raise ValueError("mp4: no moov box")
+    mvhd = _find_box(blob, moov[0], moov[1], b"mvhd")
+    if mvhd is None:
+        raise ValueError("mp4: no mvhd box")
+    s = mvhd[0]
+    ver = blob[s]
+    if ver == 1:
+        timescale = struct.unpack(">I", blob[s + 20:s + 24])[0]
+        duration = struct.unpack(">Q", blob[s + 24:s + 32])[0]
+    else:
+        timescale = struct.unpack(">I", blob[s + 12:s + 16])[0]
+        duration = struct.unpack(">I", blob[s + 16:s + 20])[0]
+    if timescale == 0:
+        raise ValueError("mp4: zero mvhd timescale")
+
+    width = height = None
+    video_codec = audio_codec = None
+    track_count = 0
+    for t, ts, te in _iter_boxes(blob, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        track_count += 1
+        mdia = _find_box(blob, ts, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find_box(blob, mdia[0], mdia[1], b"hdlr")
+        handler = blob[hdlr[0] + 8:hdlr[0] + 12] if hdlr else b""
+        fourcc = None
+        minf = _find_box(blob, mdia[0], mdia[1], b"minf")
+        stbl = minf and _find_box(blob, minf[0], minf[1], b"stbl")
+        stsd = stbl and _find_box(blob, stbl[0], stbl[1], b"stsd")
+        if stsd and struct.unpack(">I", blob[stsd[0] + 4:stsd[0] + 8])[0]:
+            # first SampleEntry: 4-byte size then the format fourcc
+            fourcc = blob[stsd[0] + 12:stsd[0] + 16] \
+                .decode("ascii", "replace")
+        if handler == b"vide":
+            if fourcc and video_codec is None:
+                video_codec = fourcc
+            tkhd = _find_box(blob, ts, te, b"tkhd")
+            if tkhd is not None and width is None:
+                ks = tkhd[0]
+                off = ks + (84 if blob[ks] else 76)  # v1 vs v0 layout
+                w16, h16 = struct.unpack(">II", blob[off:off + 8])
+                width, height = w16 >> 16, h16 >> 16
+        elif handler == b"soun" and fourcc and audio_codec is None:
+            audio_codec = fourcc
+    return {"container": "mp4",
+            "duration_ms": duration * 1000 // timescale,
+            "width": width, "height": height,
+            "video_codec": video_codec, "audio_codec": audio_codec,
+            "track_count": track_count, "brand": brand}
+
+
+def parse_webm_meta(blob: bytes) -> dict:
+    """WebM metadata via the EBML demuxer: duration (container-declared
+    when present, else last-frame timestamp), dims, codec id."""
+    from json_time_series_extractor_spark.operators.webm import parse_webm
+    info = parse_webm(blob)
+    dur = info.duration_ms
+    if dur is None and info.frames:
+        dur = max(t for t, _k, _p in info.frames)
+    return {"container": "webm", "duration_ms": dur,
+            "width": info.track.width if info.track else None,
+            "height": info.track.height if info.track else None,
+            "video_codec": info.track.codec_id if info.track else None,
+            "track_count": 1 if info.track else 0}
+
+
+def parse_container_metadata(blob: bytes) -> dict:
+    """Route a blob to its container parser by magic bytes."""
+    if blob[:4] == b"\x1a\x45\xdf\xa3":
+        return parse_webm_meta(blob)
+    if len(blob) >= 12 and blob[4:8] == b"ftyp":
+        return parse_mp4(blob)
+    if blob[:3] == b"ID3" or (len(blob) >= 2 and blob[0] == 0xFF
+                              and (blob[1] & 0xE0) == 0xE0):
+        return parse_mp3(blob)
+    raise ValueError("unknown media container (not webm/mp4/mp3)")
+
+
+CONTAINER_META_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("container", StringType()),
+    StructField("duration_ms", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("bitrate_kbps", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("vbr", BooleanType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("video_codec", StringType()),
+    StructField("audio_codec", StringType()),
+    StructField("track_count", IntegerType()),
+    StructField("brand", StringType()),
+])
+
+_META_COLS = [f.name for f in CONTAINER_META_SCHEMA.fields[1:]]
+
+
+def extract_container_metadata(df: DataFrame, *, id_col: str = "media_id",
+                               blob_col: str = "media",
+                               on_error: str = "raise") -> DataFrame:
+    """Per-blob container metadata over a binary column — map-only
+    Arrow-batched plan, same corrupt-blob policy contract as the other
+    multimodal operators (``raise`` | ``null`` | ``skip``)."""
+    from json_time_series_extractor_spark.operators.multimodal import (
+        _check_on_error, _guard)
+    _check_on_error(on_error)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                ok, meta = _guard(parse_container_metadata, bytes(blob),
+                                  on_error)
+                if ok:
+                    rows.append((mid, *[meta.get(c) for c in _META_COLS]))
+                elif on_error == "null":
+                    rows.append((mid, *[None] * len(_META_COLS)))
+            yield pd.DataFrame(
+                rows, columns=["media_id"] + _META_COLS)
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, CONTAINER_META_SCHEMA)
