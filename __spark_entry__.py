@@ -541,8 +541,11 @@ def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_counter_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PromQL family completion (round-5): resets() (restart count,
-    segment-partitioned plan), gauge delta() (last - first per bucket,
+    """PromQL family completion (round-5, +changes() r6): resets()
+    (restart count, segment-partitioned plan), changes() (adjacent
+    value-transition count, same segmented delta stream — proven
+    against a whole-series lag window in the oracle),
+    gauge delta() (last - first per bucket,
     struct-max/min tie-break), and irate() (last two samples per
     bucket, reset-aware, null on single-sample buckets) — one row per
     (series, 1h bucket) under FULL value check. The oracle recomputes
@@ -550,15 +553,18 @@ def q_counter_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical), and delta/irate from rank-from-each-end row_numbers
     with the same (ts, value) tie-breaks."""
     from json_time_series_extractor_spark.operators.rate import (
-        counter_irate, counter_resets, gauge_delta)
+        counter_irate, counter_resets, gauge_changes, gauge_delta)
 
     s = _event_samples(spark, sf_dir)
     r = counter_resets(s, "1 hour", segment="1 day")
+    c = gauge_changes(s, "1 hour", segment="1 day") \
+        .select("series_key", "bucket_ts", "changes")
     g = gauge_delta(s, "1 hour").select("series_key", "bucket_ts",
                                         "delta")
     i = counter_irate(s, "1 hour").select("series_key", "bucket_ts",
                                           "irate")
-    out = (r.join(g, ["series_key", "bucket_ts"])
+    out = (r.join(c, ["series_key", "bucket_ts"])
+           .join(g, ["series_key", "bucket_ts"])
            .join(i, ["series_key", "bucket_ts"]))
     out = _quant6(out, "delta", "irate")
     # Null irate (single-sample bucket) -> sentinel: a nullable BIGINT
@@ -578,6 +584,8 @@ res AS (
     SELECT series_key, date_trunc('hour', ts) AS bucket_ts,
            CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS resets,
+           CAST(SUM(CASE WHEN delta IS NOT NULL AND delta <> 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS changes,
            count(*) AS n_samples
     FROM d GROUP BY 1, 2),
 r AS (
@@ -603,8 +611,8 @@ ir AS (
            MAX(CASE WHEN rk = 1 THEN ts END) AS lt,
            MAX(CASE WHEN rk = 2 THEN ts END) AS pt
     FROM r GROUP BY 1, 2)
-SELECT res.series_key, res.bucket_ts, res.resets, res.n_samples,
-       gd.delta,
+SELECT res.series_key, res.bucket_ts, res.resets, res.changes,
+       res.n_samples, gd.delta,
        CASE WHEN ir.pv IS NOT NULL AND epoch(ir.lt) > epoch(ir.pt)
             THEN CAST(floor((CASE WHEN ir.lv >= ir.pv THEN ir.lv - ir.pv
                              ELSE ir.lv END)

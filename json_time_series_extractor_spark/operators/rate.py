@@ -156,6 +156,41 @@ def counter_resets(
                  F.count(F.lit(1)).alias("n_samples")))
 
 
+def gauge_changes(
+    samples: DataFrame,
+    tier: str = "1 hour",
+    *,
+    key_col: str = "series_key",
+    ts_col: str = "ts",
+    value_col: str = "value_double",
+    segment: Optional[str] = "1 day",
+) -> DataFrame:
+    """PromQL ``changes()``: count of adjacent samples whose value
+    differs from the previous sample, per tier bucket — the flap /
+    state-transition signal for gauges (config versions, leader ids,
+    feature flags). A series' globally-first sample has no predecessor
+    and never counts, matching PromQL. Bucket attribution follows this
+    family's ``resets()`` convention: the delta stream is continuous
+    across buckets, so a transition between a bucket's first sample and
+    the previous bucket's last sample counts in the LATER bucket
+    (PromQL's sliding range window instead restarts at the window edge;
+    for that shape, run ``rolling_over_time`` over this output).
+
+    Same segment-partitioned delta stream as ``resets()`` (bounded
+    (series, segment) windows + per-segment carry), so a hot series
+    never becomes one giant window partition.
+    Output: (series_key, bucket_ts, changes, n_samples)."""
+    d = _sample_deltas(samples, key_col, ts_col, value_col, segment)
+    chg = (F.col("_delta").isNotNull()
+           & (F.col("_delta") != 0)).cast("long")
+    return (d.select("series_key",
+                     _bucket("_ts", tier).alias("bucket_ts"),
+                     chg.alias("_c"))
+            .groupBy("series_key", "bucket_ts")
+            .agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("changes"),
+                 F.count(F.lit(1)).alias("n_samples")))
+
+
 def gauge_delta(
     samples: DataFrame,
     tier: str = "1 hour",

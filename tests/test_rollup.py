@@ -896,6 +896,31 @@ def test_counter_resets_delta_irate_hand_computed(spark):
     assert row["irate"] == pytest.approx(4.0 / 10.0)
 
 
+def test_gauge_changes_hand_computed(spark):
+    """PromQL changes() (r6): adjacent value transitions per bucket —
+    repeats don't count, a series' first sample never counts, and the
+    segmented plan equals the whole-series lag plan across a bucket
+    boundary."""
+    from json_time_series_extractor_spark.operators.rate import (
+        gauge_changes)
+
+    rows = [("a", datetime(2024, 1, 1, 0, 0, 0), 1.0),   # first: no chg
+            ("a", datetime(2024, 1, 1, 0, 10, 0), 1.0),  # repeat
+            ("a", datetime(2024, 1, 1, 0, 20, 0), 2.0),  # change
+            ("a", datetime(2024, 1, 1, 0, 40, 0), 1.0),  # change (down)
+            ("a", datetime(2024, 1, 1, 1, 5, 0), 1.0),   # x-bucket repeat
+            ("a", datetime(2024, 1, 1, 1, 30, 0), 3.0),  # change
+            ("b", datetime(2024, 1, 1, 0, 30, 0), 9.0)]  # singleton
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+    got = {(r["series_key"], r["bucket_ts"].hour): r["changes"]
+           for r in gauge_changes(df).collect()}
+    assert got == {("a", 0): 2, ("a", 1): 1, ("b", 0): 0}
+    whole = {(r["series_key"], r["bucket_ts"].hour): r["changes"]
+             for r in gauge_changes(df, segment=None).collect()}
+    assert whole == got
+
+
 def test_downsample_lttb_keeps_extremes_and_endpoints(spark):
     """LTTB (bucket-mean-anchor variant): first/last buckets keep the
     series' first/last samples; an interior bucket keeps its most
