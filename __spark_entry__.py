@@ -71,6 +71,9 @@ from json_time_series_extractor_spark.operators.anomaly import (
     anomaly_oracle_sql,
     detect_anomalies,
 )
+from json_time_series_extractor_spark.operators.smoothing import (
+    holt_oracle_sql,
+)
 from json_time_series_extractor_spark.operators.kmv import (
     HASH_SPACE,
     kmv_cascade,
@@ -1177,6 +1180,28 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("z"), F.lit(-9.0e9)).alias("z"),
         "is_anomaly")
     return _quant6(out, "z")
+
+
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (PromQL holt_winters analog,
+    r6) over the 1h traffic tier: level+trend per series from the
+    exact integer bucket count, seeded lookahead-free at the second
+    present bucket. Every step is a fixed IEEE float shape with
+    pre-computed (1-sf)/(1-tf) literals, so the oracle's recursive-CTE
+    replay of the same recurrence matches bit-for-bit after
+    fixed-point quantization; seed rows emit scored=false."""
+    from json_time_series_extractor_spark.operators.smoothing import (
+        holt_winters)
+
+    r1h = rollup(_event_samples(spark, sf_dir), "1 hour")
+    out = holt_winters(
+        r1h.select("series_key", "bucket_ts", "count"), 0.3, 0.1)
+    out = out.select(
+        "series_key", "bucket_ts", "v",
+        F.coalesce(F.col("smoothed"), F.lit(-9.0e9)).alias("smoothed"),
+        F.coalesce(F.col("trend"), F.lit(-9.0e9)).alias("trend"),
+        "scored")
+    return _quant6(out, "smoothed", "trend")
 
 
 #: KMV sketch size for the retention query.
@@ -2402,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_trend": q_linear_trend,
         "kmv_retention": q_kmv_retention,
         "anomaly_zscore": q_anomaly_zscore,
+        "holt_winters": q_holt_winters,
         "pii_redact": q_pii_redact,
         "time_weighted_avg": q_time_weighted_avg,
         "top_k_series": q_top_k_series,
@@ -2519,6 +2545,9 @@ GROUP BY 1, 2
         "linear_trend": linear_trend_oracle_sql("events"),
         "kmv_retention": _kmv_retention_oracle_sql(),
         "anomaly_zscore": anomaly_oracle_sql("events"),
+        "holt_winters": holt_oracle_sql(
+            "SELECT event_type AS series_key, ts FROM events "
+            "WHERE value IS NOT NULL", "hour", 0.3, 0.1),
         "pii_redact": _pii_oracle_sql(),
         "top_k_series": """
 WITH c AS (

@@ -921,6 +921,43 @@ def test_gauge_changes_hand_computed(spark):
     assert whole == got
 
 
+def test_holt_winters_hand_computed(spark):
+    """Holt smoothing (r6): recurrence checked against a by-hand
+    replay, lookahead-free seed at i=2, singleton series unscored,
+    factor validation."""
+    from json_time_series_extractor_spark.operators.smoothing import (
+        holt_winters)
+
+    rows = [("a", datetime(2024, 1, 1, h), c) for h, c in
+            enumerate([10, 14, 12, 20, 16])] \
+        + [("b", datetime(2024, 1, 1, 0), 7)]
+    df = spark.createDataFrame(
+        rows, "series_key string, bucket_ts timestamp, count long")
+    out = {(r["series_key"], r["bucket_ts"].hour):
+           (r["smoothed"], r["trend"], r["scored"])
+           for r in holt_winters(df, 0.3, 0.1).collect()}
+
+    # by-hand replay with the module's fixed op shape
+    sf, tf, csf, ctf = 0.3, 0.1, 0.7, 0.9
+    level, tr = 14.0, 4.0                       # seed: v2, v2-v1
+    expect = {1: (14.0, 4.0)}
+    for i, v in enumerate([12.0, 20.0, 16.0], start=2):
+        nl = sf * v + csf * (level + tr)
+        tr = tf * (nl - level) + ctf * tr
+        level = nl
+        expect[i] = (level, tr)
+    assert out[("a", 0)] == (None, None, False)
+    for i, (lv, tv) in expect.items():
+        got = out[("a", i)]
+        assert got[0] == lv and got[1] == tv and got[2] is True
+    assert out[("b", 0)] == (None, None, False)
+
+    with pytest.raises(ValueError):
+        holt_winters(df, 1.5, 0.1)
+    with pytest.raises(ValueError):
+        holt_winters(df, 0.3, 0.0)
+
+
 def test_downsample_lttb_keeps_extremes_and_endpoints(spark):
     """LTTB (bucket-mean-anchor variant): first/last buckets keep the
     series' first/last samples; an interior bucket keeps its most
