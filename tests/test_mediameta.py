@@ -162,6 +162,48 @@ def test_mp3_xing_tag_flags_vbr_and_truncation():
         parse_mp3(b"")
 
 
+def test_mp3_random_streams_match_spec_arithmetic():
+    """Property: any sequence of valid frame specs (one shared sample
+    rate, mixed bitrates/padding/layers within a version) parses to
+    the exact spec-arithmetic duration/bitrate/frame count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    spec = st.tuples(st.sampled_from([3, 2, 0]),      # version
+                     st.sampled_from([1, 2, 3]),      # layer
+                     st.integers(1, 14),              # bitrate idx
+                     st.integers(0, 2),               # samplerate idx
+                     st.integers(0, 1))               # padding
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(spec, min_size=1, max_size=12), st.data())
+    def run(specs, data):
+        # pin version+samplerate stream-wide (parser rejects mid-stream
+        # samplerate changes, and version pins the bitrate table)
+        v0, _l0, _b0, s0, _p0 = specs[0]
+        specs = [(v0, l, b, s0, p) for (_v, l, b, _s, p) in specs]
+        blob = b""
+        total_samples = total_bytes = 0
+        sr = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}[v0][s0]
+        for (ver, layer, bi, si, pad) in specs:
+            f = mp3_frame(ver, layer, bi, si, pad,
+                          fill=data.draw(st.integers(0, 255)))
+            blob += f
+            total_bytes += len(f)
+            total_samples += (384 if layer == 3
+                              else 1152 if (layer == 2 or ver == 3)
+                              else 576)
+        m = parse_mp3(blob)
+        assert m["n_frames"] == len(specs)
+        assert m["sample_rate"] == sr
+        assert m["duration_ms"] == total_samples * 1000 // sr
+        assert m["bitrate_kbps"] == \
+            (total_bytes * 8 * sr // total_samples + 500) // 1000
+
+    run()
+
+
 # --- mp4 ------------------------------------------------------------
 
 def test_mp4_v0_and_v1_and_largesize():
