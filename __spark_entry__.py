@@ -71,6 +71,9 @@ from json_time_series_extractor_spark.operators.anomaly import (
     anomaly_oracle_sql,
     detect_anomalies,
 )
+from json_time_series_extractor_spark.operators.gapfill import (
+    absent_oracle_sql,
+)
 from json_time_series_extractor_spark.operators.smoothing import (
     holt_oracle_sql,
 )
@@ -1180,6 +1183,21 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("z"), F.lit(-9.0e9)).alias("z"),
         "is_anomaly")
     return _quant6(out, "z")
+
+
+def q_absent_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL absent_over_time per-bucket analog (r6): the 1-minute
+    grid buckets where a series emitted nothing, with gap run ordinal,
+    in-run position and run length — the staleness/outage signal.
+    Grid anti-join + two windows over grid rows; all-integer output,
+    oracle replays with generate_series + identical running-count run
+    ids."""
+    from json_time_series_extractor_spark.operators.gapfill import (
+        absent_buckets)
+
+    r1m = rollup(_event_samples(spark, sf_dir), "1 minute")
+    return absent_buckets(
+        r1m.select("series_key", "bucket_ts"), "1 minute")
 
 
 def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2428,6 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_retention": q_kmv_retention,
         "anomaly_zscore": q_anomaly_zscore,
         "holt_winters": q_holt_winters,
+        "absent_buckets": q_absent_buckets,
         "pii_redact": q_pii_redact,
         "time_weighted_avg": q_time_weighted_avg,
         "top_k_series": q_top_k_series,
@@ -2545,6 +2564,9 @@ GROUP BY 1, 2
         "linear_trend": linear_trend_oracle_sql("events"),
         "kmv_retention": _kmv_retention_oracle_sql(),
         "anomaly_zscore": anomaly_oracle_sql("events"),
+        "absent_buckets": absent_oracle_sql(
+            "SELECT event_type AS series_key, ts FROM events "
+            "WHERE value IS NOT NULL", "minute"),
         "holt_winters": holt_oracle_sql(
             "SELECT event_type AS series_key, ts FROM events "
             "WHERE value IS NOT NULL", "hour", 0.3, 0.1),

@@ -325,3 +325,73 @@ def gapfill_linear(rollup_df: DataFrame, interval: str = "1 minute",
         interpolated.alias("value"),
         F.col("_v").isNull().alias("filled"),
     )
+
+
+def absent_buckets(rollup_df: DataFrame,
+                   interval: str = "1 hour") -> DataFrame:
+    """PromQL ``absent_over_time()`` per-bucket analog: the buckets in
+    which a series emitted NOTHING, with gap run-length metadata — the
+    staleness/outage signal ("this host stopped reporting for 6h").
+
+    Semantics: the grid spans each series' own [min, max] observed
+    bucket (the gap-fill convention — leading/trailing absence is
+    undefined without an external roster). Output is SPARSE: one row
+    per ABSENT grid bucket, with ``gap_id`` (per-series ordinal of the
+    gap run), ``gap_pos`` (1-based position inside the run) and
+    ``gap_len`` (total run length) — consumers alert on
+    ``gap_len >= k`` for k-consecutive-missing staleness.
+
+    Scale shape: the same per-series grid explode as gap-fill (bounded
+    by the series' bucket span over TIER rows), a broadcastable-small
+    left join back to present buckets, and two windows over grid rows
+    — summary-sized partitions throughout; all integers, so the result
+    is engine-exact.
+    """
+    grid = _grid(rollup_df, interval)
+    present = rollup_df.select(
+        "series_key", "bucket_ts", F.lit(True).alias("_p"))
+    j = grid.join(present, ["series_key", "bucket_ts"], "left")
+    # Consecutive absent buckets share a run: count of PRESENT rows so
+    # far (running, O(n)) is constant inside a run and bumps at each
+    # present row.
+    run = (Window.partitionBy("series_key").orderBy("bucket_ts")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    marked = (j.withColumn("_run", F.count("_p").over(run))
+              .where(F.col("_p").isNull()))
+    inrun = Window.partitionBy("series_key", "_run")
+    gap_ord = Window.partitionBy("series_key").orderBy("_run")
+    return (marked.select(
+        "series_key", "bucket_ts",
+        F.dense_rank().over(gap_ord).alias("gap_id"),
+        F.row_number().over(inrun.orderBy("bucket_ts")).alias("gap_pos"),
+        F.count(F.lit(1)).over(inrun).alias("gap_len")))
+
+
+def absent_oracle_sql(samples_sql: str, unit: str) -> str:
+    """DuckDB replay: per-series generate_series grid between observed
+    min/max, anti-flag via left join, identical running-count run ids.
+    Kept beside the implementation so both stay in sync."""
+    return f"""
+WITH p AS (
+    SELECT series_key, date_trunc('{unit}', ts) AS bucket_ts
+    FROM ({samples_sql}) GROUP BY 1, 2),
+g AS (
+    SELECT series_key,
+           unnest(generate_series(min(bucket_ts), max(bucket_ts),
+                                  INTERVAL 1 {unit})) AS bucket_ts
+    FROM p GROUP BY series_key),
+m AS (
+    SELECT g.series_key, g.bucket_ts, p.bucket_ts IS NOT NULL AS _p,
+           count(CASE WHEN p.bucket_ts IS NOT NULL THEN 1 END)
+               OVER (PARTITION BY g.series_key ORDER BY g.bucket_ts
+                     ROWS UNBOUNDED PRECEDING) AS _run
+    FROM g LEFT JOIN p USING (series_key, bucket_ts))
+SELECT series_key, bucket_ts,
+       CAST(dense_rank() OVER (PARTITION BY series_key ORDER BY _run)
+            AS BIGINT) AS gap_id,
+       CAST(row_number() OVER (PARTITION BY series_key, _run
+                               ORDER BY bucket_ts) AS BIGINT) AS gap_pos,
+       CAST(count(*) OVER (PARTITION BY series_key, _run)
+            AS BIGINT) AS gap_len
+FROM m WHERE NOT _p
+"""

@@ -921,6 +921,26 @@ def test_gauge_changes_hand_computed(spark):
     assert whole == got
 
 
+def test_absent_buckets_hand_computed(spark):
+    """absent_over_time analog (r6): sparse absent-bucket rows with
+    dense gap ordinals, in-run positions and run lengths; gapless and
+    singleton series emit nothing."""
+    from json_time_series_extractor_spark.operators.gapfill import (
+        absent_buckets)
+
+    rows = ([("a", datetime(2024, 1, 1, h)) for h in (0, 3, 4, 7)]
+            + [("b", datetime(2024, 1, 1, 0)),
+               ("b", datetime(2024, 1, 1, 1)),
+               ("c", datetime(2024, 1, 1, 5))])
+    df = spark.createDataFrame(rows, "series_key string, "
+                               "bucket_ts timestamp")
+    out = {(r["series_key"], r["bucket_ts"].hour):
+           (r["gap_id"], r["gap_pos"], r["gap_len"])
+           for r in absent_buckets(df, "1 hour").collect()}
+    assert out == {("a", 1): (1, 1, 2), ("a", 2): (1, 2, 2),
+                   ("a", 5): (2, 1, 2), ("a", 6): (2, 2, 2)}
+
+
 def test_holt_winters_hand_computed(spark):
     """Holt smoothing (r6): recurrence checked against a by-hand
     replay, lookahead-free seed at i=2, singleton series unscored,
