@@ -74,6 +74,9 @@ from json_time_series_extractor_spark.operators.anomaly import (
 from json_time_series_extractor_spark.operators.gapfill import (
     absent_oracle_sql,
 )
+from json_time_series_extractor_spark.operators.sampling import (
+    exemplar_oracle_sql,
+)
 from json_time_series_extractor_spark.operators.smoothing import (
     holt_oracle_sql,
 )
@@ -1183,6 +1186,21 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("z"), F.lit(-9.0e9)).alias("z"),
         "is_anomaly")
     return _quant6(out, "z")
+
+
+def q_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-exemplar analog (r6): 2 deterministic raw samples
+    kept per (series, 1h bucket) by the house keyed-md5 hash over a
+    (series:ts_us:quantized-value) composite key — drill-down
+    observations that survive raw-tier retention. The oracle replays
+    the exact selection (same key, same rank, same tie-break)."""
+    from json_time_series_extractor_spark.operators.sampling import (
+        exemplar_samples)
+
+    out = exemplar_samples(_event_samples(spark, sf_dir), "1 hour", 2)
+    out = out.withColumn("value_double",
+                         F.col("value_double").cast("double"))
+    return _quant6(out, "value_double")
 
 
 def q_absent_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2447,6 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": q_anomaly_zscore,
         "holt_winters": q_holt_winters,
         "absent_buckets": q_absent_buckets,
+        "exemplars": q_exemplars,
         "pii_redact": q_pii_redact,
         "time_weighted_avg": q_time_weighted_avg,
         "top_k_series": q_top_k_series,
@@ -2564,6 +2583,9 @@ GROUP BY 1, 2
         "linear_trend": linear_trend_oracle_sql("events"),
         "kmv_retention": _kmv_retention_oracle_sql(),
         "anomaly_zscore": anomaly_oracle_sql("events"),
+        "exemplars": exemplar_oracle_sql(
+            "SELECT event_type AS series_key, ts, value FROM events "
+            "WHERE value IS NOT NULL", "hour", 2),
         "absent_buckets": absent_oracle_sql(
             "SELECT event_type AS series_key, ts FROM events "
             "WHERE value IS NOT NULL", "minute"),

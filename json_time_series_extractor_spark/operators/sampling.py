@@ -167,3 +167,65 @@ def sample_per_group(df: DataFrame, group_cols: Sequence[str], n: int, *,
                 .where(F.col("_rn") <= n)
                 .select(*out_cols))
     return good_rows.unionByName(bad_rows)
+
+
+def exemplar_samples(samples: DataFrame, tier: str = "1 hour",
+                     k: int = 2, *, key_col: str = "series_key",
+                     ts_col: str = "ts",
+                     value_col: str = "value_double",
+                     seed: int = 7) -> DataFrame:
+    """Prometheus-exemplar analog: keep ``k`` deterministic RAW samples
+    per (series, tier bucket) next to the aggregated tiers, so a spike
+    in a rollup can be drilled down to concrete observations after the
+    raw tier has been expired by retention.
+
+    Selection is the house keyed-hash sample over a stable composite
+    key (series : microsecond ts : 1e-6-quantized value) — reproducible
+    across runs, partitionings and cluster sizes, and cheap: the
+    two-phase :func:`sample_per_group` machinery means no task ever
+    window-sorts a whole bucket's raw rows. Identical (series, ts,
+    value) duplicates are interchangeable, so the output MULTISET is
+    deterministic even under key ties.
+    Output: (series_key, bucket_ts, ts, value_double).
+    """
+    from json_time_series_extractor_spark.operators.rollup import _bucket
+
+    v = F.col(value_col)
+    b = samples.where(v.isNotNull()).select(
+        F.col(key_col).alias("series_key"),
+        _bucket(ts_col, tier).alias("bucket_ts"),
+        F.col(ts_col).alias("ts"),
+        v.alias("value_double"),
+        F.concat_ws(
+            ":", F.col(key_col).cast("string"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).cast("string"),
+            F.floor(v * 1e6 + 0.5).cast("long").cast("string"),
+        ).alias("_ek"))
+    return sample_per_group(b, ["series_key", "bucket_ts"], k,
+                            key_col="_ek", seed=seed).drop("_ek")
+
+
+def exemplar_oracle_sql(samples_sql: str, unit: str, k: int,
+                        seed: int = 7) -> str:
+    """DuckDB replay of the exact exemplar selection: same composite
+    key, same md5 rank, same key tie-break. Kept beside the impl."""
+    ek = ("series_key || ':' || CAST(epoch_us(ts) AS VARCHAR) || ':' "
+          "|| CAST(CAST(floor(value * 1000000 + 0.5) AS BIGINT) "
+          "AS VARCHAR)")
+    return f"""
+WITH s AS (
+    SELECT series_key, date_trunc('{unit}', ts) AS bucket_ts, ts, value,
+           {ek} AS ek
+    FROM ({samples_sql})),
+r AS (
+    SELECT series_key, bucket_ts, ts, value,
+           row_number() OVER (
+               PARTITION BY series_key, bucket_ts
+               ORDER BY CAST(concat('0x', substr(md5(ek || ':{seed}'),
+                                                 1, 8))
+                             AS BIGINT) / 4294967296.0, ek) AS rn
+    FROM s)
+SELECT series_key, bucket_ts, ts,
+       CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_double
+FROM r WHERE rn <= {k}
+"""

@@ -921,6 +921,28 @@ def test_gauge_changes_hand_computed(spark):
     assert whole == got
 
 
+def test_exemplar_samples_deterministic(spark):
+    """Exemplars (r6): k raw samples per (series, bucket), selection
+    identical across partitionings; under-k buckets keep everything."""
+    from json_time_series_extractor_spark.operators.sampling import (
+        exemplar_samples)
+
+    rows = [("a", datetime(2024, 1, 1, 0, m), float(m)) for m in
+            range(0, 60, 5)] \
+        + [("b", datetime(2024, 1, 1, 2, 7), 42.0)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+    pick = sorted((r["series_key"], r["ts"], r["value_double"])
+                  for r in exemplar_samples(df, "1 hour", 3).collect())
+    assert len([p for p in pick if p[0] == "a"]) == 3
+    assert ("b", datetime(2024, 1, 1, 2, 7), 42.0) in pick  # under-k
+    repart = sorted(
+        (r["series_key"], r["ts"], r["value_double"])
+        for r in exemplar_samples(df.repartition(7), "1 hour",
+                                  3).collect())
+    assert repart == pick
+
+
 def test_absent_buckets_hand_computed(spark):
     """absent_over_time analog (r6): sparse absent-bucket rows with
     dense gap ordinals, in-run positions and run lengths; gapless and
