@@ -20,7 +20,7 @@ import os.path
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from json_time_series_extractor_spark.operators.chunks import (
     compress_chunks,
@@ -1186,6 +1186,80 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("z"), F.lit(-9.0e9)).alias("z"),
         "is_anomaly")
     return _quant6(out, "z")
+
+
+def q_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL quantile_over_time from sketches (r6): per (series, 1h
+    bucket), the trailing-6-present-buckets t-digests merge into one
+    rolling digest (raw data never re-read) and p50/p95/p99 are
+    estimated from it. Contract oracle (the rollup_tdigest pattern):
+    cnt and n_buckets are EXACT (windowed sums the SQL replays), and
+    each estimate must land inside the exact-quantile bracket computed
+    from the same trailing window's raw samples via a present-bucket
+    index expansion."""
+    from json_time_series_extractor_spark.operators.tdigest import (
+        rollup_tdigest, tdigest_over_time, tdigest_quantiles)
+
+    samples = _event_samples(spark, sf_dir)
+    d1h = rollup_tdigest(samples, "1 hour")
+    rolled = tdigest_over_time(d1h, 6)
+    est = tdigest_quantiles(rolled.drop("n_buckets")) \
+        .join(rolled.select("series_key", "bucket_ts", "n_buckets"),
+              ["series_key", "bucket_ts"])
+
+    # Exact brackets over the SAME trailing-present-bucket window:
+    # index present buckets per series, attach the index to each raw
+    # sample, fan each sample out to the <=6 later buckets it
+    # influences, and take exact percentiles per target bucket.
+    wi = Window.partitionBy("series_key").orderBy("bucket_ts")
+    b = d1h.select("series_key", "bucket_ts") \
+        .withColumn("_i", F.row_number().over(wi))
+    v = F.col("value_double")
+    sb = (samples.where(v.isNotNull())
+          .select("series_key",
+                  F.date_trunc("hour", "ts").alias("bucket_ts"),
+                  v.alias("_v"))
+          .join(b, ["series_key", "bucket_ts"])
+          .select("series_key", "_v",
+                  F.explode(F.sequence(F.col("_i"),
+                                       F.col("_i") + F.lit(5)))
+                  .alias("_ti")))
+    tgt = b.select("series_key", F.col("bucket_ts").alias("_tbt"),
+                   F.col("_i").alias("_ti"))
+    brackets = (sb.join(tgt, ["series_key", "_ti"])
+                .groupBy("series_key", F.col("_tbt").alias("bucket_ts"))
+                .agg(F.percentile(F.col("_v"), 0.40).alias("_lo50"),
+                     F.percentile(F.col("_v"), 0.60).alias("_hi50"),
+                     F.percentile(F.col("_v"), 0.85).alias("_lo95"),
+                     F.percentile(F.col("_v"), 0.89).alias("_lo99"),
+                     F.max(F.col("_v")).alias("_max")))
+
+    def ok(est_col, lo, hi):
+        tol = F.greatest(F.abs(F.col(lo)), F.abs(F.col(hi)), F.lit(1.0)) \
+            * 1e-9
+        return ((F.col(est_col) >= F.col(lo) - tol)
+                & (F.col(est_col) <= F.col(hi) + tol))
+
+    return (est.join(brackets, ["series_key", "bucket_ts"])
+            .select("series_key", "bucket_ts", "cnt", "n_buckets",
+                    ok("p50", "_lo50", "_hi50").alias("ok_p50"),
+                    ok("p95", "_lo95", "_max").alias("ok_p95"),
+                    ok("p99", "_lo99", "_max").alias("ok_p99")))
+
+
+_ORACLE_QUANTILE_OVER_TIME = """
+WITH c AS (
+    SELECT event_type AS series_key, date_trunc('hour', ts) AS bucket_ts,
+           count(value) AS v
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+SELECT series_key, bucket_ts,
+       CAST(sum(v) OVER win AS BIGINT) AS cnt,
+       CAST(count(*) OVER win AS INT) AS n_buckets,
+       TRUE AS ok_p50, TRUE AS ok_p95, TRUE AS ok_p99
+FROM c
+WINDOW win AS (PARTITION BY series_key ORDER BY bucket_ts
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+"""
 
 
 def q_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2466,6 +2540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters": q_holt_winters,
         "absent_buckets": q_absent_buckets,
         "exemplars": q_exemplars,
+        "quantile_over_time": q_quantile_over_time,
         "pii_redact": q_pii_redact,
         "time_weighted_avg": q_time_weighted_avg,
         "top_k_series": q_top_k_series,
@@ -2583,6 +2658,7 @@ GROUP BY 1, 2
         "linear_trend": linear_trend_oracle_sql("events"),
         "kmv_retention": _kmv_retention_oracle_sql(),
         "anomaly_zscore": anomaly_oracle_sql("events"),
+        "quantile_over_time": _ORACLE_QUANTILE_OVER_TIME,
         "exemplars": exemplar_oracle_sql(
             "SELECT event_type AS series_key, ts, value FROM events "
             "WHERE value IS NOT NULL", "hour", 2),

@@ -921,6 +921,49 @@ def test_gauge_changes_hand_computed(spark):
     assert whole == got
 
 
+def test_tdigest_over_time_rolling_merge(spark):
+    """quantile_over_time from sketches (r6): k=1 is the identity on
+    digest rows; a k=3 rolling merge accumulates exact counts over
+    trailing PRESENT buckets (gaps skipped), its vmin/vmax span the
+    window, and estimates sit inside the window's exact value range;
+    min_buckets gates warmup rows; bad params raise."""
+    from json_time_series_extractor_spark.operators.tdigest import (
+        rollup_tdigest, tdigest_over_time, tdigest_quantiles)
+
+    rows = [("a", datetime(2024, 1, 1, h, m), float(100 * h + m))
+            for h in (0, 1, 3) for m in range(0, 60, 5)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+    d1h = rollup_tdigest(df, "1 hour")
+
+    ident = tdigest_over_time(d1h, 1).drop("n_buckets")
+    base = {r["bucket_ts"]: r for r in d1h.collect()}
+    for r in ident.collect():
+        b = base[r["bucket_ts"]]
+        assert (r["means"], r["weights"], r["cnt"]) == \
+            (b["means"], b["weights"], b["cnt"])
+
+    rolled = {r["bucket_ts"].hour: r
+              for r in tdigest_over_time(d1h, 3).collect()}
+    assert [rolled[h]["cnt"] for h in (0, 1, 3)] == [12, 24, 36]
+    assert [rolled[h]["n_buckets"] for h in (0, 1, 3)] == [1, 2, 3]
+    # hour-3 window spans ALL three present buckets (the hour-2 gap is
+    # skipped, not a frame boundary)
+    assert rolled[3]["vmin"] == 0.0 and rolled[3]["vmax"] == 355.0
+    est = {r["bucket_ts"].hour: r for r in tdigest_quantiles(
+        tdigest_over_time(d1h, 3).drop("n_buckets")).collect()}
+    assert 0.0 <= est[3]["p50"] <= 355.0
+    assert est[3]["p99"] >= est[3]["p50"]
+
+    gated = tdigest_over_time(d1h, 3, min_buckets=3).collect()
+    assert [r["bucket_ts"].hour for r in gated] == [3]
+
+    with pytest.raises(ValueError):
+        tdigest_over_time(d1h, 0)
+    with pytest.raises(ValueError):
+        tdigest_over_time(d1h, 3, min_buckets=0)
+
+
 def test_exemplar_samples_deterministic(spark):
     """Exemplars (r6): k raw samples per (series, bucket), selection
     identical across partitionings; under-k buckets keep everything."""
