@@ -162,7 +162,8 @@ def run_benchmarks() -> None:
                  "counter_analytics", "downsample_lttb", "interval_join",
                  "rolling_over_time",
                  "rollup_histogram", "histogram_quantile",
-                 "linear_trend", "anomaly_zscore",
+                 "linear_trend", "anomaly_zscore", "holt_winters",
+                 "absent_buckets", "exemplars", "quantile_over_time",
                  "hll_distinct_1h", "cm_frequency", "kmv_retention",
                  "bloom_membership", "top_k_series",
                  "time_weighted_avg", "gapfill_locf",
@@ -182,7 +183,7 @@ def run_benchmarks() -> None:
                  "embedding_neardup_lsh", "retention_expiry",
                  "media_image_features", "media_frame_sample",
                  "media_real_decode", "media_real_audio", "media_real_frames",
-                 "media_conformance",
+                 "media_conformance", "media_container_meta",
                  "cosine_scores", "ann_topk", "ann_lsh_topk",
                  "ann_ivf_topk"]:
         timed(name,
