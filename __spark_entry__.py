@@ -1188,6 +1188,39 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quant6(out, "z")
 
 
+def q_distinct_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct count (r6): per (series, 1h bucket),
+    the HLL union of the trailing 6 present buckets' registers —
+    "uniques over the last 6h, hourly" from sketch rows alone. FULL
+    value check like hll_distinct_1h: the oracle recomputes registers
+    from raw, replays the same present-bucket-index fan-out and MAX
+    merge, and the exact fixed-point estimate arithmetic."""
+    from json_time_series_extractor_spark.operators.hll import (
+        hll_cascade, hll_estimate, hll_over_time, hll_rollup)
+
+    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          .select(F.col("event_type").alias("series_key"), "ts",
+                  F.col("user_id").cast("string").alias("key")))
+    regs = hll_cascade(hll_rollup(ev, "1 minute", key_col="key"),
+                       "1 hour")
+    roll = hll_over_time(regs, 6)
+    nb = roll.select("series_key", "bucket_ts", "n_buckets").distinct()
+    est = hll_estimate(roll.drop("n_buckets"))
+    return _quant6(est.join(nb, ["series_key", "bucket_ts"]), "ndv_est")
+
+
+def _oracle_distinct_over_time() -> str:
+    from json_time_series_extractor_spark.operators.hll import (
+        hll_over_time_oracle_sql)
+
+    sql = hll_over_time_oracle_sql(
+        "events", key_expr="CAST(user_id AS VARCHAR)",
+        series_expr="event_type", k_buckets=6)
+    return (f"SELECT series_key, bucket_ts, n_zero, inv_fp40, "
+            f"CAST(floor(ndv_est * 1000000 + 0.5) AS BIGINT) AS ndv_est, "
+            f"n_buckets FROM ({sql})")
+
+
 def q_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL quantile_over_time from sketches (r6): per (series, 1h
     bucket), the trailing-6-present-buckets t-digests merge into one
@@ -2541,6 +2574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "absent_buckets": q_absent_buckets,
         "exemplars": q_exemplars,
         "quantile_over_time": q_quantile_over_time,
+        "distinct_over_time": q_distinct_over_time,
         "pii_redact": q_pii_redact,
         "time_weighted_avg": q_time_weighted_avg,
         "top_k_series": q_top_k_series,
@@ -2659,6 +2693,7 @@ GROUP BY 1, 2
         "kmv_retention": _kmv_retention_oracle_sql(),
         "anomaly_zscore": anomaly_oracle_sql("events"),
         "quantile_over_time": _ORACLE_QUANTILE_OVER_TIME,
+        "distinct_over_time": _oracle_distinct_over_time(),
         "exemplars": exemplar_oracle_sql(
             "SELECT event_type AS series_key, ts, value FROM events "
             "WHERE value IS NOT NULL", "hour", 2),

@@ -225,3 +225,105 @@ SELECT series_key, bucket_ts, n_zero, inv_fp40,
        END AS ndv_est
 FROM g
 """
+
+
+def hll_over_time(registers: DataFrame, k_buckets: int, *,
+                  min_buckets: int = 1) -> DataFrame:
+    """Sliding-window distinct: per (series, bucket), the union of the
+    trailing ``k_buckets`` PRESENT buckets' HLL registers — "unique
+    users over the last 24h, hourly" from 24 sketch rows per register,
+    raw data never re-read (the sliding complement of the tumbling
+    :func:`hll_cascade`).
+
+    Window semantics match ``tdigest_over_time``: trailing PRESENT
+    buckets of the series (gaps skipped), ``n_buckets`` attached for a
+    ``min_buckets`` gate. Registers can be sparse per bucket, so the
+    frame is computed in present-BUCKET index space (a per-register
+    ROWS frame would silently reach past the window wherever a register
+    is absent from an intermediate bucket): index the series' present
+    buckets, fan each register row out to the <= k later bucket indices
+    it influences, and MAX-merge per (series, target bucket, register).
+
+    Scale shape: the fan-out multiplies REGISTER rows (<= 2^b per
+    bucket, ~512) by k — sketch-sized, never raw-sized; one shuffle for
+    the merge groupBy with map-side partial MAX.
+    Output: (series_key, bucket_ts, reg, max_rank, n_buckets) — feed to
+    :func:`hll_estimate` (it ignores the extra column).
+    """
+    if k_buckets < 1:
+        raise ValueError(f"k_buckets must be >= 1, got {k_buckets}")
+    if min_buckets < 1:
+        raise ValueError(f"min_buckets must be >= 1, got {min_buckets}")
+    from pyspark.sql import Window
+
+    b = (registers.select("series_key", "bucket_ts").distinct()
+         .withColumn("_i", F.row_number().over(
+             Window.partitionBy("series_key").orderBy("bucket_ts"))))
+    fan = (registers.join(b, ["series_key", "bucket_ts"])
+           .select("series_key", "reg", "max_rank",
+                   F.explode(F.sequence(
+                       F.col("_i"),
+                       F.col("_i") + F.lit(k_buckets - 1))).alias("_ti")))
+    tgt = b.select("series_key", F.col("bucket_ts").alias("_tbt"),
+                   F.col("_i").alias("_ti"),
+                   F.least(F.col("_i"), F.lit(k_buckets))
+                   .alias("n_buckets"))
+    return (fan.join(tgt, ["series_key", "_ti"])
+            .where(F.col("n_buckets") >= min_buckets)
+            .groupBy("series_key", F.col("_tbt").alias("bucket_ts"),
+                     "reg", "n_buckets")
+            .agg(F.max("max_rank").alias("max_rank"))
+            .select("series_key", "bucket_ts", "reg", "max_rank",
+                    "n_buckets"))
+
+
+def hll_over_time_oracle_sql(table: str, *, key_expr: str,
+                             series_expr: str, k_buckets: int,
+                             ts_col: str = "ts", unit: str = "hour",
+                             register_bits: int = 9) -> str:
+    """DuckDB replay of the sliding union + estimate: from-raw
+    registers, the same present-bucket index fan-out, MAX merge, and
+    the exact fixed-point estimate arithmetic of ``hll_oracle_sql``."""
+    m = 1 << register_bits
+    numer = _alpha(m) * m * m * float(1 << _FP)
+    regs = hll_registers_oracle_sql(
+        table, key_expr=key_expr, series_expr=series_expr, ts_col=ts_col,
+        unit=unit, register_bits=register_bits)
+    return f"""
+WITH rk AS ({regs}),
+b AS (
+    SELECT series_key, bucket_ts,
+           row_number() OVER (PARTITION BY series_key
+                              ORDER BY bucket_ts) AS i
+    FROM (SELECT DISTINCT series_key, bucket_ts FROM rk)),
+fan AS (
+    SELECT rk.series_key, rk.reg, rk.max_rank, b.i + t.range AS ti
+    FROM rk JOIN b USING (series_key, bucket_ts)
+    CROSS JOIN range(0, {k_buckets}) t),
+merged AS (
+    SELECT f.series_key, b2.bucket_ts, f.reg,
+           CAST(least(b2.i, {k_buckets}) AS INT) AS n_buckets,
+           MAX(f.max_rank) AS max_rank
+    FROM fan f JOIN b b2 ON b2.series_key = f.series_key
+                         AND b2.i = f.ti
+    GROUP BY 1, 2, 3, 4),
+g AS (
+    SELECT series_key, bucket_ts, n_buckets,
+           CAST({m} - count(*) AS INT) AS n_zero,
+           CAST(CAST(sum(CASE WHEN max_rank <= {_FP}
+                         THEN CAST(power(2.0, {_FP} - max_rank) AS BIGINT)
+                         ELSE 0 END) AS BIGINT)
+                + CAST({m} - count(*) AS BIGINT)
+                  * CAST({1 << _FP} AS BIGINT) AS BIGINT) AS inv_fp40
+    FROM merged GROUP BY 1, 2, 3)
+SELECT series_key, bucket_ts, n_buckets, n_zero, inv_fp40,
+       CASE WHEN n_zero > 0
+                 AND CAST({numer!r} AS DOUBLE)
+                     / CAST(inv_fp40 AS DOUBLE)
+                     <= CAST({2.5 * m!r} AS DOUBLE)
+            THEN CAST({float(m)!r} AS DOUBLE)
+                 * ln(CAST({float(m)!r} AS DOUBLE) / n_zero)
+            ELSE CAST({numer!r} AS DOUBLE) / CAST(inv_fp40 AS DOUBLE)
+       END AS ndv_est
+FROM g
+"""

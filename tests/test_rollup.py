@@ -921,6 +921,46 @@ def test_gauge_changes_hand_computed(spark):
     assert whole == got
 
 
+def test_hll_over_time_sliding_union(spark):
+    """distinct_over_time (r6): the k=2 rolling register set at a
+    target bucket is BIT-identical to a direct HLL build over the
+    union of the trailing-2 PRESENT buckets' keys (the hour-2 gap is
+    skipped in index space); k=1 is the identity; n_buckets gates."""
+    from json_time_series_extractor_spark.operators.hll import (
+        hll_over_time, hll_rollup)
+
+    rows = [("a", datetime(2024, 1, 1, 0, 5), f"u{i}") for i in range(4)] \
+        + [("a", datetime(2024, 1, 1, 1, 5), f"u{i}") for i in (2, 3, 9)] \
+        + [("a", datetime(2024, 1, 1, 3, 5), "u42")]
+    df = spark.createDataFrame(rows,
+                               "series_key string, ts timestamp, "
+                               "key string")
+    regs = hll_rollup(df, "1 hour", key_col="key")
+
+    def regset(frame, hour):
+        return sorted((r["reg"], r["max_rank"])
+                      for r in frame.collect()
+                      if r["bucket_ts"].hour == hour)
+
+    ident = hll_over_time(regs, 1)
+    for h in (0, 1, 3):
+        assert regset(ident, h) == regset(regs, h)
+
+    roll = hll_over_time(regs, 2)
+    # hour-3 window = present buckets {hour 1, hour 3}: union of their
+    # keys, relabeled into one bucket, must produce identical registers
+    union = df.where(F.hour("ts").isin(1, 3)) \
+        .withColumn("ts", F.lit(datetime(2024, 1, 1, 3, 5)))
+    assert regset(roll, 3) == regset(
+        hll_rollup(union, "1 hour", key_col="key"), 3)
+    nb = {r["bucket_ts"].hour: r["n_buckets"]
+          for r in roll.select("series_key", "bucket_ts", "n_buckets")
+          .distinct().collect()}
+    assert nb == {0: 1, 1: 2, 3: 2}
+    gated = hll_over_time(regs, 2, min_buckets=2)
+    assert {r["bucket_ts"].hour for r in gated.collect()} == {1, 3}
+
+
 def test_tdigest_over_time_rolling_merge(spark):
     """quantile_over_time from sketches (r6): k=1 is the identity on
     digest rows; a k=3 rolling merge accumulates exact counts over
