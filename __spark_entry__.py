@@ -71,6 +71,9 @@ from json_time_series_extractor_spark.operators.anomaly import (
     anomaly_oracle_sql,
     detect_anomalies,
 )
+from json_time_series_extractor_spark.operators.cmsketch import (
+    cm_over_time_oracle_sql,
+)
 from json_time_series_extractor_spark.operators.gapfill import (
     absent_oracle_sql,
 )
@@ -1186,6 +1189,54 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("z"), F.lit(-9.0e9)).alias("z"),
         "is_anomaly")
     return _quant6(out, "z")
+
+
+def q_frequency_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window frequency (r6): Count-Min registers of the
+    trailing 6 present 1h buckets SUM-merge per (series, bucket), then
+    every key seen in each window is point-estimated — completing the
+    sliding-sketch trio (quantile / distinct / frequency over time).
+    FULL value check incl. the window-exact count so the one-sided
+    bound (cm_est >= exact over the window) is visible per row."""
+    from json_time_series_extractor_spark.operators.cmsketch import (
+        cm_cascade, cm_estimate, cm_over_time, cm_rollup)
+
+    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          .select(F.col("event_type").alias("series_key"), "ts",
+                  F.col("user_id").cast("string").alias("key")))
+    regs = cm_cascade(cm_rollup(ev, "1 minute", key_col="key"),
+                      "1 hour")
+    roll = cm_over_time(regs, 6)
+    nb = roll.select("series_key", "bucket_ts", "n_buckets").distinct()
+
+    # Keys seen in each trailing window + the window-exact counts, via
+    # the same present-bucket-index fan-out the operator uses.
+    b = (regs.select("series_key", "bucket_ts").distinct()
+         .withColumn("_i", F.row_number().over(
+             Window.partitionBy("series_key").orderBy("bucket_ts"))))
+    per_bucket = (ev.groupBy("series_key",
+                             F.window("ts", "1 hour")["start"]
+                             .alias("bucket_ts"), "key")
+                  .agg(F.count(F.lit(1)).alias("exact_cnt")))
+    fan = (per_bucket.join(b, ["series_key", "bucket_ts"])
+           .select("series_key", "key", "exact_cnt",
+                   F.explode(F.sequence(F.col("_i"),
+                                        F.col("_i") + F.lit(5)))
+                   .alias("_ti")))
+    tgt = b.select("series_key", F.col("bucket_ts").alias("_tbt"),
+                   F.col("_i").alias("_ti"))
+    exwin = (fan.join(tgt, ["series_key", "_ti"])
+             .groupBy("series_key", F.col("_tbt").alias("bucket_ts"),
+                      "key")
+             .agg(F.sum("exact_cnt").alias("exact_cnt")))
+    est = cm_estimate(roll.drop("n_buckets"),
+                      exwin.select("series_key", "bucket_ts", "key"))
+    return (est.join(exwin, ["series_key", "bucket_ts", "key"])
+            .join(nb, ["series_key", "bucket_ts"])
+            .select("series_key", "bucket_ts", "key", "cm_est",
+                    "n_buckets", "exact_cnt",
+                    (F.col("cm_est") >= F.col("exact_cnt"))
+                    .alias("one_sided_ok")))
 
 
 def q_distinct_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2575,6 +2626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exemplars": q_exemplars,
         "quantile_over_time": q_quantile_over_time,
         "distinct_over_time": q_distinct_over_time,
+        "frequency_over_time": q_frequency_over_time,
         "pii_redact": q_pii_redact,
         "time_weighted_avg": q_time_weighted_avg,
         "top_k_series": q_top_k_series,
@@ -2694,6 +2746,9 @@ GROUP BY 1, 2
         "anomaly_zscore": anomaly_oracle_sql("events"),
         "quantile_over_time": _ORACLE_QUANTILE_OVER_TIME,
         "distinct_over_time": _oracle_distinct_over_time(),
+        "frequency_over_time": cm_over_time_oracle_sql(
+            "events", key_expr="CAST(user_id AS VARCHAR)",
+            series_expr="event_type", k_buckets=6),
         "exemplars": exemplar_oracle_sql(
             "SELECT event_type AS series_key, ts, value FROM events "
             "WHERE value IS NOT NULL", "hour", 2),

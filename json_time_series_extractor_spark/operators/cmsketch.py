@@ -238,3 +238,121 @@ SELECT e.series_key, e.bucket_ts, e.key, e.cm_est, x.exact_cnt,
        e.cm_est >= x.exact_cnt AS one_sided_ok
 FROM est e JOIN exact x USING (series_key, bucket_ts, key)
 """
+
+
+def cm_over_time(registers: DataFrame, k_buckets: int, *,
+                 min_buckets: int = 1) -> DataFrame:
+    """Sliding-window frequency: per (series, bucket), the elementwise
+    SUM of the trailing ``k_buckets`` PRESENT buckets' Count-Min
+    registers — "how often did key X appear over the last k hours,
+    hourly" from sketch rows alone; completes the sliding-sketch trio
+    next to :func:`~.tdigest.tdigest_over_time` (quantiles) and
+    :func:`~.hll.hll_over_time` (distincts), with the same
+    present-bucket-index window semantics and ``n_buckets`` gate.
+
+    Same fan-out shape as ``hll_over_time``: registers (bounded at
+    depth x width rows per bucket) are fanned to the <= k later present
+    bucket indices and SUM-merged — sketch-sized rows only; the
+    one-sided guarantee is preserved because SUM over a window of
+    one-sided sketches is one-sided for that window's stream. The
+    (depth, width) metadata stamp propagates so ``cm_estimate``
+    keeps rejecting mismatched probes.
+    Output: CM_REGISTER_SCHEMA + ``n_buckets``.
+    """
+    if k_buckets < 1:
+        raise ValueError(f"k_buckets must be >= 1, got {k_buckets}")
+    if min_buckets < 1:
+        raise ValueError(f"min_buckets must be >= 1, got {min_buckets}")
+    from pyspark.sql import Window
+
+    depth, width = _read_params(registers)
+    b = (registers.select("series_key", "bucket_ts").distinct()
+         .withColumn("_i", F.row_number().over(
+             Window.partitionBy("series_key").orderBy("bucket_ts"))))
+    fan = (registers.join(b, ["series_key", "bucket_ts"])
+           .select("series_key", "cm_row", "cm_bucket", "cnt",
+                   F.explode(F.sequence(
+                       F.col("_i"),
+                       F.col("_i") + F.lit(k_buckets - 1))).alias("_ti")))
+    tgt = b.select("series_key", F.col("bucket_ts").alias("_tbt"),
+                   F.col("_i").alias("_ti"),
+                   F.least(F.col("_i"), F.lit(k_buckets))
+                   .alias("n_buckets"))
+    out = (fan.join(tgt, ["series_key", "_ti"])
+           .where(F.col("n_buckets") >= min_buckets)
+           .groupBy("series_key", F.col("_tbt").alias("bucket_ts"),
+                    "cm_row", "cm_bucket", "n_buckets")
+           .agg(F.sum("cnt").alias("cnt")))
+    if depth is not None:
+        out = out.withColumn(
+            "cnt", _stamp_params(F.col("cnt"), depth, width))
+    return out.select("series_key", "bucket_ts", "cm_row", "cm_bucket",
+                      "cnt", "n_buckets")
+
+
+def cm_over_time_oracle_sql(table: str, *, key_expr: str,
+                            series_expr: str, k_buckets: int,
+                            ts_col: str = "ts", unit: str = "hour",
+                            depth: int = 4, width: int = 1024) -> str:
+    """DuckDB replay of the sliding frequency pipeline: from-raw
+    registers, the same present-bucket-index fan-out and SUM merge,
+    min-over-rows estimates for every key seen in each window, and the
+    window-exact count so the one-sided bound stays visible per row."""
+    _check_params(depth, width)
+    probe_rows = _cm_probes_sql(table, key_expr=key_expr,
+                                series_expr=series_expr, ts_col=ts_col,
+                                unit=unit, depth=depth, width=width)
+    return f"""
+WITH probes AS (
+{probe_rows}),
+regs AS (
+    SELECT series_key, bucket_ts, cm_row, cm_bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM probes GROUP BY 1, 2, 3, 4),
+b AS (
+    SELECT series_key, bucket_ts,
+           row_number() OVER (PARTITION BY series_key
+                              ORDER BY bucket_ts) AS i
+    FROM (SELECT DISTINCT series_key, bucket_ts FROM regs)),
+merged AS (
+    SELECT f.series_key, b2.bucket_ts, f.cm_row, f.cm_bucket,
+           CAST(least(b2.i, {k_buckets}) AS INT) AS n_buckets,
+           CAST(SUM(f.cnt) AS BIGINT) AS cnt
+    FROM (SELECT r.*, br.i + t.range AS ti
+          FROM regs r JOIN b br USING (series_key, bucket_ts)
+          CROSS JOIN range(0, {k_buckets}) t) f
+    JOIN b b2 ON b2.series_key = f.series_key AND b2.i = f.ti
+    GROUP BY 1, 2, 3, 4, 5),
+kwin AS (
+    SELECT DISTINCT f.series_key, b2.bucket_ts, f.key, f.cm_row,
+                    f.cm_bucket
+    FROM (SELECT p.*, br.i + t.range AS ti
+          FROM (SELECT DISTINCT series_key, bucket_ts, key, cm_row,
+                       cm_bucket FROM probes) p
+          JOIN b br USING (series_key, bucket_ts)
+          CROSS JOIN range(0, {k_buckets}) t) f
+    JOIN b b2 ON b2.series_key = f.series_key AND b2.i = f.ti),
+est AS (
+    SELECT k.series_key, k.bucket_ts, k.key,
+           CAST(MIN(m.cnt) AS BIGINT) AS cm_est,
+           CAST(MIN(m.n_buckets) AS INT) AS n_buckets
+    FROM kwin k
+    JOIN merged m USING (series_key, bucket_ts, cm_row, cm_bucket)
+    GROUP BY 1, 2, 3),
+exact0 AS (
+    SELECT {series_expr} AS series_key,
+           date_trunc('{unit}', {ts_col}) AS bucket_ts,
+           {key_expr} AS key, CAST(count(*) AS BIGINT) AS exact_cnt
+    FROM {table} WHERE {key_expr} IS NOT NULL GROUP BY 1, 2, 3),
+exwin AS (
+    SELECT f.series_key, b2.bucket_ts, f.key,
+           CAST(SUM(f.exact_cnt) AS BIGINT) AS exact_cnt
+    FROM (SELECT x.*, br.i + t.range AS ti
+          FROM exact0 x JOIN b br USING (series_key, bucket_ts)
+          CROSS JOIN range(0, {k_buckets}) t) f
+    JOIN b b2 ON b2.series_key = f.series_key AND b2.i = f.ti
+    GROUP BY 1, 2, 3)
+SELECT e.series_key, e.bucket_ts, e.key, e.cm_est, e.n_buckets,
+       x.exact_cnt, e.cm_est >= x.exact_cnt AS one_sided_ok
+FROM est e JOIN exwin x USING (series_key, bucket_ts, key)
+"""

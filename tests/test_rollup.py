@@ -921,6 +921,49 @@ def test_gauge_changes_hand_computed(spark):
     assert whole == got
 
 
+def test_cm_over_time_sliding_sum(spark):
+    """frequency_over_time (r6): the k=2 rolling CM registers at a
+    target bucket are identical to a direct build over the trailing-2
+    present buckets' stream (gap skipped); estimates stay one-sided
+    over the window; n_buckets gates; param stamp survives."""
+    from json_time_series_extractor_spark.operators.cmsketch import (
+        cm_estimate, cm_over_time, cm_rollup)
+
+    rows = [("a", datetime(2024, 1, 1, 0, 5), "x")] * 3 \
+        + [("a", datetime(2024, 1, 1, 1, 5), "x"),
+           ("a", datetime(2024, 1, 1, 1, 6), "y"),
+           ("a", datetime(2024, 1, 1, 3, 5), "y")]
+    df = spark.createDataFrame(rows,
+                               "series_key string, ts timestamp, "
+                               "key string")
+    regs = cm_rollup(df, "1 hour", key_col="key")
+    roll = cm_over_time(regs, 2)
+
+    def regset(frame, hour):
+        return sorted((r["cm_row"], r["cm_bucket"], r["cnt"])
+                      for r in frame.collect()
+                      if r["bucket_ts"].hour == hour)
+
+    union = df.where(F.hour("ts").isin(1, 3)) \
+        .withColumn("ts", F.lit(datetime(2024, 1, 1, 3, 5)))
+    assert regset(roll, 3) == regset(
+        cm_rollup(union, "1 hour", key_col="key"), 3)
+
+    est = cm_estimate(roll.drop("n_buckets"),
+                      spark.createDataFrame(
+                          [("a", datetime(2024, 1, 1, 1), "x")],
+                          "series_key string, bucket_ts timestamp, "
+                          "key string"))
+    # window at hour 1 = hours {0,1}: x appeared 3 + 1 times
+    (r,) = est.collect()
+    assert r["cm_est"] >= 4
+
+    gated = cm_over_time(regs, 2, min_buckets=2)
+    assert {r["bucket_ts"].hour for r in gated.collect()} == {1, 3}
+    with pytest.raises(ValueError):
+        cm_over_time(regs, 0)
+
+
 def test_hll_over_time_sliding_union(spark):
     """distinct_over_time (r6): the k=2 rolling register set at a
     target bucket is BIT-identical to a direct HLL build over the
