@@ -104,6 +104,26 @@ AUDITED = [
      "rank windows; no whole-series sample windows"),
     ("cm_frequency", "zero Python: register build/cascade/estimate are "
      "partial/final hash aggregates + one equi-join of d probes"),
+    ("holt_winters", "the sequential recurrence is isolated in ONE "
+     "applyInPandas over TIER rows (summary-sized groups); a single "
+     "series_key re-shuffle beyond the rollup, no raw-sample windows"),
+    ("absent_buckets", "grid explode bounded by each series' bucket "
+     "span; left anti-flag join + two windows over the SPARSE absent "
+     "set only; zero Python"),
+    ("exemplars", "two-phase keyed-hash sample: map-only hash-threshold "
+     "prefilter, window rank only over ~safety*k survivor rows per "
+     "bucket, exact fallback for under-filled groups"),
+    ("quantile_over_time", "rolling sketch merge: bounded ROWS "
+     "collect_list window over SKETCH rows + the cascade's vectorized "
+     "batch merge; the percentile-bracket machinery is oracle grading, "
+     "not operator cost"),
+    ("distinct_over_time", "register fan-out (sketch rows x k, <=2^b "
+     "per bucket) + partial/final MAX aggregate; zero Python"),
+    ("frequency_over_time", "register fan-out + partial/final SUM "
+     "aggregate + d-probe equi-join; the window-exact count side is "
+     "oracle grading"),
+    ("media_container_meta", "map-only Arrow-batched byte parsing; "
+     "zero shuffle, zero joins"),
 ]
 
 
