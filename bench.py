@@ -276,6 +276,40 @@ def run_benchmarks() -> None:
     timed("rollup_tdigest_default",
           lambda: _tdigest(SF_DIR), warm=lambda: _tdigest(WARM_SF_DIR))
 
+    # Operator-only twins for the r6 sliding-sketch queries: the driver
+    # rows embed grading machinery (exact-percentile brackets for
+    # quantile_over_time; window-exact counts for frequency_over_time)
+    # that dominates their timings — these time the sketch pipelines
+    # alone (build -> slide -> estimate).
+    from json_time_series_extractor_spark.operators.tdigest import (
+        tdigest_over_time)
+    from json_time_series_extractor_spark.operators.cmsketch import (
+        cm_estimate, cm_over_time, cm_rollup)
+
+    def _qot(sf_dir):
+        _noop(tdigest_quantiles(tdigest_over_time(
+            rollup_tdigest(_ev_samples(sf_dir), "1 hour"),
+            6).drop("n_buckets")))
+
+    timed("quantile_over_time_default",
+          lambda: _qot(SF_DIR), warm=lambda: _qot(WARM_SF_DIR))
+
+    def _ev_keys(sf_dir):
+        return _spread(spark.read.parquet(f"{sf_dir}/events.parquet")
+                       .selectExpr("event_type AS series_key", "ts",
+                                   "CAST(user_id AS STRING) AS key"))
+
+    def _fot(sf_dir):
+        ev = _ev_keys(sf_dir)
+        roll = cm_over_time(cm_rollup(ev, "1 hour", key_col="key"), 6)
+        keys = ev.selectExpr(
+            "series_key", "date_trunc('hour', ts) AS bucket_ts",
+            "key").distinct()
+        _noop(cm_estimate(roll.drop("n_buckets"), keys))
+
+    timed("frequency_over_time_default",
+          lambda: _fot(SF_DIR), warm=lambda: _fot(WARM_SF_DIR))
+
     # Compression-ratio metric: Gorilla/DoD chunk bytes per point vs the
     # 16-byte raw (ts int64 + value float64) representation.
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
