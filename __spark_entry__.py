@@ -2368,12 +2368,14 @@ _MEDIA_REAL_FIXTURE = os.path.join(_FIXTURES_DIR, "media_real.parquet")
 
 def q_media_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode under oracle check: the fixture parquet holds
-    40 blobs (baseline JPEG
+    41 blobs (baseline JPEG
     4:2:0/4:4:4/gray/restart-marker/progressive-SOF2/non-interleaved, PNG gray/gray+alpha/RGB/RGBA/
     palette/palette+tRNS/Adam7-interlaced/depth-4-palette/16-bit-gray, GIF interlaced+transparent, BMP, PPM,
     lossless WebP VP8L gray/RGB/RGBA, and — new r6 — three lossy WebP
     VP8 blobs encoded by the public REFERENCE encoder, exercising
-    segmentation/B_PRED/loop-filter paths on foreign bitstreams) plus
+    segmentation/B_PRED/loop-filter paths on foreign bitstreams, plus
+    r6b a lossy RGBA blob whose VP8L-compressed ALPH alpha exercises
+    the headerless-stream path) plus
     the feature values the decoders produced at fixture-build time
     (tools/build_media_fixture.py). Spark re-decodes every blob through
     the pure-Python codec stack via mapInPandas; the oracle SELECTs the

@@ -483,7 +483,22 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     br.read(1)                                        # alpha hint
     if br.read(3) != 0:
         raise ValueError("unsupported VP8L version")
+    pix = _decode_vp8l_body(br, w, h)
 
+    alpha = ((pix >> 24) & 0xFF).astype(np.uint8)
+    rgb = np.dstack([((pix >> 16) & 0xFF).astype(np.uint8),
+                     ((pix >> 8) & 0xFF).astype(np.uint8),
+                     (pix & 0xFF).astype(np.uint8)])
+    if (alpha != 255).any():
+        return np.dstack([rgb, alpha])
+    return rgb
+
+
+def _decode_vp8l_body(br: "_BitReader", w: int, h: int) -> np.ndarray:
+    """Post-header VP8L image stream: transform list + entropy-coded
+    pixels + inverse transforms -> (h, w) uint32 ARGB matrix. Shared by
+    :func:`decode_vp8l` and the HEADERLESS alpha stream (ALPH chunk
+    compression method 1, where the frame supplies the dimensions)."""
     transforms = []                                   # (type, data...)
     seen = set()
     xsize = w
@@ -549,13 +564,7 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
         else:
             _apply_predictor_inverse(pix, t[2], t[1])
 
-    alpha = ((pix >> 24) & 0xFF).astype(np.uint8)
-    rgb = np.dstack([((pix >> 16) & 0xFF).astype(np.uint8),
-                     ((pix >> 8) & 0xFF).astype(np.uint8),
-                     (pix & 0xFF).astype(np.uint8)])
-    if (alpha != 255).any():
-        return np.dstack([rgb, alpha])
-    return rgb
+    return pix
 
 
 def decode_webp(blob: bytes) -> np.ndarray:
@@ -566,6 +575,7 @@ def decode_webp(blob: bytes) -> np.ndarray:
     if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP header missing)")
     pos = 12
+    alpha = None           # ALPH precedes VP8 in extended (VP8X) files
     while pos + 8 <= len(blob):
         fourcc = blob[pos:pos + 4]
         (size,) = struct.unpack_from("<I", blob, pos + 4)
@@ -574,10 +584,16 @@ def decode_webp(blob: bytes) -> np.ndarray:
             raise ValueError("truncated WebP chunk")
         if fourcc == b"VP8L":
             return decode_vp8l(payload)
+        if fourcc == b"ALPH":
+            alpha = payload
         if fourcc == b"VP8 ":
             from json_time_series_extractor_spark.operators.vp8 import (
                 decode_vp8)
-            return decode_vp8(payload)
+            rgb = decode_vp8(payload)
+            if alpha is None:
+                return rgb
+            h, w = rgb.shape[:2]
+            return np.dstack([rgb, _decode_alph(alpha, w, h)])
         pos += 8 + size + (size & 1)                  # chunks pad to even
     raise ValueError("WebP container has no VP8L/VP8 chunk")
 
@@ -783,23 +799,40 @@ def _u24(b: bytes, off: int) -> int:
 
 
 def _decode_alph(payload: bytes, w: int, h: int) -> np.ndarray:
-    """ALPH chunk -> (h, w) uint8 alpha plane. Raw compression (C=0)
-    with the four spec filters (none/horizontal/vertical/gradient);
-    lossless-compressed alpha (C=1, a headerless VP8L stream) is a
-    documented plug point next to the mp4 one."""
+    """ALPH chunk -> (h, w) uint8 alpha plane.
+
+    Both spec compression methods: raw (C=0) and VP8L-coded (C=1 — a
+    HEADERLESS lossless stream whose green channel carries the alpha
+    values, dimensions supplied by the frame; the reference encoder's
+    default for lossy+alpha, so this is the common real-corpus case,
+    closed r6). The four filters (none/horizontal/vertical/gradient)
+    un-apply after either decode; pre-processing (level reduction) is
+    an encode-side lossy step with no decoder inverse."""
     if not payload:
         raise ValueError("empty ALPH chunk")
     head = payload[0]
     comp = head & 0x03
     filt = (head >> 2) & 0x03
-    if comp != 0:
-        raise NotImplementedError(
-            "ALPH compression method 1 (VP8L-coded alpha) not decoded; "
-            "raw (method 0) with filters 0-3 is supported")
-    raw = np.frombuffer(payload, np.uint8, count=w * h, offset=1)
-    if raw.size < w * h:
-        raise ValueError("truncated ALPH plane")
-    a = raw.reshape(h, w).astype(np.int32)
+    if comp > 1:
+        raise ValueError(f"reserved ALPH compression method {comp}")
+    if comp == 1:
+        pix = _decode_vp8l_body(_BitReader(payload[1:]), w, h)
+        if pix.shape != (h, w):
+            raise ValueError("ALPH VP8L plane size mismatch")
+        a = ((pix >> 8) & 0xFF).astype(np.int32)      # green = alpha
+    else:
+        raw = np.frombuffer(payload, np.uint8, count=min(w * h,
+                                                         len(payload) - 1),
+                            offset=1)
+        if raw.size < w * h:
+            raise ValueError("truncated ALPH plane")
+        a = raw.reshape(h, w).astype(np.int32)
+    return _unfilter_alpha(a, filt)
+
+
+def _unfilter_alpha(a: np.ndarray, filt: int) -> np.ndarray:
+    """Invert the ALPH prediction filter over delta values ``a``."""
+    h, w = a.shape
     if filt == 0:
         return a.astype(np.uint8)
     out = np.zeros((h, w), np.int32)

@@ -190,3 +190,49 @@ def test_container_dispatch_and_rgb():
     # the fake/raise stubs still behave for non-decodable payloads
     rgb2 = decode_vp8(_vp8_payload(blob))
     np.testing.assert_array_equal(px, rgb2)
+
+
+@needs_libwebp
+def test_alph_vp8l_compressed_alpha_bit_exact():
+    """ALPH compression method 1 (headerless VP8L alpha, r6): the
+    reference encoder's default for lossy RGBA. Our still-WebP decode
+    must reproduce the reference decoder's alpha plane BIT-exactly
+    across filter choices (smooth alpha -> filtered C=1; noise alpha
+    may fall back to C=0 raw — both paths asserted via the head byte)."""
+    from json_time_series_extractor_spark.operators.vp8l import (
+        decode_webp)
+
+    def alph_head(blob: bytes) -> int:
+        pos = 12
+        while pos + 8 <= len(blob):
+            fourcc = blob[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", blob, pos + 4)
+            if fourcc == b"ALPH":
+                return blob[pos + 8]
+            pos += 8 + size + (size & 1)
+        raise AssertionError("no ALPH chunk")
+
+    rng = np.random.default_rng(0xA1FA)
+    seen_c1 = False
+    cases = []
+    # horizontal ramp, vertical ramp, blocky, noise: drives the encoder
+    # through different filters and both compression methods
+    a_h = np.clip(np.arange(40)[None, :] * 7, 0, 255) \
+        .astype(np.uint8).repeat(24, 0)
+    a_v = np.clip(np.arange(24)[:, None] * 11, 0, 255) \
+        .astype(np.uint8).repeat(40, 1)
+    a_b = (rng.integers(0, 2, (3, 5)) * 255).astype(np.uint8) \
+        .repeat(8, 0).repeat(8, 1)
+    a_n = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+    for alpha in (a_h, a_v, a_b, a_n):
+        img = (rng.integers(0, 4, (24, 40, 3)) * 70).astype(np.uint8)
+        cases.append(np.dstack([img, alpha]))
+    for img in cases:
+        blob = libwebp_ref.encode_rgba(img, 80.0)
+        head = alph_head(blob)
+        seen_c1 = seen_c1 or (head & 3) == 1
+        ours = decode_webp(blob)
+        ref = libwebp_ref.decode_rgba(blob)
+        assert ours.shape == ref.shape
+        np.testing.assert_array_equal(ours[:, :, 3], ref[:, :, 3])
+    assert seen_c1, "no case exercised the VP8L-compressed alpha path"

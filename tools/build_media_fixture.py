@@ -223,6 +223,12 @@ def _images(rng: np.random.Generator):
     yield "webp", libwebp_ref.encode_rgb(
         vrng.integers(0, 256, (21, 35, 3)).astype(np.uint8), 50)
     yield "webp", libwebp_ref.encode_rgb(photo[:17, :29], 92)
+    # r6b: lossy + alpha — VP8 frame with a VP8L-compressed ALPH chunk
+    # (the reference encoder's default for RGBA; smooth ramp drives the
+    # filtered C=1 path that closed the last WebP plug point)
+    ramp = np.clip(np.arange(64)[None, :] * 4 + np.arange(48)[:, None],
+                   0, 255).astype(np.uint8)
+    yield "webp", libwebp_ref.encode_rgba(np.dstack([photo, ramp]), 80)
 
 
 def _decode_webp(blob: bytes):

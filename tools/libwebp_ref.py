@@ -22,6 +22,10 @@ LIB_PATHS = ("/usr/lib/x86_64-linux-gnu/libwebp.so.7", "libwebp.so.7",
 _CDEF = """
 size_t WebPEncodeRGB(const uint8_t* rgb, int width, int height,
                      int stride, float quality_factor, uint8_t** output);
+size_t WebPEncodeRGBA(const uint8_t* rgba, int width, int height,
+                      int stride, float quality_factor, uint8_t** output);
+uint8_t* WebPDecodeRGBA(const uint8_t* data, size_t data_size,
+                        int* width, int* height);
 size_t WebPEncodeLosslessRGB(const uint8_t* rgb, int width, int height,
                              int stride, uint8_t** output);
 uint8_t* WebPDecodeRGB(const uint8_t* data, size_t data_size,
@@ -74,6 +78,38 @@ def encode_rgb(img: np.ndarray, quality: float) -> bytes:
     blob = bytes(ffi.buffer(out[0], n))
     lib.WebPFree(out[0])
     return blob
+
+
+def encode_rgba(img: np.ndarray, quality: float) -> bytes:
+    """Reference lossy encode of RGBA (VP8 frame + lossless-compressed
+    ALPH chunk in a VP8X container)."""
+    ffi, lib = _load()
+    h, w, _ = img.shape
+    out = ffi.new("uint8_t**")
+    buf = np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+    n = lib.WebPEncodeRGBA(ffi.from_buffer(buf), w, h, w * 4,
+                           float(quality), out)
+    if n == 0:
+        raise RuntimeError("libwebp RGBA encode failed")
+    blob = bytes(ffi.buffer(out[0], n))
+    lib.WebPFree(out[0])
+    return blob
+
+
+def decode_rgba(blob: bytes) -> np.ndarray:
+    """Reference decode to (h, w, 4) RGBA — the alpha plane is the
+    normative comparison surface for ALPH decoding (RGB is
+    implementation-defined YUV conversion; compare that via YUV)."""
+    ffi, lib = _load()
+    wp, hp = ffi.new("int*"), ffi.new("int*")
+    p = lib.WebPDecodeRGBA(ffi.from_buffer(blob), len(blob), wp, hp)
+    if p == ffi.NULL:
+        raise RuntimeError("libwebp RGBA decode failed")
+    w, h = wp[0], hp[0]
+    arr = np.frombuffer(bytes(ffi.buffer(p, w * h * 4)),
+                        np.uint8).reshape(h, w, 4).copy()
+    lib.WebPFree(p)
+    return arr
 
 
 def decode_yuv(blob: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
