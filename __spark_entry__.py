@@ -1281,12 +1281,16 @@ def q_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     each estimate must land inside the exact-quantile bracket computed
     from the same trailing window's raw samples via a present-bucket
     index expansion."""
+    from json_time_series_extractor_spark.operators._persist import (
+        materialize)
     from json_time_series_extractor_spark.operators.tdigest import (
         rollup_tdigest, tdigest_over_time, tdigest_quantiles)
 
     samples = _event_samples(spark, sf_dir)
-    d1h = rollup_tdigest(samples, "1 hour")
-    rolled = tdigest_over_time(d1h, 6)
+    # d1h feeds the rolling merge AND the grading bucket index below;
+    # rolled feeds the quantile estimate AND the n_buckets join.
+    d1h = materialize(rollup_tdigest(samples, "1 hour"))
+    rolled = materialize(tdigest_over_time(d1h, 6))
     est = tdigest_quantiles(rolled.drop("n_buckets")) \
         .join(rolled.select("series_key", "bucket_ts", "n_buckets"),
               ["series_key", "bucket_ts"])

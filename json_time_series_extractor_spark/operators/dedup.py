@@ -28,20 +28,10 @@ from __future__ import annotations
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.storagelevel import StorageLevel
 
+from json_time_series_extractor_spark.operators._persist import (
+    materialize as _materialize)
 from json_time_series_extractor_spark.operators.textstats import tokens
-
-
-def _materialize(df: DataFrame) -> DataFrame:
-    """Persist a derived table that the plan reuses (self-joins, verify
-    stages). Spark does not reuse non-exchange subplans, so without this
-    the expensive derivation (shingling, signature aggregation) re-executes
-    once per reference — measured 3-5x on the near-dup operators. At
-    10^12-row scale the same intermediate would be written to its own table
-    between stages (exactly what the CLI pipeline does); within one job,
-    MEMORY_AND_DISK persist plays that role."""
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
