@@ -83,6 +83,7 @@ def run_benchmarks() -> None:
     n_docs = _pages_count(SF_DIR)
     timings: dict = {}
     extras: dict = {}
+    triples: dict = {}
 
     def timed(name: str, fn, warm=None) -> None:
         only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
@@ -113,6 +114,7 @@ def run_benchmarks() -> None:
             runs.append(round(dt, 3))
             best = dt if best is None else min(best, dt)
             spark.catalog.clearCache()
+        triples[name] = runs
         if os.environ.get("SPARK_GRAFT_BENCH_TRIPLES"):
             # Bench-hygiene audit trail (BENCH/NOTES): all three runs,
             # so host-noise churn is adjudicable without a re-run.
@@ -346,6 +348,10 @@ def run_benchmarks() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # Every row's 3 raw repeats: the min is the reported timing, the
+        # spread is the host-noise band — a sweep-position spike (r5
+        # ann_ivf, r6 flagship) is adjudicable from this record alone.
+        "triples": triples,
         "sf": _sf_label(SF_DIR),
         "cpus": CPUS,
         **extras,
@@ -373,6 +379,10 @@ def run_benchmarks() -> None:
         "cpus": CPUS,
         "docs_per_sec": extras.get("docs_per_sec"),
         "points_per_sec": extras.get("points_per_sec"),
+        # Standing flagship best-of-3 record (r6 verdict #2): the
+        # headline docs/sec derives from min(flagship_runs), and the
+        # spread says whether a cross-round delta is code or host.
+        "flagship_runs": triples.get("pages_extract_rollup"),
         # run_scaling() parses the LAST json line for these two.
         "flagship_docs": extras.get("flagship_docs"),
         "flagship_points": extras.get("flagship_points"),
