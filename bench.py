@@ -165,7 +165,8 @@ def run_benchmarks() -> None:
                  "rolling_over_time",
                  "rollup_histogram", "histogram_quantile",
                  "linear_trend", "anomaly_zscore", "holt_winters",
-                 "absent_buckets", "exemplars", "quantile_over_time",
+                 "absent_buckets", "absent_buckets_partitioned",
+                 "exemplars", "quantile_over_time",
                  "distinct_over_time", "frequency_over_time",
                  "hll_distinct_1h", "cm_frequency", "kmv_retention",
                  "bloom_membership", "top_k_series",

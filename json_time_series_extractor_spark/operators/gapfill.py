@@ -395,3 +395,92 @@ SELECT series_key, bucket_ts,
             AS BIGINT) AS gap_len
 FROM m WHERE NOT _p
 """
+
+def absent_buckets_partitioned(rollup_df: DataFrame,
+                               interval: str = "1 hour",
+                               segment: str = "30 days") -> DataFrame:
+    """:func:`absent_buckets` with every window bounded — result-identical.
+
+    The global variant's running present-count window puts a series'
+    ENTIRE grid in one window partition: fine at the 1h tier (<=8.8k
+    rows/series/year) but a multi-year 1-minute series is ~525k rows on
+    one task. This variant bounds the hot path the same way
+    :func:`gapfill_locf_partitioned` does, with a two-level summary
+    cascade instead of whole-series windows:
+
+    1. per (series, segment): grid explode + left anti-flag join + a
+       running present count — window partitions of at most
+       segment/interval rows;
+    2. per series over SEGMENTS: cumulative present-count carry-in (one
+       row per series-segment — the summary table);
+    3. ``_run`` = carry + within-segment count reproduces the global
+       running count exactly, so runs are keyed identically;
+    4. per series over GAPS: runs collapse to ONE ROW each via a hash
+       aggregate (min bucket = run start, count = ``gap_len``), and
+       ``gap_id`` is a row_number over that per-gap summary — the only
+       per-series window left, sized by the number of OUTAGES, not
+       buckets;
+    5. ``gap_pos`` is pure arithmetic: a run is consecutive by
+       construction, so position = (bucket - run_start)/interval + 1 —
+       no per-run window at all (the global variant's row_number over a
+       run would put a months-long outage in one task).
+    """
+    seg_s = _interval_seconds(segment)
+    i_s = _interval_seconds(interval)
+    _require_divides(interval, segment)
+
+    r = rollup_df.select("series_key", "bucket_ts")
+    bounds = _aligned_bounds(r, interval)
+    seg_grid = bounds.select(
+        "series_key", "_lo", "_hi",
+        F.explode_outer(F.sequence(
+            _epoch_floor(F.col("_lo"), seg_s),
+            _epoch_floor(F.col("_hi"), seg_s),
+            F.expr(f"interval {segment}"))).alias("_seg"))
+    buckets = seg_grid.select(
+        "series_key", "_seg",
+        F.explode_outer(F.expr(
+            f"sequence(greatest(_seg, _lo), "
+            f"least(_seg + interval {segment} - interval {interval}, _hi), "
+            f"interval {interval})")).alias("bucket_ts"))
+
+    present = rollup_df.select(
+        "series_key", "bucket_ts", F.lit(True).alias("_p"))
+    j = buckets.join(present, ["series_key", "bucket_ts"], "left")
+
+    # 1. Within-segment running present count (bounded partitions).
+    in_seg = (Window.partitionBy("series_key", "_seg").orderBy("bucket_ts")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    j = j.withColumn("_rin", F.count("_p").over(in_seg))
+
+    # 2. Carry-in: present buckets in all EARLIER segments (summary rows).
+    seg_sum = (j.groupBy("series_key", "_seg")
+               .agg(F.count("_p").alias("_pc")))
+    carry_w = (Window.partitionBy("series_key").orderBy("_seg")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    seg_sum = seg_sum.withColumn(
+        "_carry", F.coalesce(F.sum("_pc").over(carry_w), F.lit(0)))
+
+    # 3. Global-equivalent run key; keep only absent buckets.
+    absent = (j.join(seg_sum.select("series_key", "_seg", "_carry"),
+                     ["series_key", "_seg"])
+              .where(F.col("_p").isNull())
+              .select("series_key", "bucket_ts",
+                      (F.col("_carry") + F.col("_rin")).alias("_run")))
+
+    # 4. One row per gap (hash aggregate — hot runs collapse map-side),
+    #    then the only per-series window runs over gap summaries.
+    runs = (absent.groupBy("series_key", "_run")
+            .agg(F.min("bucket_ts").alias("_t0"),
+                 F.count(F.lit(1)).alias("gap_len")))
+    gap_w = Window.partitionBy("series_key").orderBy("_t0")
+    runs = runs.withColumn("gap_id", F.row_number().over(gap_w))
+
+    # 5. Join back; position inside the (consecutive) run is arithmetic.
+    return (absent.join(runs, ["series_key", "_run"])
+            .select(
+                "series_key", "bucket_ts", "gap_id",
+                ((F.unix_timestamp("bucket_ts")
+                  - F.unix_timestamp("_t0")) / F.lit(i_s) + 1)
+                .cast("int").alias("gap_pos"),
+                "gap_len"))

@@ -1089,6 +1089,58 @@ def test_absent_buckets_hand_computed(spark):
                    ("a", 5): (2, 1, 2), ("a", 6): (2, 2, 2)}
 
 
+def test_absent_buckets_partitioned_matches_global(spark):
+    """The segment-partitioned variant (bounded windows + per-gap
+    summary) is bit-identical to the whole-series absent_buckets,
+    including gap runs that SPAN segment boundaries."""
+    from json_time_series_extractor_spark.operators.gapfill import (
+        absent_buckets,
+        absent_buckets_partitioned,
+    )
+    from json_time_series_extractor_spark.operators.rollup import rollup
+
+    # Hand fixture: series "a" has a 4-bucket run crossing the 1-hour
+    # segment boundary at minute 60 (absent 58..61) plus a run exactly
+    # at a segment start (120) and a single absence inside a segment.
+    from datetime import timedelta
+    t0 = datetime(2024, 1, 1)
+    rows = [("a", t0 + timedelta(minutes=m)) for m in
+            (0, 57, 62, 90, 119, 121, 125)] \
+        + [("b", t0 + timedelta(minutes=59)),
+           ("b", t0 + timedelta(minutes=61))]
+    df = spark.createDataFrame(rows, "series_key string, "
+                               "bucket_ts timestamp")
+
+    def key(out):
+        return {(r.series_key, r.bucket_ts):
+                (r.gap_id, r.gap_pos, r.gap_len) for r in out.collect()}
+
+    base = key(absent_buckets(df, "1 minute"))
+    part = key(absent_buckets_partitioned(df, "1 minute",
+                                          segment="1 hour"))
+    assert part == base
+    # Spot-check the boundary-spanning run is ONE run in both.
+    assert base[("a", t0 + timedelta(minutes=58))] == (2, 1, 4)
+    assert base[("a", t0 + timedelta(minutes=61))] == (2, 4, 4)
+
+    # Real data, 1-minute tier: hour segments force many boundary runs.
+    samples = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+               .selectExpr("event_type AS series_key", "ts",
+                           "value AS value_double"))
+    r1m = rollup(samples, "1 minute")
+    base = key(absent_buckets(r1m, "1 minute"))
+    assert base  # non-degenerate: the tier does have absent buckets
+    for segment in ("1 hour", "1 day"):
+        assert key(absent_buckets_partitioned(
+            r1m, "1 minute", segment=segment)) == base
+
+    # Type parity (the oracle hash gate is type-strict; nullability
+    # differs — the arithmetic gap_pos is nullable-typed, the
+    # row_number one is not — and the gate hashes values, not flags).
+    assert (absent_buckets_partitioned(df, "1 minute").dtypes
+            == absent_buckets(df, "1 minute").dtypes)
+
+
 def test_holt_winters_hand_computed(spark):
     """Holt smoothing (r6): recurrence checked against a by-hand
     replay, lookahead-free seed at i=2, singleton series unscored,

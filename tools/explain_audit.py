@@ -110,6 +110,10 @@ AUDITED = [
     ("absent_buckets", "grid explode bounded by each series' bucket "
      "span; left anti-flag join + two windows over the SPARSE absent "
      "set only; zero Python"),
+    ("absent_buckets_partitioned", "bounded (series, segment) windows "
+     "+ per-segment and per-gap SUMMARY windows only — no whole-series "
+     "grid window (the 1m-tier scale path); gap position is arithmetic, "
+     "not a per-run window"),
     ("exemplars", "two-phase keyed-hash sample: map-only hash-threshold "
      "prefilter, window rank only over ~safety*k survivor rows per "
      "bucket, exact fallback for under-filled groups"),
