@@ -313,6 +313,27 @@ def run_benchmarks() -> None:
     timed("frequency_over_time_default",
           lambda: _fot(SF_DIR), warm=lambda: _fot(WARM_SF_DIR))
 
+    # Operator-only twin for bloom_membership (r6 verdict #4): the
+    # driver row embeds the full-value grading (every distinct
+    # (series, hour, user) probed twice at verification-scale m=64 so
+    # false positives stay visible). This times the OPERATOR at its
+    # scale defaults (m=2^16): build 1m -> cascade 1h -> one probe per
+    # distinct key — the dedup-prefilter usage shape.
+    from json_time_series_extractor_spark.operators.bloom import (
+        bloom_cascade, bloom_probe, bloom_rollup)
+
+    def _bloom(sf_dir):
+        ev = _ev_keys(sf_dir)
+        regs = bloom_cascade(
+            bloom_rollup(ev, "1 minute", key_col="key"), "1 hour")
+        keys = ev.selectExpr(
+            "series_key", "date_trunc('hour', ts) AS bucket_ts",
+            "key").distinct()
+        _noop(bloom_probe(regs, keys))
+
+    timed("bloom_membership_default",
+          lambda: _bloom(SF_DIR), warm=lambda: _bloom(WARM_SF_DIR))
+
     # Compression-ratio metric: Gorilla/DoD chunk bytes per point vs the
     # 16-byte raw (ts int64 + value float64) representation.
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
