@@ -1745,6 +1745,41 @@ def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "n_tokens_bpe")
 
 
+def q_doc_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BPE token counts (r7, the r6 verdict #5 ask):
+    learn the merge table from the corpus itself (one Spark word-freq
+    aggregate + a bounded vocab collect + a deterministic Python merge
+    loop — freq desc, lexicographic tie-break, stop below pair-freq 2),
+    then count learned subwords per document (distinct words encoded
+    once, corpus-sized roll-up pure JVM). FULL value check: the oracle
+    trains its OWN merge table from DuckDB-computed word frequencies
+    over the same parquet and replays the encoding with a recursive
+    CTE — any divergence in tokenization, counting, truncation order
+    or encoding fails the hash."""
+    from json_time_series_extractor_spark.operators.bpe import (
+        bpe_token_counts, bpe_train)
+
+    docs = _docs(spark, sf_dir)
+    return bpe_token_counts(docs, bpe_train(docs))
+
+
+def _oracle_doc_token_count_bpe() -> str:
+    import duckdb
+
+    from json_time_series_extractor_spark.operators.bpe import (
+        bpe_oracle_sql, bpe_train_merges, duckdb_word_frequencies_sql)
+
+    # The driver's oracle gate runs at sf0.01; tools/check_oracles.py
+    # exports SPARK_GRAFT_ORACLE_SF_DIR when pointed elsewhere so the
+    # embedded merge table always derives from the compared corpus.
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                        "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    wf = con.sql(duckdb_word_frequencies_sql(
+        f"read_parquet('{sf}/documents.parquet')")).fetchall()
+    return bpe_oracle_sql("documents", bpe_train_merges(wf))
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: punct/stopword/word-length signals + composite."""
     out = with_quality_score(_docs(spark, sf_dir)).select(
@@ -2664,6 +2699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_nearest": q_asof_join_nearest,
         "pages_extract_rollup": q_pages_extract_rollup,
         "doc_token_count": q_doc_token_count,
+        "doc_token_count_bpe": q_doc_token_count_bpe,
         "doc_quality": q_doc_quality,
         "doc_repetition": q_doc_repetition,
         "url_dedup": q_url_dedup,
@@ -2984,6 +3020,7 @@ SELECT doc_id,
            AS n_tokens_bpe
 FROM documents
 """,
+        "doc_token_count_bpe": _oracle_doc_token_count_bpe(),
         "doc_quality": """
 WITH m AS (
     SELECT doc_id,

@@ -175,6 +175,7 @@ def run_benchmarks() -> None:
                  "gapfill_linear_partitioned", "asof_join",
                  "asof_join_forward", "asof_join_nearest",
                  "chunk_roundtrip", "doc_token_count",
+                 "doc_token_count_bpe",
                  "doc_quality", "doc_lang_id", "doc_fingerprint",
                  "html_text_extract", "doc_repetition",
                  "url_dedup", "paragraph_dedup", "dup_ngram_stats",

@@ -1962,3 +1962,60 @@ def test_pii_counts_and_redaction(spark):
     assert out[3].redacted == "ssn [SSN] card [CARD]"
     assert not out[4].has_pii
     assert out[4].redacted == rows[3][1]
+
+def test_bpe_train_hand_computed():
+    """Sennrich-style BPE trainer (r7): exact merge sequence on the
+    classic low/lower/lowest corpus, hand-derived — including both
+    lexicographic tie-breaks ((l,o) over (o,w) at freq 8; (e,r) over
+    (low,e) at freq 3) and the min-pair-freq stop after 8 merges."""
+    from json_time_series_extractor_spark.operators.bpe import (
+        bpe_encode, bpe_train_merges)
+
+    wf = [("low", 5), ("lower", 2), ("new", 2),
+          ("lowest", 1), ("newer", 1), ("newest", 1)]
+    merges = bpe_train_merges(wf, num_merges=100)
+    assert merges == [("l", "o"), ("lo", "w"), ("e", "w"), ("n", "ew"),
+                      ("e", "r"), ("e", "s"), ("es", "t"), ("low", "er")]
+    rank_of = {p: i for i, p in enumerate(merges)}
+    assert bpe_encode("lowest", rank_of) == ["low", "est"]
+    assert bpe_encode("newest", rank_of) == ["new", "est"]
+    assert bpe_encode("lower", rank_of) == ["lower"]
+    assert bpe_encode("xyz", rank_of) == ["x", "y", "z"]  # unseen
+    assert bpe_encode("", rank_of) == []
+    # num_merges truncation is a strict prefix (training is greedy).
+    assert bpe_train_merges(wf, num_merges=3) == merges[:3]
+    # min_pair_freq=1 keeps merging down to whole words.
+    all_merges = bpe_train_merges(wf, num_merges=100, min_pair_freq=1)
+    rank_all = {p: i for i, p in enumerate(all_merges)}
+    assert bpe_encode("lowest", rank_all) == ["lowest"]
+
+
+def test_bpe_token_counts_spark_matches_hand(spark):
+    """End-to-end Spark path (train on the corpus, count learned
+    subwords per doc) against per-word hand encoding; repartition- and
+    case-invariant; tokenless docs emit zeros."""
+    from json_time_series_extractor_spark.operators.bpe import (
+        bpe_encode, bpe_token_counts, bpe_train)
+
+    rows = [(1, "low low lower lowest"), (2, "New newer NEWEST low"),
+            (3, "   "), (4, "lower new low low")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(docs, num_merges=100)
+    rank_of = {p: i for i, p in enumerate(merges)}
+
+    def hand(text):
+        ws = text.lower().split()
+        return (len(ws), sum(len(bpe_encode(w, rank_of)) for w in ws))
+
+    expect = {d: hand(t) for d, t in rows}
+    got = {r.doc_id: (r.n_words, r.n_tokens_bpe_learned)
+           for r in bpe_token_counts(docs, merges).collect()}
+    assert got == expect
+    assert got[3] == (0, 0)
+    # Learned subwords compress: strictly fewer than characters for
+    # any doc whose words recur in the corpus.
+    assert got[1][1] < len(rows[0][1].replace(" ", ""))
+    repart = {r.doc_id: (r.n_words, r.n_tokens_bpe_learned)
+              for r in bpe_token_counts(docs.repartition(7),
+                                        merges).collect()}
+    assert repart == expect

@@ -63,6 +63,9 @@ def main() -> None:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     queries = entrymod.queries()
+    # Data-derived oracles (the BPE merge table) must train on the
+    # corpus being compared, not the sf0.01 default.
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
     oracles = entrymod.oracle_sql()
     only = os.environ.get("ONLY")
     if only:

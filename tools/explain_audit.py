@@ -128,6 +128,10 @@ AUDITED = [
      "oracle grading"),
     ("media_container_meta", "map-only Arrow-batched byte parsing; "
      "zero shuffle, zero joins"),
+    ("doc_token_count_bpe", "corpus-sized work is pure JVM (word-freq "
+     "hash agg + per-doc roll-up join); Python encode runs once per "
+     "DISTINCT word (vocab-sized mapInPandas); training collect is "
+     "bounded at max_vocab rows"),
 ]
 
 
