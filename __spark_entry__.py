@@ -2564,10 +2564,13 @@ _MEDIA_CONTAINER_META_FIXTURE = os.path.join(
 
 
 def q_media_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compressed-container metadata WITHOUT decode (r6b): 8 blobs —
-    4 MP3 elementary streams (CBR/VBR/MPEG2-half-granule/Layer-I, ID3v2
-    skip), 3 ISO-BMFF movies (v0+v1 mvhd, largesize moov, v0+v1 tkhd,
-    avc1/hev1/mp4a sample entries), 1 WebM — built byte-by-byte from
+    """Compressed-container metadata WITHOUT decode (r6b, +2 blobs
+    r7): 10 blobs — 4 MP3 elementary streams (CBR/VBR/MPEG2-half-
+    granule/Layer-I, ID3v2 skip), 5 ISO-BMFF movies (v0+v1 mvhd,
+    largesize moov, v0+v1 tkhd, avc1/hev1/mp4a sample entries; r7:
+    stts/stss sample tables — keyframe timestamps in mdhd media
+    timescale with multi-run deltas and the stss-absent all-sync
+    rule), 1 WebM — built byte-by-byte from
     the public specs by tools/build_container_meta_fixture.py, which
     never imports operators/mediameta.py; expectations (exact
     frame-summed duration, frame-weighted bitrate, dims, codec
@@ -2604,7 +2607,11 @@ SELECT media_id, container,
        COALESCE(video_codec, 'null') AS video_codec,
        COALESCE(audio_codec, 'null') AS audio_codec,
        COALESCE(CAST(track_count AS VARCHAR), 'null') AS track_count,
-       COALESCE(brand, 'null') AS brand
+       COALESCE(brand, 'null') AS brand,
+       COALESCE(CAST(n_samples AS VARCHAR), 'null') AS n_samples,
+       COALESCE(CAST(n_keyframes AS VARCHAR), 'null') AS n_keyframes,
+       COALESCE(CAST(keyframe_ts_ms AS VARCHAR), 'null')
+           AS keyframe_ts_ms
 FROM '{_MEDIA_CONTAINER_META_FIXTURE}'
 """
 

@@ -42,8 +42,9 @@ from typing import Iterable, Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import (BooleanType, IntegerType, LongType,
-                               StringType, StructField, StructType)
+from pyspark.sql.types import (ArrayType, BooleanType, IntegerType,
+                               LongType, StringType, StructField,
+                               StructType)
 
 # --- MP3 tables (ISO/IEC 11172-3 tables; kbit/s, Hz) ---------------
 
@@ -193,9 +194,67 @@ def _find_box(blob: bytes, pos: int, end: int, btype: bytes):
     return None
 
 
+def _mp4_keyframes(blob: bytes, mdia_s: int, mdia_e: int, stbl_s: int,
+                   stbl_e: int):
+    """Keyframe timestamps from the video trak's sample tables alone —
+    no bitstream decode (ISO/IEC 14496-12 §8.6.1.2 stts, §8.6.2 stss,
+    §8.4.2 mdhd): decode time of sample n is the running sum of stts
+    deltas, in mdhd (MEDIA, not movie) timescale; stss lists the sync
+    sample numbers 1-based, and an ABSENT stss means every sample is a
+    sync sample per spec. -> (n_samples, n_keyframes, keyframe_ts_ms)
+    or (None, None, None) when the trak carries no stts (metadata-only
+    fixtures)."""
+    mdhd = _find_box(blob, mdia_s, mdia_e, b"mdhd")
+    stts = _find_box(blob, stbl_s, stbl_e, b"stts")
+    if mdhd is None or stts is None:
+        return None, None, None
+    ms = mdhd[0]
+    mts = struct.unpack(">I", blob[ms + (20 if blob[ms] else 12):]
+                        [:4])[0]
+    if mts == 0:
+        raise ValueError("mp4: zero mdhd timescale")
+    n_ent = struct.unpack(">I", blob[stts[0] + 4:stts[0] + 8])[0]
+    if stts[0] + 8 + 8 * n_ent > stts[1]:
+        raise ValueError("mp4: stts entry count overruns its box")
+    # Decode times: running sum over the run-length (count, delta)
+    # table. Materialized lazily per sync sample below — the table
+    # stays run-length encoded so a billion-sample trak with 3 stts
+    # entries costs 3 tuples, not a billion.
+    ents = [struct.unpack(">II", blob[stts[0] + 8 + 8 * i:]
+                          [:8]) for i in range(n_ent)]
+    n_samples = sum(c for c, _ in ents)
+    stss = _find_box(blob, stbl_s, stbl_e, b"stss")
+    if stss is None:
+        syncs = range(1, n_samples + 1)
+    else:
+        k = struct.unpack(">I", blob[stss[0] + 4:stss[0] + 8])[0]
+        if stss[0] + 8 + 4 * k > stss[1]:
+            raise ValueError("mp4: stss entry count overruns its box")
+        syncs = [struct.unpack(">I", blob[stss[0] + 8 + 4 * i:]
+                               [:4])[0] for i in range(k)]
+    out = []
+    it = iter(ents)
+    cnt, delta = next(it, (0, 0))
+    base_n = 0          # samples fully consumed before this run
+    base_t = 0          # decode time at the start of this run
+    for n in syncs:     # sync numbers are increasing per spec
+        if not 1 <= n <= n_samples:
+            raise ValueError(f"mp4: stss sample {n} out of range")
+        while n - 1 >= base_n + cnt:
+            base_n += cnt
+            base_t += cnt * delta
+            cnt, delta = next(it)
+        t = base_t + (n - 1 - base_n) * delta
+        out.append(t * 1000 // mts)
+    return n_samples, len(out), out
+
+
 def parse_mp4(blob: bytes) -> dict:
     """ISO BMFF movie metadata: brand, duration, video dims + codec
-    fourccs, track count.  Raises ValueError on malformed framing."""
+    fourccs, track count — plus keyframe timestamps from the video
+    trak's stts/stss sample tables when present (sync-sample positions
+    without decoding a single access unit). Raises ValueError on
+    malformed framing."""
     ftyp = _find_box(blob, 0, len(blob), b"ftyp")
     if ftyp is None:
         raise ValueError("mp4: no ftyp box")
@@ -219,6 +278,7 @@ def parse_mp4(blob: bytes) -> dict:
 
     width = height = None
     video_codec = audio_codec = None
+    n_samples = n_keyframes = keyframe_ts_ms = None
     track_count = 0
     for t, ts, te in _iter_boxes(blob, moov[0], moov[1]):
         if t != b"trak":
@@ -240,6 +300,9 @@ def parse_mp4(blob: bytes) -> dict:
         if handler == b"vide":
             if fourcc and video_codec is None:
                 video_codec = fourcc
+            if stbl and n_samples is None:
+                n_samples, n_keyframes, keyframe_ts_ms = _mp4_keyframes(
+                    blob, mdia[0], mdia[1], stbl[0], stbl[1])
             tkhd = _find_box(blob, ts, te, b"tkhd")
             if tkhd is not None and width is None:
                 ks = tkhd[0]
@@ -252,7 +315,9 @@ def parse_mp4(blob: bytes) -> dict:
             "duration_ms": duration * 1000 // timescale,
             "width": width, "height": height,
             "video_codec": video_codec, "audio_codec": audio_codec,
-            "track_count": track_count, "brand": brand}
+            "track_count": track_count, "brand": brand,
+            "n_samples": n_samples, "n_keyframes": n_keyframes,
+            "keyframe_ts_ms": keyframe_ts_ms}
 
 
 def parse_webm_meta(blob: bytes) -> dict:
@@ -263,11 +328,14 @@ def parse_webm_meta(blob: bytes) -> dict:
     dur = info.duration_ms
     if dur is None and info.frames:
         dur = max(t for t, _k, _p in info.frames)
+    kf = [t for t, k, _p in info.frames if k]
     return {"container": "webm", "duration_ms": dur,
             "width": info.track.width if info.track else None,
             "height": info.track.height if info.track else None,
             "video_codec": info.track.codec_id if info.track else None,
-            "track_count": 1 if info.track else 0}
+            "track_count": 1 if info.track else 0,
+            "n_samples": len(info.frames), "n_keyframes": len(kf),
+            "keyframe_ts_ms": kf}
 
 
 def parse_container_metadata(blob: bytes) -> dict:
@@ -296,6 +364,9 @@ CONTAINER_META_SCHEMA = StructType([
     StructField("audio_codec", StringType()),
     StructField("track_count", IntegerType()),
     StructField("brand", StringType()),
+    StructField("n_samples", IntegerType()),
+    StructField("n_keyframes", IntegerType()),
+    StructField("keyframe_ts_ms", ArrayType(LongType())),
 ])
 
 _META_COLS = [f.name for f in CONTAINER_META_SCHEMA.fields[1:]]

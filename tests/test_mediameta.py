@@ -213,7 +213,10 @@ def test_mp4_v0_and_v1_and_largesize():
     assert m == {"container": "mp4", "duration_ms": 3003 * 1000 // 600,
                  "width": 640, "height": 360, "video_codec": "avc1",
                  "audio_codec": "mp4a", "track_count": 2,
-                 "brand": "isom"}
+                 "brand": "isom",
+                 # no stts in this trak -> sample-table fields null
+                 "n_samples": None, "n_keyframes": None,
+                 "keyframe_ts_ms": None}
     # 64-bit duration via version-1 mvhd inside a largesize moov,
     # version-1 tkhd layout
     v1 = trak(b"vide", b"hev1", 1920, 1080, tkhd_version=1)
@@ -269,3 +272,95 @@ def test_routing_and_webm(spark):
     plan = extract_container_metadata(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+# --- mp4 sample tables (r7: keyframes without decode) ----------------
+
+def _trak_with_samples(stts, stss, mts, mdhd_version=0,
+                       fourcc=b"avc1"):
+    hdlr = box(b"hdlr", bytes(8) + b"vide" + bytes(13))
+    entry = struct.pack(">I", 16) + fourcc + bytes(8)
+    stbl = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+    stbl += box(b"stts", bytes(4) + struct.pack(">I", len(stts))
+                + b"".join(struct.pack(">II", c, d) for c, d in stts))
+    if stss is not None:
+        stbl += box(b"stss", bytes(4) + struct.pack(">I", len(stss))
+                    + b"".join(struct.pack(">I", n) for n in stss))
+    if mdhd_version:
+        mh = bytes([1, 0, 0, 0]) + struct.pack(">QQIQ", 0, 0, mts, 0) \
+            + bytes(4)
+    else:
+        mh = bytes([0, 0, 0, 0]) + struct.pack(">IIII", 0, 0, mts, 0) \
+            + bytes(4)
+    mdia = box(b"mdia", box(b"mdhd", mh) + hdlr
+               + box(b"minf", box(b"stbl", stbl)))
+    return box(b"trak", tkhd(64, 48) + mdia)
+
+
+def _expect_keyframes(stts, stss, mts):
+    """Naive full expansion — deliberately a different algorithm than
+    the module's run-length walker."""
+    deltas = [d for c, d in stts for _ in range(c)]
+    dts = [0]
+    for d in deltas[:-1]:
+        dts.append(dts[-1] + d)
+    syncs = stss if stss is not None else range(1, len(deltas) + 1)
+    return (len(deltas), len(syncs),
+            [dts[n - 1] * 1000 // mts for n in syncs])
+
+
+def test_mp4_keyframes_hand_computed():
+    # Multi-run NTSC deltas, explicit sync table, v1 mdhd.
+    stts, stss, mts = [(10, 1001), (5, 3003)], [1, 4, 11, 15], 30000
+    m = parse_mp4(mp4_blob(
+        600, 15 * 600,
+        traks=_trak_with_samples(stts, stss, mts, mdhd_version=1)))
+    assert (m["n_samples"], m["n_keyframes"]) == (15, 4)
+    assert m["keyframe_ts_ms"] == [0, 100, 333, 734]
+    # Absent stss -> every sample is a sync sample (spec rule).
+    m2 = parse_mp4(mp4_blob(
+        1000, 2000, traks=_trak_with_samples([(4, 500)], None, 1000)))
+    assert (m2["n_samples"], m2["n_keyframes"]) == (4, 4)
+    assert m2["keyframe_ts_ms"] == [0, 500, 1000, 1500]
+    # The MEDIA timescale governs, not the movie timescale.
+    m3 = parse_mp4(mp4_blob(
+        999999, 1, traks=_trak_with_samples([(2, 48000)], [2], 48000)))
+    assert m3["keyframe_ts_ms"] == [1000]
+
+
+def test_mp4_keyframes_malformed():
+    # stss sample number beyond the stts total.
+    bad = mp4_blob(600, 600,
+                   traks=_trak_with_samples([(3, 100)], [5], 1000))
+    with pytest.raises(ValueError, match="out of range"):
+        parse_mp4(bad)
+    # stts entry count overrunning its box.
+    t = _trak_with_samples([(3, 100)], None, 1000)
+    with pytest.raises(ValueError, match="stts"):
+        parse_mp4(mp4_blob(600, 600, traks=t.replace(
+            b"stts" + bytes(4) + struct.pack(">I", 1),
+            b"stts" + bytes(4) + struct.pack(">I", 99), 1)))
+
+
+def test_mp4_keyframes_property_vs_naive_expansion():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def run(data):
+        stts = data.draw(st.lists(
+            st.tuples(st.integers(1, 20), st.integers(0, 10**6)),
+            min_size=1, max_size=6))
+        n = sum(c for c, _ in stts)
+        use_stss = data.draw(st.booleans())
+        stss = (sorted(data.draw(st.sets(st.integers(1, n), min_size=1,
+                                         max_size=min(n, 10))))
+                if use_stss else None)
+        mts = data.draw(st.sampled_from([1, 600, 1000, 30000, 90000]))
+        m = parse_mp4(mp4_blob(
+            600, 600, traks=_trak_with_samples(stts, stss, mts)))
+        exp = _expect_keyframes(stts, stss, mts)
+        assert (m["n_samples"], m["n_keyframes"],
+                m["keyframe_ts_ms"]) == exp
+
+    run()

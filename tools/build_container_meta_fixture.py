@@ -111,7 +111,8 @@ def mvhd(timescale: int, duration: int, version: int = 0) -> bytes:
 
 
 def trak(handler: bytes, fourcc: bytes, width: int = 0, height: int = 0,
-         tkhd_version: int = 0) -> bytes:
+         tkhd_version: int = 0, stts=None, stss=None,
+         mdhd_timescale: int = 0, mdhd_version: int = 0) -> bytes:
     if tkhd_version:
         tk = bytes([1, 0, 0, 7]) + bytes(80)
     else:
@@ -119,9 +120,46 @@ def trak(handler: bytes, fourcc: bytes, width: int = 0, height: int = 0,
     tk += struct.pack(">II", width << 16, height << 16)
     hdlr = box(b"hdlr", bytes(8) + handler + bytes(13))
     entry = struct.pack(">I", 16) + fourcc + bytes(8)
-    stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
-    mdia = box(b"mdia", hdlr + box(b"minf", box(b"stbl", stsd)))
+    stbl = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+    mdia_head = hdlr
+    if stts is not None:
+        # §8.6.1.2 TimeToSampleBox: (sample_count, sample_delta) runs.
+        stbl += box(b"stts", bytes([0, 0, 0, 0])
+                    + struct.pack(">I", len(stts))
+                    + b"".join(struct.pack(">II", c, d)
+                               for c, d in stts))
+        if stss is not None:
+            # §8.6.2 SyncSampleBox: 1-based sync sample numbers;
+            # omitted entirely when every sample is sync.
+            stbl += box(b"stss", bytes([0, 0, 0, 0])
+                        + struct.pack(">I", len(stss))
+                        + b"".join(struct.pack(">I", n) for n in stss))
+        # §8.4.2 MediaHeaderBox carries the MEDIA timescale the sample
+        # deltas are expressed in (distinct from the movie timescale).
+        if mdhd_version:
+            mh = bytes([1, 0, 0, 0]) + struct.pack(
+                ">QQIQ", 0, 0, mdhd_timescale, 0) + bytes(4)
+        else:
+            mh = bytes([0, 0, 0, 0]) + struct.pack(
+                ">IIII", 0, 0, mdhd_timescale, 0) + bytes(4)
+        mdia_head = box(b"mdhd", mh) + hdlr
+    mdia = box(b"mdia", mdia_head + box(b"minf", box(b"stbl", stbl)))
     return box(b"trak", box(b"tkhd", tk) + mdia)
+
+
+def keyframe_expect(stts, stss, mdhd_timescale):
+    """Expected (n_samples, n_keyframes, keyframe_ts_ms) by FULL
+    expansion of the stts run-length table — deliberately a different
+    algorithm than any parser might use. Spec arithmetic: decode time
+    of sample n (1-based) is the sum of the first n-1 deltas, floored
+    to ms in the MEDIA timescale; no stss means every sample is sync."""
+    deltas = [d for c, d in stts for _ in range(c)]
+    dts = [0]
+    for d in deltas[:-1]:
+        dts.append(dts[-1] + d)
+    syncs = stss if stss is not None else range(1, len(deltas) + 1)
+    ts = [dts[n - 1] * 1000 // mdhd_timescale for n in syncs]
+    return len(deltas), len(ts), ts
 
 
 def mp4_blob(brand: bytes, timescale: int, duration: int, *,
@@ -168,6 +206,29 @@ def main() -> None:
                          large_moov=True, traks=(v1,)))
     rows.append(mp4_blob(b"isom", 1000, 7500, traks=(a,)))
 
+    # -- two MP4 movies with sample tables (r7): keyframe timestamps
+    #    from stts/stss alone, no bitstream decode --
+    stts_a = [(10, 1001), (5, 3003)]      # NTSC mixed-rate runs
+    stss_a = [1, 4, 11, 15]
+    va = (trak(b"vide", b"avc1", 1280, 720, stts=stts_a, stss=stss_a,
+               mdhd_timescale=30000, mdhd_version=1),
+          "vide", "avc1", 1280, 720)
+    exp_a = keyframe_expect(stts_a, stss_a, 30000)
+    b4, e4 = mp4_blob(b"isom", 600, 15 * 600, traks=(va,))
+    e4.update(n_samples=exp_a[0], n_keyframes=exp_a[1],
+              keyframe_ts_ms=exp_a[2])
+    rows.append((b4, e4))
+
+    stts_b = [(4, 500)]                   # all-sync: stss omitted
+    vb = (trak(b"vide", b"vp09", 320, 180, stts=stts_b, stss=None,
+               mdhd_timescale=1000),
+          "vide", "vp09", 320, 180)
+    exp_b = keyframe_expect(stts_b, None, 1000)
+    b5, e5 = mp4_blob(b"mp42", 1000, 2000, traks=(vb,))
+    e5.update(n_samples=exp_b[0], n_keyframes=exp_b[1],
+              keyframe_ts_ms=exp_b[2])
+    rows.append((b5, e5))
+
     # -- one WebM (blob via the repo muxer; expectations are the
     #    construction parameters, not a parse) --
     from json_time_series_extractor_spark.operators.webm import (
@@ -176,20 +237,32 @@ def main() -> None:
                 for _ in range(3)]
     delays = [250, 400, 350]
     webm = encode_webm_vp8(payloads, 48, 32, delays_ms=delays)
+    # Keyframe expectations from the construction parameters: the
+    # muxer stamps every SimpleBlock keyframe (flag 0x80) and clusters
+    # start at the cumulative delay prefix sums.
+    kf_ts = [0]
+    for d in delays[:-1]:
+        kf_ts.append(kf_ts[-1] + d)
     rows.append((webm, {"container": "webm",
                         "duration_ms": sum(delays),
                         "width": 48, "height": 32,
-                        "video_codec": "V_VP8", "track_count": 1}))
+                        "video_codec": "V_VP8", "track_count": 1,
+                        "n_samples": len(payloads),
+                        "n_keyframes": len(payloads),
+                        "keyframe_ts_ms": kf_ts}))
 
     cols = ["container", "duration_ms", "sample_rate", "bitrate_kbps",
             "n_frames", "vbr", "width", "height", "video_codec",
-            "audio_codec", "track_count", "brand"]
+            "audio_codec", "track_count", "brand", "n_samples",
+            "n_keyframes", "keyframe_ts_ms"]
     types = {"container": pa.string(), "duration_ms": pa.int64(),
              "sample_rate": pa.int32(), "bitrate_kbps": pa.int32(),
              "n_frames": pa.int32(), "vbr": pa.bool_(),
              "width": pa.int32(), "height": pa.int32(),
              "video_codec": pa.string(), "audio_codec": pa.string(),
-             "track_count": pa.int32(), "brand": pa.string()}
+             "track_count": pa.int32(), "brand": pa.string(),
+             "n_samples": pa.int32(), "n_keyframes": pa.int32(),
+             "keyframe_ts_ms": pa.list_(pa.int64())}
     table = pa.table(
         {"media_id": pa.array(range(len(rows)), pa.int64()),
          "media": pa.array([r[0] for r in rows], pa.binary()),
