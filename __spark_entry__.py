@@ -761,6 +761,63 @@ def _oracle_streaming_cm() -> str:
         series_expr="event_type")
 
 
+def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom membership tier under a FULL-VALUE oracle (r7),
+    completing the streaming sketch family (rollup/histogram/t-digest/
+    HLL/CM/Bloom): the bit rows a live watermarked micro-batch run
+    emits are exactly SQL-recomputable (md5hi bit hashes, power-of-two
+    masking, set-union merge), so the oracle rebuilds the whole bit
+    matrix from the raw events and every streamed row must match
+    bit-for-bit. Same harness shape as q_streaming_cm: on-time file,
+    late file inside the 2h watermark, far-future '_flush' sentinel."""
+    import os as _os
+    import shutil
+    from datetime import timedelta
+
+    from json_time_series_extractor_spark.streaming.stream import (
+        streaming_bloom)
+
+    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          .select(F.col("event_type").alias("series_key"), "ts",
+                  F.col("user_id").cast("string").alias("key")))
+    tag = "".join(c if c.isalnum() else "_"
+                  for c in _os.path.basename(sf_dir.rstrip("/")))
+    base = f"/tmp/jtse_stream_bloom_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    on_time = ev.where("pmod(hash(series_key, ts), 5) != 0")
+    late = ev.where("pmod(hash(series_key, ts), 5) = 0")
+    flush_ts = ev.agg(F.max("ts")).first()[0] + timedelta(days=365)
+    flush = spark.createDataFrame(
+        [("_flush", flush_ts, "k")],
+        "series_key string, ts timestamp, key string")
+    on_time.coalesce(1).write.parquet(base + "/src/f1")
+    late.unionByName(flush).coalesce(1).write.parquet(base + "/src/f2")
+
+    stream = (spark.readStream
+              .schema("series_key string, ts timestamp, key string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(base + "/src/*"))
+    sink = f"bloom_stream_oracle_{tag}"
+    q = (streaming_bloom(stream, tier="1 hour", watermark="2 hours")
+         .writeStream.outputMode("append").format("memory")
+         .queryName(sink)
+         .option("checkpointLocation", base + "/ckpt").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink).localCheckpoint(eager=True)
+
+
+def _oracle_streaming_bloom() -> str:
+    from json_time_series_extractor_spark.operators.bloom import (
+        bloom_registers_oracle_sql)
+
+    return bloom_registers_oracle_sql(
+        "events", key_expr="CAST(user_id AS VARCHAR)",
+        series_expr="event_type")
+
+
 def q_streaming_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained streaming-to-streaming tier cascade (round-6) under the
     SAME full-value oracle as the batch ``rollup_1h_cascade`` row: one
@@ -2680,6 +2737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_frequency": q_cm_frequency,
         "streaming_hll": q_streaming_hll,
         "streaming_cm": q_streaming_cm,
+        "streaming_bloom": q_streaming_bloom,
         "streaming_cascade": q_streaming_cascade,
         "bloom_membership": q_bloom_membership,
         "rollup_histogram": q_rollup_histogram,
@@ -2885,6 +2943,7 @@ GROUP BY 1, 2
         "cm_frequency": _oracle_cm_frequency(),
         "streaming_hll": _oracle_streaming_hll(),
         "streaming_cm": _oracle_streaming_cm(),
+        "streaming_bloom": _oracle_streaming_bloom(),
         "streaming_cascade": _ORACLE_ROLLUP_TIER.format(unit="hour"),
         "bloom_membership": _oracle_bloom_membership(),
         "counter_rate": """

@@ -279,3 +279,40 @@ def streaming_cm(sample_stream: DataFrame,
                    "cm_row", "cm_bucket", "cnt"))
     return out.withColumn(
         "cnt", _stamp_params(F.col("cnt"), depth, width))
+
+def streaming_bloom(sample_stream: DataFrame,
+                    tier: str = "1 hour",
+                    watermark: str = "10 minutes",
+                    key_col: str = "key",
+                    k: int = 4, m: int = 1 << 16) -> DataFrame:
+    """Watermarked streaming version of ``bloom.bloom_rollup``: live
+    membership bit rows per closed (series, window) — "was key X seen
+    this hour", probe-able the moment the window closes; completes the
+    streaming sketch family (rollup/histogram/t-digest/HLL/CM/Bloom).
+
+    The k bit positions explode STATELESSLY before the watermarked
+    aggregate, then ONE built-in streaming aggregate per (series,
+    window, bit) — the group's entire state is its existence, so late
+    rows within the watermark merge by set-union exactly like the
+    batch ``bloom_cascade``. Bit positions come from the SAME
+    ``_bloom_bit`` expressions as the batch tier, so streamed bit rows
+    are definitionally identical to batch bit rows over the same rows,
+    and ``bloom_cascade`` / ``bloom_probe`` / ``bloom_prefilter``
+    consume them unchanged (``bloom_probe``'s parameter stamp
+    included).
+    """
+    from json_time_series_extractor_spark.operators.bloom import (
+        _bloom_bit, _check_params, _stamp_params)
+
+    _check_params(k, m)
+    key = F.col(key_col)
+    bits = F.array(*[_bloom_bit(key, j, m) for j in range(k)])
+    out = (sample_stream
+           .where(key.isNotNull())
+           .withWatermark("ts", watermark)
+           .select("series_key", "ts", F.explode(bits).alias("bit"))
+           .groupBy("series_key", F.window("ts", tier), "bit")
+           .agg(F.count(F.lit(1)).alias("_n"))
+           .select("series_key",
+                   F.col("window.start").alias("bucket_ts"), "bit"))
+    return out.withColumn("bit", _stamp_params(F.col("bit"), k, m))

@@ -1001,3 +1001,52 @@ def test_streaming_rollup_tiers_matches_batch_cascade(spark, tmp_path):
     assert streamed.count() == batch.count() > 0
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_streaming_bloom_matches_batch(spark, tmp_path):
+    """Streamed Bloom bit rows equal batch bloom_rollup bit rows on
+    closed windows (same _bloom_bit expressions, set-union-merged late
+    rows), and feed bloom_probe unchanged — no false negatives on
+    present keys."""
+    from datetime import datetime, timedelta
+
+    from json_time_series_extractor_spark.operators.bloom import (
+        bloom_probe, bloom_rollup)
+    from json_time_series_extractor_spark.streaming.stream import (
+        streaming_bloom)
+
+    rows = [("s", datetime(2024, 1, 1, 0, m % 60), f"u{m % 29}")
+            for m in range(300)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, key string")
+    on_time = df.where("pmod(hash(key), 4) != 0")
+    late = df.where("pmod(hash(key), 4) = 0")
+    flush = spark.createDataFrame(
+        [("_flush", datetime(2024, 1, 1, 0) + timedelta(days=30), "k")],
+        "series_key string, ts timestamp, key string")
+    src = str(tmp_path / "src")
+    on_time.coalesce(1).write.parquet(src + "/f1")
+    late.unionByName(flush).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (spark.readStream
+              .schema("series_key string, ts timestamp, key string")
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+    q = (streaming_bloom(stream, tier="1 hour", watermark="2 hours")
+         .writeStream.outputMode("append").format("memory")
+         .queryName("bloom_stream_test")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.table("bloom_stream_test") \
+        .localCheckpoint(eager=True)
+    batch = bloom_rollup(df, "1 hour", key_col="key")
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    # Probe off the streamed bits: every present key must flag.
+    keys = df.select("series_key",
+                     F.date_trunc("hour", "ts").alias("bucket_ts"),
+                     "key").distinct()
+    probed = bloom_probe(streamed, keys).collect()
+    assert probed and all(r["maybe_present"] for r in probed)
