@@ -70,7 +70,8 @@ def _build_parser() -> argparse.ArgumentParser:
                       choices=["dedup-exact", "dedup-minhash",
                                "sample-fraction", "sample-per-group",
                                "neardup-components", "url-dedup",
-                               "dedup-paragraphs", "dup-ngram-stats"])
+                               "dedup-paragraphs", "dup-ngram-stats",
+                               "token-count-bpe"])
     corp.add_argument("--fraction", type=float, default=0.1,
                       help="sample-fraction: keep probability")
     corp.add_argument("--group-col", default="lang")
@@ -97,6 +98,12 @@ def _build_parser() -> argparse.ArgumentParser:
                       help="dedup-paragraphs: separator (escapes decoded)")
     corp.add_argument("--ngram-n", type=int, default=8,
                       help="dup-ngram-stats: window length in tokens")
+    corp.add_argument("--bpe-merges", type=int, default=200,
+                      help="token-count-bpe: max learned merges")
+    corp.add_argument("--bpe-max-vocab", type=int, default=65536,
+                      help="token-count-bpe: training-vocab truncation "
+                           "(top-N words by freq desc, word asc — the "
+                           "bounded driver collect)")
 
     pipe = sub.add_parser("pipeline", help="run the resumable pipeline")
     pipe.add_argument("--input", required=True,
@@ -390,6 +397,12 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
         from json_time_series_extractor_spark.operators.dedup import (
             duplicate_ngram_stats)
         out = duplicate_ngram_stats(docs, n=args.ngram_n)
+    elif args.op == "token-count-bpe":
+        from json_time_series_extractor_spark.operators.bpe import (
+            bpe_token_counts, bpe_train)
+        merges = bpe_train(docs, num_merges=args.bpe_merges,
+                           max_vocab=args.bpe_max_vocab)
+        out = bpe_token_counts(docs, merges)
     elif args.op == "sample-fraction":
         out = deterministic_sample(docs, args.fraction, seed=args.seed)
     elif args.op == "sample-per-group":

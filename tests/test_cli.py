@@ -293,3 +293,39 @@ def test_corpus_subcommand_r5_ops(spark, tmp_path):
     assert ru["rows_out"] == 5              # 5 hosts -> 5 canonicals
     u = spark.read.parquet(ru["output"]).collect()
     assert all(r["canonical_url"].startswith("http://h") for r in u)
+
+
+def test_corpus_subcommand_token_count_bpe(spark, tmp_path):
+    """Round-7 corpus CLI op: corpus-trained BPE token counts — one row
+    per doc, learned subword count bounded by [n_words, n_chars]."""
+    import argparse
+
+    from json_time_series_extractor_spark.cli import run_corpus
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    ns = argparse.Namespace(
+        input=src, output=str(tmp_path / "bpe1"), op="token-count-bpe",
+        fraction=0.1, group_col="lang", per_group_n=20, threshold=0.5,
+        num_hashes=32, bands=16, seed=7,
+        components_algorithm="minlabel", url_col="url",
+        paragraph_sep="\\n\\n", ngram_n=4, bpe_merges=100,
+        bpe_max_vocab=1000)
+    r = run_corpus(spark, ns)
+    assert r["rows_out"] == r["rows_in"]
+    out = spark.read.parquet(r["output"])
+    assert set(out.columns) == {"doc_id", "n_words",
+                                "n_tokens_bpe_learned"}
+    # Learned subwords: at least one per word, at most one per char —
+    # and on this recurring-word corpus the merges actually bite
+    # (strictly fewer subwords than characters overall).
+    from pyspark.sql import functions as F
+    joined = out.join(
+        spark.read.parquet(src).select(
+            "doc_id", F.length("text").alias("n_chars")), "doc_id")
+    bad = joined.where(
+        (F.col("n_tokens_bpe_learned") < F.col("n_words"))
+        | (F.col("n_tokens_bpe_learned") > F.col("n_chars"))).count()
+    assert bad == 0
+    tot = joined.agg(F.sum("n_tokens_bpe_learned").alias("t"),
+                     F.sum("n_chars").alias("c")).first()
+    assert tot["t"] < tot["c"]
