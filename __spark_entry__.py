@@ -818,6 +818,83 @@ def _oracle_streaming_bloom() -> str:
         series_expr="event_type")
 
 
+def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV distinct-sketch tier under a FULL-VALUE oracle
+    (r7): the min-k-distinct-hash sketches a live micro-batch run of
+    the CUSTOM-STATE operator (applyInPandasWithState — min-k is an
+    order statistic no built-in watermarked aggregate expresses with
+    bounded state) emits are exactly SQL-recomputable: item hashes are
+    the batch kmv_hash60 expression computed JVM-side BEFORE the
+    stateful boundary, so the oracle rebuilds every sketch from raw
+    events and each streamed (series, hour, kmv) row must match
+    bit-for-bit.
+
+    Harness: two files split at the global median ts (cross-file
+    per-series bucket order — the operator's append contract), plus
+    one far-future flush row PER SERIES (custom state closes a bucket
+    on the series' own next event, unlike the watermark-driven
+    tiers)."""
+    import os as _os
+    import shutil
+    from datetime import timedelta
+
+    from json_time_series_extractor_spark.streaming.stateful import (
+        stateful_kmv)
+
+    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          .select(F.col("event_type").alias("series_key"), "ts",
+                  F.col("user_id").cast("string").alias("key")))
+    tag = "".join(c if c.isalnum() else "_"
+                  for c in _os.path.basename(sf_dir.rstrip("/")))
+    base = f"/tmp/jtse_stream_kmv_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    flush = (ev.select("series_key").distinct()
+             .select("series_key",
+                     F.lit(hi + timedelta(days=365)).alias("ts"),
+                     F.lit("x").alias("key")))
+    ev.where(F.col("ts") < mid).coalesce(1) \
+        .write.parquet(base + "/src/f1")
+    ev.where(F.col("ts") >= mid).unionByName(flush).coalesce(1) \
+        .write.parquet(base + "/src/f2")
+
+    stream = (spark.readStream
+              .schema("series_key string, ts timestamp, key string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(base + "/src/*"))
+    sink = f"kmv_stream_oracle_{tag}"
+    q = (stateful_kmv(stream, tier_seconds=3600, k=128)
+         .writeStream.outputMode("append").format("memory")
+         .queryName(sink)
+         .option("checkpointLocation", base + "/ckpt").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(sink).localCheckpoint(eager=True)
+    # Sketch arrays stringify for the type-strict compare (the
+    # kmv_retention convention: list vs ndarray kinds differ across
+    # engines even when values match).
+    return out.select(
+        "series_key", "bucket_ts",
+        F.concat_ws(",", F.col("kmv").cast("array<string>"))
+        .alias("kmv_csv"),
+        F.size("kmv").cast("long").alias("n_kmv"))
+
+
+def _oracle_streaming_kmv() -> str:
+    from json_time_series_extractor_spark.operators.kmv import (
+        kmv_oracle_sql)
+
+    sql = kmv_oracle_sql(
+        "events", unit="hour", series_expr="event_type",
+        item_expr="CAST(user_id AS VARCHAR)", k=128)
+    return (f"SELECT series_key, bucket_ts, "
+            f"array_to_string(kmv, ',') AS kmv_csv, "
+            f"CAST(len(kmv) AS BIGINT) AS n_kmv FROM ({sql})")
+
+
 def q_streaming_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained streaming-to-streaming tier cascade (round-6) under the
     SAME full-value oracle as the batch ``rollup_1h_cascade`` row: one
@@ -2738,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll": q_streaming_hll,
         "streaming_cm": q_streaming_cm,
         "streaming_bloom": q_streaming_bloom,
+        "streaming_kmv": q_streaming_kmv,
         "streaming_cascade": q_streaming_cascade,
         "bloom_membership": q_bloom_membership,
         "rollup_histogram": q_rollup_histogram,
@@ -2944,6 +3022,7 @@ GROUP BY 1, 2
         "streaming_hll": _oracle_streaming_hll(),
         "streaming_cm": _oracle_streaming_cm(),
         "streaming_bloom": _oracle_streaming_bloom(),
+        "streaming_kmv": _oracle_streaming_kmv(),
         "streaming_cascade": _ORACLE_ROLLUP_TIER.format(unit="hour"),
         "bloom_membership": _oracle_bloom_membership(),
         "counter_rate": """

@@ -368,3 +368,110 @@ def stateful_locf(rollup_stream: DataFrame, interval_seconds: int = 60,
                 stateStructType=STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+#: Output schema of the stateful KMV sketch tier.
+KMV_OUT_SCHEMA = "series_key string, bucket_ts timestamp, kmv array<long>"
+#: State: the open bucket (epoch micros) + its sorted min-k hash array.
+KMV_STATE_SCHEMA = "bucket_us long, hashes array<long>"
+
+
+def _kmv_update(key: Tuple[str],
+                pdfs: Iterable[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+    from bisect import bisect_left, insort
+
+    rows = _gather(pdfs)
+    if rows.empty:  # timeout tick or all-empty batch: state untouched
+        yield pd.DataFrame({
+            "series_key": pd.Series([], dtype="object"),
+            "bucket_ts": pd.Series([], dtype="datetime64[ns]"),
+            "kmv": pd.Series([], dtype="object"),
+        })
+        return
+    k = int(rows["k"].iloc[0])
+    tier_us = int(rows["tier_s"].iloc[0]) * 1_000_000
+    if state.exists:
+        bucket_us, hashes = state.get
+        hashes = list(hashes)
+    else:
+        bucket_us, hashes = None, []
+    rows = rows.dropna(subset=["ts_us"]).sort_values("ts_us")
+    closed = []
+    for ts_us, h in zip(rows["ts_us"].astype("int64"),
+                        rows["h"].astype("int64")):
+        b = int(ts_us) - int(ts_us) % tier_us
+        if bucket_us is None:
+            bucket_us = b
+        elif b > bucket_us:
+            closed.append((bucket_us, hashes))
+            bucket_us, hashes = b, []
+        elif b < bucket_us:
+            continue  # dead-letter: bucket already emitted (append mode)
+        h = int(h)
+        # sorted-distinct insert, capped at the k smallest
+        i = bisect_left(hashes, h)
+        if i < len(hashes) and hashes[i] == h:
+            continue
+        if len(hashes) < k:
+            insort(hashes, h)
+        elif h < hashes[-1]:
+            hashes.pop()
+            insort(hashes, h)
+    state.update((bucket_us, hashes))
+    yield pd.DataFrame({
+        "series_key": pd.Series([key[0]] * len(closed), dtype="object"),
+        "bucket_ts": pd.to_datetime(
+            pd.Series([c[0] for c in closed], dtype="int64"), unit="us"),
+        "kmv": pd.Series([c[1] for c in closed], dtype="object"),
+    })
+
+
+def stateful_kmv(sample_stream: DataFrame, tier_seconds: int = 3600,
+                 k: int = 128, item_col: str = "key") -> DataFrame:
+    """Streaming KMV distinct sketch tier (see ``operators.kmv`` for
+    the batch semantics and the set-algebra consumers) — the one
+    sketch whose streaming build needs CUSTOM ordered state: min-k
+    selection is an order statistic, not a commutative built-in
+    aggregate the watermarked tiers (HLL/CM/Bloom) get for free, so a
+    built-in formulation would carry the full distinct-hash set (exact-
+    distinct state, defeating the sketch).
+
+    Item hashes are computed JVM-side with the SAME ``kmv_hash60``
+    expression as the batch tier BEFORE the stateful boundary, so
+    streamed sketches are definitionally batch sketches; Python only
+    maintains the k-smallest-distinct invariant (state per series is
+    ONE open bucket + <=k longs). A bucket's sketch is emitted exactly
+    once, when a later sample closes it (append mode); samples for
+    already-closed buckets are dead-lettered like the other stateful
+    operators. Emitted rows feed ``kmv_cascade`` / ``kmv_estimate`` /
+    ``kmv_set_ops`` unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    from json_time_series_extractor_spark.operators.kmv import kmv_hash60
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    tz = sample_stream.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            f"stateful_kmv requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r})")
+
+    prepared = (sample_stream
+                .where(F.col(item_col).isNotNull())
+                .select("series_key",
+                        F.unix_micros(F.col("ts").cast("timestamp"))
+                        .alias("ts_us"),
+                        kmv_hash60(F.col(item_col)).alias("h"),
+                        F.lit(int(k)).alias("k"),
+                        F.lit(int(tier_seconds)).alias("tier_s")))
+    return (prepared
+            .groupBy("series_key")
+            .applyInPandasWithState(
+                _kmv_update,
+                outputStructType=KMV_OUT_SCHEMA,
+                stateStructType=KMV_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

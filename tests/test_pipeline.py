@@ -1050,3 +1050,60 @@ def test_streaming_bloom_matches_batch(spark, tmp_path):
                      "key").distinct()
     probed = bloom_probe(streamed, keys).collect()
     assert probed and all(r["maybe_present"] for r in probed)
+
+
+def test_stateful_kmv_matches_batch_on_closed_buckets(spark, tmp_path):
+    """Streamed KMV sketches equal batch kmv_rollup sketches on closed
+    buckets — bit-for-bit, including across micro-batch boundaries —
+    and feed kmv_estimate unchanged (exact-below-k on small buckets)."""
+    from datetime import datetime, timedelta
+
+    from json_time_series_extractor_spark.operators.kmv import (
+        kmv_estimate, kmv_rollup)
+    from json_time_series_extractor_spark.streaming.stateful import (
+        stateful_kmv)
+
+    k = 8  # small k so min-k selection (not exactness) is exercised
+    rows = [("s", datetime(2024, 1, 1, 0, 0) + timedelta(minutes=m),
+             f"u{(m * 7) % 41}") for m in range(240)] \
+        + [("t", datetime(2024, 1, 1, 0, 0) + timedelta(minutes=m),
+            f"v{m % 3}") for m in range(120)]  # below-k series
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, key string")
+    flush = spark.createDataFrame(
+        [("s", datetime(2024, 2, 1), "x"), ("t", datetime(2024, 2, 1), "x")],
+        "series_key string, ts timestamp, key string")
+    # Two in-order files split at minute 90 — MID-bucket for hour 1 —
+    # so the open-bucket state must carry partial hashes across the
+    # micro-batch boundary to reproduce the batch sketch.
+    f1 = df.where("ts < timestamp'2024-01-01 01:30:00'")
+    f2 = df.exceptAll(f1).unionByName(flush)
+    src = str(tmp_path / "src")
+    f1.coalesce(1).write.parquet(src + "/f1")
+    f2.coalesce(1).write.parquet(src + "/f2")
+
+    stream = (spark.readStream
+              .schema("series_key string, ts timestamp, key string")
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+    q = (stateful_kmv(stream, tier_seconds=3600, k=k)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("kmv_stream_test")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {(r.series_key, r.bucket_ts): list(r.kmv)
+                for r in spark.table("kmv_stream_test").collect()}
+    batch = {(r.series_key, r.bucket_ts): list(r.kmv)
+             for r in kmv_rollup(df, "1 hour", k,
+                                 key_col="series_key",
+                                 item_col="key").collect()}
+    assert streamed == batch  # bit-for-bit, all 4+2 real windows closed
+    assert len(streamed) == 6
+    # exact-below-k: series "t" has 3 distinct keys < k=8
+    est = (spark.table("kmv_stream_test")
+           .select("series_key", "bucket_ts",
+                   kmv_estimate(F.col("kmv"), k).alias("ndv")))
+    for r in est.where("series_key = 't'").collect():
+        assert r["ndv"] == 3.0
