@@ -2774,6 +2774,23 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         floor=0.4)
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (r7) graded by recall@10 vs the exact
+    top-10: per-subspace k-means codebooks (deterministic hash-ordered
+    sample + seeded k-means++), 8-byte codes, ADC lookup-table scan
+    with batch-local top-R under a strict total order (partition-
+    invariant), exact cosine re-rank of Q x R survivors. Uniform
+    random embeddings are PQ's WORST case (no cluster structure to
+    quantize) — measures 0.6-1.0 per query at sf0.01/sf0.1; the
+    oracle asserts recall >= 0.4, the IVF floor."""
+    from json_time_series_extractor_spark.operators.pq import pq_topk
+
+    return _ann_recall_ok(
+        spark, sf_dir,
+        lambda emb, q: pq_topk(emb, q, k=10),
+        floor=0.4)
+
+
 def q_chunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla chunk compression round-trip: the oracle is the original
     event stream itself — decode(encode(x)) must equal x bit-exactly."""
@@ -2874,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "chunk_roundtrip": q_chunk_roundtrip,
     }
 
@@ -3580,6 +3598,10 @@ SELECT vec_id AS query_id, true AS recall_ok FROM embeddings
 WHERE vec_id < 5
 """,
         "ann_ivf_topk": """
+SELECT vec_id AS query_id, true AS recall_ok FROM embeddings
+WHERE vec_id < 5
+""",
+        "ann_pq_topk": """
 SELECT vec_id AS query_id, true AS recall_ok FROM embeddings
 WHERE vec_id < 5
 """,

@@ -153,8 +153,8 @@ def run_benchmarks() -> None:
     # Q x N cross join inside its first timed repeat — the r5 driver
     # sweep recorded a 3.5x phantom spike on ann_ivf_topk this way.
     _only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    if not _only or {"ann_lsh_topk", "ann_ivf_topk"} & set(
-            _only.split(",")):
+    if not _only or {"ann_lsh_topk", "ann_ivf_topk",
+                     "ann_pq_topk"} & set(_only.split(",")):
         entry._exact_topk_baseline(spark, SF_DIR)
         entry._exact_topk_baseline(spark, WARM_SF_DIR)
     for name in ["extract_flat", "extract_fixed", "extract_ts_raw",
@@ -190,7 +190,7 @@ def run_benchmarks() -> None:
                  "media_real_decode", "media_real_audio", "media_real_frames",
                  "media_conformance", "media_container_meta",
                  "cosine_scores", "ann_topk", "ann_lsh_topk",
-                 "ann_ivf_topk"]:
+                 "ann_ivf_topk", "ann_pq_topk"]:
         timed(name,
               lambda n=name: queries[n](spark, SF_DIR)
               .write.format("noop").mode("overwrite").save(),
@@ -236,6 +236,11 @@ def run_benchmarks() -> None:
           lambda: _noop(ivf_topk(_emb(SF_DIR), _q(_emb(SF_DIR)), k=10)),
           warm=lambda: _noop(ivf_topk(_emb(WARM_SF_DIR),
                                       _q(_emb(WARM_SF_DIR)), k=10)))
+    from json_time_series_extractor_spark.operators.pq import pq_topk
+    timed("ann_pq_topk_default",
+          lambda: _noop(pq_topk(_emb(SF_DIR), _q(_emb(SF_DIR)), k=10)),
+          warm=lambda: _noop(pq_topk(_emb(WARM_SF_DIR),
+                                     _q(_emb(WARM_SF_DIR)), k=10)))
     timed("embedding_neardup_lsh_default",
           lambda: _noop(embedding_neardup_pairs(
               _emb(SF_DIR), threshold=0.4, use_lsh=True)),
