@@ -1554,6 +1554,41 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quant6(out, "smoothed", "trend")
 
 
+def _holt_seasonal_oracle() -> str:
+    from json_time_series_extractor_spark.operators.smoothing import (
+        holt_seasonal_oracle_sql)
+
+    return holt_seasonal_oracle_sql(
+        "SELECT event_type AS series_key, ts FROM events "
+        "WHERE value IS NOT NULL", "hour", 0.3, 0.1, 0.2, 24)
+
+
+def q_holt_winters_seasonal(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Additive TRIPLE exponential smoothing (r7): level + trend + a
+    24-bucket daily seasonal cycle over the 1h traffic tier — the full
+    Holt-Winters method the double-only PromQL analog stops short of.
+    Same determinism design as holt_winters (fixed IEEE op shapes,
+    pre-computed complement literals, lookahead-free seed at i=period)
+    extended with per-step seasonal state; the oracle's recursive CTE
+    carries the 24 seasonal components as a LIST column and replays
+    bit-for-bit after fixed-point quantization."""
+    from json_time_series_extractor_spark.operators.smoothing import (
+        holt_winters_seasonal)
+
+    r1h = rollup(_event_samples(spark, sf_dir), "1 hour")
+    out = holt_winters_seasonal(
+        r1h.select("series_key", "bucket_ts", "count"),
+        0.3, 0.1, 0.2, 24)
+    out = out.select(
+        "series_key", "bucket_ts", "v",
+        F.coalesce(F.col("level"), F.lit(-9.0e9)).alias("level"),
+        F.coalesce(F.col("trend"), F.lit(-9.0e9)).alias("trend"),
+        F.coalesce(F.col("season"), F.lit(-9.0e9)).alias("season"),
+        "scored")
+    return _quant6(out, "level", "trend", "season")
+
+
 #: KMV sketch size for the retention query.
 _KMV_K = 128
 
@@ -2841,6 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_retention": q_kmv_retention,
         "anomaly_zscore": q_anomaly_zscore,
         "holt_winters": q_holt_winters,
+        "holt_winters_seasonal": q_holt_winters_seasonal,
         "absent_buckets": q_absent_buckets,
         "absent_buckets_partitioned": q_absent_buckets_partitioned,
         "exemplars": q_exemplars,
@@ -2985,6 +3021,7 @@ GROUP BY 1, 2
         "holt_winters": holt_oracle_sql(
             "SELECT event_type AS series_key, ts FROM events "
             "WHERE value IS NOT NULL", "hour", 0.3, 0.1),
+        "holt_winters_seasonal": _holt_seasonal_oracle(),
         "pii_redact": _pii_oracle_sql(),
         "top_k_series": """
 WITH c AS (

@@ -165,6 +165,7 @@ def run_benchmarks() -> None:
                  "rolling_over_time",
                  "rollup_histogram", "histogram_quantile",
                  "linear_trend", "anomaly_zscore", "holt_winters",
+                 "holt_winters_seasonal",
                  "absent_buckets", "absent_buckets_partitioned",
                  "exemplars", "quantile_over_time",
                  "distinct_over_time", "frequency_over_time",

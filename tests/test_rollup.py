@@ -1552,3 +1552,53 @@ def test_bloom_tier_cascade_probe_and_prefilter(spark):
         kept_dups.select(*new.columns)).count() == 0
     # and the prefilter really prunes the fresh-key majority
     assert true_dups.count() <= kept.count() < new.count()
+
+
+def test_holt_winters_seasonal_hand_computed(spark):
+    """Triple smoothing (r7): seed at i=period, per-step seasonal
+    state, replayed by hand; short series unscored; validation."""
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.smoothing import (
+        holt_winters_seasonal)
+
+    p, sf, tf, gf = 3, 0.5, 0.25, 0.5
+    vals = [10, 16, 13, 11, 17, 14, 40]  # period-3 pattern + a spike
+    rows = [("a", datetime(2024, 1, 1, h), c)
+            for h, c in enumerate(vals)] \
+        + [("b", datetime(2024, 1, 1, 0), 7),
+           ("b", datetime(2024, 1, 1, 1), 9)]  # shorter than period
+    df = spark.createDataFrame(
+        rows, "series_key string, bucket_ts timestamp, count long")
+    out = {(r.series_key, r.bucket_ts.hour):
+           (r.level, r.trend, r.season, r.scored)
+           for r in holt_winters_seasonal(
+               df, sf, tf, gf, p).collect()}
+
+    # Independent replay with the documented op shapes.
+    csf, ctf, cgf = 1 - sf, 1 - tf, 1 - gf
+    level = float(vals[p - 1])
+    tr = (vals[p - 1] - vals[0]) / (p - 1)
+    seasons = [float(v) - vals[p - 1] for v in vals[:p]]
+    expect = {p - 1: (level, tr, 0.0)}
+    for i in range(p, len(vals)):
+        s_old = seasons[i - p]
+        nl = sf * (vals[i] - s_old) + csf * (level + tr)
+        tr = tf * (nl - level) + ctf * tr
+        s = gf * (vals[i] - nl) + cgf * s_old
+        seasons.append(s)
+        level = nl
+        expect[i] = (level, tr, s)
+    for h, (lv, t, s) in expect.items():
+        got = out[("a", h)]
+        assert got[3] is True
+        assert abs(got[0] - lv) < 1e-12 and abs(got[1] - t) < 1e-12 \
+            and abs(got[2] - s) < 1e-12
+    for h in range(p - 1):  # pre-seed rows unscored
+        assert out[("a", h)] == (None, None, None, False)
+    assert out[("b", 0)] == (None, None, None, False)
+    assert out[("b", 1)] == (None, None, None, False)
+    with _pytest.raises(ValueError, match="period"):
+        holt_winters_seasonal(df, period=1)
+    with _pytest.raises(ValueError, match="factors"):
+        holt_winters_seasonal(df, gf=1.5)
