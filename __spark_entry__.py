@@ -552,6 +552,43 @@ def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rate", F.col("increase") / F.lit(3600.0))
 
 
+def q_rate_extrapolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL's EXACT rate()/increase() boundary extrapolation (r7),
+    per 1h bucket — the documented Prometheus extrapolatedRate
+    algorithm (edge-gap extension capped at 1.1x the mean sample
+    spacing, counter zero clamp) over in-window reset-aware pairs.
+    FULL value: every step is a fixed IEEE shape over exact
+    microsecond integers and parquet doubles, so the oracle replays
+    inc/extrapolated/rate bit-for-bit before quantization; <2-sample
+    buckets emit scored=false like PromQL emits no point."""
+    from json_time_series_extractor_spark.operators.rate import (
+        rate_extrapolated)
+
+    out = rate_extrapolated(_event_samples(spark, sf_dir), "1 hour")
+    out = out.select(
+        "series_key", "bucket_ts", "n_samples",
+        F.coalesce(F.col("inc"), F.lit(-9.0e9)).alias("inc"),
+        F.coalesce(F.col("extrapolated"), F.lit(-9.0e9))
+        .alias("extrapolated"),
+        F.coalesce(F.col("rate"), F.lit(-9.0e9)).alias("rate"),
+        "scored")
+    return _quant6(out, "inc", "extrapolated", "rate")
+
+
+def _oracle_rate_extrapolated() -> str:
+    from json_time_series_extractor_spark.operators.rate import (
+        rate_extrapolated_oracle_sql)
+
+    sql = rate_extrapolated_oracle_sql(
+        "SELECT event_type AS series_key, ts, value AS v FROM events",
+        "hour", 3600)
+    q = ("CAST(floor(COALESCE({c}, -9.0e9) * 1000000 + 0.5) AS BIGINT) "
+         "AS {c}")
+    return (f"SELECT series_key, bucket_ts, n_samples, "
+            f"{q.format(c='inc')}, {q.format(c='extrapolated')}, "
+            f"{q.format(c='rate')}, scored FROM ({sql})")
+
+
 def q_counter_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL family completion (round-5, +changes() r6): resets()
     (restart count, segment-partitioned plan), changes() (adjacent
@@ -2858,6 +2895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_1h": q_hll_distinct_1h,
         "streaming_tdigest": q_streaming_tdigest,
         "counter_rate": q_counter_rate,
+        "rate_extrapolated": q_rate_extrapolated,
         "counter_analytics": q_counter_analytics,
         "downsample_lttb": q_downsample_lttb,
         "interval_join": q_interval_join,
@@ -3080,6 +3118,7 @@ GROUP BY 1, 2
         "streaming_kmv": _oracle_streaming_kmv(),
         "streaming_cascade": _ORACLE_ROLLUP_TIER.format(unit="hour"),
         "bloom_membership": _oracle_bloom_membership(),
+        "rate_extrapolated": _oracle_rate_extrapolated(),
         "counter_rate": """
 WITH d AS (
     SELECT event_type AS series_key, ts, value,

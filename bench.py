@@ -161,7 +161,8 @@ def run_benchmarks() -> None:
                  "rollup_1m",
                  "rollup_1h_cascade", "rollup_1d_salted",
                  "rollup_percentiles", "rollup_tdigest", "counter_rate",
-                 "counter_analytics", "downsample_lttb", "interval_join",
+                 "counter_analytics", "rate_extrapolated",
+                 "downsample_lttb", "interval_join",
                  "rolling_over_time",
                  "rollup_histogram", "histogram_quantile",
                  "linear_trend", "anomaly_zscore", "holt_winters",

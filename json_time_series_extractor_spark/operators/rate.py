@@ -266,3 +266,143 @@ def counter_irate(
     irate = F.when(F.col("_p").isNotNull() & (dt > 0), dv / dt)
     return agg.select("series_key", "bucket_ts",
                       irate.alias("irate"), "n_samples")
+
+def rate_extrapolated(
+    samples: DataFrame,
+    tier: str = "1 hour",
+    *,
+    key_col: str = "series_key",
+    ts_col: str = "ts",
+    value_col: str = "value_double",
+) -> DataFrame:
+    """PromQL's EXACT ``rate()``/``increase()`` boundary extrapolation,
+    per tumbling bucket (the per-bucket analog of Prometheus
+    ``promql/functions.go:extrapolatedRate`` — public source): the raw
+    in-window increase under-counts whenever samples do not land
+    exactly on the window edges, so Prometheus extrapolates it over
+    the uncovered edge gaps:
+
+        ds  = firstT - window_start      de = window_end - lastT
+        si  = lastT - firstT             avg = si / (n - 1)
+        ds  = min(ds, si * firstV / inc)     [counter zero clamp,
+                                              when inc > 0, firstV >= 0]
+        add ds if ds < 1.1*avg else avg/2; same for de
+        extrapolated = inc * ((si + ds' + de') / si)
+
+    Only IN-WINDOW sample pairs contribute to ``inc`` (reset-aware,
+    the PromQL contract — a bucket's first sample pairs with nothing),
+    and buckets with < 2 samples emit NULL/scored=false exactly like
+    PromQL returns no point. Every step is a fixed IEEE shape over
+    exact microsecond integers / parquet doubles, so the SQL oracle
+    replays the full value.
+
+    Output: (series_key, bucket_ts, n_samples, inc, extrapolated,
+    rate, scored); ``rate`` divides by the tier seconds.
+
+    Scale shape: one lag window per (series, BUCKET) — partitions are
+    bucket-sized, never whole-series — plus one hash aggregate.
+    """
+    tier_s = float(_interval_seconds(tier))
+    v = F.col(value_col)
+    s = samples.where(v.isNotNull()).select(
+        F.col(key_col).alias("series_key"),
+        _bucket(ts_col, tier).alias("bucket_ts"),
+        (F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6))
+        .alias("_t"),
+        v.cast("double").alias("_v"))
+    w = Window.partitionBy("series_key", "bucket_ts") \
+        .orderBy("_t", "_v")
+    d = s.withColumn("_pv", F.lag("_v").over(w))
+    contrib = F.when(F.col("_pv").isNull(), F.lit(0.0)) \
+        .when(F.col("_v") - F.col("_pv") >= 0,
+              F.col("_v") - F.col("_pv")) \
+        .otherwise(F.col("_v"))
+    g = (d.groupBy("series_key", "bucket_ts")
+         .agg(F.count(F.lit(1)).alias("n_samples"),
+              F.sum(contrib).alias("inc"),
+              F.min("_t").alias("_t0"),
+              F.max("_t").alias("_t1"),
+              F.min(F.struct(F.col("_t").alias("t"),
+                             F.col("_v").alias("v")))["v"].alias("_v0")))
+    start = (F.unix_micros(F.col("bucket_ts").cast("timestamp"))
+             / F.lit(1e6))
+    si = F.col("_t1") - F.col("_t0")
+    ds = F.col("_t0") - start
+    de = (start + F.lit(tier_s)) - F.col("_t1")
+    avg = si / (F.col("n_samples") - F.lit(1)).cast("double")
+    thr = avg * F.lit(1.1)
+    dz = si * (F.col("_v0") / F.col("inc"))
+    ds2 = F.when((F.col("inc") > 0) & (F.col("_v0") >= 0) & (dz < ds),
+                 dz).otherwise(ds)
+    dsx = F.when(ds2 < thr, ds2).otherwise(avg / F.lit(2.0))
+    dex = F.when(de < thr, de).otherwise(avg / F.lit(2.0))
+    ok = (F.col("n_samples") >= 2) & (si > 0)
+    extrap = F.col("inc") * ((si + dsx + dex) / si)
+    return g.select(
+        "series_key", "bucket_ts", "n_samples",
+        F.when(ok, F.col("inc")).alias("inc"),
+        F.when(ok, extrap).alias("extrapolated"),
+        F.when(ok, extrap / F.lit(tier_s)).alias("rate"),
+        ok.alias("scored"))
+
+
+def rate_extrapolated_oracle_sql(samples_sql: str, unit: str,
+                                 tier_seconds: int) -> str:
+    """DuckDB replay of :func:`rate_extrapolated`: identical window
+    pairing, tie-break, clamp order and IEEE op shapes. Kept beside
+    the implementation so both stay in sync."""
+    t = float(tier_seconds)
+    return f"""
+WITH s AS (
+    SELECT series_key,
+           date_trunc('{unit}', ts) AS bucket_ts,
+           epoch_us(ts) / 1e6 AS t, CAST(v AS DOUBLE) AS v
+    FROM ({samples_sql}) WHERE v IS NOT NULL),
+d AS (
+    SELECT *, lag(v) OVER (PARTITION BY series_key, bucket_ts
+                           ORDER BY t, v) AS pv
+    FROM s),
+g AS (
+    SELECT series_key, bucket_ts,
+           count(*) AS n_samples,
+           sum(CASE WHEN pv IS NULL THEN 0.0
+                    WHEN v - pv >= 0 THEN v - pv
+                    ELSE v END) AS inc,
+           min(t) AS t0, max(t) AS t1,
+           first(v ORDER BY t, v) AS v0
+    FROM d GROUP BY 1, 2),
+e AS (
+    SELECT *,
+           epoch_us(bucket_ts) / 1e6 AS st,
+           t1 - t0 AS si,
+           (t1 - t0) / CAST(n_samples - 1 AS DOUBLE) AS avg
+    FROM g),
+f AS (
+    SELECT *,
+           t0 - st AS ds,
+           (st + CAST({t!r} AS DOUBLE)) - t1 AS de,
+           avg * CAST(1.1 AS DOUBLE) AS thr,
+           si * (v0 / inc) AS dz
+    FROM e),
+h AS (
+    SELECT *,
+           CASE WHEN inc > 0 AND v0 >= 0 AND si * (v0 / inc) < ds
+                THEN si * (v0 / inc) ELSE ds END AS ds2
+    FROM f),
+x AS (
+    SELECT *,
+           CASE WHEN ds2 < thr THEN ds2
+                ELSE avg / CAST(2.0 AS DOUBLE) END AS dsx,
+           CASE WHEN de < thr THEN de
+                ELSE avg / CAST(2.0 AS DOUBLE) END AS dex,
+           n_samples >= 2 AND si > 0 AS ok
+    FROM h)
+SELECT series_key, bucket_ts, CAST(n_samples AS BIGINT) AS n_samples,
+       CASE WHEN ok THEN inc END AS inc,
+       CASE WHEN ok THEN inc * ((si + dsx + dex) / si) END
+           AS extrapolated,
+       CASE WHEN ok THEN (inc * ((si + dsx + dex) / si))
+                         / CAST({t!r} AS DOUBLE) END AS rate,
+       ok AS scored
+FROM x
+"""

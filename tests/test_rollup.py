@@ -1602,3 +1602,71 @@ def test_holt_winters_seasonal_hand_computed(spark):
         holt_winters_seasonal(df, period=1)
     with _pytest.raises(ValueError, match="factors"):
         holt_winters_seasonal(df, gf=1.5)
+
+
+def test_rate_extrapolated_hand_computed(spark):
+    """PromQL extrapolatedRate per bucket (r7): independent replay of
+    the documented algorithm — edge-gap extension, the 1.1x-mean-
+    spacing cap, the counter zero clamp, resets, and <2-sample buckets
+    unscored."""
+    from datetime import timedelta
+
+    from json_time_series_extractor_spark.operators.rate import (
+        rate_extrapolated)
+
+    t0 = datetime(2024, 1, 1)
+
+    def S(mins, val, key="a"):
+        return (key, t0 + timedelta(minutes=mins), float(val))
+
+    rows = [
+        # bucket 0: dense samples at :10..:50 — edge gaps capped vs
+        # in-window spacing; one reset (40 -> 5).
+        S(10, 0), S(20, 10), S(30, 40), S(40, 5), S(50, 25),
+        # bucket 1: single sample -> unscored
+        S(70, 100),
+        # bucket 2: two samples hugging the start; large end gap gets
+        # the avg/2 treatment; small firstV triggers the zero clamp.
+        S(120, 1), S(125, 61),
+    ]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+    out = {r.bucket_ts.hour: (r.n_samples, r.inc, r.extrapolated,
+                              r.rate, r.scored)
+           for r in rate_extrapolated(df, "1 hour").collect()}
+
+    def replay(ts_vals, start, rng=3600.0):
+        ts_vals = sorted(ts_vals)
+        ts = [t for t, _ in ts_vals]
+        vs = [v for _, v in ts_vals]
+        inc = 0.0
+        for a, b in zip(vs, vs[1:]):
+            inc += (b - a) if b - a >= 0 else b
+        si = ts[-1] - ts[0]
+        ds, de = ts[0] - start, (start + rng) - ts[-1]
+        avg = si / (len(vs) - 1)
+        thr = avg * 1.1
+        if inc > 0 and vs[0] >= 0 and si * (vs[0] / inc) < ds:
+            ds = si * (vs[0] / inc)
+        dsx = ds if ds < thr else avg / 2.0
+        dex = de if de < thr else avg / 2.0
+        ex = inc * ((si + dsx + dex) / si)
+        return inc, ex, ex / rng
+
+    b0 = replay([(600, 0.0), (1200, 10.0), (1800, 40.0),
+                 (2400, 5.0), (3000, 25.0)], 0.0)
+    assert out[0][0] == 5 and out[0][4] is True
+    assert abs(out[0][1] - b0[0]) < 1e-9
+    assert abs(out[0][2] - b0[1]) < 1e-9
+    assert abs(out[0][3] - b0[2]) < 1e-9
+    # reset-aware increase: 10 + 30 + 5(reset) + 20 = 65
+    assert abs(out[0][1] - 65.0) < 1e-12
+
+    assert out[1] == (1, None, None, None, False)
+
+    b2 = replay([(7200, 1.0), (7500, 61.0)], 7200.0)
+    assert out[2][4] is True
+    assert abs(out[2][2] - b2[1]) < 1e-9
+    # the end gap (3300s) exceeded thr (330s) -> avg/2 (150s) added,
+    # and the zero clamp bound the start side: extrapolated < inc * 2
+    assert out[2][2] < out[2][1] * 2
