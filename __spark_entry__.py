@@ -1223,6 +1223,27 @@ def _oracle_downsample_lttb() -> str:
                            ts_col="ts", value_col="value")
 
 
+def q_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visualization aggregation (Jugel et al. VLDB'14): the four
+    pixel-defining samples (first/last by time, min/max by value) per
+    (series, 1h bucket) in ONE mergeable hash aggregate. FULL value
+    check: the oracle replays the same four lexicographic picks via
+    row_number orderings; values pass through unaccumulated so no
+    quantization is involved anywhere."""
+    from json_time_series_extractor_spark.operators.downsample import (
+        downsample_m4)
+
+    return downsample_m4(_event_samples(spark, sf_dir), "1 hour")
+
+
+def _oracle_downsample_m4() -> str:
+    from json_time_series_extractor_spark.operators.downsample import (
+        m4_oracle_sql)
+
+    return m4_oracle_sql("events", series_expr="event_type",
+                         ts_col="ts", value_col="value")
+
+
 #: Explicit histogram bounds for the events value distribution (0-561).
 _HIST_BOUNDS = (1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0, 200.0, 500.0)
 
@@ -2898,6 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_extrapolated": q_rate_extrapolated,
         "counter_analytics": q_counter_analytics,
         "downsample_lttb": q_downsample_lttb,
+        "downsample_m4": q_downsample_m4,
         "interval_join": q_interval_join,
         "dup_ngram_stats": q_dup_ngram_stats,
         "rolling_over_time": q_rolling_over_time,
@@ -3108,6 +3130,7 @@ GROUP BY 1, 2
         # bounded-window decomposition correct, not just self-consistent.
         "counter_analytics": _ORACLE_COUNTER_ANALYTICS,
         "downsample_lttb": _oracle_downsample_lttb(),
+        "downsample_m4": _oracle_downsample_m4(),
         "interval_join": _ORACLE_INTERVAL_JOIN,
         "dup_ngram_stats": _ORACLE_DUP_NGRAM,
         "rolling_over_time": _ORACLE_ROLLING_OVER_TIME,

@@ -84,6 +84,85 @@ def downsample_lttb(samples: DataFrame, tier: str = "1 hour", *,
                        F.col("_s.v").alias("value"))
 
 
+def downsample_m4(samples: DataFrame, tier: str = "1 hour", *,
+                  key_col: str = "series_key", ts_col: str = "ts",
+                  value_col: str = "value_double") -> DataFrame:
+    """M4 visualization aggregation (Jugel et al., VLDB 2014): per
+    (series, tier bucket) keep the four pixel-defining samples — first,
+    last (by time) and min, max (by value) — which render a line chart
+    pixel-identically to the raw series at one bucket per pixel column.
+
+    Output: (series_key, bucket_ts, n, first_ts, first_v, min_ts, min_v,
+    max_ts, max_v, last_ts, last_v).
+
+    Determinism: every pick is a lexicographic struct min/max —
+    first/last order by (ts, value), min/max by (value, ts) — so exact
+    ties resolve identically in any engine and under any partitioning.
+    Values pass through untouched (no accumulation), so no quantization
+    is needed anywhere.
+
+    Scale shape: ONE hash aggregate on (series_key, bucket) with
+    map-side partial combine — the same first-shuffle profile as the
+    rollup tier, no windows over raw samples, no Python. The four picks
+    are min/max-mergeable, so M4 summaries re-aggregate exactly under
+    incremental/union refresh (unlike LTTB, which is not mergeable).
+    """
+    v = F.col(value_col)
+    s = samples.where(v.isNotNull()).select(
+        F.col(key_col).alias("series_key"),
+        F.col(ts_col).alias("_ts"), v.alias("_v"),
+        _bucket(ts_col, tier).alias("bucket_ts"))
+    t_then_v = F.struct(F.col("_ts").alias("t"), F.col("_v").alias("v"))
+    v_then_t = F.struct(F.col("_v").alias("v"), F.col("_ts").alias("t"))
+    agg = (s.groupBy("series_key", "bucket_ts")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.min(t_then_v).alias("_f"), F.max(t_then_v).alias("_l"),
+                F.min(v_then_t).alias("_lo"), F.max(v_then_t).alias("_hi")))
+    return agg.select(
+        "series_key", "bucket_ts", "n",
+        F.col("_f.t").alias("first_ts"), F.col("_f.v").alias("first_v"),
+        F.col("_lo.t").alias("min_ts"), F.col("_lo.v").alias("min_v"),
+        F.col("_hi.t").alias("max_ts"), F.col("_hi.v").alias("max_v"),
+        F.col("_l.t").alias("last_ts"), F.col("_l.v").alias("last_v"))
+
+
+def m4_oracle_sql(table: str, *, series_expr: str, ts_col: str,
+                  value_col: str, unit: str = "hour") -> str:
+    """DuckDB recomputation of :func:`downsample_m4` — the same four
+    lexicographic picks expressed as row_number orderings (DuckDB's
+    min/max over STRUCT is not guaranteed field-lexicographic, so the
+    oracle spells the ordering out). Kept beside the implementation so
+    they evolve together."""
+    return f"""
+WITH s AS (
+    SELECT {series_expr} AS series_key,
+           date_trunc('{unit}', {ts_col}) AS bucket_ts,
+           {ts_col} AS ts, {value_col} AS v
+    FROM {table} WHERE {value_col} IS NOT NULL),
+r AS (
+    SELECT series_key, bucket_ts, ts, v,
+           row_number() OVER (PARTITION BY series_key, bucket_ts
+                              ORDER BY ts, v) AS rf,
+           row_number() OVER (PARTITION BY series_key, bucket_ts
+                              ORDER BY ts DESC, v DESC) AS rl,
+           row_number() OVER (PARTITION BY series_key, bucket_ts
+                              ORDER BY v, ts) AS rlo,
+           row_number() OVER (PARTITION BY series_key, bucket_ts
+                              ORDER BY v DESC, ts DESC) AS rhi
+    FROM s)
+SELECT series_key, bucket_ts, count(*) AS n,
+       max(CASE WHEN rf = 1 THEN ts END) AS first_ts,
+       max(CASE WHEN rf = 1 THEN v END) AS first_v,
+       max(CASE WHEN rlo = 1 THEN ts END) AS min_ts,
+       max(CASE WHEN rlo = 1 THEN v END) AS min_v,
+       max(CASE WHEN rhi = 1 THEN ts END) AS max_ts,
+       max(CASE WHEN rhi = 1 THEN v END) AS max_v,
+       max(CASE WHEN rl = 1 THEN ts END) AS last_ts,
+       max(CASE WHEN rl = 1 THEN v END) AS last_v
+FROM r GROUP BY 1, 2
+"""
+
+
 def lttb_oracle_sql(table: str, *, series_expr: str, ts_col: str,
                     value_col: str, unit: str = "hour") -> str:
     """DuckDB recomputation of :func:`downsample_lttb` — same quantized

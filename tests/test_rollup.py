@@ -1217,6 +1217,62 @@ def test_downsample_lttb_plan_shape(spark):
     assert plan.count("Window") == 1
 
 
+def test_downsample_m4_picks_and_ties(spark):
+    """M4: first/last by (ts, value), min/max by (value, ts); exact
+    value ties resolve to the lexicographically smallest (min side) /
+    largest (max side) struct; single-sample buckets emit the same
+    sample in all four roles."""
+    from json_time_series_extractor_spark.operators.downsample import (
+        downsample_m4)
+
+    rows = [
+        # hour 0: distinct roles + a value tie at the minimum (7.0 at
+        # :10 and :40 -> min keeps the EARLIER ts, struct (v, ts) min)
+        ("a", datetime(2024, 1, 1, 0, 5), 20.0),    # first
+        ("a", datetime(2024, 1, 1, 0, 10), 7.0),    # min (tie, earlier)
+        ("a", datetime(2024, 1, 1, 0, 20), 90.0),   # max
+        ("a", datetime(2024, 1, 1, 0, 40), 7.0),    # min tie, later
+        ("a", datetime(2024, 1, 1, 0, 50), 30.0),   # last
+        # hour 1: a single sample fills every role
+        ("a", datetime(2024, 1, 1, 1, 15), 42.0),
+        # NULL values are excluded before bucketing
+        ("a", datetime(2024, 1, 1, 1, 30), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+    out = {r["bucket_ts"].hour: r for r in
+           downsample_m4(df, "1 hour").collect()}
+    h0 = out[0]
+    assert h0["n"] == 5
+    assert (h0["first_ts"], h0["first_v"]) == (
+        datetime(2024, 1, 1, 0, 5), 20.0)
+    assert (h0["min_ts"], h0["min_v"]) == (datetime(2024, 1, 1, 0, 10), 7.0)
+    assert (h0["max_ts"], h0["max_v"]) == (datetime(2024, 1, 1, 0, 20), 90.0)
+    assert (h0["last_ts"], h0["last_v"]) == (
+        datetime(2024, 1, 1, 0, 50), 30.0)
+    h1 = out[1]
+    assert h1["n"] == 1
+    assert ({h1["first_ts"], h1["min_ts"], h1["max_ts"], h1["last_ts"]}
+            == {datetime(2024, 1, 1, 1, 15)})
+    assert ({h1["first_v"], h1["min_v"], h1["max_v"], h1["last_v"]}
+            == {42.0})
+
+
+def test_downsample_m4_plan_shape(spark):
+    """M4 is ONE hash aggregate: no Python, no window operators at all
+    (unlike LTTB's bounded summary window)."""
+    from json_time_series_extractor_spark.operators.downsample import (
+        downsample_m4)
+
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1), 1.0)],
+        "series_key string, ts timestamp, value_double double")
+    plan = downsample_m4(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Python" not in plan
+    assert "Window" not in plan
+
+
 def test_interval_join_semantics_and_plan(spark):
     """Bucketed range join: inclusive bounds, multi-bucket intervals,
     overlapping intervals multiply, left keeps unmatched; and the plan
