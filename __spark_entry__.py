@@ -524,6 +524,39 @@ def q_rollup_1d_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         "1 day", salt_buckets=8))
 
 
+def q_rollup_incremental_refresh(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Continuous-aggregate invalidation + incremental refresh
+    (operators/refresh.py): ~5% of events (event_id % 20 = 7) arrive
+    LATE; the standing 1m tier built from the on-time 95% is refreshed
+    by merging the late batch's partial aggregates into only the dirty
+    buckets — the big tier side flows through broadcast anti/semi joins
+    only, never a shuffle. FULL value check: the oracle recomputes the
+    tier from ALL rows at once (exact int64 fixed-point sums,
+    lexicographic last), plus the refreshed flag from the same late
+    predicate — so a missed invalidation, double-counted sum, or lost
+    last-tie breaks the hash."""
+    from json_time_series_extractor_spark.operators.refresh import (
+        refresh_rollup, rollup_mergeable)
+
+    ev = _events(spark, sf_dir)
+    is_late = F.pmod(F.col("event_id"), F.lit(20)) == 7
+
+    def shape(df: DataFrame) -> DataFrame:
+        return df.select(F.col("event_type").alias("series_key"), "ts",
+                         F.col("value").alias("value_double"))
+
+    tier = rollup_mergeable(shape(ev.where(~is_late)), "1 minute")
+    return refresh_rollup(tier, shape(ev.where(is_late)), "1 minute")
+
+
+def _oracle_rollup_refresh() -> str:
+    from json_time_series_extractor_spark.operators.refresh import (
+        refresh_oracle_sql)
+
+    return refresh_oracle_sql("events", unit="minute")
+
+
 def q_top_k_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-day heavy hitters (top-3 series by sample count);
     integer counts make the ranking engine-exact, so rank is compared
@@ -2911,6 +2944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1m": q_rollup_1m,
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_salted": q_rollup_1d_salted,
+        "rollup_incremental_refresh": q_rollup_incremental_refresh,
         "rollup_percentiles": q_rollup_percentiles,
         "rollup_tdigest": q_rollup_tdigest,
         "hll_distinct_1h": q_hll_distinct_1h,
@@ -3040,6 +3074,7 @@ FROM base
         "rollup_1m": _ORACLE_ROLLUP_TIER.format(unit="minute"),
         "rollup_1h_cascade": _ORACLE_ROLLUP_TIER.format(unit="hour"),
         "rollup_1d_salted": _ORACLE_ROLLUP_TIER.format(unit="day"),
+        "rollup_incremental_refresh": _oracle_rollup_refresh(),
         "rollup_tdigest": _ORACLE_ROLLUP_TDIGEST,
         "hll_distinct_1h": _oracle_hll_distinct_1h(),
         "streaming_tdigest": _ORACLE_STREAMING_TDIGEST,

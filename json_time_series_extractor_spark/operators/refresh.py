@@ -1,0 +1,197 @@
+"""Incremental continuous-aggregate refresh with invalidation.
+
+TimescaleDB's continuous aggregates stay correct under late-arriving
+data through an *invalidation log*: late raw rows mark their (series,
+bucket) dirty, and a refresh recomputes ONLY the dirty buckets, merging
+them into the standing tier. This module is that engine re-expressed
+Spark-first, with one stronger property: because every tier statistic
+here is **exactly mergeable** (integer fixed-point sums, min/max,
+count, lexicographic-struct last), the refresh never has to touch raw
+history at all — it folds the late batch's partial aggregates into the
+existing tier rows and the result is bit-identical to a full recompute
+over (on-time ∪ late), regardless of how the data was split or
+partitioned.
+
+Exactness design (why ``sum`` is not a double): double sums are
+accumulation-order dependent, so ``sum(base) + sum(late)`` can differ
+from ``sum(all)`` by an ulp — fatal for an "equals full recompute"
+contract. Values are quantized to 1e-6 fixed point **per sample**
+(``floor(v * 1e6 + 0.5)`` as int64) and summed as integers: exact,
+associative, commutative, map-side combinable. int64 headroom: with
+|v| ≤ 1e9 the per-sample magnitude is ≤ 1e15, leaving ~9e3 such samples
+per bucket before overflow at the absolute worst case and ~1.8e13 for
+metric-scale values; Spark ANSI mode fails loudly on overflow rather
+than wrapping.
+
+Scale shape (the part that matters at 100 TB): the standing tier is
+huge; the late batch is tiny. The plan therefore never shuffles or
+rewrites the tier wholesale:
+
+- late batch → one partial aggregate (tiny: one row per dirty bucket);
+- ``existing ⟕anti broadcast(dirty-keys)`` — untouched tier rows pass
+  through with NO shuffle of the big side (broadcast anti join);
+- ``existing ⋉semi broadcast(dirty-keys)`` — the handful of tier rows
+  being revised (broadcast semi join);
+- touched-rows ⟗ late-partials is a join of two TINY frames, then a
+  column-wise merge.
+
+On a real deployment the union(untouched, merged) is a MERGE INTO the
+tier table with partition pruning on ``bucket_ts`` — only dirty
+partitions are rewritten; the anti/semi pair is the local-mode
+equivalent that keeps the same no-big-shuffle property.
+
+Reference anchor: the rolled-up points this tier carries are the ones
+the reference's extracted samples feed (TimeSeriesExtractor.cs sample
+stream); the refresh contract guarantees those points stay exact when
+web-crawl pages arrive out of order by days — the norm, not the
+exception, for WARC data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from json_time_series_extractor_spark.operators.rollup import _bucket
+
+#: Output schema (DDL) of :func:`rollup_mergeable` / :func:`refresh_rollup`
+#: minus the ``refreshed`` flag the refresh adds.
+MERGEABLE_SCHEMA = (
+    "series_key string, bucket_ts timestamp, min double, max double, "
+    "sum_fp6 bigint, cnt bigint, last double, last_ts timestamp"
+)
+
+_MERGE_COLS = ("min", "max", "sum_fp6", "cnt", "last", "last_ts")
+
+
+def _fp6(v: Column) -> Column:
+    return F.floor(v * 1e6 + F.lit(0.5)).cast("long")
+
+
+def rollup_mergeable(
+    samples: DataFrame,
+    tier: str = "1 minute",
+    *,
+    key_col: str = "series_key",
+    ts_col: str = "ts",
+    value_col: str = "value_double",
+) -> DataFrame:
+    """One tier of exactly-mergeable per-bucket state:
+    (series_key, bucket_ts, min, max, sum_fp6, cnt, last, last_ts).
+
+    ``sum_fp6`` is the int64 sum of 1e-6-quantized values (exact,
+    order-independent); ``last`` is the value at the lexicographic
+    (ts, value) maximum, so exact-timestamp ties are deterministic and
+    merge-stable. One hash aggregate, no Python, no windows.
+    """
+    v = F.col(value_col)
+    return (samples
+            .where(v.isNotNull())
+            .groupBy(F.col(key_col).alias("series_key"),
+                     _bucket(ts_col, tier).alias("bucket_ts"))
+            .agg(F.min(v).alias("min"),
+                 F.max(v).alias("max"),
+                 F.sum(_fp6(v)).alias("sum_fp6"),
+                 F.count(v).alias("cnt"),
+                 F.max(F.struct(F.col(ts_col).alias("t"), v.alias("v")))
+                 .alias("_l"))
+            .select("series_key", "bucket_ts", "min", "max", "sum_fp6",
+                    "cnt", F.col("_l.v").alias("last"),
+                    F.col("_l.t").alias("last_ts")))
+
+
+def invalidated_buckets(
+    late_samples: DataFrame,
+    tier: str = "1 minute",
+    *,
+    key_col: str = "series_key",
+    ts_col: str = "ts",
+    value_col: str = "value_double",
+) -> DataFrame:
+    """The invalidation log a late batch implies: the distinct
+    (series_key, bucket_ts) pairs whose tier rows are now stale."""
+    return (late_samples
+            .where(F.col(value_col).isNotNull())
+            .select(F.col(key_col).alias("series_key"),
+                    _bucket(ts_col, tier).alias("bucket_ts"))
+            .distinct())
+
+
+def refresh_rollup(
+    existing: DataFrame,
+    late_samples: DataFrame,
+    tier: str = "1 minute",
+    *,
+    key_col: str = "series_key",
+    ts_col: str = "ts",
+    value_col: str = "value_double",
+) -> DataFrame:
+    """Fold a late batch into a standing :func:`rollup_mergeable` tier.
+
+    Returns the refreshed tier plus a ``refreshed`` flag (true on every
+    bucket the late batch invalidated, including brand-new buckets).
+    Bit-identical to ``rollup_mergeable(on_time ∪ late)`` by
+    construction — every statistic merges exactly.
+
+    Plan shape: the big ``existing`` side flows only through broadcast
+    anti/semi joins (never shuffled); all real joins are between frames
+    no larger than the dirty-bucket count.
+    """
+    keys = ["series_key", "bucket_ts"]
+    late = rollup_mergeable(late_samples, tier, key_col=key_col,
+                            ts_col=ts_col, value_col=value_col)
+    dirty = F.broadcast(late.select(*keys))
+    untouched = (existing.join(dirty, keys, "left_anti")
+                 .withColumn("refreshed", F.lit(False)))
+    touched = existing.join(dirty, keys, "left_semi")
+    a, b = touched.alias("a"), late.alias("b")
+    # touched ⊆ dirty and late == dirty on keys, so a right-outer keeps
+    # exactly the dirty set (merged where the bucket existed, the late
+    # partial alone where it is new). Both sides are dirty-sized; a
+    # right-outer BroadcastHashJoin builds the LEFT side, so the hint
+    # goes on `a` (broadcasting `b` is unsupported for this join type).
+    j = F.broadcast(a).join(b, keys, "right_outer")
+    b_struct = F.struct(F.col("b.last_ts").alias("t"),
+                        F.col("b.last").alias("v"))
+    # a NULL left side surfaces as struct(NULL, NULL), whose ordering vs
+    # a real struct is engine lore — branch on it explicitly instead.
+    last_pick = F.when(F.col("a.last_ts").isNull(), b_struct).otherwise(
+        F.greatest(F.struct(F.col("a.last_ts").alias("t"),
+                            F.col("a.last").alias("v")), b_struct))
+    merged = j.select(
+        *keys,
+        F.least(F.col("a.min"), F.col("b.min")).alias("min"),
+        F.greatest(F.col("a.max"), F.col("b.max")).alias("max"),
+        (F.coalesce(F.col("a.sum_fp6"), F.lit(0))
+         + F.col("b.sum_fp6")).alias("sum_fp6"),
+        (F.coalesce(F.col("a.cnt"), F.lit(0)) + F.col("b.cnt")).alias("cnt"),
+        last_pick["v"].alias("last"),
+        last_pick["t"].alias("last_ts"),
+        F.lit(True).alias("refreshed"))
+    return untouched.unionByName(merged)
+
+
+def refresh_oracle_sql(table: str = "events", *, unit: str = "minute",
+                       series_expr: str = "event_type", ts_col: str = "ts",
+                       value_col: str = "value",
+                       late_pred: str = "event_id % 20 = 7") -> str:
+    """DuckDB ground truth for the refresh contract: the FULL recompute
+    over all rows (per-sample fixed-point sums, lexicographic last) with
+    ``refreshed`` derived from the same late-row predicate the Spark
+    query uses to split the batch. Any merge error — a bucket missed by
+    the invalidation log, a double-counted sum, a lost last — breaks
+    the hash."""
+    return f"""
+SELECT {series_expr} AS series_key,
+       date_trunc('{unit}', {ts_col}) AS bucket_ts,
+       min({value_col}) AS min,
+       max({value_col}) AS max,
+       CAST(sum(CAST(floor({value_col} * 1e6 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_fp6,
+       count({value_col}) AS cnt,
+       first({value_col} ORDER BY {ts_col} DESC, {value_col} DESC) AS last,
+       max({ts_col}) AS last_ts,
+       bool_or({late_pred}) AS refreshed
+FROM {table}
+WHERE {value_col} IS NOT NULL
+GROUP BY 1, 2
+"""

@@ -1178,6 +1178,79 @@ def test_holt_winters_hand_computed(spark):
         holt_winters(df, 0.3, 0.0)
 
 
+def test_refresh_rollup_equals_full_recompute(spark):
+    """Invalidation + merge == full recompute, bit-for-bit, across the
+    edge cases: revised buckets, brand-new buckets (late-only), exact
+    last-ts ties, and an untouched bucket that must pass through with
+    refreshed=false."""
+    from json_time_series_extractor_spark.operators.refresh import (
+        invalidated_buckets, refresh_rollup, rollup_mergeable)
+
+    schema = "series_key string, ts timestamp, value_double double"
+    on_time = spark.createDataFrame([
+        ("a", datetime(2024, 1, 1, 0, 0, 10), 2.0),
+        ("a", datetime(2024, 1, 1, 0, 0, 50), 8.0),   # revised bucket
+        ("a", datetime(2024, 1, 1, 0, 1, 5), 4.0),    # untouched bucket
+        ("b", datetime(2024, 1, 1, 0, 0, 30), 1.0),   # last-ts tie below
+    ], schema)
+    late = spark.createDataFrame([
+        ("a", datetime(2024, 1, 1, 0, 0, 55), 9.5),   # revises a@minute0
+        ("a", datetime(2024, 1, 1, 0, 2, 1), 7.0),    # NEW bucket
+        ("b", datetime(2024, 1, 1, 0, 0, 30), 3.0),   # exact ts tie
+        ("b", datetime(2024, 1, 1, 0, 0, 30), None),  # null: no-op
+    ], schema)
+
+    tier = rollup_mergeable(on_time, "1 minute")
+    refreshed = refresh_rollup(tier, late, "1 minute")
+    full = rollup_mergeable(on_time.unionByName(late), "1 minute")
+    got = {(r["series_key"], r["bucket_ts"]): r
+           for r in refreshed.collect()}
+    want = {(r["series_key"], r["bucket_ts"]): r for r in full.collect()}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        for c in ("min", "max", "sum_fp6", "cnt", "last", "last_ts"):
+            assert g[c] == w[c], (k, c, g[c], w[c])
+    # dirty flags: minute-0 of a (revised), minute-2 of a (new), and b
+    # (tie bucket) are refreshed; minute-1 of a is untouched
+    flags = {k: got[k]["refreshed"] for k in got}
+    m = datetime(2024, 1, 1, 0, 0)
+    assert flags[("a", m)] is True
+    assert flags[("a", datetime(2024, 1, 1, 0, 2))] is True
+    assert flags[("b", m)] is True
+    assert flags[("a", datetime(2024, 1, 1, 0, 1))] is False
+    # the exact-ts tie resolves to the larger value on both paths
+    assert got[("b", m)]["last"] == 3.0
+    # invalidation log matches the flagged set (null-value row excluded)
+    inv = {(r["series_key"], r["bucket_ts"])
+           for r in invalidated_buckets(late, "1 minute").collect()}
+    assert inv == {k for k, f in flags.items() if f}
+
+    # empty late batch: everything passes through, nothing flagged
+    empty = spark.createDataFrame([], schema)
+    out = refresh_rollup(tier, empty, "1 minute").collect()
+    assert len(out) == 3 and all(not r["refreshed"] for r in out)
+
+
+def test_refresh_rollup_plan_never_shuffles_the_tier(spark):
+    """The standing tier must only flow through broadcast joins: the
+    executed plan has no SortMergeJoin and no shuffle of the existing
+    side — the scale contract (tier is 100 TB, late batch is MBs)."""
+    from json_time_series_extractor_spark.operators.refresh import (
+        refresh_rollup, rollup_mergeable)
+
+    schema = "series_key string, ts timestamp, value_double double"
+    tier = rollup_mergeable(spark.createDataFrame(
+        [("a", datetime(2024, 1, 1), 1.0)], schema), "1 minute")
+    late = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1), 2.0)], schema)
+    plan = refresh_rollup(tier, late)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+    assert plan.count("BroadcastHashJoin") == 3  # anti, semi, right-outer
+
+
 def test_downsample_lttb_keeps_extremes_and_endpoints(spark):
     """LTTB (bucket-mean-anchor variant): first/last buckets keep the
     series' first/last samples; an interior bucket keeps its most
