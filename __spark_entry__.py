@@ -1999,6 +1999,31 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): docs with
+    doc_id % 19 = 3 stand in for the benchmark/eval set; every other
+    doc is scored by distinct word-8-gram overlap against the eval
+    set's broadcast gram set — one explode + broadcast left join + one
+    hash aggregate, no shuffle of corpus text. FULL value check: the
+    oracle re-tokenizes, re-shingles, re-splits and re-joins in SQL,
+    including the fixed-point hit fraction."""
+    from json_time_series_extractor_spark.operators.decontam import (
+        benchmark_contamination)
+
+    docs = _docs(spark, sf_dir)
+    is_eval = F.col("doc_id") % 19 == 3
+    return benchmark_contamination(docs.where(~is_eval),
+                                   docs.where(is_eval), n=8)
+
+
+def _oracle_decontaminate() -> str:
+    from json_time_series_extractor_spark.operators.decontam import (
+        contamination_oracle_sql)
+
+    return contamination_oracle_sql("documents", n=8,
+                                    eval_pred="doc_id % 19 = 3")
+
+
 def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace + BPE-ish regex variants (JVM-only)."""
     return with_token_counts(_docs(spark, sf_dir)).select(
@@ -2990,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_extract_rollup": q_pages_extract_rollup,
         "doc_token_count": q_doc_token_count,
         "doc_token_count_bpe": q_doc_token_count_bpe,
+        "decontaminate": q_decontaminate,
         "doc_quality": q_doc_quality,
         "doc_repetition": q_doc_repetition,
         "url_dedup": q_url_dedup,
@@ -3318,6 +3344,7 @@ SELECT doc_id,
 FROM documents
 """,
         "doc_token_count_bpe": _oracle_doc_token_count_bpe(),
+        "decontaminate": _oracle_decontaminate(),
         "doc_quality": """
 WITH m AS (
     SELECT doc_id,

@@ -2062,3 +2062,51 @@ def test_pq_topk_recall_and_determinism(spark):
                for r in codes)
     with _pytest.raises(ValueError, match="must divide"):
         pq_train(emb, m=7)
+
+
+def test_benchmark_contamination(spark, docs):
+    """Docs 1-3 (verbatim/casefold copies of eval doc 2) are fully
+    contaminated; doc 6 shares exactly the 3-grams of the common
+    9-token prefix; docs 4-5 are clean. Short docs (< n tokens) match
+    as whole strings."""
+    from json_time_series_extractor_spark.operators.decontam import (
+        benchmark_contamination)
+
+    ev = docs.where(F.col("doc_id") == 2)
+    tr = docs.where(F.col("doc_id") != 2)
+    out = {r.doc_id: r for r in
+           benchmark_contamination(tr, ev, n=3).collect()}
+    assert set(out) == {1, 3, 4, 5, 6}
+    # 12 tokens -> 10 trigrams, all distinct here
+    assert out[1].n_grams == 10 and out[1].n_hit == 10
+    assert out[1].contam_frac == 1000000 and out[1].contaminated
+    assert out[3].n_hit == 10          # casefold normalizes
+    assert out[4].n_hit == 0 and not out[4].contaminated
+    assert out[5].n_hit == 0
+    # doc 6 differs only in the last token: every trigram except the
+    # final "and the bird" matches -> 9 of 10
+    assert out[6].n_grams == 10 and out[6].n_hit == 9
+    assert out[6].contam_frac == 900000 and out[6].contaminated
+
+    # whole-string fallback for docs shorter than n
+    short_tr = spark.createDataFrame(
+        [(10, "tiny doc"), (11, "other doc")], "doc_id long, text string")
+    short_ev = spark.createDataFrame(
+        [(99, "TINY   doc")], "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           benchmark_contamination(short_tr, short_ev, n=5).collect()}
+    assert got[10].contaminated and got[10].n_grams == 1
+    assert not got[11].contaminated
+
+
+def test_benchmark_contamination_plan_shape(spark, docs):
+    """Corpus side never shuffles its text: broadcast join + final hash
+    aggregate only, no SortMergeJoin, no Python."""
+    from json_time_series_extractor_spark.operators.decontam import (
+        benchmark_contamination)
+
+    plan = benchmark_contamination(
+        docs, docs.limit(1))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
