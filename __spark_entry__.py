@@ -2952,6 +2952,23 @@ def q_chunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = compress_chunks(samples, "1 day")
     return decompress_chunks(chunks)
 
+
+def q_chunk_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map-pruned chunk scan (operators/chunks.py
+    scan_chunks_pruned): chunks carry (ts_min, ts_max, v_min, v_max)
+    stats; a value >= 200 range query (~1/3 of chunks pruned
+    at sf0.01) prunes on v_max BEFORE the Python decode, so non-qualifying chunks never cross the Arrow boundary
+    (and on a parquet chunk table never leave the scan). FULL value
+    check: the oracle is the plain SQL filter over the raw events —
+    any false-negative prune (a dropped qualifying sample) or decode
+    drift breaks the hash."""
+    from json_time_series_extractor_spark.operators.chunks import (
+        scan_chunks_pruned)
+
+    samples = _event_samples(spark, sf_dir)
+    chunks = compress_chunks(samples, "1 day")
+    return scan_chunks_pruned(chunks, value_lo=200.0)
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3049,6 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "chunk_roundtrip": q_chunk_roundtrip,
+        "chunk_pruned_scan": q_chunk_pruned_scan,
     }
 
 
@@ -3768,6 +3786,10 @@ WHERE vec_id < 5
 """,
         "chunk_roundtrip": """
 SELECT event_type AS series_key, ts, value AS value_double FROM events
+""",
+        "chunk_pruned_scan": """
+SELECT event_type AS series_key, ts, value AS value_double
+FROM events WHERE value >= 200.0
 """,
     }
     # The star variant must land on the SAME clustering as min-label.

@@ -23,6 +23,7 @@ from json_time_series_extractor_spark.core import gorilla
 
 CHUNK_SCHEMA = (
     "series_key string, chunk_start timestamp, n int, "
+    "ts_min timestamp, ts_max timestamp, v_min double, v_max double, "
     "ts_blob binary, val_blob binary"
 )
 
@@ -38,6 +39,10 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         "series_key": [pdf["series_key"].iloc[0]],
         "chunk_start": [pdf["chunk_start"].iloc[0]],
         "n": [len(pdf)],
+        "ts_min": [pdf["ts"].iloc[0]],
+        "ts_max": [pdf["ts"].iloc[-1]],
+        "v_min": [float(values.min())],
+        "v_max": [float(values.max())],
         "ts_blob": [ts_blob],
         "val_blob": [val_blob],
     })
@@ -77,6 +82,47 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         "ts": pd.Series(np.concatenate(tss)).astype("datetime64[us]"),
         "value_double": np.concatenate(vals),
     })
+
+
+def scan_chunks_pruned(chunks: DataFrame, *,
+                       value_lo: float | None = None,
+                       value_hi: float | None = None,
+                       ts_lo=None, ts_hi=None) -> DataFrame:
+    """Zone-map-pruned chunk scan: decode only the chunks whose
+    [v_min, v_max] × [ts_min, ts_max] envelope can intersect the
+    requested value/time range, then apply the exact residual filter
+    to the decoded samples (zone maps admit false positives, never
+    false negatives). Bounds are inclusive; a ``None`` bound is open.
+
+    Scale shape: the zone-map predicate is a plain Column filter on the
+    chunk table's stats columns, so it sits BEFORE the Python decode in
+    the plan — pruned chunks never cross the Arrow boundary — and on a
+    parquet/Iceberg chunk table it also pushes down to the scan
+    (PushedFilters on ts_min/ts_max/v_min/v_max + partition pruning on
+    chunk_start), so pruned chunks are never even read. This is the
+    TSDB page-index trick (Gorilla §4.2's block index, parquet column
+    stats) applied to the engine's own chunk format.
+    """
+    pruned = chunks
+    if value_lo is not None:
+        pruned = pruned.where(F.col("v_max") >= value_lo)
+    if value_hi is not None:
+        pruned = pruned.where(F.col("v_min") <= value_hi)
+    if ts_lo is not None:
+        pruned = pruned.where(F.col("ts_max") >= ts_lo)
+    if ts_hi is not None:
+        pruned = pruned.where(F.col("ts_min") <= ts_hi)
+    out = decompress_chunks(pruned)
+    v, t = F.col("value_double"), F.col("ts")
+    if value_lo is not None:
+        out = out.where(v >= value_lo)
+    if value_hi is not None:
+        out = out.where(v <= value_hi)
+    if ts_lo is not None:
+        out = out.where(t >= ts_lo)
+    if ts_hi is not None:
+        out = out.where(t <= ts_hi)
+    return out
 
 
 def decompress_chunks(chunks: DataFrame) -> DataFrame:

@@ -96,3 +96,55 @@ def test_chunk_operator_roundtrip(spark):
         (r.series_key, r.ts, r.value_double)
         for r in decompress_chunks(chunks).collect())
     assert decoded == sorted(rows)
+
+def test_chunk_zone_maps_and_pruned_scan(spark):
+    from pyspark.sql import functions as F
+
+    from json_time_series_extractor_spark.operators.chunks import (
+        compress_chunks,
+        scan_chunks_pruned,
+    )
+
+    rows = (  # hour 0: low values; hour 1: high; hour 2: straddles 50
+        [("a", datetime(2024, 2, 5, 0, m), 10.0 + m) for m in range(5)]
+        + [("a", datetime(2024, 2, 5, 1, m), 90.0 + m) for m in range(5)]
+        + [("a", datetime(2024, 2, 5, 2, m), 48.0 + m) for m in range(5)])
+    samples = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+    chunks = compress_chunks(samples, "1 hour")
+
+    # zone maps match the per-chunk truth
+    stats = {r.chunk_start.hour: r for r in chunks.collect()}
+    assert (stats[0].v_min, stats[0].v_max) == (10.0, 14.0)
+    assert (stats[1].v_min, stats[1].v_max) == (90.0, 94.0)
+    assert stats[0].ts_min == datetime(2024, 2, 5, 0, 0)
+    assert stats[0].ts_max == datetime(2024, 2, 5, 0, 4)
+
+    # value pruning: only hours 1 and 2 can contain v >= 50; the
+    # straddling chunk is a partial false positive resolved by the
+    # residual filter
+    assert chunks.where(F.col("v_max") >= 50.0).count() == 2
+    got = sorted((r.ts, r.value_double) for r in
+                 scan_chunks_pruned(chunks, value_lo=50.0).collect())
+    want = sorted((t, v) for _, t, v in rows if v >= 50.0)
+    assert got == want
+
+    # band query (both bounds) and time-range pruning compose
+    got = sorted(r.value_double for r in scan_chunks_pruned(
+        chunks, value_lo=11.0, value_hi=91.0,
+        ts_lo=datetime(2024, 2, 5, 0, 1),
+        ts_hi=datetime(2024, 2, 5, 1, 1)).collect())
+    want = sorted(v for _, t, v in rows
+                  if 11.0 <= v <= 91.0
+                  and datetime(2024, 2, 5, 0, 1) <= t
+                  <= datetime(2024, 2, 5, 1, 1))
+    assert got == want
+
+    # an envelope hit with zero qualifying samples contributes nothing
+    assert scan_chunks_pruned(chunks, value_lo=94.5).count() == 0
+
+    # the prune is a Column filter BEFORE the Python decode: the plan
+    # filters the chunk frame, not only the decoded output
+    plan = scan_chunks_pruned(chunks, value_lo=50.0)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "v_max" in plan  # stats-column predicate present pre-decode
