@@ -1328,6 +1328,36 @@ def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                               *cols), *cols)
 
 
+def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24h-window Pearson r + population covariance between
+    series pairs (click~view, click~error) over aligned 1h per-bucket
+    last values (operators/correlate.py). Exact decimal sufficient
+    statistics under the window; the oracle replays them over HUGEINTs
+    with the identical ROWS frame and IEEE tail, so r and cov compare
+    full-value; degenerate windows carry a sentinel + defined=false on
+    both sides."""
+    from json_time_series_extractor_spark.operators.correlate import (
+        rolling_correlation)
+
+    out = rolling_correlation(
+        _event_samples(spark, sf_dir),
+        [("click", "view"), ("click", "error")], "1 hour", 24)
+    sent = F.lit(-9.0e9)
+    for c in ("corr", "cov_pop"):
+        out = out.withColumn(c, F.coalesce(F.col(c), sent))
+    return _quant6(out.select("key_a", "key_b", "bucket_ts", "n",
+                              "defined", "corr", "cov_pop"),
+                   "corr", "cov_pop")
+
+
+def _oracle_rolling_correlation() -> str:
+    from json_time_series_extractor_spark.operators.correlate import (
+        rolling_correlation_oracle_sql)
+
+    return rolling_correlation_oracle_sql("events", unit="hour",
+                                          window_buckets=24)
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over the documents corpus. The synthetic corpus
     carries no PII-shaped strings, so the query first augments each
@@ -3009,6 +3039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_histogram": q_rollup_histogram,
         "histogram_quantile": q_histogram_quantile,
         "linear_trend": q_linear_trend,
+        "rolling_correlation": q_rolling_correlation,
         "kmv_retention": q_kmv_retention,
         "anomaly_zscore": q_anomaly_zscore,
         "holt_winters": q_holt_winters,
@@ -3139,6 +3170,7 @@ GROUP BY 1, 2
         "rollup_histogram": _histogram_oracle_sql(),
         "histogram_quantile": _histogram_quantile_oracle_sql(),
         "linear_trend": linear_trend_oracle_sql("events"),
+        "rolling_correlation": _oracle_rolling_correlation(),
         "kmv_retention": _kmv_retention_oracle_sql(),
         "anomaly_zscore": anomaly_oracle_sql("events"),
         "quantile_over_time": _ORACLE_QUANTILE_OVER_TIME,

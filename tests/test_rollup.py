@@ -1290,6 +1290,50 @@ def test_downsample_lttb_plan_shape(spark):
     assert plan.count("Window") == 1
 
 
+def test_rolling_correlation(spark):
+    """Hand-checkable windows: y=2x+1 gives r=1, z=-x gives r=-1, a
+    constant series is undefined (dx·dy=0), n ramps with the trailing
+    frame, and buckets missing in either series drop out (inner
+    alignment)."""
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.correlate import (
+        rolling_correlation)
+
+    def row(k, h, v):
+        return (k, datetime(2024, 1, 1, h, 30), float(v))
+
+    xs = [1.0, 3.0, 2.0, 5.0, 4.0, 6.0]
+    rows = ([row("x", h, v) for h, v in enumerate(xs)]
+            + [row("y", h, 2 * v + 1) for h, v in enumerate(xs) if h != 3]
+            + [row("z", h, -v) for h, v in enumerate(xs)]
+            + [row("c", h, 7.0) for h in range(6)])
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+    out = rolling_correlation(
+        df, [("x", "y"), ("x", "z"), ("x", "c")], "1 hour", 3)
+    got = {(r["key_b"], r["bucket_ts"].hour): r for r in out.collect()}
+
+    # x~y: aligned buckets exclude hour 3; perfect linear -> r = 1
+    ys = {(h): v for h, v in enumerate(xs) if h != 3}
+    assert [got[("y", h)]["n"] for h in sorted(ys)] == [1, 2, 3, 3, 3]
+    assert got[("y", 0)]["defined"] is False           # n < 2
+    for h in (2, 4, 5):
+        assert got[("y", h)]["defined"] is True
+        assert abs(got[("y", h)]["corr"] - 1.0) < 1e-12
+    # covariance matches numpy population covariance of the window
+    win = [xs[2], xs[4], xs[5]]                        # hours {2,4,5}
+    want_cov = np.cov(win, [2 * v + 1 for v in win], bias=True)[0][1]
+    assert abs(got[("y", 5)]["cov_pop"] - want_cov) < 1e-9
+
+    # x~z: exact anti-correlation
+    assert abs(got[("z", 5)]["corr"] + 1.0) < 1e-12
+    # x~c: constant right side -> undefined, NULL stats
+    assert got[("c", 5)]["defined"] is False
+    assert got[("c", 5)]["corr"] is None
+    assert got[("c", 5)]["cov_pop"] is None
+
+
 def test_downsample_m4_picks_and_ties(spark):
     """M4: first/last by (ts, value), min/max by (value, ts); exact
     value ties resolve to the lexicographically smallest (min side) /
