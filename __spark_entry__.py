@@ -2095,6 +2095,44 @@ def _oracle_doc_token_count_bpe() -> str:
     return bpe_oracle_sql("documents", bpe_train_merges(wf))
 
 
+def q_doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM perplexity filter with the LM trained on the
+    corpus itself (operators/lmscore.py): add-one-smoothed char-trigram
+    model, scores = integer sums of a Python-quantized fixed-point
+    logprob table (neither engine ever computes a log — libm ulp drift
+    is designed out). FULL value check: the oracle trains its OWN table
+    from DuckDB-computed counts and replays the scoring with the table
+    embedded as VALUES; any divergence in normalization, counting,
+    truncation order, smoothing or the integer tail breaks the hash."""
+    from json_time_series_extractor_spark.operators.lmscore import (
+        lm_quality_scores, trigram_frequencies, trigram_logprob_table)
+
+    docs = _docs(spark, sf_dir)
+    counts = [(r["gram"], r["cnt"])
+              for r in trigram_frequencies(docs).collect()]
+    # Threshold sits in this corpus' worst-decile tail (CCNet drops the
+    # worst-perplexity tail); it is a filter parameter, not model state.
+    return lm_quality_scores(docs, trigram_logprob_table(counts),
+                             threshold_fp6=-820_000)
+
+
+def _oracle_doc_lm_quality() -> str:
+    import duckdb
+
+    from json_time_series_extractor_spark.operators.lmscore import (
+        duckdb_trigram_frequencies_sql, lm_scores_oracle_sql,
+        trigram_logprob_table)
+
+    # Same independent-training contract as _oracle_doc_token_count_bpe.
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                        "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    tf = con.sql(duckdb_trigram_frequencies_sql(
+        f"read_parquet('{sf}/documents.parquet')")).fetchall()
+    return lm_scores_oracle_sql("documents", trigram_logprob_table(tf),
+                                threshold_fp6=-820_000)
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: punct/stopword/word-length signals + composite."""
     out = with_quality_score(_docs(spark, sf_dir)).select(
@@ -3065,6 +3103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count_bpe": q_doc_token_count_bpe,
         "decontaminate": q_decontaminate,
         "doc_quality": q_doc_quality,
+        "doc_lm_quality": q_doc_lm_quality,
         "doc_repetition": q_doc_repetition,
         "url_dedup": q_url_dedup,
         "paragraph_dedup": q_paragraph_dedup,
@@ -3395,6 +3434,7 @@ FROM documents
 """,
         "doc_token_count_bpe": _oracle_doc_token_count_bpe(),
         "decontaminate": _oracle_decontaminate(),
+        "doc_lm_quality": _oracle_doc_lm_quality(),
         "doc_quality": """
 WITH m AS (
     SELECT doc_id,

@@ -2110,3 +2110,63 @@ def test_benchmark_contamination_plan_shape(spark, docs):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
+
+
+def test_lm_quality_scores_hand_table(spark):
+    """Hand-checked add-one trigram model on corpus {'aaab'}: vocab
+    V={a,b}, C2(aa)=2 -> lp(aaa)=lp(aab)=log(2/4), unseen-in-ctx
+    log(1/4), novel-ctx log(1/2); integer sums and truncating division
+    replay exactly; trigram-less docs score NULL/ok=false."""
+    import math
+
+    from json_time_series_extractor_spark.operators.lmscore import (
+        lm_quality_scores, trigram_frequencies, trigram_logprob_table)
+
+    train = spark.createDataFrame([(1, "aaab")], "doc_id long, text string")
+    counts = [(r.gram, r.cnt) for r in trigram_frequencies(train).collect()]
+    assert sorted(counts) == [("aab", 1), ("aaa", 1)] or \
+        sorted(counts) == [("aaa", 1), ("aab", 1)]
+    table = trigram_logprob_table(counts)
+    lp, lpu, lp0, v = table
+    q = lambda x: math.floor(x * 1e6 + 0.5)  # noqa: E731
+    assert v == 2
+    assert lp == {"aaa": q(math.log(0.5)), "aab": q(math.log(0.5))}
+    assert lpu == {"aa": q(math.log(0.25))}
+    assert lp0 == q(math.log(0.5))
+
+    score_docs = spark.createDataFrame(
+        [(1, "AAab"),      # casefold -> both known grams
+         (2, "aax"),       # seen ctx, unseen gram -> lpu
+         (3, "zzzz"),      # novel ctx twice -> 2*lp0
+         (4, "ab"),        # too short -> unscorable
+         (5, "a  a ab")],  # whitespace collapse -> 'a a ab'
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           lm_quality_scores(score_docs, table,
+                             threshold_fp6=q(math.log(0.3))).collect()}
+    assert out[1].n_trigrams == 2
+    assert out[1].logprob_sum_fp6 == 2 * q(math.log(0.5))
+    assert out[1].avg_logprob_fp6 == q(math.log(0.5))
+    assert out[1].quality_ok      # log .5 > log .3
+    assert out[2].logprob_sum_fp6 == q(math.log(0.25))
+    assert not out[2].quality_ok  # log .25 < log .3
+    assert out[3].logprob_sum_fp6 == 2 * q(math.log(0.5))
+    assert out[4].n_trigrams == 0 and out[4].logprob_sum_fp6 == 0
+    assert out[4].avg_logprob_fp6 is None and not out[4].quality_ok
+    # 'a a ab' -> grams: 'a a','a a'?? no: 'a a','  a'.. collapse gives
+    # exactly 'a a ab' (6 chars, 4 grams), all novel except none known
+    assert out[5].n_trigrams == 4
+
+
+def test_lm_quality_plan_shape(spark):
+    """Scoring path: broadcast joins + one aggregate, no shuffle of the
+    corpus text, no Python."""
+    from json_time_series_extractor_spark.operators.lmscore import (
+        lm_quality_scores)
+
+    docs = spark.createDataFrame([(1, "abcd")], "doc_id long, text string")
+    plan = lm_quality_scores(docs, ({"abc": -1}, {"ab": -2}, -3, 2)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
