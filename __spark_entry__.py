@@ -1446,6 +1446,31 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quant6(out, "z")
 
 
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD outlier flags over the same 1h traffic tier
+    (operators/anomaly.py detect_anomalies_mad): trailing-24
+    self-excluded window, lower-median + MAD, flag dev > 3·MAD. Pure
+    integer arithmetic end to end — the oracle replays the identical
+    sorted-list indexing from raw, full value including med/mad/dev."""
+    from json_time_series_extractor_spark.operators.anomaly import (
+        detect_anomalies_mad)
+
+    r1h = rollup(_event_samples(spark, sf_dir), "1 hour")
+    out = detect_anomalies_mad(
+        r1h.select("series_key", "bucket_ts", "count"), 24, k=3)
+    return out.select(
+        "series_key", "bucket_ts",
+        F.col("count").cast("long").alias("v"),
+        "n_window", "med", "mad", "dev", "scored", "is_outlier")
+
+
+def _oracle_anomaly_mad() -> str:
+    from json_time_series_extractor_spark.operators.anomaly import (
+        anomaly_mad_oracle_sql)
+
+    return anomaly_mad_oracle_sql("events", unit="hour", k_buckets=24, k=3)
+
+
 def q_frequency_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window frequency (r6): Count-Min registers of the
     trailing 6 present 1h buckets SUM-merge per (series, bucket), then
@@ -3080,6 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_correlation": q_rolling_correlation,
         "kmv_retention": q_kmv_retention,
         "anomaly_zscore": q_anomaly_zscore,
+        "anomaly_mad": q_anomaly_mad,
         "holt_winters": q_holt_winters,
         "holt_winters_seasonal": q_holt_winters_seasonal,
         "absent_buckets": q_absent_buckets,
@@ -3212,6 +3238,7 @@ GROUP BY 1, 2
         "rolling_correlation": _oracle_rolling_correlation(),
         "kmv_retention": _kmv_retention_oracle_sql(),
         "anomaly_zscore": anomaly_oracle_sql("events"),
+        "anomaly_mad": _oracle_anomaly_mad(),
         "quantile_over_time": _ORACLE_QUANTILE_OVER_TIME,
         "distinct_over_time": _oracle_distinct_over_time(),
         "frequency_over_time": cm_over_time_oracle_sql(

@@ -1290,6 +1290,58 @@ def test_downsample_lttb_plan_shape(spark):
     assert plan.count("Window") == 1
 
 
+def test_detect_anomalies_mad(spark):
+    """Hand-checked med/MAD flags: lower-median semantics, zero-MAD
+    degenerate behavior, self-exclusion, and robustness — a prior
+    spike inside the baseline does not unflag a following spike nor
+    flag a following normal point (the property z-scores lack)."""
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.anomaly import (
+        detect_anomalies_mad)
+
+    vals = [10, 12, 11, 10, 12, 11,   # baseline
+            100,                      # spike (scored vs the 6 above)
+            11,                       # normal again, spike now in window
+            90]                       # second spike
+    rows = [("a", datetime(2024, 1, 1, h), v) for h, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "series_key string, bucket_ts timestamp, count long")
+    out = {r["bucket_ts"].hour: r for r in
+           detect_anomalies_mad(df, 24, k=3, min_buckets=6).collect()}
+
+    assert not out[5]["scored"] and out[5]["med"] == -1  # only 5 prior
+    s = out[6]
+    # window [10,12,11,10,12,11] sorted [10,10,11,11,12,12]: lower
+    # median idx (6+1)//2 = 3 -> 11; devs sorted [0,0,1,1,1,1] -> MAD 1
+    assert s["scored"] and (s["med"], s["mad"]) == (11, 1)
+    assert s["dev"] == 89 and s["is_outlier"]
+    # next normal point: spike is IN the baseline now, median unmoved
+    n = out[7]
+    assert n["med"] == 11 and n["dev"] == 0 and not n["is_outlier"]
+    # second spike still flags: window sorted
+    # [10,10,11,11,11,12,12,100] -> med 11 (idx (8+1)//2=4), devs
+    # sorted [0,0,0,1,1,1,1,89] -> MAD 1, dev 79 > 3
+    s2 = out[8]
+    assert (s2["med"], s2["mad"], s2["dev"]) == (11, 1, 79)
+    assert s2["is_outlier"]
+
+    # zero-MAD: constant baseline flags any deviation
+    rows = [("c", datetime(2024, 1, 1, h), 5) for h in range(6)] + \
+           [("c", datetime(2024, 1, 1, 6), 6)]
+    dfc = spark.createDataFrame(
+        rows, "series_key string, bucket_ts timestamp, count long")
+    outc = {r["bucket_ts"].hour: r for r in
+            detect_anomalies_mad(dfc, 24, k=3, min_buckets=6).collect()}
+    assert outc[6]["mad"] == 0 and outc[6]["dev"] == 1
+    assert outc[6]["is_outlier"]
+
+    with _pytest.raises(ValueError):
+        detect_anomalies_mad(df, 1)
+    with _pytest.raises(ValueError):
+        detect_anomalies_mad(df, 24, min_buckets=1)
+
+
 def test_rolling_correlation(spark):
     """Hand-checkable windows: y=2x+1 gives r=1, z=-x gives r=-1, a
     constant series is undefined (dx·dy=0), n ramps with the trailing
