@@ -1021,6 +1021,52 @@ def q_streaming_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(sink).localCheckpoint(eager=True))
 
 
+def q_streaming_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face of the incremental-refresh contract, under the
+    SAME full-value oracle as the batch ``rollup_incremental_refresh``
+    row: micro-batch 1 carries the on-time 95% of events, micro-batch
+    2 the late 5% (event_id % 20 = 7); each batch appends its buckets'
+    exact-mergeable partials (operators/refresh.py
+    write_partials_stream), and the merged-on-read tier must equal a
+    batch rollup over ALL rows — including the refreshed flag, which
+    here derives from "bucket touched after the initial batch". Proves
+    the partial-log + merge-on-read design loses nothing to
+    micro-batching or replay."""
+    import os as _os
+    import shutil
+
+    from json_time_series_extractor_spark.operators.refresh import (
+        read_merged_tier, write_partials_stream)
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.col("event_type").alias("series_key"), "ts",
+        F.col("value").alias("value_double"))
+    tag = "".join(c if c.isalnum() else "_"
+                  for c in _os.path.basename(sf_dir.rstrip("/")))
+    base = f"/tmp/jtse_stream_refresh_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    is_late = F.pmod(F.col("event_id"), F.lit(20)) == 7
+    cols = ["series_key", "ts", "value_double"]
+    ev.where(~is_late).select(*cols).coalesce(1) \
+        .write.parquet(base + "/src/f1")
+    ev.where(is_late).select(*cols).coalesce(1) \
+        .write.parquet(base + "/src/f2")
+
+    stream = (spark.readStream
+              .schema("series_key string, ts timestamp, "
+                      "value_double double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(base + "/src/*"))
+    q = write_partials_stream(stream, base + "/tier", "1 minute",
+                              checkpoint_dir=base + "/ckpt")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_merged_tier(spark, base + "/tier") \
+        .localCheckpoint(eager=True)
+
+
 def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership tier (round-6), completing the mergeable
     sketch family (histogram/t-digest/HLL/Count-Min/Bloom): bit rows
@@ -3098,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_bloom": q_streaming_bloom,
         "streaming_kmv": q_streaming_kmv,
         "streaming_cascade": q_streaming_cascade,
+        "streaming_refresh": q_streaming_refresh,
         "bloom_membership": q_bloom_membership,
         "rollup_histogram": q_rollup_histogram,
         "histogram_quantile": q_histogram_quantile,
@@ -3317,6 +3364,7 @@ GROUP BY 1, 2
         "streaming_bloom": _oracle_streaming_bloom(),
         "streaming_kmv": _oracle_streaming_kmv(),
         "streaming_cascade": _ORACLE_ROLLUP_TIER.format(unit="hour"),
+        "streaming_refresh": _oracle_rollup_refresh(),
         "bloom_membership": _oracle_bloom_membership(),
         "rate_extrapolated": _oracle_rate_extrapolated(),
         "counter_rate": """

@@ -170,6 +170,66 @@ def refresh_rollup(
     return untouched.unionByName(merged)
 
 
+def write_partials_stream(samples_stream: DataFrame, output_path: str,
+                          tier: str = "1 minute", *,
+                          checkpoint_dir: str,
+                          key_col: str = "series_key",
+                          ts_col: str = "ts",
+                          value_col: str = "value_double"):
+    """Streaming face of the incremental refresh: each micro-batch
+    appends its buckets' PARTIAL aggregates (one
+    :func:`rollup_mergeable` pass over the batch, stamped with the
+    batch id); nothing ever rewrites previous batches' rows. Because
+    every statistic is exactly mergeable, the tier materializes at
+    read time (:func:`read_merged_tier`) — bit-identical to a batch
+    rollup over everything that has arrived, however the stream was
+    micro-batched.
+
+    Exactly-once: a crash-replayed batch id rewrites exactly its own
+    ``b<batch_id>`` directory with identical content (the engine
+    replays the same data), so replay is idempotent — the same
+    batch-id-versioned contract as plans/pipeline.py checkpoints.
+    Compaction is the batch operator: fold old partials with
+    :func:`refresh_rollup` (or re-aggregate with the same merge
+    expressions) whenever the partial count per bucket grows.
+
+    Returns the started StreamingQuery.
+    """
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        parts = rollup_mergeable(batch_df, tier, key_col=key_col,
+                                 ts_col=ts_col, value_col=value_col)
+        (parts.withColumn("p_batch", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .parquet(f"{output_path}/b{batch_id:05d}"))
+
+    return (samples_stream.writeStream
+            .foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .start())
+
+
+def read_merged_tier(spark, output_path: str) -> DataFrame:
+    """Materialize the tier from the partial log: one hash aggregate
+    merging every batch's partials per (series, bucket) — the same
+    exact-merge algebra as :func:`refresh_rollup`. ``refreshed`` is
+    true for buckets that received contributions after the initial
+    batch (the streaming analog of the invalidation flag)."""
+    parts = spark.read.parquet(f"{output_path}/b*")
+    return (parts
+            .groupBy("series_key", "bucket_ts")
+            .agg(F.min("min").alias("min"),
+                 F.max("max").alias("max"),
+                 F.sum("sum_fp6").alias("sum_fp6"),
+                 F.sum("cnt").alias("cnt"),
+                 F.max(F.struct(F.col("last_ts").alias("t"),
+                                F.col("last").alias("v"))).alias("_l"),
+                 F.max("p_batch").alias("_mb"))
+            .select("series_key", "bucket_ts", "min", "max", "sum_fp6",
+                    "cnt", F.col("_l.v").alias("last"),
+                    F.col("_l.t").alias("last_ts"),
+                    (F.col("_mb") > 0).alias("refreshed")))
+
+
 def refresh_oracle_sql(table: str = "events", *, unit: str = "minute",
                        series_expr: str = "event_type", ts_col: str = "ts",
                        value_col: str = "value",

@@ -1107,3 +1107,67 @@ def test_stateful_kmv_matches_batch_on_closed_buckets(spark, tmp_path):
                    kmv_estimate(F.col("kmv"), k).alias("ndv")))
     for r in est.where("series_key = 't'").collect():
         assert r["ndv"] == 3.0
+
+
+def test_streaming_refresh_partial_log(spark, tmp_path):
+    """write_partials_stream + read_merged_tier == a batch
+    rollup_mergeable over everything, regardless of micro-batching;
+    crash-replaying a batch id (identical content) is a no-op; buckets
+    touched after batch 0 carry refreshed=true."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from json_time_series_extractor_spark.operators.refresh import (
+        read_merged_tier, rollup_mergeable, write_partials_stream)
+
+    schema = "series_key string, ts timestamp, value_double double"
+    b0 = [("a", datetime(2024, 1, 1, 0, 0, 10), 2.0),
+          ("a", datetime(2024, 1, 1, 0, 1, 5), 4.0),
+          ("b", datetime(2024, 1, 1, 0, 0, 30), 1.0)]
+    b1 = [("a", datetime(2024, 1, 1, 0, 0, 55), 9.5),   # revises a@m0
+          ("c", datetime(2024, 1, 1, 0, 2, 1), 7.0)]    # new series
+    b2 = [("b", datetime(2024, 1, 1, 0, 0, 30), 3.0)]   # exact-ts tie
+    src = str(tmp_path / "src")
+    for i, rows in enumerate((b0, b1, b2)):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(f"{src}/f{i}")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+    tier_dir = str(tmp_path / "tier")
+    q = write_partials_stream(stream, tier_dir, "1 minute",
+                              checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    everything = spark.createDataFrame(b0 + b1 + b2, schema)
+    want = {(r["series_key"], r["bucket_ts"]): r
+            for r in rollup_mergeable(everything, "1 minute").collect()}
+    got = {(r["series_key"], r["bucket_ts"]): r
+           for r in read_merged_tier(spark, tier_dir).collect()}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        for c in ("min", "max", "sum_fp6", "cnt", "last", "last_ts"):
+            assert g[c] == w[c], (k, c)
+    m0 = datetime(2024, 1, 1, 0, 0)
+    assert got[("a", m0)]["refreshed"] is True
+    assert got[("b", m0)]["refreshed"] is True
+    assert got[("c", datetime(2024, 1, 1, 0, 2))]["refreshed"] is True
+    assert got[("a", datetime(2024, 1, 1, 0, 1))]["refreshed"] is False
+    # tie resolves to the larger value, same as the batch tie rule
+    assert got[("b", m0)]["last"] == 3.0
+
+    # crash-replay: rewriting batch 1's directory with identical
+    # content (what the engine does on recovery) changes nothing
+    parts = (rollup_mergeable(spark.createDataFrame(b1, schema),
+                              "1 minute")
+             .withColumn("p_batch", F.lit(1)))
+    parts.write.mode("overwrite").parquet(f"{tier_dir}/b00001")
+    again = {(r["series_key"], r["bucket_ts"]): r
+             for r in read_merged_tier(spark, tier_dir).collect()}
+    assert {k: tuple(v) for k, v in got.items()} \
+        == {k: tuple(v) for k, v in again.items()}
