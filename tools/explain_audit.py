@@ -132,6 +132,29 @@ AUDITED = [
      "hash agg + per-doc roll-up join); Python encode runs once per "
      "DISTINCT word (vocab-sized mapInPandas); training collect is "
      "bounded at max_vocab rows"),
+    ("downsample_m4", "zero Python, ZERO windows: all four pixel picks "
+     "are struct-min/max inside ONE partial/final hash aggregate "
+     "(mergeable, unlike LTTB)"),
+    ("rollup_incremental_refresh", "the standing tier flows only "
+     "through broadcast anti/semi joins (never shuffled); all real "
+     "joins are dirty-bucket-sized; late partials are one hash "
+     "aggregate over the late batch"),
+    ("chunk_pruned_scan", "zone-map Column filter sits BEFORE the "
+     "Python decode — pruned chunks never cross the Arrow boundary; "
+     "on a parquet chunk table the same predicate pushes to the scan"),
+    ("decontaminate", "corpus side never shuffles text: explode + "
+     "broadcast-hash left join against the eval gram set + one hash "
+     "aggregate keyed by doc_id"),
+    ("rolling_correlation", "series reduction is one hash aggregate; "
+     "pair alignment is two joins against the tiny pair list; the one "
+     "window runs over aligned BUCKET rows (summary-sized) with exact "
+     "decimal sums"),
+    ("doc_lm_quality", "scoring path is explode + two broadcast joins "
+     "+ one hash aggregate — zero Python, no shuffle of corpus text; "
+     "training is one hash aggregate + a max_vocab-bounded collect"),
+    ("anomaly_mad", "same self-excluded bounded row frame as the "
+     "z-score detector over TIER rows; collect_list materializes <=W "
+     "int64s per row; pure integer median/MAD arithmetic, zero Python"),
 ]
 
 
