@@ -208,13 +208,39 @@ def write_partials_stream(samples_stream: DataFrame, output_path: str,
             .start())
 
 
-def read_merged_tier(spark, output_path: str) -> DataFrame:
-    """Materialize the tier from the partial log: one hash aggregate
-    merging every batch's partials per (series, bucket) — the same
-    exact-merge algebra as :func:`refresh_rollup`. ``refreshed`` is
-    true for buckets that received contributions after the initial
-    batch (the streaming analog of the invalidation flag)."""
-    parts = spark.read.parquet(f"{output_path}/b*")
+def _log_dirs(spark, output_path: str):
+    """(live_paths, compacted_hi, stale_paths) for a partial log.
+
+    Layout contract: ``b<id>`` = one micro-batch's partials;
+    ``c<id>`` = a compacted generation superseding every ``b``/``c``
+    with id <= its own. Readers take the HIGHEST ``c`` plus all ``b``
+    above it — anything below is stale debris a crashed compaction may
+    have left and is ignored (then lazily deleted by the next
+    compaction)."""
+    import re
+
+    from json_time_series_extractor_spark.plans.pipeline import hadoop_fs
+
+    fs, root = hadoop_fs(spark, output_path)
+    b, c = [], []
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            m = re.fullmatch(r"([bc])(\d+)", name)
+            if m:
+                (b if m.group(1) == "b" else c).append(
+                    (int(m.group(2)), name))
+    hi = max(c)[0] if c else None
+    live = ([f"{output_path}/{max(c)[1]}"] if c else []) + \
+        [f"{output_path}/{n}" for i, n in sorted(b)
+         if hi is None or i > hi]
+    stale = [f"{output_path}/{n}" for i, n in b if hi is not None
+             and i <= hi] + \
+        [f"{output_path}/{n}" for i, n in c if i != hi]
+    return live, hi, stale
+
+
+def _merge_partials(parts: DataFrame) -> DataFrame:
     return (parts
             .groupBy("series_key", "bucket_ts")
             .agg(F.min("min").alias("min"),
@@ -223,11 +249,63 @@ def read_merged_tier(spark, output_path: str) -> DataFrame:
                  F.sum("cnt").alias("cnt"),
                  F.max(F.struct(F.col("last_ts").alias("t"),
                                 F.col("last").alias("v"))).alias("_l"),
-                 F.max("p_batch").alias("_mb"))
+                 F.max("p_batch").alias("p_batch"))
             .select("series_key", "bucket_ts", "min", "max", "sum_fp6",
                     "cnt", F.col("_l.v").alias("last"),
-                    F.col("_l.t").alias("last_ts"),
-                    (F.col("_mb") > 0).alias("refreshed")))
+                    F.col("_l.t").alias("last_ts"), "p_batch"))
+
+
+def compact_partials(spark, output_path: str) -> int:
+    """Fold the live partial directories into one compacted generation
+    (``c<highest folded id>`` — ``p_batch`` is folded as MAX so the
+    ``refreshed`` flag survives). Exact by the same merge algebra as
+    :func:`read_merged_tier`; returns the number of directories folded.
+
+    Crash-safe by supersession, not deletion order: the generation is
+    written to a temp dir invisible to readers, then ONE atomic rename
+    publishes it; the folded inputs become stale debris that readers
+    already ignore (see :func:`_log_dirs`) and the next compaction
+    deletes. A crash at any step leaves either the old view or the new
+    view — never a partial one. (On Iceberg this whole function is
+    RewriteDataFiles/MERGE; this is the filesystem-only equivalent.)
+    """
+    from json_time_series_extractor_spark.plans.pipeline import hadoop_fs
+
+    live, _, stale = _log_dirs(spark, output_path)
+    fs, _ = hadoop_fs(spark, output_path)
+    for p in stale:  # debris from earlier generations: superseded
+        _, hp = hadoop_fs(spark, p)
+        fs.delete(hp, True)
+    if len(live) < 2:
+        return 0
+    hi = max(int(p.rsplit("/", 1)[1][1:]) for p in live)
+    tmp = f"{output_path}/_compact_tmp"
+    _merge_partials(spark.read.parquet(*live)) \
+        .write.mode("overwrite").parquet(tmp)
+    _, src = hadoop_fs(spark, tmp)
+    _, dst = hadoop_fs(spark, f"{output_path}/c{hi:05d}")
+    fs.rename(src, dst)
+    # the fold's inputs are superseded the instant the rename lands;
+    # deleting them now is cleanup, not correctness — a crash here
+    # leaves debris the next call sweeps
+    _, _, stale = _log_dirs(spark, output_path)
+    for p in stale:
+        _, hp = hadoop_fs(spark, p)
+        fs.delete(hp, True)
+    return len(live)
+
+
+def read_merged_tier(spark, output_path: str) -> DataFrame:
+    """Materialize the tier from the partial log: one hash aggregate
+    merging every live batch/generation's partials per (series,
+    bucket) — the same exact-merge algebra as :func:`refresh_rollup`.
+    ``refreshed`` is true for buckets that received contributions
+    after the initial batch (the streaming analog of the invalidation
+    flag)."""
+    live, _, _ = _log_dirs(spark, output_path)
+    merged = _merge_partials(spark.read.parquet(*live))
+    return merged.withColumn("refreshed", F.col("p_batch") > 0) \
+        .drop("p_batch")
 
 
 def refresh_oracle_sql(table: str = "events", *, unit: str = "minute",

@@ -1171,3 +1171,42 @@ def test_streaming_refresh_partial_log(spark, tmp_path):
              for r in read_merged_tier(spark, tier_dir).collect()}
     assert {k: tuple(v) for k, v in got.items()} \
         == {k: tuple(v) for k, v in again.items()}
+
+    # compaction: folds the three batch dirs into one superseding
+    # generation; the merged view is unchanged bit-for-bit
+    import os
+
+    from json_time_series_extractor_spark.operators.refresh import (
+        compact_partials)
+
+    assert compact_partials(spark, tier_dir) == 3
+    names = sorted(n for n in os.listdir(tier_dir)
+                   if not n.startswith("_"))
+    assert names == ["c00002"]
+    after = {(r["series_key"], r["bucket_ts"]): tuple(r)
+             for r in read_merged_tier(spark, tier_dir).collect()}
+    assert after == {k: tuple(v) for k, v in got.items()}
+
+    # crashed-compaction debris (a stale b-dir below the generation)
+    # is ignored by readers and swept by the next compaction
+    parts.write.mode("overwrite").parquet(f"{tier_dir}/b00001")
+    assert {(r["series_key"], r["bucket_ts"]): tuple(r)
+            for r in read_merged_tier(spark, tier_dir).collect()} == after
+    assert compact_partials(spark, tier_dir) == 0  # sweep only
+    assert sorted(n for n in os.listdir(tier_dir)
+                  if not n.startswith("_")) == ["c00002"]
+
+    # post-compaction batches keep merging on top of the generation
+    b3 = [("a", datetime(2024, 1, 1, 0, 0, 20), 1.5)]
+    (rollup_mergeable(spark.createDataFrame(b3, schema), "1 minute")
+     .withColumn("p_batch", F.lit(3))
+     .write.parquet(f"{tier_dir}/b00003"))
+    want2 = {(r["series_key"], r["bucket_ts"]): r
+             for r in rollup_mergeable(
+                 spark.createDataFrame(b0 + b1 + b2 + b3, schema),
+                 "1 minute").collect()}
+    got2 = {(r["series_key"], r["bucket_ts"]): r
+            for r in read_merged_tier(spark, tier_dir).collect()}
+    for k, w in want2.items():
+        for c in ("min", "max", "sum_fp6", "cnt", "last", "last_ts"):
+            assert got2[k][c] == w[c], (k, c)
