@@ -2518,6 +2518,59 @@ def q_neardup_components_star(spark: SparkSession, sf_dir: str
     return comps.select(F.col("node").alias("doc_id"), "component")
 
 
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl hygiene (operators/urltools.py domain_stats):
+    docs / distinct canonical pages / chars per domain plus the
+    re-crawl duplication ratio and a content-farm flag — the
+    URL-level filtering stage (RefinedWeb §3.1) over the same
+    synthetic URL population as url_dedup. Two-level aggregation
+    (never count-distinct expand). FULL value check: the oracle
+    rebuilds URLs, canonicalization, host extraction, both aggregation
+    levels and the fixed-point ratio."""
+    from json_time_series_extractor_spark.operators.urltools import (
+        domain_stats)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    urls = docs.select("doc_id", "n_chars",
+                       _synth_url_expr_spark().alias("url"))
+    return domain_stats(urls, chars_col="n_chars")
+
+
+def _oracle_domain_stats() -> str:
+    from json_time_series_extractor_spark.operators.urltools import (
+        _CANON_HOST_RE, canonical_url_oracle_expr)
+
+    canon = canonical_url_oracle_expr("url")
+    return f"""
+WITH urls AS (
+    SELECT doc_id, n_chars, {_SYNTH_URL_SQL} AS url FROM documents),
+c AS (
+    SELECT doc_id, n_chars, {canon} AS cu FROM urls),
+h AS (
+    SELECT CASE WHEN regexp_extract(cu, '{_CANON_HOST_RE}', 1) = ''
+                THEN '(opaque)'
+                ELSE regexp_extract(cu, '{_CANON_HOST_RE}', 1)
+           END AS domain, cu, n_chars
+    FROM c),
+l1 AS (
+    SELECT domain, cu, count(*) AS nd,
+           CAST(sum(n_chars) AS BIGINT) AS chs
+    FROM h GROUP BY 1, 2),
+agg AS (
+    SELECT domain,
+           CAST(sum(nd) AS BIGINT) AS n_docs,
+           count(*) AS n_pages,
+           CAST(sum(chs) AS BIGINT) AS total_chars
+    FROM l1 GROUP BY 1)
+SELECT domain, n_docs, n_pages, total_chars,
+       CAST(floor(CAST(n_docs AS DOUBLE) / CAST(n_pages AS DOUBLE)
+                  * 1e6 + 0.5) AS BIGINT) AS dup_ratio_fp6,
+       CAST(floor(CAST(n_docs AS DOUBLE) / CAST(n_pages AS DOUBLE)
+                  * 1e6 + 0.5) AS BIGINT) > 1500000 AS flagged
+FROM agg
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inactivity-gap sessionization of the per-user event stream
     (30-minute timeout): session bounds, counts and durations."""
@@ -3179,6 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_quality": q_doc_lm_quality,
         "doc_repetition": q_doc_repetition,
         "url_dedup": q_url_dedup,
+        "domain_stats": q_domain_stats,
         "paragraph_dedup": q_paragraph_dedup,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3550,6 +3604,7 @@ FROM r
         # an unnest+group-by mode with the same count-desc/gram-asc
         # tie-break the Spark fold's sorted-run scan implies.
         "url_dedup": _oracle_url_dedup(),
+        "domain_stats": _oracle_domain_stats(),
         "paragraph_dedup": _ORACLE_PARAGRAPH_DEDUP,
         "doc_repetition": """
 WITH t AS (

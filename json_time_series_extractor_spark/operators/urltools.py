@@ -81,6 +81,60 @@ def dedup_by_canonical_url(df: DataFrame, *, url_col: str = "url",
     return keep.select(id_col, "canonical_url", "n_dupes")
 
 
+#: host (authority minus any port) of an already-canonical URL.
+_CANON_HOST_RE = r"^[a-z][a-z0-9+.\-]*://([^/:?#]*)"
+
+
+def url_host(canonical: Column) -> Column:
+    """Host of a :func:`canonical_url` string; opaque (scheme-less)
+    identifiers map to ``(opaque)``."""
+    h = F.regexp_extract(canonical, _CANON_HOST_RE, 1)
+    return F.when(h == "", F.lit("(opaque)")).otherwise(h)
+
+
+def domain_stats(df: DataFrame, *, url_col: str = "url",
+                 id_col: str = "doc_id", chars_col: str | None = None,
+                 dup_ratio_flag_fp6: int = 1_500_000) -> DataFrame:
+    """Per-domain crawl hygiene stats — the URL-level filtering stage of
+    a pretraining pipeline (RefinedWeb §3.1 runs URL/domain filtering
+    before any content touch): docs per domain, distinct canonical
+    pages, total chars, and the re-crawl duplication ratio
+    (docs / distinct pages, 1e-6 fixed point); domains whose ratio
+    exceeds the threshold are flagged (content farms / crawler traps
+    re-serve the same canonical pages).
+
+    Scale shape: TWO-LEVEL aggregation — first collapse per (domain,
+    canonical url) (hot re-crawled URLs combine map-side), then roll up
+    per domain — deliberately NOT a count-distinct expand, so a domain
+    with a billion fetches of one URL never concentrates raw rows on
+    one task. Map-only expressions otherwise; no Python.
+
+    Output: (domain, n_docs, n_pages, total_chars?, dup_ratio_fp6,
+    flagged).
+    """
+    canon = canonical_url(F.col(url_col))
+    base = df.select(F.col(id_col).alias("_id"), canon.alias("_cu"),
+                     *([F.col(chars_col).alias("_ch")] if chars_col
+                       else []))
+    base = base.withColumn("domain", url_host(F.col("_cu")))
+    lvl1 = (base.groupBy("domain", "_cu")
+            .agg(F.count(F.lit(1)).alias("_nd"),
+                 *([F.sum("_ch").alias("_chs")] if chars_col else [])))
+    agg = (lvl1.groupBy("domain")
+           .agg(F.sum("_nd").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_pages"),
+                *([F.sum("_chs").alias("total_chars")] if chars_col
+                  else [])))
+    ratio = (F.col("n_docs").cast("double")
+             / F.col("n_pages").cast("double"))
+    ratio_fp6 = F.floor(ratio * 1e6 + F.lit(0.5)).cast("long")
+    return agg.select(
+        "domain", "n_docs", "n_pages",
+        *(["total_chars"] if chars_col else []),
+        ratio_fp6.alias("dup_ratio_fp6"),
+        (ratio_fp6 > dup_ratio_flag_fp6).alias("flagged"))
+
+
 def canonical_url_oracle_expr(url_sql: str) -> str:
     """DuckDB SQL expression mirroring :func:`canonical_url` exactly
     (kept next to the implementation so the two evolve together)."""

@@ -2170,3 +2170,42 @@ def test_lm_quality_plan_shape(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
+
+
+def test_domain_stats_and_flagging(spark):
+    """Canonicalization collapses case/port/tracking variants into one
+    page; the farm domain (many docs, one canonical page) crosses the
+    1.5 dup-ratio flag; the clean domain does not; scheme-less URLs
+    pool under (opaque)."""
+    from json_time_series_extractor_spark.operators.urltools import (
+        domain_stats, url_host)
+
+    rows = [
+        # farm.com: 4 fetch variants of ONE canonical page
+        (1, "http://FARM.com:80/a?utm_source=x", 10),
+        (2, "http://farm.com/a", 20),
+        (3, "http://farm.com/a#frag", 30),
+        (4, "http://farm.com/a?utm_campaign=y", 40),
+        # clean.org: 2 docs, 2 pages
+        (5, "https://clean.org/x", 50),
+        (6, "https://clean.org/y", 60),
+        # opaque identifiers
+        (7, "urn:isbn:123", 70),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+    out = {r["domain"]: r for r in
+           domain_stats(df, chars_col="n_chars").collect()}
+    farm = out["farm.com"]
+    assert (farm["n_docs"], farm["n_pages"]) == (4, 1)
+    assert farm["total_chars"] == 100
+    assert farm["dup_ratio_fp6"] == 4_000_000 and farm["flagged"]
+    clean = out["clean.org"]
+    assert (clean["n_docs"], clean["n_pages"]) == (2, 2)
+    assert clean["dup_ratio_fp6"] == 1_000_000 and not clean["flagged"]
+    assert out["(opaque)"]["n_docs"] == 1
+
+    # host extraction keeps explicit NON-default ports
+    host = spark.createDataFrame(
+        [("https://h.example:8443/p",)], "cu string") \
+        .select(url_host(F.col("cu")).alias("h")).first()["h"]
+    assert host == "h.example"
