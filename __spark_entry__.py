@@ -3134,6 +3134,23 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         floor=0.4)
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ hybrid ANN (r7, the FAISS IVFx,PQy shape, non-residual)
+    graded by recall@10 vs the exact top-10: coarse cells prune scan
+    WORK, PQ codes prune scan BYTES, exact re-rank of Q x R survivors
+    — the configuration that survives both 100 TB axes at once.
+    Uniform embeddings are the worst case for BOTH stages (no cluster
+    structure); probe 6/8 cells + rerank 16 measures 0.7-1.0 per query
+    at sf0.01; the oracle asserts recall >= 0.4, the family floor."""
+    from json_time_series_extractor_spark.operators.pq import ivfpq_topk
+
+    return _ann_recall_ok(
+        spark, sf_dir,
+        lambda emb, q: ivfpq_topk(emb, q, k=10, n_centroids=8,
+                                  n_probe=6, rerank=16),
+        floor=0.4)
+
+
 def q_chunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla chunk compression round-trip: the oracle is the original
     event stream itself — decode(encode(x)) must equal x bit-exactly."""
@@ -3262,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "chunk_roundtrip": q_chunk_roundtrip,
         "chunk_pruned_scan": q_chunk_pruned_scan,
     }
@@ -3983,6 +4001,10 @@ SELECT vec_id AS query_id, true AS recall_ok FROM embeddings
 WHERE vec_id < 5
 """,
         "ann_pq_topk": """
+SELECT vec_id AS query_id, true AS recall_ok FROM embeddings
+WHERE vec_id < 5
+""",
+        "ann_ivfpq_topk": """
 SELECT vec_id AS query_id, true AS recall_ok FROM embeddings
 WHERE vec_id < 5
 """,

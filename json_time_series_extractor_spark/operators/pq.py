@@ -153,6 +153,151 @@ def pq_encode(corpus: DataFrame, codebook, *, id_col: str = "vec_id",
         .select(F.col("_id").alias(id_col), "code")
 
 
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
+               n_centroids: int = 16, n_probe: int = 4,
+               m: int = 8, n_codes: int = 256, rerank: int = 8,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               query_id_col: str = "vec_id",
+               query_vec_col: str = "embedding",
+               dim: Optional[int] = None, sample_cap: int = 4096,
+               iters: int = 8, seed: int = 13) -> DataFrame:
+    """IVF-PQ hybrid (the FAISS ``IVFxx,PQyy`` shape, non-residual
+    flavor — ``by_residual=False``; codebooks are shared across cells):
+    the coarse IVF quantizer prunes the scan to each query's
+    ``n_probe`` nearest cells, PQ codes bound the memory of what
+    remains, and the exact cosine re-rank touches only Q × R
+    survivors. This is the configuration that survives BOTH 100 TB
+    axes at once: IVF divides scan WORK by ~n_centroids/n_probe, PQ
+    divides scan BYTES by ~dim·8/m — neither alone does both.
+
+    One combined encode+assign pass over the corpus (map-only Arrow;
+    on disk the code table would be partitioned by ``cell`` so the
+    probe filter becomes partition pruning), then the same
+    partition-invariant batch-local top-R scan as :func:`pq_topk`
+    restricted to probed cells, then the exact re-rank. Output
+    contract identical to ``cosine_topk``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from json_time_series_extractor_spark.operators.similarity import (
+        ivf_centroids)
+
+    if dim is None:
+        dim = _probe_dim(corpus, vec_col)
+    books = pq_train(corpus, m=m, n_codes=n_codes, id_col=id_col,
+                     vec_col=vec_col, dim=dim, sample_cap=sample_cap,
+                     iters=iters, seed=seed)
+    spark = corpus.sparkSession
+    empty = "query_id long, neighbor_id long, cosine_sim double, rank int"
+    if books.shape[1] == 0:
+        return spark.createDataFrame([], empty)
+    cunit = ivf_centroids(corpus, n_centroids=n_centroids,
+                          id_col=id_col, vec_col=vec_col)
+    if len(cunit) == 0:
+        return spark.createDataFrame([], empty)
+    dsub = dim // m
+    r_cap = max(rerank * k, k)
+
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       _as_double(F.col(query_vec_col)).alias("_qv"))
+    qrows = q.collect()  # Q is the (small) query side, like cosine_topk
+    if not qrows:
+        return spark.createDataFrame([], empty)
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    qx = np.array([r["_qv"] for r in qrows], dtype=np.float64)
+    qn = np.sqrt((qx * qx).sum(axis=1))
+    qn[qn == 0.0] = 1.0
+    qu = qx / qn[:, None]
+    lut = np.einsum("qsd,skd->qsk", qu.reshape(len(qu), m, dsub), books)
+    # per-query probe cells: top-n_probe by cosine vs unit centroids,
+    # deterministic tie-break by cell index (stable argsort)
+    eff_probe = min(n_probe, len(cunit))
+    probes = np.argsort(-(qu @ cunit.T), axis=1,
+                        kind="stable")[:, :eff_probe]
+    b = spark.sparkContext.broadcast((qids, lut, probes, cunit))
+
+    src = corpus.select(F.col(id_col).alias("_id"),
+                        _as_double(F.col(vec_col)).alias("_v"))
+
+    def encode_assign(batches: Iterable[pd.DataFrame]
+                      ) -> Iterator[pd.DataFrame]:
+        _, _, _, cu = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf["_v"]), dtype=np.float64)
+            norms = np.sqrt((x * x).sum(axis=1))
+            norms[norms == 0.0] = 1.0
+            u = x / norms[:, None]
+            cell = np.argmax(u @ cu.T, axis=1).astype(np.int32)
+            codes = np.empty((len(u), m), dtype=np.int64)
+            for s in range(m):
+                sub = u[:, s * dsub:(s + 1) * dsub]
+                score = sub @ books[s].T \
+                    - 0.5 * (books[s] ** 2).sum(axis=1)[None, :]
+                codes[:, s] = np.argmax(score, axis=1)
+            yield pd.DataFrame({"_id": pdf["_id"], "cell": cell,
+                                "code": list(codes)})
+
+    coded = src.mapInPandas(
+        encode_assign, "_id long, cell int, code array<long>")
+
+    def scan(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, lut_b, probes_b, _ = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.array(list(pdf["code"]), dtype=np.int64)
+            cells = pdf["cell"].to_numpy()
+            nid = pdf["_id"].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(ids_b)):
+                keep = np.isin(cells, probes_b[qi]) & (nid != ids_b[qi])
+                if not keep.any():
+                    continue
+                adc = lut_b[qi, np.arange(m)[None, :],
+                            c[keep]].sum(axis=1)
+                n2 = nid[keep]
+                order = np.lexsort((n2, -adc))[:r_cap]
+                out_q.append(np.full(len(order), ids_b[qi]))
+                out_n.append(n2[order])
+                out_s.append(adc[order])
+            if not out_q:
+                continue
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "adc": np.concatenate(out_s)})
+
+    cand = coded.mapInPandas(
+        scan, "query_id long, neighbor_id long, adc double")
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc())
+    cand = (cand.withColumn("_r", F.row_number().over(wr))
+            .where(F.col("_r") <= r_cap)
+            .select("query_id", "neighbor_id"))
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("_cv"))
+    c = c.withColumn("_cn",
+                     F.sqrt(dot_flat(F.col("_cv"), F.col("_cv"), dim)))
+    qd = q.withColumn("_qn",
+                      F.sqrt(dot_flat(F.col("_qv"), F.col("_qv"), dim)))
+    denom = F.col("_qn") * F.col("_cn")
+    scored = (cand.join(c, "neighbor_id")
+              .join(F.broadcast(qd), "query_id")
+              .select("query_id", "neighbor_id",
+                      F.when(denom > 0,
+                             dot_flat(F.col("_qv"), F.col("_cv"), dim)
+                             / denom)
+                      .otherwise(F.lit(0.0)).alias("cosine_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
             m: int = 8, n_codes: int = 256, rerank: int = 8,
             id_col: str = "vec_id", vec_col: str = "embedding",

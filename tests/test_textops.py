@@ -2209,3 +2209,43 @@ def test_domain_stats_and_flagging(spark):
         [("https://h.example:8443/p",)], "cu string") \
         .select(url_host(F.col("cu")).alias("h")).first()["h"]
     assert host == "h.example"
+
+
+def test_ivfpq_topk_recall_and_pruning(spark):
+    """IVF-PQ hybrid (r7): recall vs exact on the stock embeddings at
+    generous probe settings, exact re-rank scores on overlaps,
+    partition invariance, and real pruning — with n_probe << cells the
+    candidate set shrinks and recall degrades gracefully rather than
+    erroring."""
+    from json_time_series_extractor_spark.operators.pq import ivfpq_topk
+    from json_time_series_extractor_spark.operators.similarity import (
+        cosine_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(5)
+    exact = cosine_topk(emb, queries, k=5)
+    es = {(r.query_id, r.neighbor_id): r.cosine_sim
+          for r in exact.collect()}
+    approx = ivfpq_topk(emb, queries, k=5, n_centroids=4, n_probe=3,
+                        rerank=16)
+    rows = approx.collect()
+    a = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(set(es) & a) / len(es)
+    assert recall >= 0.6, f"IVF-PQ recall too low: {recall}"
+    for r in rows:  # overlaps carry exact cosine (re-rank is exact)
+        if (r.query_id, r.neighbor_id) in es:
+            assert abs(r.cosine_sim - es[(r.query_id, r.neighbor_id)]) \
+                < 1e-12
+    # partition invariance of the batch-local top-R composition
+    again = {(r.query_id, r.neighbor_id, round(r.cosine_sim, 12))
+             for r in ivfpq_topk(emb.repartition(3), queries, k=5,
+                                 n_centroids=4, n_probe=3,
+                                 rerank=16).collect()}
+    assert again == {(r.query_id, r.neighbor_id,
+                      round(r.cosine_sim, 12)) for r in rows}
+    # single-cell probing prunes hard but still returns <= k rows/query
+    narrow = ivfpq_topk(emb, queries, k=5, n_centroids=4, n_probe=1)
+    counts = {r.query_id: r["cnt"] for r in
+              narrow.groupBy("query_id").agg(
+                  F.count(F.lit(1)).alias("cnt")).collect()}
+    assert all(c <= 5 for c in counts.values())
