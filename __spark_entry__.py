@@ -557,6 +557,61 @@ def _oracle_rollup_refresh() -> str:
     return refresh_oracle_sql("events", unit="minute")
 
 
+def q_rollup_refresh_deletes(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The DELETE/UPDATE half of the invalidation contract
+    (operators/refresh.py refresh_rollup_recompute): the 1m tier is
+    built over ALL events, then 5% of rows (event_id % 20 = 7) are
+    retracted; the invalidation log marks their buckets and ONLY those
+    buckets recompute from the surviving raw rows (broadcast semi join
+    == partition pruning on a real table) — mergeable stats are not
+    delete-invertible, so this is the recompute path, not a fold-in.
+    FULL value check: the oracle aggregates the surviving rows from
+    scratch, with the refreshed flag from an EXISTS over the deleted
+    set — a missed invalidation leaves a stale pre-delete row and
+    breaks the hash; buckets emptied by the deletion must vanish."""
+    from json_time_series_extractor_spark.operators.refresh import (
+        invalidated_buckets, refresh_rollup_recompute, rollup_mergeable)
+
+    ev = _events(spark, sf_dir)
+    is_del = F.pmod(F.col("event_id"), F.lit(20)) == 7
+
+    def shape(df: DataFrame) -> DataFrame:
+        return df.select(F.col("event_type").alias("series_key"), "ts",
+                         F.col("value").alias("value_double"))
+
+    tier0 = rollup_mergeable(shape(ev), "1 minute")
+    inv = invalidated_buckets(shape(ev.where(is_del)), "1 minute")
+    return refresh_rollup_recompute(tier0, shape(ev.where(~is_del)),
+                                    inv, "1 minute")
+
+
+_ORACLE_REFRESH_DELETES = """
+WITH cur AS (
+    SELECT event_type AS series_key,
+           date_trunc('minute', ts) AS bucket_ts, ts, value
+    FROM events
+    WHERE NOT (event_id % 20 = 7) AND value IS NOT NULL),
+del AS (
+    SELECT DISTINCT event_type AS series_key,
+           date_trunc('minute', ts) AS bucket_ts
+    FROM events WHERE event_id % 20 = 7 AND value IS NOT NULL),
+g AS (
+    SELECT series_key, bucket_ts,
+           min(value) AS min, max(value) AS max,
+           CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_fp6,
+           count(value) AS cnt,
+           first(value ORDER BY ts DESC, value DESC) AS last,
+           max(ts) AS last_ts
+    FROM cur GROUP BY 1, 2)
+SELECT g.series_key, g.bucket_ts, g.min, g.max, g.sum_fp6, g.cnt,
+       g.last, g.last_ts, d.series_key IS NOT NULL AS refreshed
+FROM g LEFT JOIN del d
+  ON g.series_key = d.series_key AND g.bucket_ts = d.bucket_ts
+"""
+
+
 def q_top_k_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-day heavy hitters (top-3 series by sample count);
     integer counts make the ranking engine-exact, so rank is compared
@@ -3196,6 +3251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_salted": q_rollup_1d_salted,
         "rollup_incremental_refresh": q_rollup_incremental_refresh,
+        "rollup_refresh_deletes": q_rollup_refresh_deletes,
         "rollup_percentiles": q_rollup_percentiles,
         "rollup_tdigest": q_rollup_tdigest,
         "hll_distinct_1h": q_hll_distinct_1h,
@@ -3334,6 +3390,7 @@ FROM base
         "rollup_1h_cascade": _ORACLE_ROLLUP_TIER.format(unit="hour"),
         "rollup_1d_salted": _ORACLE_ROLLUP_TIER.format(unit="day"),
         "rollup_incremental_refresh": _oracle_rollup_refresh(),
+        "rollup_refresh_deletes": _ORACLE_REFRESH_DELETES,
         "rollup_tdigest": _ORACLE_ROLLUP_TDIGEST,
         "hll_distinct_1h": _oracle_hll_distinct_1h(),
         "streaming_tdigest": _ORACLE_STREAMING_TDIGEST,

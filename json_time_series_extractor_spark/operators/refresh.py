@@ -170,6 +170,49 @@ def refresh_rollup(
     return untouched.unionByName(merged)
 
 
+def refresh_rollup_recompute(
+    existing: DataFrame,
+    raw_current: DataFrame,
+    invalidated: DataFrame,
+    tier: str = "1 minute",
+    *,
+    key_col: str = "series_key",
+    ts_col: str = "ts",
+    value_col: str = "value_double",
+) -> DataFrame:
+    """Refresh under DELETES/UPDATES: fold-in (:func:`refresh_rollup`)
+    only works for appends — min/max/last are not delete-invertible —
+    so modified buckets are RECOMPUTED from the current raw data (what
+    TimescaleDB's refresh actually does for its invalidation ranges).
+
+    ``invalidated`` is the (series_key, bucket_ts) log of buckets whose
+    raw rows changed (from :func:`invalidated_buckets` over the deleted
+    + inserted rows). Buckets left EMPTY by the deletion disappear from
+    the tier (a recompute over zero rows produces no row — exactly the
+    full-recompute semantics).
+
+    Scale shape: the tier passes through a broadcast anti join
+    (untouched rows, never shuffled); raw history is filtered to dirty
+    buckets by a broadcast semi join on (key, bucket) BEFORE its one
+    hash aggregate — on a bucket_ts-partitioned raw table that filter
+    is partition pruning, so the recompute reads only dirty partitions,
+    not 100 TB.
+    """
+    keys = ["series_key", "bucket_ts"]
+    dirty = F.broadcast(invalidated.select(*keys))
+    untouched = (existing.join(dirty, keys, "left_anti")
+                 .withColumn("refreshed", F.lit(False)))
+    raw_keyed = raw_current.select(
+        F.col(key_col).alias("series_key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value_double"),
+        _bucket(ts_col, tier).alias("bucket_ts"))
+    dirty_raw = raw_keyed.join(dirty, keys, "left_semi")
+    recomputed = (rollup_mergeable(dirty_raw, tier)
+                  .withColumn("refreshed", F.lit(True)))
+    return untouched.unionByName(recomputed)
+
+
 def write_partials_stream(samples_stream: DataFrame, output_path: str,
                           tier: str = "1 minute", *,
                           checkpoint_dir: str,

@@ -1232,6 +1232,52 @@ def test_refresh_rollup_equals_full_recompute(spark):
     assert len(out) == 3 and all(not r["refreshed"] for r in out)
 
 
+def test_refresh_rollup_recompute_handles_deletes(spark):
+    """Retractions: a partially-deleted bucket recomputes (its min/max
+    move — the non-invertible case a fold-in cannot handle), a fully
+    deleted bucket VANISHES, untouched buckets pass through unflagged;
+    result equals a from-scratch tier over the survivors."""
+    from json_time_series_extractor_spark.operators.refresh import (
+        invalidated_buckets, refresh_rollup_recompute, rollup_mergeable)
+
+    schema = "series_key string, ts timestamp, value_double double"
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 0, 10), 2.0),   # survives
+        ("a", datetime(2024, 1, 1, 0, 0, 50), 99.0),  # DELETED (max!)
+        ("a", datetime(2024, 1, 1, 0, 1, 5), 4.0),    # untouched bucket
+        ("b", datetime(2024, 1, 1, 0, 0, 30), 1.0),   # DELETED (bucket
+        ("b", datetime(2024, 1, 1, 0, 0, 40), 5.0),   #  fully emptied)
+    ]
+    deleted = {1, 3, 4}  # row indices retracted
+    all_df = spark.createDataFrame(rows, schema)
+    cur_rows = [r for i, r in enumerate(rows) if i not in deleted]
+    cur = spark.createDataFrame(cur_rows, schema)
+    del_df = spark.createDataFrame(
+        [r for i, r in enumerate(rows) if i in deleted], schema)
+
+    tier0 = rollup_mergeable(all_df, "1 minute")
+    inv = invalidated_buckets(del_df, "1 minute")
+    out = refresh_rollup_recompute(tier0, cur, inv, "1 minute")
+    got = {(r["series_key"], r["bucket_ts"]): r for r in out.collect()}
+    want = {(r["series_key"], r["bucket_ts"]): r
+            for r in rollup_mergeable(cur, "1 minute").collect()}
+    assert set(got) == set(want)          # b@minute0 vanished
+    for k, w in want.items():
+        for c in ("min", "max", "sum_fp6", "cnt", "last", "last_ts"):
+            assert got[k][c] == w[c], (k, c)
+    m0 = datetime(2024, 1, 1, 0, 0)
+    assert ("b", m0) not in got
+    a0 = got[("a", m0)]
+    assert a0["refreshed"] and a0["max"] == 2.0   # 99.0 retracted
+    assert not got[("a", datetime(2024, 1, 1, 0, 1))]["refreshed"]
+
+    # AQE's executed-plan string repeats nodes (final + original plan
+    # sections) — assert the join STRATEGY, not an exact node count
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan            # anti + semi
+
+
 def test_refresh_rollup_plan_never_shuffles_the_tier(spark):
     """The standing tier must only flow through broadcast joins: the
     executed plan has no SortMergeJoin and no shuffle of the existing
