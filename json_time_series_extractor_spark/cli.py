@@ -71,7 +71,8 @@ def _build_parser() -> argparse.ArgumentParser:
                                "sample-fraction", "sample-per-group",
                                "neardup-components", "url-dedup",
                                "dedup-paragraphs", "dup-ngram-stats",
-                               "token-count-bpe"])
+                               "token-count-bpe", "decontaminate",
+                               "lm-quality", "domain-stats"])
     corp.add_argument("--fraction", type=float, default=0.1,
                       help="sample-fraction: keep probability")
     corp.add_argument("--group-col", default="lang")
@@ -104,6 +105,25 @@ def _build_parser() -> argparse.ArgumentParser:
                       help="token-count-bpe: training-vocab truncation "
                            "(top-N words by freq desc, word asc — the "
                            "bounded driver collect)")
+    corp.add_argument("--eval-input", default=None,
+                      help="decontaminate: benchmark/eval documents "
+                           "table (parquet; doc_id + text). REQUIRED "
+                           "for the decontaminate op")
+    corp.add_argument("--decontam-n", type=int, default=8,
+                      help="decontaminate: word n-gram length")
+    corp.add_argument("--drop-contaminated", action="store_true",
+                      help="decontaminate: write surviving DOCS instead "
+                           "of the per-doc score table")
+    corp.add_argument("--lm-threshold-fp6", type=int, default=-6_000_000,
+                      help="lm-quality: avg-logprob flag threshold "
+                           "(1e-6 fixed point)")
+    corp.add_argument("--chars-col", default=None,
+                      help="domain-stats: optional per-doc char-count "
+                           "column to total per domain")
+    corp.add_argument("--dup-ratio-flag-fp6", type=int,
+                      default=1_500_000,
+                      help="domain-stats: docs/pages ratio above which "
+                           "a domain is flagged (1e-6 fixed point)")
 
     pipe = sub.add_parser("pipeline", help="run the resumable pipeline")
     pipe.add_argument("--input", required=True,
@@ -403,6 +423,32 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
         merges = bpe_train(docs, num_merges=args.bpe_merges,
                            max_vocab=args.bpe_max_vocab)
         out = bpe_token_counts(docs, merges)
+    elif args.op == "decontaminate":
+        from json_time_series_extractor_spark.operators.decontam import (
+            benchmark_contamination)
+        if not args.eval_input:
+            raise SystemExit("decontaminate requires --eval-input")
+        ev = spark.read.parquet(args.eval_input)
+        scores = benchmark_contamination(docs, ev, n=args.decontam_n)
+        if args.drop_contaminated:
+            dirty = scores.where("contaminated").select("doc_id")
+            out = docs.join(dirty, "doc_id", "left_anti")
+        else:
+            out = scores
+    elif args.op == "lm-quality":
+        from json_time_series_extractor_spark.operators.lmscore import (
+            lm_quality_scores, trigram_frequencies,
+            trigram_logprob_table)
+        counts = [(r["gram"], r["cnt"])
+                  for r in trigram_frequencies(docs).collect()]
+        out = lm_quality_scores(docs, trigram_logprob_table(counts),
+                                threshold_fp6=args.lm_threshold_fp6)
+    elif args.op == "domain-stats":
+        from json_time_series_extractor_spark.operators.urltools import (
+            domain_stats)
+        out = domain_stats(docs, url_col=args.url_col,
+                           chars_col=args.chars_col,
+                           dup_ratio_flag_fp6=args.dup_ratio_flag_fp6)
     elif args.op == "sample-fraction":
         out = deterministic_sample(docs, args.fraction, seed=args.seed)
     elif args.op == "sample-per-group":

@@ -329,3 +329,69 @@ def test_corpus_subcommand_token_count_bpe(spark, tmp_path):
     tot = joined.agg(F.sum("n_tokens_bpe_learned").alias("t"),
                      F.sum("n_chars").alias("c")).first()
     assert tot["t"] < tot["c"]
+
+
+def test_corpus_subcommand_r7_ops(spark, tmp_path):
+    """Round-7 corpus CLI ops: decontaminate (scores + --drop mode),
+    lm-quality, and domain-stats over a derived url table."""
+    import argparse
+
+    from pyspark.sql import functions as F
+
+    from json_time_series_extractor_spark.cli import run_corpus
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(src)
+    ev_path = str(tmp_path / "eval")
+    docs.where("doc_id % 19 = 3").write.parquet(ev_path)
+    train_path = str(tmp_path / "train")
+    docs.where("doc_id % 19 <> 3").write.parquet(train_path)
+
+    def args(**kw):
+        base = dict(input=train_path,
+                    output=str(tmp_path / kw.pop("out")),
+                    op=None, fraction=0.1, group_col="lang",
+                    per_group_n=20, threshold=0.5, num_hashes=32,
+                    bands=16, seed=7, components_algorithm="minlabel",
+                    max_bucket_size=10_000, url_col="url",
+                    eval_input=ev_path, decontam_n=8,
+                    drop_contaminated=False,
+                    lm_threshold_fp6=-6_000_000, chars_col=None,
+                    dup_ratio_flag_fp6=1_500_000)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    r = run_corpus(spark, args(out="dc1", op="decontaminate"))
+    scores = spark.read.parquet(r["output"])
+    assert set(scores.columns) == {"doc_id", "n_grams", "n_hit",
+                                   "contam_frac", "contaminated"}
+    assert r["rows_out"] == r["rows_in"]   # one score row per doc
+    n_dirty = scores.where("contaminated").count()
+
+    r2 = run_corpus(spark, args(out="dc2", op="decontaminate",
+                                drop_contaminated=True))
+    assert r2["rows_out"] == r2["rows_in"] - n_dirty
+
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        run_corpus(spark, args(out="dc3", op="decontaminate",
+                               eval_input=None))
+
+    r3 = run_corpus(spark, args(input=src, out="lm1", op="lm-quality",
+                                lm_threshold_fp6=-820_000))
+    lm = spark.read.parquet(r3["output"])
+    assert r3["rows_out"] == r3["rows_in"]
+    assert lm.where("NOT quality_ok").count() > 0   # tail flagged
+
+    urls_path = str(tmp_path / "urls")
+    docs.select(
+        "doc_id", "n_chars",
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 3).cast("string"),
+                 F.lit(".com/p/"), (F.col("doc_id") % 5).cast("string"))
+        .alias("url")).write.parquet(urls_path)
+    r4 = run_corpus(spark, args(input=urls_path, out="ds1",
+                                op="domain-stats", chars_col="n_chars"))
+    ds = spark.read.parquet(r4["output"])
+    assert r4["rows_out"] == 3              # 3 hosts
+    row = ds.where("domain = 'h0.com'").first()
+    assert row["n_pages"] == 5 and row["flagged"]  # heavy re-crawl dup
