@@ -1942,6 +1942,27 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quant6(out, "value")
 
 
+def q_gapfill_locf_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF with PromQL's staleness rule (operators/gapfill.py
+    gapfill_locf_stale): the carried value expires 5 buckets after the
+    last observation — a dead series stops reporting instead of
+    flat-lining forever. FULL value check: the oracle replays the
+    carry, the running last-seen max, and the expiry comparison."""
+    r1m = rollup(_event_samples(spark, sf_dir), "1 minute",
+                 deterministic_last=True)
+    from json_time_series_extractor_spark.operators.gapfill import (
+        gapfill_locf_stale)
+
+    out = gapfill_locf_stale(r1m, "1 minute", value_col="last",
+                             max_stale_buckets=5)
+    out = _quant6(out, "value")
+    # NULL-heavy BIGINT columns surface as float64 through pandas on
+    # the DuckDB side — sentinel-coalesce on BOTH sides (values are
+    # positive, so -1 is unreachable).
+    return out.withColumn("value",
+                          F.coalesce(F.col("value"), F.lit(-1)))
+
+
 def q_gapfill_locf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-partitioned LOCF: bounded (series, day) window partitions,
     two-pass carry — result-identical to the whole-series window (same
@@ -3291,6 +3312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": q_time_weighted_avg,
         "top_k_series": q_top_k_series,
         "gapfill_locf": q_gapfill_locf,
+        "gapfill_locf_stale": q_gapfill_locf_stale,
         "gapfill_locf_partitioned": q_gapfill_locf_partitioned,
         "gapfill_linear": q_gapfill_linear,
         "gapfill_linear_partitioned": q_gapfill_linear_partitioned,
@@ -3522,6 +3544,25 @@ SELECT series_key, bucket_ts,
            + 0.5) AS BIGINT) AS value,
        val IS NULL AS filled
 FROM j
+""",
+        "gapfill_locf_stale": _ORACLE_ROLLUP_CTE + """
+, f AS (
+    SELECT series_key, bucket_ts, val,
+           last_value(val IGNORE NULLS) OVER w AS carried,
+           max(CASE WHEN val IS NOT NULL THEN bucket_ts END)
+               OVER w AS last_seen
+    FROM j
+    WINDOW w AS (PARTITION BY series_key ORDER BY bucket_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT series_key, bucket_ts,
+       coalesce(CASE WHEN last_seen IS NOT NULL
+                          AND bucket_ts - last_seen <= INTERVAL 5 minutes
+                     THEN CAST(floor(carried * 1000000 + 0.5) AS BIGINT)
+                END, -1) AS value,
+       val IS NULL AS filled,
+       val IS NULL AND NOT coalesce(
+           bucket_ts - last_seen <= INTERVAL 5 minutes, false) AS stale
+FROM f
 """,
         "gapfill_locf_partitioned": _ORACLE_ROLLUP_CTE + """
 SELECT series_key, bucket_ts,

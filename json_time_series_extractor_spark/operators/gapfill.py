@@ -123,6 +123,45 @@ def gapfill_locf(rollup_df: DataFrame, interval: str = "1 minute",
     )
 
 
+def gapfill_locf_stale(rollup_df: DataFrame, interval: str = "1 minute",
+                       value_col: str = "mean",
+                       max_stale_buckets: int = 5) -> DataFrame:
+    """LOCF with a staleness bound — PromQL's lookback rule (a series
+    with no sample in the last 5 minutes is STALE and yields no value,
+    instead of carrying the last value forever): the carry expires
+    ``max_stale_buckets`` buckets after the last observation.
+
+    Output: (series_key, bucket_ts, value, filled, stale) — ``value``
+    NULL once stale; ``stale`` true on filled buckets whose carry
+    expired (or that precede the first observation). Same plan shape
+    as :func:`gapfill_locf` plus one more running-max window column
+    (the last-seen bucket) over the identical partitioning.
+    """
+    if max_stale_buckets < 1:
+        raise ValueError(
+            f"max_stale_buckets must be >= 1, got {max_stale_buckets}")
+    grid = _grid(rollup_df, interval)
+    joined = grid.join(
+        rollup_df.select("series_key", "bucket_ts",
+                         F.col(value_col).alias("_v")),
+        on=["series_key", "bucket_ts"], how="left")
+    w = (Window.partitionBy("series_key").orderBy("bucket_ts")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    horizon_us = max_stale_buckets * _interval_seconds(interval) * 1_000_000
+    carried = F.last("_v", ignorenulls=True).over(w)
+    last_seen = F.max(
+        F.when(F.col("_v").isNotNull(), F.col("bucket_ts"))).over(w)
+    fresh = (F.unix_micros(F.col("bucket_ts").cast("timestamp"))
+             - F.unix_micros(last_seen.cast("timestamp"))
+             <= F.lit(horizon_us))
+    return joined.select(
+        "series_key", "bucket_ts",
+        F.when(fresh, carried).alias("value"),
+        F.col("_v").isNull().alias("filled"),
+        (F.col("_v").isNull()
+         & ~F.coalesce(fresh, F.lit(False))).alias("stale"))
+
+
 def gapfill_locf_partitioned(rollup_df: DataFrame,
                              interval: str = "1 minute",
                              value_col: str = "mean",

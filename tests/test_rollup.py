@@ -1178,6 +1178,35 @@ def test_holt_winters_hand_computed(spark):
         holt_winters(df, 0.3, 0.0)
 
 
+def test_gapfill_locf_stale_expires_the_carry(spark):
+    """PromQL staleness: the carry survives exactly max_stale buckets
+    past the last observation, then the series goes dark (NULL +
+    stale) until the next observation revives it."""
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.gapfill import (
+        gapfill_locf_stale)
+
+    rows = [("a", datetime(2024, 1, 1, 0, 0), 10.0),
+            ("a", datetime(2024, 1, 1, 0, 20), 99.0)]
+    tier = spark.createDataFrame(
+        rows, "series_key string, bucket_ts timestamp, mean double")
+    out = {r["bucket_ts"].minute: r for r in
+           gapfill_locf_stale(tier, "1 minute",
+                              max_stale_buckets=5).collect()}
+    assert len(out) == 21
+    assert out[0]["value"] == 10.0 and not out[0]["filled"]
+    for m in range(1, 6):     # fresh carry
+        assert out[m]["value"] == 10.0
+        assert out[m]["filled"] and not out[m]["stale"]
+    for m in range(6, 20):    # expired
+        assert out[m]["value"] is None and out[m]["stale"]
+    assert out[20]["value"] == 99.0 and not out[20]["stale"]
+
+    with _pytest.raises(ValueError):
+        gapfill_locf_stale(tier, "1 minute", max_stale_buckets=0)
+
+
 def test_refresh_rollup_equals_full_recompute(spark):
     """Invalidation + merge == full recompute, bit-for-bit, across the
     edge cases: revised buckets, brand-new buckets (late-only), exact
