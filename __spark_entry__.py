@@ -557,6 +557,38 @@ def _oracle_rollup_refresh() -> str:
     return refresh_oracle_sql("events", unit="minute")
 
 
+def q_rollup_mergeable_cascade(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """BIT-exact tier cascade over the exact-merge state
+    (operators/refresh.py rollup_mergeable_cascade): 1m partials
+    re-aggregate to 1h with integer sums and lexicographic last, so
+    the cascade equals a direct from-raw hour build exactly — the
+    property the double-sum cascade can only deliver up to
+    quantization. FULL value check: the oracle aggregates raw events
+    straight to the hour with the identical fixed-point algebra."""
+    from json_time_series_extractor_spark.operators.refresh import (
+        rollup_mergeable, rollup_mergeable_cascade)
+
+    r1m = rollup_mergeable(_event_samples(spark, sf_dir), "1 minute")
+    return rollup_mergeable_cascade(r1m, "1 hour")
+
+
+_ORACLE_MERGEABLE_TIER = """
+SELECT event_type AS series_key,
+       date_trunc('{unit}', ts) AS bucket_ts,
+       min(value) AS min,
+       max(value) AS max,
+       CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_fp6,
+       count(value) AS cnt,
+       first(value ORDER BY ts DESC, value DESC) AS last,
+       max(ts) AS last_ts
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def q_rollup_refresh_deletes(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """The DELETE/UPDATE half of the invalidation contract
@@ -1393,6 +1425,49 @@ def q_rollup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = [F.element_at("hist", i + 1).alias(f"h{i}")
             for i in range(len(_HIST_BOUNDS) + 1)]
     return h1d.select("series_key", "bucket_ts", *cols, "cnt")
+
+
+#: Coarse dashboard bounds — a strict subset of _HIST_BOUNDS, the
+#: exactness condition for re-binning.
+_HIST_COARSE = (1.0, 10.0, 100.0)
+
+
+def q_histogram_rebin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram re-binning (operators/rollup.py histogram_rebin): the
+    stored fine 1h tier re-bins map-only to coarse dashboard bounds
+    (subset rule => exact), then cascades to 1d — raw data never
+    re-read. FULL value check: the oracle builds the coarse day
+    histogram straight from raw, so any mis-mapped bin breaks the
+    hash."""
+    from json_time_series_extractor_spark.operators.rollup import (
+        histogram_rebin)
+
+    h1h = rollup_histogram(_event_samples(spark, sf_dir), "1 hour",
+                           bounds=_HIST_BOUNDS)
+    coarse = histogram_rebin(h1h, bounds=_HIST_BOUNDS,
+                             coarse_bounds=_HIST_COARSE)
+    h1d = histogram_cascade(coarse, "1 day",
+                            n_bins=len(_HIST_COARSE) + 1)
+    cols = [F.element_at("hist", i + 1).alias(f"h{i}")
+            for i in range(len(_HIST_COARSE) + 1)]
+    return h1d.select("series_key", "bucket_ts", *cols, "cnt")
+
+
+def _histogram_rebin_oracle_sql() -> str:
+    bounds = ", ".join(str(b) for b in _HIST_COARSE)
+    hs = ",\n       ".join(
+        f"CAST(sum(CASE WHEN idx = {i} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS h{i}" for i in range(len(_HIST_COARSE) + 1))
+    return f"""
+WITH b AS (
+    SELECT event_type AS series_key, date_trunc('day', ts) AS bucket_ts,
+           len(list_filter([{bounds}], x -> value >= x)) AS idx
+    FROM events WHERE value IS NOT NULL)
+SELECT series_key, bucket_ts,
+       {hs},
+       count(*) AS cnt
+FROM b GROUP BY 1, 2
+"""
 
 
 def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3273,6 +3348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d_salted": q_rollup_1d_salted,
         "rollup_incremental_refresh": q_rollup_incremental_refresh,
         "rollup_refresh_deletes": q_rollup_refresh_deletes,
+        "rollup_mergeable_cascade": q_rollup_mergeable_cascade,
         "rollup_percentiles": q_rollup_percentiles,
         "rollup_tdigest": q_rollup_tdigest,
         "hll_distinct_1h": q_hll_distinct_1h,
@@ -3294,6 +3370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_refresh": q_streaming_refresh,
         "bloom_membership": q_bloom_membership,
         "rollup_histogram": q_rollup_histogram,
+        "histogram_rebin": q_histogram_rebin,
         "histogram_quantile": q_histogram_quantile,
         "linear_trend": q_linear_trend,
         "rolling_correlation": q_rolling_correlation,
@@ -3413,6 +3490,8 @@ FROM base
         "rollup_1d_salted": _ORACLE_ROLLUP_TIER.format(unit="day"),
         "rollup_incremental_refresh": _oracle_rollup_refresh(),
         "rollup_refresh_deletes": _ORACLE_REFRESH_DELETES,
+        "rollup_mergeable_cascade": _ORACLE_MERGEABLE_TIER.format(
+            unit="hour"),
         "rollup_tdigest": _ORACLE_ROLLUP_TDIGEST,
         "hll_distinct_1h": _oracle_hll_distinct_1h(),
         "streaming_tdigest": _ORACLE_STREAMING_TDIGEST,
@@ -3431,6 +3510,7 @@ WHERE value IS NOT NULL
 GROUP BY 1, 2
 """,
         "rollup_histogram": _histogram_oracle_sql(),
+        "histogram_rebin": _histogram_rebin_oracle_sql(),
         "histogram_quantile": _histogram_quantile_oracle_sql(),
         "linear_trend": linear_trend_oracle_sql("events"),
         "rolling_correlation": _oracle_rolling_correlation(),

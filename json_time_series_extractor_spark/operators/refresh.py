@@ -99,6 +99,28 @@ def rollup_mergeable(
                     F.col("_l.t").alias("last_ts")))
 
 
+def rollup_mergeable_cascade(child: DataFrame, tier: str) -> DataFrame:
+    """Re-aggregate a finer :func:`rollup_mergeable` tier into a
+    coarser one — BIT-exact (unlike the double-sum cascade in
+    ``operators/rollup.py``, whose mean drifts by accumulation order):
+    integer sums, min/max, and the lexicographic (last_ts, last) max
+    are all order-free, so 1m→1h→1d re-aggregation equals a direct
+    build from raw at every tier, and the refresh/partial-log
+    machinery composes with cascades freely."""
+    return (child
+            .groupBy("series_key",
+                     _bucket("bucket_ts", tier).alias("bucket_ts"))
+            .agg(F.min("min").alias("min"),
+                 F.max("max").alias("max"),
+                 F.sum("sum_fp6").alias("sum_fp6"),
+                 F.sum("cnt").alias("cnt"),
+                 F.max(F.struct(F.col("last_ts").alias("t"),
+                                F.col("last").alias("v"))).alias("_l"))
+            .select("series_key", "bucket_ts", "min", "max", "sum_fp6",
+                    "cnt", F.col("_l.v").alias("last"),
+                    F.col("_l.t").alias("last_ts")))
+
+
 def invalidated_buckets(
     late_samples: DataFrame,
     tier: str = "1 minute",

@@ -187,6 +187,46 @@ def rollup_histogram(
             .agg(hist.alias("hist"), F.count(v).alias("cnt")))
 
 
+def histogram_rebin(hist_df: DataFrame, *, bounds: tuple,
+                    coarse_bounds: tuple) -> DataFrame:
+    """Re-bin an explicit-bounds histogram tier to a coarser bound set
+    — EXACT when ``coarse_bounds`` ⊆ ``bounds`` (every coarse bin is a
+    union of whole fine bins; Prometheus applies the same subset rule
+    when collapsing classic-histogram ``le`` labels). Lets one stored
+    fine-grained tier serve dashboards at any coarser resolution
+    without touching raw data.
+
+    Map-only: the fine→coarse bin mapping is computed from the two
+    static bound lists and compiled into per-coarse-bin sums of
+    ``element_at`` expressions — no shuffle, no Python.
+    """
+    import bisect
+
+    bl, cl = list(bounds), list(coarse_bounds)
+    if not cl or cl != sorted(cl) or len(set(cl)) != len(cl):
+        raise ValueError(f"coarse bounds must be non-empty and strictly "
+                         f"increasing, got {cl}")
+    missing = [c for c in cl if c not in bl]
+    if missing:
+        raise ValueError(
+            f"coarse bounds must be a subset of the fine bounds "
+            f"(splitting a fine bin is not exact); not in fine: "
+            f"{missing}")
+    groups: list = [[] for _ in range(len(cl) + 1)]
+    for i in range(len(bl) + 1):
+        lower = None if i == 0 else bl[i - 1]
+        j = 0 if lower is None else bisect.bisect_right(cl, lower)
+        groups[j].append(i)
+    def _sum(idxs):
+        col = F.element_at("hist", idxs[0] + 1)
+        for i in idxs[1:]:
+            col = col + F.element_at("hist", i + 1)
+        return col
+    coarse = F.array(*[_sum(g) for g in groups])
+    return hist_df.select("series_key", "bucket_ts",
+                          coarse.alias("hist"), "cnt")
+
+
 def histogram_cascade(child: DataFrame, tier: str, *,
                       n_bins: int) -> DataFrame:
     """Merge a finer histogram tier into a coarser one: elementwise sum of

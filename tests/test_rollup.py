@@ -1178,6 +1178,58 @@ def test_holt_winters_hand_computed(spark):
         holt_winters(df, 0.3, 0.0)
 
 
+def test_histogram_rebin_subset_exact(spark):
+    """Re-binning to a subset of the fine bounds equals building the
+    coarse histogram directly from raw; non-subset bounds refuse."""
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.rollup import (
+        histogram_rebin, rollup_histogram)
+
+    fine = (1.0, 2.0, 5.0, 10.0)
+    coarse = (2.0, 10.0)
+    rows = [("a", datetime(2024, 1, 1, 0, m % 60), v)
+            for m, v in enumerate([0.5, 1.0, 1.5, 2.0, 3.0, 7.0,
+                                   10.0, 50.0, 0.9, 4.99])]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+    direct = rollup_histogram(df, "1 hour", bounds=coarse).first()
+    rebinned = histogram_rebin(
+        rollup_histogram(df, "1 hour", bounds=fine),
+        bounds=fine, coarse_bounds=coarse).first()
+    # <2: {0.5, 1.0, 1.5, 0.9}; [2,10): {2.0, 3.0, 7.0, 4.99}; >=10:
+    # {10.0, 50.0}
+    assert rebinned["hist"] == direct["hist"] == [4, 4, 2]
+    assert rebinned["cnt"] == direct["cnt"] == 10
+
+    with _pytest.raises(ValueError, match="subset"):
+        histogram_rebin(rollup_histogram(df, "1 hour", bounds=fine),
+                        bounds=fine, coarse_bounds=(3.0,))
+    with _pytest.raises(ValueError, match="increasing"):
+        histogram_rebin(rollup_histogram(df, "1 hour", bounds=fine),
+                        bounds=fine, coarse_bounds=(10.0, 2.0))
+
+
+def test_mergeable_cascade_bit_exact(spark):
+    """rollup_mergeable_cascade(1m tier -> 1h) == rollup_mergeable
+    straight from raw at 1h, bit-for-bit — integer sums and
+    lexicographic last are order-free."""
+    from json_time_series_extractor_spark.operators.refresh import (
+        rollup_mergeable, rollup_mergeable_cascade)
+
+    rows = [("a", datetime(2024, 1, 1, 0, m, s), float(v))
+            for m, s, v in ((0, 10, 2.5), (0, 50, 8.25), (1, 5, 4.0),
+                            (59, 59, 7.125), (30, 0, 1.0))]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+    via = {(r["series_key"], r["bucket_ts"]): tuple(r) for r in
+           rollup_mergeable_cascade(
+               rollup_mergeable(df, "1 minute"), "1 hour").collect()}
+    direct = {(r["series_key"], r["bucket_ts"]): tuple(r) for r in
+              rollup_mergeable(df, "1 hour").collect()}
+    assert via == direct
+
+
 def test_gapfill_locf_stale_expires_the_carry(spark):
     """PromQL staleness: the carry survives exactly max_stale buckets
     past the last observation, then the series goes dark (NULL +
