@@ -154,12 +154,18 @@ def run_benchmarks() -> None:
     # sweep recorded a 3.5x phantom spike on ann_ivf_topk this way.
     _only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if not _only or {"ann_lsh_topk", "ann_ivf_topk",
-                     "ann_pq_topk"} & set(_only.split(",")):
+                     "ann_pq_topk", "ann_ivfpq_topk"} & set(_only.split(",")):
         entry._exact_topk_baseline(spark, SF_DIR)
         entry._exact_topk_baseline(spark, WARM_SF_DIR)
     for name in ["extract_flat", "extract_fixed", "extract_ts_raw",
                  "rollup_1m",
                  "rollup_1h_cascade", "rollup_1d_salted",
+                 "rollup_incremental_refresh", "rollup_refresh_deletes",
+                 "rollup_mergeable_cascade", "downsample_m4",
+                 "gapfill_locf_stale", "histogram_rebin",
+                 "rolling_correlation", "anomaly_mad",
+                 "chunk_pruned_scan", "decontaminate", "doc_lm_quality",
+                 "domain_stats", "ann_ivfpq_topk",
                  "rollup_percentiles", "rollup_tdigest", "counter_rate",
                  "counter_analytics", "rate_extrapolated",
                  "downsample_lttb", "interval_join",
