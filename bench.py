@@ -244,11 +244,19 @@ def run_benchmarks() -> None:
           lambda: _noop(ivf_topk(_emb(SF_DIR), _q(_emb(SF_DIR)), k=10)),
           warm=lambda: _noop(ivf_topk(_emb(WARM_SF_DIR),
                                       _q(_emb(WARM_SF_DIR)), k=10)))
-    from json_time_series_extractor_spark.operators.pq import pq_topk
+    from json_time_series_extractor_spark.operators.pq import (
+        ivfpq_topk, pq_topk)
     timed("ann_pq_topk_default",
           lambda: _noop(pq_topk(_emb(SF_DIR), _q(_emb(SF_DIR)), k=10)),
           warm=lambda: _noop(pq_topk(_emb(WARM_SF_DIR),
                                      _q(_emb(WARM_SF_DIR)), k=10)))
+    timed("ann_ivfpq_topk_default",
+          lambda: _noop(ivfpq_topk(_emb(SF_DIR), _q(_emb(SF_DIR)), k=10,
+                                   n_centroids=8, n_probe=6, rerank=16)),
+          warm=lambda: _noop(ivfpq_topk(_emb(WARM_SF_DIR),
+                                        _q(_emb(WARM_SF_DIR)), k=10,
+                                        n_centroids=8, n_probe=6,
+                                        rerank=16)))
     timed("embedding_neardup_lsh_default",
           lambda: _noop(embedding_neardup_pairs(
               _emb(SF_DIR), threshold=0.4, use_lsh=True)),
