@@ -1504,6 +1504,67 @@ def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                               *cols), *cols)
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL (operators/dedup.py
+    remove_duplicate_spans) — the acting half of Lee et al. ACL'22, of
+    which dup_ngram_stats is the signal: corpus-duplicated 8-gram runs
+    are cut from every occurrence except one canonical keeper
+    (lexicographic min (doc_id, pos)). md5hi hashing so the oracle
+    recomputes the FULL pipeline — windows, corpus counts, keeper
+    election, per-token coverage, and the byte-for-byte cleaned text —
+    in SQL."""
+    from json_time_series_extractor_spark.operators.dedup import (
+        remove_duplicate_spans)
+
+    return remove_duplicate_spans(_docs(spark, sf_dir), n=8,
+                                  hash_fn="md5hi")
+
+
+_ORACLE_DEDUP_SPANS = r"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'),
+                       x -> x <> '') AS toks,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '') AS ltoks
+    FROM documents),
+w AS (
+    SELECT doc_id, i + 1 AS pos,
+           md5(array_to_string(ltoks[i+1:i+8], ' ')) AS h
+    FROM t, unnest(range(0, len(ltoks) - 7)) AS g(i)),
+wf AS (
+    SELECT doc_id, pos,
+           count(*) OVER (PARTITION BY h) < 2
+           OR row_number() OVER (PARTITION BY h
+                                 ORDER BY doc_id, pos) = 1 AS ok
+    FROM w),
+cov AS (
+    SELECT doc_id, pos + o AS j, bool_or(ok) AS keep
+    FROM wf, unnest(range(0, 8)) AS g(o)
+    GROUP BY 1, 2),
+tok AS (
+    SELECT doc_id, j, toks[j] AS tok
+    FROM t, unnest(generate_series(1, len(toks))) AS g(j)),
+fin AS (
+    SELECT tok.doc_id, tok.j, tok.tok,
+           coalesce(cov.keep, true) AS keep
+    FROM tok LEFT JOIN cov USING (doc_id, j)),
+per_doc AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_removed,
+           coalesce(string_agg(tok, ' ' ORDER BY j)
+                    FILTER (WHERE keep), '') AS text_clean
+    FROM fin GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.n_removed, 0) AS n_removed,
+       coalesce(p.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def q_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 24h-window Pearson r + population covariance between
     series pairs (click~view, click~error) over aligned 1h per-bucket
@@ -3360,6 +3421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample_m4": q_downsample_m4,
         "interval_join": q_interval_join,
         "dup_ngram_stats": q_dup_ngram_stats,
+        "dedup_spans": q_dedup_spans,
         "rolling_over_time": q_rolling_over_time,
         "cm_frequency": q_cm_frequency,
         "streaming_hll": q_streaming_hll,
@@ -3588,6 +3650,7 @@ GROUP BY 1, 2
         "downsample_m4": _oracle_downsample_m4(),
         "interval_join": _ORACLE_INTERVAL_JOIN,
         "dup_ngram_stats": _ORACLE_DUP_NGRAM,
+        "dedup_spans": _ORACLE_DEDUP_SPANS,
         "rolling_over_time": _ORACLE_ROLLING_OVER_TIME,
         "cm_frequency": _oracle_cm_frequency(),
         "streaming_hll": _oracle_streaming_hll(),

@@ -72,7 +72,8 @@ def _build_parser() -> argparse.ArgumentParser:
                                "neardup-components", "url-dedup",
                                "dedup-paragraphs", "dup-ngram-stats",
                                "token-count-bpe", "decontaminate",
-                               "lm-quality", "domain-stats"])
+                               "lm-quality", "domain-stats",
+                               "dedup-spans"])
     corp.add_argument("--fraction", type=float, default=0.1,
                       help="sample-fraction: keep probability")
     corp.add_argument("--group-col", default="lang")
@@ -417,6 +418,10 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
         from json_time_series_extractor_spark.operators.dedup import (
             duplicate_ngram_stats)
         out = duplicate_ngram_stats(docs, n=args.ngram_n)
+    elif args.op == "dedup-spans":
+        from json_time_series_extractor_spark.operators.dedup import (
+            remove_duplicate_spans)
+        out = remove_duplicate_spans(docs, n=args.ngram_n)
     elif args.op == "token-count-bpe":
         from json_time_series_extractor_spark.operators.bpe import (
             bpe_token_counts, bpe_train)

@@ -467,6 +467,104 @@ def _neardup_pairs_blocked(base: DataFrame, threshold: float) -> DataFrame:
         run, "id_a long, id_b long, cosine_sim double")
 
 
+def remove_duplicate_spans(docs: DataFrame, *, n: int = 8,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           hash_fn: str = "xxhash64") -> DataFrame:
+    """Exact-substring span REMOVAL — the acting half of Lee et al.
+    (ACL'22) suffix-array dedup, of which :func:`duplicate_ngram_stats`
+    is the signal: corpus-duplicated token runs are cut out of every
+    occurrence except one canonical keeper, so boilerplate survives the
+    corpus exactly once instead of per page.
+
+    Semantics (deterministic, partition-invariant, SQL-replayable):
+
+    - positional casefolded token ``n``-grams are *duplicated* when
+      their window hash occurs >= 2 times corpus-wide (same rule as the
+      stats op — same-doc repeats count);
+    - each duplicated window hash has ONE canonical keeper occurrence:
+      the lexicographically smallest (doc_id, position);
+    - a token survives iff SOME window covering it is non-duplicated or
+      keeper-owned; tokens covered only by foreign duplicated windows
+      are removed. Docs shorter than ``n`` tokens (no windows) pass
+      through whole.
+
+    Output: (doc_id, n_tokens, n_removed, text_clean) — ``text_clean``
+    the surviving ORIGINAL-case tokens joined by single spaces
+    (whitespace is normalized; hashing casefolds, the output does not).
+
+    Scale shape: windows explode (~tokens rows, materialized once —
+    they feed the count aggregate, the keeper aggregate and the
+    coverage fan-out), collapse through two partial/final hash
+    aggregates on the 64-bit hash (count + min-struct keeper; hot
+    boilerplate combines map-side), fan out n coverage rows per window
+    (a bounded n× blowup of token rows), and roll back up per (doc,
+    token) then per doc. No windows over raw text, no Python;
+    ``hash_fn='md5hi'`` keeps the whole pipeline SQL-recomputable.
+    """
+    from json_time_series_extractor_spark.operators.textstats import (
+        tokens)
+
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    ltoks = tokens(F.lower(F.col(text_col)))
+    wins = F.when(
+        F.size(ltoks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(ltoks) - n),
+                    lambda i: F.concat_ws(" ", F.slice(ltoks, i + 1, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    win_rows = _materialize(
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.posexplode(wins).alias("_p0", "_w"))
+        .select("doc_id", (F.col("_p0") + 1).alias("pos"),
+                _token_hash64(F.col("_w"), hash_fn).alias("_h")))
+    stats = (win_rows.groupBy("_h")
+             .agg(F.count(F.lit(1)).alias("_cnt"),
+                  F.min(F.struct(F.col("doc_id").alias("d"),
+                                 F.col("pos").alias("p"))).alias("_k")))
+    flagged = (win_rows
+               .join(stats, "_h")
+               .select("doc_id", "pos",
+                       ((F.col("_cnt") < 2)
+                        | ((F.col("_k.d") == F.col("doc_id"))
+                           & (F.col("_k.p") == F.col("pos"))))
+                       .alias("_ok")))
+    cover = (flagged
+             .select("doc_id", "_ok",
+                     F.explode(F.sequence(
+                         F.col("pos"),
+                         F.col("pos") + F.lit(n - 1))).alias("j"))
+             .groupBy("doc_id", "j")
+             .agg(F.max("_ok").alias("_keep")))
+    tok_rows = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("_j0", "tok")
+    ).select("doc_id", (F.col("_j0") + 1).alias("j"), "tok")
+    fin = (tok_rows.join(cover, ["doc_id", "j"], "left")
+           .withColumn("_keep", F.coalesce("_keep", F.lit(True))))
+    per_doc = (fin.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+                    .alias("n_removed"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.when(F.col("_keep"),
+                                       F.struct(F.col("j").alias("j"),
+                                                F.col("tok")
+                                                .alias("t"))))),
+                            lambda s: s["t"]).alias("_st"), " ")
+                    .alias("text_clean")))
+    # empty/whitespace-only docs have zero token rows: reattach whole
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+                    F.coalesce("text_clean", F.lit(""))
+                    .alias("text_clean")))
+
+
 def _token_hash64(tok: Column, hash_fn: str) -> Column:
     """64-bit token hash for SimHash. ``xxhash64`` (default, fastest,
     JVM-native) or ``md5hi`` — the high 64 bits of md5, chosen because a

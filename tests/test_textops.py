@@ -2249,3 +2249,46 @@ def test_ivfpq_topk_recall_and_pruning(spark):
               narrow.groupBy("query_id").agg(
                   F.count(F.lit(1)).alias("cnt")).collect()}
     assert all(c <= 5 for c in counts.values())
+
+
+def test_remove_duplicate_spans(spark):
+    """Span removal: the canonical keeper (smallest (doc_id, pos))
+    retains duplicated runs, later verbatim copies lose them entirely,
+    partially-overlapping docs lose only the covered tokens, short
+    docs pass through, and original case survives (hashing casefolds,
+    output does not)."""
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.dedup import (
+        remove_duplicate_spans)
+
+    base = "Alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, base + " iota kappa"),          # keeper of the shared run
+        (2, base.lower()),                  # verbatim (casefolded) copy
+        (3, "prefix one two " + base),      # copy embedded mid-doc
+        (4, "tiny doc"),                    # < n tokens: passthrough
+        (5, ""),                            # empty doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           remove_duplicate_spans(docs, n=8).collect()}
+
+    # doc 1 is the keeper: everything survives, original case intact
+    assert out[1].n_removed == 0
+    assert out[1].text_clean == base + " iota kappa"
+    # doc 2 is exactly the duplicated window: all 8 tokens removed
+    assert out[2].n_removed == 8 and out[2].text_clean == ""
+    # doc 3: the embedded copy's 8 tokens go; its own prefix stays,
+    # and so do tokens covered by any non-duplicated window
+    assert out[3].n_removed > 0
+    assert out[3].text_clean.startswith("prefix one two")
+    assert "theta" not in out[3].text_clean
+    # short/empty docs pass through whole
+    assert out[4] == (4, 2, 0, "tiny doc") or (
+        out[4].n_tokens == 2 and out[4].n_removed == 0
+        and out[4].text_clean == "tiny doc")
+    assert out[5].n_tokens == 0 and out[5].text_clean == ""
+
+    with _pytest.raises(ValueError):
+        remove_duplicate_spans(docs, n=1)
