@@ -187,6 +187,7 @@ def run_benchmarks() -> None:
                  "doc_quality", "doc_lang_id", "doc_fingerprint",
                  "html_text_extract", "doc_repetition",
                  "url_dedup", "paragraph_dedup", "dup_ngram_stats",
+                 "dedup_spans",
                  "pii_redact",
                  "dedup_exact", "ngram_jaccard", "minhash_lsh_pairs",
                  "neardup_components", "neardup_components_star",

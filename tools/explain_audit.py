@@ -155,6 +155,25 @@ AUDITED = [
     ("anomaly_mad", "same self-excluded bounded row frame as the "
      "z-score detector over TIER rows; collect_list materializes <=W "
      "int64s per row; pure integer median/MAD arithmetic, zero Python"),
+    ("dedup_spans", "window explode materialized once -> ONE "
+     "count+keeper hash aggregate on the 64-bit window hash -> bounded "
+     "n-fold coverage fan-out -> per-token and per-doc aggregates; no "
+     "Python, no windows over raw text"),
+    ("rollup_refresh_deletes", "tier through broadcast anti join; raw "
+     "filtered to dirty buckets by broadcast semi join BEFORE its one "
+     "hash aggregate (partition pruning on a real table)"),
+    ("rollup_mergeable_cascade", "two partial/final hash aggregates "
+     "(1m build + 1h re-aggregation), integer-exact merge state, no "
+     "windows, no Python"),
+    ("gapfill_locf_stale", "same grid + join + running windows as "
+     "gapfill_locf plus one running-max (last-seen) column over the "
+     "identical series partitioning"),
+    ("histogram_rebin", "fine tier hash aggregate + map-only "
+     "element_at re-bin + the day cascade; re-binning itself adds "
+     "ZERO exchanges"),
+    ("domain_stats", "two-level aggregation (domain, canonical) -> "
+     "domain; never a count-distinct expand; canonicalization is "
+     "map-only codegen"),
 ]
 
 
