@@ -1708,6 +1708,36 @@ def _oracle_anomaly_mad() -> str:
     return anomaly_mad_oracle_sql("events", unit="hour", k_buckets=24, k=3)
 
 
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM level-shift scan over the 1h traffic tier
+    (operators/anomaly.py detect_changepoints_cusum): robust per-series
+    baseline (lower median), slack κ = MAD DIV 2, decision interval
+    h = 5·MAD. The max(0,·) recursion is evaluated as the closed-form
+    drawup/drawdown of the slack-adjusted cumsum walk — two running
+    integer windows, zero floats, so the oracle replays it bit-exactly
+    from raw including both alarm statistics."""
+    from json_time_series_extractor_spark.operators.anomaly import (
+        detect_changepoints_cusum)
+
+    r1h = rollup(_event_samples(spark, sf_dir), "1 hour")
+    out = detect_changepoints_cusum(
+        r1h.select("series_key", "bucket_ts", "count"),
+        kappa_div=2, h_mult=5)
+    return out.select(
+        "series_key", "bucket_ts",
+        F.col("count").cast("long").alias("v"),
+        F.col("mu").cast("long").alias("mu"),
+        F.col("mad").cast("long").alias("mad"),
+        "s_pos", "s_neg", "alarm", "scored")
+
+
+def _oracle_changepoint_cusum() -> str:
+    from json_time_series_extractor_spark.operators.anomaly import (
+        cusum_oracle_sql)
+
+    return cusum_oracle_sql("events", unit="hour", kappa_div=2, h_mult=5)
+
+
 def q_frequency_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window frequency (r6): Count-Min registers of the
     trailing 6 present 1h buckets SUM-merge per (series, bucket), then
@@ -3439,6 +3469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_retention": q_kmv_retention,
         "anomaly_zscore": q_anomaly_zscore,
         "anomaly_mad": q_anomaly_mad,
+        "changepoint_cusum": q_changepoint_cusum,
         "holt_winters": q_holt_winters,
         "holt_winters_seasonal": q_holt_winters_seasonal,
         "absent_buckets": q_absent_buckets,
@@ -3579,6 +3610,7 @@ GROUP BY 1, 2
         "kmv_retention": _kmv_retention_oracle_sql(),
         "anomaly_zscore": anomaly_oracle_sql("events"),
         "anomaly_mad": _oracle_anomaly_mad(),
+        "changepoint_cusum": _oracle_changepoint_cusum(),
         "quantile_over_time": _ORACLE_QUANTILE_OVER_TIME,
         "distinct_over_time": _oracle_distinct_over_time(),
         "frequency_over_time": cm_over_time_oracle_sql(

@@ -138,6 +138,141 @@ def detect_anomalies_mad(rollup_df: DataFrame, k_buckets: int = 24, *,
             .drop("_a", "_n", "_med", "_mad"))
 
 
+def detect_changepoints_cusum(rollup_df: DataFrame, *,
+                              value_col: str = "count",
+                              kappa_div: int = 2,
+                              h_mult: int = 5) -> DataFrame:
+    """Two-sided CUSUM changepoint scan (Page 1954) over a rollup tier.
+
+    For every (series, bucket) row, the classic alarm statistics
+
+        S⁺_t = max(0, S⁺_{t−1} + (v_t − μ − κ))     (upward shift)
+        S⁻_t = max(0, S⁻_{t−1} − (v_t − μ + κ))     (downward shift)
+
+    with a ROBUST per-series baseline: μ = lower median of the series'
+    bucket values and κ = MAD DIV ``kappa_div`` (slack), alarm when
+    either side exceeds h = ``h_mult`` · MAD — the standard
+    "half-sigma slack, five-sigma decision interval" tuning expressed
+    in integer MAD units. This is the retrospective scan form (the
+    whole tier is visible), which is exactly how a batch engine audits
+    a stored metric history for level shifts.
+
+    The recursion is NOT evaluated recursively: max(0, ·) chains are
+    the drawup/drawdown of the slack-adjusted cumsum walk,
+
+        S⁺_t = P_t − min(0, min_{j≤t} P_j),   P_t = Σ_{i≤t} (v_i − μ − κ)
+        S⁻_t = max(0, max_{j≤t} Q_j) − Q_t,   Q_t = Σ_{i≤t} (v_i − μ + κ)
+
+    so the whole operator is two running-frame windows over pure
+    integer columns — no Python, no recursion, and (same doctrine as
+    :func:`detect_anomalies_mad`) no float exists anywhere to drift:
+    the output is bit-exact by construction. int64 bounds: |P_t| ≤
+    buckets-per-series · max|v − μ ∓ κ| — ~1e13 headroom at any real
+    tier; Spark ANSI mode fails loudly if ever exceeded.
+
+    Scale shape: one summary-sized hash aggregate per series (the
+    sorted value list for median/MAD — bounded by buckets-per-series,
+    the same state bound as the MAD window), one equi-join of the tier
+    against that one-row-per-series frame (AQE-broadcast at real
+    cardinalities), then one window partitioned by series. Zero MAD
+    (≥ half the buckets identical) makes κ = 0 and h = 0 — any
+    deviation alarms — flagged via ``scored = false`` like the MAD
+    detector's degenerate case.
+
+    Output: input columns + ``mu``, ``mad``, ``s_pos``, ``s_neg``,
+    ``alarm``, ``scored``.
+    """
+    if kappa_div < 1:
+        raise ValueError(f"kappa_div must be >= 1, got {kappa_div}")
+    if h_mult < 1:
+        raise ValueError(f"h_mult must be >= 1, got {h_mult}")
+    v = F.col(value_col).cast("long")
+    stats = (rollup_df
+             .groupBy("series_key")
+             .agg(F.sort_array(F.collect_list(v)).alias("_a"))
+             .withColumn("_mid", F.expr("CAST((size(_a) + 1) DIV 2 AS INT)"))
+             .withColumn("mu", F.element_at("_a", F.col("_mid")))
+             .withColumn("mad", F.element_at(
+                 F.sort_array(F.transform(
+                     F.col("_a"), lambda e: F.abs(e - F.col("mu")))),
+                 F.col("_mid")))
+             .select("series_key", "mu", "mad"))
+    joined = (rollup_df.join(stats, "series_key")
+              .withColumn("_k", F.expr(f"mad DIV {int(kappa_div)}"))
+              .withColumn("_h", F.lit(int(h_mult)) * F.col("mad")))
+    run = (Window.partitionBy("series_key").orderBy("bucket_ts")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    p = F.sum(v - F.col("mu") - F.col("_k")).over(run)
+    q = F.sum(v - F.col("mu") + F.col("_k")).over(run)
+    out = (joined
+           .withColumn("_p", p)
+           .withColumn("_q", q)
+           .withColumn("s_pos", F.col("_p")
+                       - F.least(F.lit(0).cast("long"),
+                                 F.min("_p").over(run)))
+           .withColumn("s_neg", F.greatest(F.lit(0).cast("long"),
+                                           F.max("_q").over(run))
+                       - F.col("_q")))
+    scored = F.col("mad") > 0
+    return (out
+            .withColumn("alarm", scored & ((F.col("s_pos") > F.col("_h"))
+                                           | (F.col("s_neg") > F.col("_h"))))
+            .withColumn("scored", scored)
+            .drop("_k", "_h", "_p", "_q"))
+
+
+def cusum_oracle_sql(table: str, *, unit: str = "hour",
+                     series_expr: str = "event_type",
+                     ts_col: str = "ts", value_col: str = "value",
+                     kappa_div: int = 2, h_mult: int = 5) -> str:
+    """DuckDB replay of :func:`detect_changepoints_cusum` over a
+    from-raw count tier: identical median/MAD integer arithmetic,
+    identical drawup/drawdown closed form (integer window sums both
+    sides — no float anywhere)."""
+    return f"""
+WITH c AS (
+    SELECT {series_expr} AS series_key,
+           date_trunc('{unit}', {ts_col}) AS bucket_ts,
+           count({value_col}) AS v
+    FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2),
+st AS (
+    SELECT series_key, list_sort(list(v)) AS a,
+           (count(*) + 1) // 2 AS mid
+    FROM c GROUP BY 1),
+mm AS (
+    SELECT series_key, a[mid] AS mu,
+           list_sort(list_transform(a, e -> abs(e - a[mid])))[mid] AS mad
+    FROM st),
+j AS (
+    SELECT c.series_key, c.bucket_ts, c.v, mm.mu, mm.mad,
+           mm.mad // {int(kappa_div)} AS k, {int(h_mult)} * mm.mad AS h
+    FROM c JOIN mm USING (series_key)),
+pq AS (
+    SELECT series_key, bucket_ts, v, mu, mad, h,
+           sum(v - mu - k) OVER run AS p,
+           sum(v - mu + k) OVER run AS q
+    FROM j
+    WINDOW run AS (PARTITION BY series_key ORDER BY bucket_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+w AS (
+    SELECT series_key, bucket_ts, v, mu, mad, h, p, q,
+           min(p) OVER run AS minp,
+           max(q) OVER run AS maxq
+    FROM pq
+    WINDOW run AS (PARTITION BY series_key ORDER BY bucket_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT series_key, bucket_ts, CAST(v AS BIGINT) AS v,
+       CAST(mu AS BIGINT) AS mu, CAST(mad AS BIGINT) AS mad,
+       CAST(p - least(0, minp) AS BIGINT) AS s_pos,
+       CAST(greatest(0, maxq) - q AS BIGINT) AS s_neg,
+       mad > 0 AND (p - least(0, minp) > h
+                    OR greatest(0, maxq) - q > h) AS alarm,
+       mad > 0 AS scored
+FROM w
+"""
+
+
 def anomaly_mad_oracle_sql(table: str, *, unit: str = "hour",
                            series_expr: str = "event_type",
                            ts_col: str = "ts", value_col: str = "value",

@@ -2022,3 +2022,90 @@ def test_rate_extrapolated_hand_computed(spark):
     # the end gap (3300s) exceeded thr (330s) -> avg/2 (150s) added,
     # and the zero clamp bound the start side: extrapolated < inc * 2
     assert out[2][2] < out[2][1] * 2
+
+
+def test_detect_changepoints_cusum(spark):
+    """Hand-checked two-sided CUSUM on a step series, plus the
+    degenerate zero-MAD case."""
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.anomaly import (
+        detect_changepoints_cusum)
+
+    # 6 baseline buckets then a sustained +10 level shift: single
+    # spikes should NOT alarm at h=5*MAD but the shift must.
+    vals = [10, 12, 11, 10, 12, 11, 21, 22, 21, 22]
+    rows = [("a", datetime(2024, 1, 1, h), v) for h, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "series_key string, bucket_ts timestamp, count long")
+    out = {r["bucket_ts"].hour: r for r in
+           detect_changepoints_cusum(df, kappa_div=2, h_mult=5).collect()}
+
+    # sorted vals [10,10,11,11,12,12,21,21,22,22]: lower median idx
+    # (10+1)//2 = 5 -> 12; devs sorted [0,0,1,1,2,2,9,9,10,10] -> MAD 2
+    assert (out[0]["mu"], out[0]["mad"]) == (12, 2)
+    assert out[0]["scored"]
+    # brute-force replay of the recursion (kappa=1, h=10)
+    sp = sn = 0
+    expect = {}
+    for h, v in enumerate(vals):
+        sp = max(0, sp + (v - 12 - 1))
+        sn = max(0, sn - (v - 12 + 1))
+        expect[h] = (sp, sn, sp > 10 or sn > 10)
+    for h in range(len(vals)):
+        r = out[h]
+        assert (r["s_pos"], r["s_neg"], r["alarm"]) == expect[h], h
+    # the shift alarms within two shifted buckets, baseline never does
+    assert not any(out[h]["alarm"] for h in range(6))
+    assert out[7]["alarm"]
+
+    # zero MAD -> scored false, alarm false regardless of deviation
+    rows = [("c", datetime(2024, 1, 1, h), 5) for h in range(6)] + \
+           [("c", datetime(2024, 1, 1, 6), 500)]
+    dfc = spark.createDataFrame(
+        rows, "series_key string, bucket_ts timestamp, count long")
+    outc = {r["bucket_ts"].hour: r for r in
+            detect_changepoints_cusum(dfc).collect()}
+    assert not outc[6]["scored"] and not outc[6]["alarm"]
+
+    with _pytest.raises(ValueError):
+        detect_changepoints_cusum(df, kappa_div=0)
+    with _pytest.raises(ValueError):
+        detect_changepoints_cusum(df, h_mult=0)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=50),
+                         min_size=1, max_size=30),
+                min_size=1, max_size=3))
+def test_cusum_closed_form_matches_recursion(spark, series):
+    """Property test: the drawup/drawdown closed form equals the
+    max(0, .) recursion on random multi-series integer inputs."""
+    from datetime import timedelta
+
+    from json_time_series_extractor_spark.operators.anomaly import (
+        detect_changepoints_cusum)
+
+    rows = [(f"s{i}", datetime(2024, 1, 1) + timedelta(hours=h), v)
+            for i, vals in enumerate(series)
+            for h, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "series_key string, bucket_ts timestamp, count long")
+    got = {(r["series_key"], r["bucket_ts"]):
+           (r["mu"], r["mad"], r["s_pos"], r["s_neg"], r["alarm"])
+           for r in detect_changepoints_cusum(
+               df, kappa_div=2, h_mult=5).collect()}
+
+    for i, vals in enumerate(series):
+        n = len(vals)
+        a = sorted(vals)
+        mu = a[(n + 1) // 2 - 1]
+        mad = sorted(abs(v - mu) for v in vals)[(n + 1) // 2 - 1]
+        kappa, h = mad // 2, 5 * mad
+        sp = sn = 0
+        for hh, v in enumerate(vals):
+            sp = max(0, sp + (v - mu - kappa))
+            sn = max(0, sn - (v - mu + kappa))
+            alarm = mad > 0 and (sp > h or sn > h)
+            key = (f"s{i}", datetime(2024, 1, 1) + timedelta(hours=hh))
+            assert got[key] == (mu, mad, sp, sn, alarm), key
