@@ -1708,6 +1708,73 @@ def _oracle_anomaly_mad() -> str:
     return anomaly_mad_oracle_sql("events", unit="hour", k_buckets=24, k=3)
 
 
+def q_ingest_dedup_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins out-of-order ingest dedup
+    (operators/ingest.py dedup_ingest_lww): an at-least-once transport
+    is simulated deterministically from events — every row delivered
+    once (seq 0, ingest at ts), every 5th event_id redelivered
+    byte-identically, every 7th corrected 5 minutes later
+    (value + 100, seq 1), every 21st ALSO republished stale at the
+    same late ingest_ts with seq 0 (so it loses the seq tie-break to
+    the correction). One max(struct) hash aggregate reduces the
+    multiset; the oracle replays the identical total order
+    (ingest_ts, seq, value) from the same synthesized versions. FULL
+    value check incl. winning version metadata + redelivery counts."""
+    from json_time_series_extractor_spark.operators.ingest import (
+        dedup_ingest_lww)
+
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    base = ev.select(
+        F.col("event_type").alias("series_key"), "ts",
+        F.col("value").alias("value_double"),
+        F.col("ts").alias("ingest_ts"),
+        F.lit(0).cast("int").alias("ingest_seq"), "event_id")
+    late_ts = F.col("ts") + F.expr("INTERVAL 5 MINUTES")
+    redeliver = base.where(F.col("event_id") % 5 == 0)
+    correct = base.where(F.col("event_id") % 7 == 0).select(
+        "series_key", "ts",
+        (F.col("value_double") + F.lit(100.0)).alias("value_double"),
+        late_ts.alias("ingest_ts"),
+        F.lit(1).cast("int").alias("ingest_seq"), "event_id")
+    stale = base.where(F.col("event_id") % 21 == 0).select(
+        "series_key", "ts",
+        (F.col("value_double") - F.lit(50.0)).alias("value_double"),
+        late_ts.alias("ingest_ts"),
+        F.lit(0).cast("int").alias("ingest_seq"), "event_id")
+    versions = (base.unionByName(redeliver).unionByName(correct)
+                .unionByName(stale).drop("event_id"))
+    return _quant6(dedup_ingest_lww(versions), "value_double")
+
+
+_ORACLE_INGEST_LWW_VERSIONS = """
+    SELECT event_type AS series_key, ts, value AS value_double,
+           ts AS ingest_ts, 0 AS ingest_seq
+    FROM events WHERE value IS NOT NULL
+    UNION ALL
+    SELECT event_type, ts, value, ts, 0
+    FROM events WHERE value IS NOT NULL AND event_id % 5 = 0
+    UNION ALL
+    SELECT event_type, ts, value + 100.0, ts + INTERVAL 5 MINUTE, 1
+    FROM events WHERE value IS NOT NULL AND event_id % 7 = 0
+    UNION ALL
+    SELECT event_type, ts, value - 50.0, ts + INTERVAL 5 MINUTE, 0
+    FROM events WHERE value IS NOT NULL AND event_id % 21 = 0
+"""
+
+
+def _oracle_ingest_lww() -> str:
+    from json_time_series_extractor_spark.operators.ingest import (
+        lww_oracle_sql)
+
+    inner = lww_oracle_sql(_ORACLE_INGEST_LWW_VERSIONS)
+    return f"""
+SELECT series_key, ts,
+       CAST(floor(value_double * 1e6 + 0.5) AS BIGINT) AS value_double,
+       ingest_ts, CAST(ingest_seq AS INT) AS ingest_seq, n_versions
+FROM ({inner})
+"""
+
+
 def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM level-shift scan over the 1h traffic tier
     (operators/anomaly.py detect_changepoints_cusum): robust per-series
@@ -3470,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": q_anomaly_zscore,
         "anomaly_mad": q_anomaly_mad,
         "changepoint_cusum": q_changepoint_cusum,
+        "ingest_dedup_lww": q_ingest_dedup_lww,
         "holt_winters": q_holt_winters,
         "holt_winters_seasonal": q_holt_winters_seasonal,
         "absent_buckets": q_absent_buckets,
@@ -3611,6 +3679,7 @@ GROUP BY 1, 2
         "anomaly_zscore": anomaly_oracle_sql("events"),
         "anomaly_mad": _oracle_anomaly_mad(),
         "changepoint_cusum": _oracle_changepoint_cusum(),
+        "ingest_dedup_lww": _oracle_ingest_lww(),
         "quantile_over_time": _ORACLE_QUANTILE_OVER_TIME,
         "distinct_over_time": _oracle_distinct_over_time(),
         "frequency_over_time": cm_over_time_oracle_sql(
