@@ -1595,6 +1595,29 @@ def _oracle_rolling_correlation() -> str:
                                           window_buckets=24)
 
 
+def q_series_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series autocorrelation r_1..r_6 at 1h bucket lags
+    (operators/correlate.py series_acf): grid-aligned lag pairing
+    (gaps pair with nothing), series-global mean, decimal-exact
+    sufficient statistics multiplied through by n² so ONE double
+    division remains. The oracle replays the identical HUGEINT algebra
+    from raw; undefined lags carry a sentinel + defined=false."""
+    from json_time_series_extractor_spark.operators.correlate import (
+        series_acf)
+
+    out = series_acf(_event_samples(spark, sf_dir), "1 hour", 6)
+    out = out.withColumn("acf", F.coalesce(F.col("acf"), F.lit(-9.0e9)))
+    return _quant6(out.select("series_key", "lag", "n", "m_pairs",
+                              "defined", "acf"), "acf")
+
+
+def _oracle_series_acf() -> str:
+    from json_time_series_extractor_spark.operators.correlate import (
+        series_acf_oracle_sql)
+
+    return series_acf_oracle_sql("events", unit="hour", max_lag=6)
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over the documents corpus. The synthetic corpus
     carries no PII-shaped strings, so the query first augments each
@@ -3538,6 +3561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_mad": q_anomaly_mad,
         "changepoint_cusum": q_changepoint_cusum,
         "ingest_dedup_lww": q_ingest_dedup_lww,
+        "series_acf": q_series_acf,
         "holt_winters": q_holt_winters,
         "holt_winters_seasonal": q_holt_winters_seasonal,
         "absent_buckets": q_absent_buckets,
@@ -3680,6 +3704,7 @@ GROUP BY 1, 2
         "anomaly_mad": _oracle_anomaly_mad(),
         "changepoint_cusum": _oracle_changepoint_cusum(),
         "ingest_dedup_lww": _oracle_ingest_lww(),
+        "series_acf": _oracle_series_acf(),
         "quantile_over_time": _ORACLE_QUANTILE_OVER_TIME,
         "distinct_over_time": _oracle_distinct_over_time(),
         "frequency_over_time": cm_over_time_oracle_sql(

@@ -166,3 +166,159 @@ SELECT key_a, key_b, bucket_ts, CAST(n AS BIGINT) AS n, defined,
             AS BIGINT) AS cov_pop
 FROM t
 """
+
+
+def series_acf(
+    samples: DataFrame,
+    tier: str = "1 hour",
+    max_lag: int = 6,
+    *,
+    key_col: str = "series_key",
+    ts_col: str = "ts",
+    value_col: str = "value_double",
+) -> DataFrame:
+    """Per-series sample autocorrelation r_k at bucket lags 1..max_lag.
+
+    The seasonality probe behind "does this metric repeat daily?":
+    each series is reduced to its deterministic per-bucket LAST value
+    (the rolling_correlation reduction), and for every lag k the
+    co-present GRID pairs (x at bucket t, x at bucket t + k·tier) feed
+    the standard sample ACF with the series-global mean,
+
+        r_k = Σ (x_t − x̄)(x_{t+k} − x̄)  /  Σ (x_t − x̄)²
+
+    Gaps pair with nothing (grid alignment, not present-row offset —
+    an absent hour must not let midnight correlate with 2am at lag 1).
+
+    Determinism design (the trend.py doctrine): x is 1e-6 fixed point;
+    per-series Σx, Σx² and per-(series, lag) m, Σx_a·x_b, Σx_a, Σx_b
+    accumulate as decimal(38,0); multiplying num and den through by n²
+    keeps everything integer until ONE double division:
+
+        n²·num_k = n²Σab − n·Σx·(Σa + Σb) + m_k·(Σx)²
+        n²·den   = n²Σx² − n·(Σx)²
+
+    bit-reproducible across engines/partitionings. Bound: |value| ≲
+    1e5 with ≲1e4 buckets/series keeps every term under 38 digits
+    (ANSI mode fails loudly beyond). Undefined rows (m_k = 0 pairs, or
+    a constant series → den = 0) emit NULL with ``defined = false``.
+
+    Scale shape: one rollup-profile hash aggregate (bucket reduction),
+    one tiny per-series aggregate, one equi-join of the tier against
+    itself shifted by k (fan-out = max_lag, join key (series, bucket)
+    — skew bounded by buckets-per-series), one final hash aggregate on
+    (series, lag). No windows over raw rows, no Python.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    from json_time_series_extractor_spark.operators.gapfill import (
+        _interval_seconds,
+    )
+
+    secs = _interval_seconds(tier)
+    v = F.col(value_col)
+    b = (samples
+         .where(v.isNotNull())
+         .groupBy(F.col(key_col).alias("series_key"),
+                  _bucket(ts_col, tier).alias("bucket_ts"))
+         .agg(F.max(F.struct(F.col(ts_col).alias("t"),
+                             v.alias("v"))).alias("_l"))
+         .select("series_key", "bucket_ts",
+                 F.floor(F.col("_l.v") * 1e6 + F.lit(0.5))
+                 .cast("long").alias("_x")))
+    xd = F.col("_x").cast(_DEC)
+    stats = (b.groupBy("series_key")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(xd).alias("_sx"),
+                  F.sum(xd * xd).alias("_sxx")))
+    lags = F.explode(F.array(*[F.lit(k) for k in
+                               range(1, max_lag + 1)])).alias("lag")
+    a = (b.select("series_key", "bucket_ts", F.col("_x").alias("_xa"))
+         .select("*", lags)
+         .withColumn("_tgt", F.expr(f"bucket_ts + make_interval("
+                                    f"0, 0, 0, 0, 0, 0, lag * {secs})")))
+    bb = b.select("series_key", F.col("bucket_ts").alias("_tgt"),
+                  F.col("_x").alias("_xb"))
+    ad, bd_ = F.col("_xa").cast(_DEC), F.col("_xb").cast(_DEC)
+    pairs = (a.join(bb, ["series_key", "_tgt"])
+             .groupBy("series_key", "lag")
+             .agg(F.count(F.lit(1)).alias("m"),
+                  F.sum(ad * bd_).alias("_sab"),
+                  F.sum(ad).alias("_sa"),
+                  F.sum(bd_).alias("_sb")))
+    # LEFT from the lag skeleton so short series still emit undefined
+    # rows for every requested lag (grid completeness).
+    skel = stats.select("*", lags)
+    j = skel.join(pairs, ["series_key", "lag"], "left")
+    n = F.col("n").cast(_DEC)
+    m = F.coalesce(F.col("m"), F.lit(0)).cast(_DEC)
+    sab = F.coalesce(F.col("_sab"), F.lit(0)).cast(_DEC)
+    sa = F.coalesce(F.col("_sa"), F.lit(0)).cast(_DEC)
+    sb = F.coalesce(F.col("_sb"), F.lit(0)).cast(_DEC)
+    num = n * n * sab - n * F.col("_sx") * (sa + sb) \
+        + m * F.col("_sx") * F.col("_sx")
+    den = n * n * F.col("_sxx") - n * F.col("_sx") * F.col("_sx")
+    defined = (m > 0) & (den > 0)
+    acf = num.cast("double") / den.cast("double")
+    return j.select(
+        "series_key", "lag",
+        F.col("n").cast("long").alias("n"),
+        F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("m_pairs"),
+        F.when(defined, acf).alias("acf"),
+        defined.alias("defined"))
+
+
+def series_acf_oracle_sql(
+    table: str = "events", *, unit: str = "hour", max_lag: int = 6,
+    series_expr: str = "event_type", ts_col: str = "ts",
+    value_col: str = "value", sentinel: float = -9.0e9,
+) -> str:
+    """DuckDB recomputation of :func:`series_acf` (+ the query
+    wrapper's quant6/sentinel): HUGEINT arithmetic mirrors the decimal
+    exact path — identical bucket reduction, grid-shift pairing, and
+    IEEE tail."""
+    secs = {"minute": 60, "hour": 3600, "day": 86400}[unit]
+    return f"""
+WITH b AS (
+    SELECT {series_expr} AS series_key,
+           date_trunc('{unit}', {ts_col}) AS bucket_ts,
+           CAST(CAST(floor(first({value_col} ORDER BY {ts_col} DESC,
+                           {value_col} DESC) * 1e6 + 0.5)
+                AS BIGINT) AS HUGEINT) AS x
+    FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2),
+st AS (
+    SELECT series_key, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+    FROM b GROUP BY 1),
+lg AS (SELECT unnest(generate_series(1, {max_lag})) AS lag),
+pr AS (
+    SELECT a.series_key, l.lag, count(*) AS m,
+           sum(a.x * c.x) AS sab, sum(a.x) AS sa, sum(c.x) AS sb
+    FROM b a
+    CROSS JOIN lg l
+    JOIN b c ON c.series_key = a.series_key
+            AND c.bucket_ts = a.bucket_ts
+                             + INTERVAL 1 SECOND * (l.lag * {secs})
+    GROUP BY 1, 2),
+j AS (
+    SELECT st.series_key, lg.lag, st.n,
+           COALESCE(pr.m, 0) AS m,
+           COALESCE(pr.sab, 0) AS sab,
+           COALESCE(pr.sa, 0) AS sa, COALESCE(pr.sb, 0) AS sb,
+           st.sx, st.sxx
+    FROM st CROSS JOIN lg
+    LEFT JOIN pr ON pr.series_key = st.series_key AND pr.lag = lg.lag),
+f AS (
+    SELECT series_key, lag, n, m,
+           n * n * sab - n * sx * (sa + sb) + m * sx * sx AS num,
+           n * n * sxx - n * sx * sx AS den
+    FROM j)
+SELECT series_key, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,
+       CAST(m AS BIGINT) AS m_pairs,
+       m > 0 AND den > 0 AS defined,
+       CAST(floor(COALESCE(
+                CASE WHEN m > 0 AND den > 0
+                     THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END,
+                CAST({sentinel!r} AS DOUBLE)) * 1e6 + 0.5)
+            AS BIGINT) AS acf
+FROM f
+"""

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import pytest
 
@@ -2164,3 +2164,47 @@ def test_dedup_ingest_lww(spark):
 
     with _pytest.raises(ValueError):
         dedup_ingest_lww(df, key_cols=())
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=40),   # bucket hour
+              st.integers(min_value=-50, max_value=50)),
+    min_size=1, max_size=25, unique_by=lambda t: t[0]))
+def test_series_acf_matches_bruteforce(spark, pts):
+    """Property test: grid-aligned ACF equals the from-scratch Python
+    computation on random sparse integer series (gaps included), and
+    degenerate cases (constant series, no co-present pairs) emit
+    defined=false rows for every requested lag."""
+    from fractions import Fraction
+
+    from json_time_series_extractor_spark.operators.correlate import (
+        series_acf)
+
+    rows = [("s", datetime(2024, 1, 1) + timedelta(hours=h), float(v))
+            for h, v in pts]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+    got = {r["lag"]: r for r in series_acf(df, "1 hour", 4).collect()}
+    assert set(got) == {1, 2, 3, 4}
+
+    by_h = {h: v * 10**6 for h, v in pts}   # fp6 of an integer value
+    n = len(by_h)
+    sx = sum(by_h.values())
+    sxx = sum(v * v for v in by_h.values())
+    for k in range(1, 5):
+        pairs = [(by_h[h], by_h[h + k]) for h in by_h if h + k in by_h]
+        m = len(pairs)
+        num = (n * n * sum(a * b for a, b in pairs)
+               - n * sx * (sum(a for a, _ in pairs)
+                           + sum(b for _, b in pairs))
+               + m * sx * sx)
+        den = n * n * sxx - n * sx * sx
+        r = got[k]
+        assert r["n"] == n and r["m_pairs"] == m
+        if m > 0 and den > 0:
+            assert r["defined"]
+            assert r["acf"] == float(num) / float(den) or \
+                abs(r["acf"] - float(Fraction(num, den))) < 1e-12
+        else:
+            assert not r["defined"] and r["acf"] is None
