@@ -2463,6 +2463,41 @@ def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "n_tokens_bpe")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training sequence-packing manifest (operators/packing.py
+    pack_sequences): concat-and-split coordinates for every document
+    (whitespace token counts, seq_len 512) via the two-phase
+    distributed prefix sum — shard totals prefix-summed over summary
+    rows, local windows bounded by shard_span. The oracle is the NAIVE
+    global prefix sum in DuckDB, so the sharded scan must be
+    indistinguishable from it, offsets and all. shard_span=100 forces
+    multiple shards even at sf0.01."""
+    from json_time_series_extractor_spark.operators.packing import (
+        pack_sequences)
+    from json_time_series_extractor_spark.operators.textstats import (
+        token_count)
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).cast("long")
+        .alias("n_tokens"))
+    return pack_sequences(docs, 512, shard_span=100)
+
+
+_ORACLE_PACK_DOCS = """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '')) AS n_tokens
+    FROM documents
+"""
+
+
+def _oracle_pack_sequences() -> str:
+    from json_time_series_extractor_spark.operators.packing import (
+        pack_oracle_sql)
+
+    return pack_oracle_sql(_ORACLE_PACK_DOCS, 512)
+
+
 def q_doc_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained BPE token counts (r7, the r6 verdict #5 ask):
     learn the merge table from the corpus itself (one Spark word-freq
@@ -3562,6 +3597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint_cusum": q_changepoint_cusum,
         "ingest_dedup_lww": q_ingest_dedup_lww,
         "series_acf": q_series_acf,
+        "pack_sequences": q_pack_sequences,
         "holt_winters": q_holt_winters,
         "holt_winters_seasonal": q_holt_winters_seasonal,
         "absent_buckets": q_absent_buckets,
@@ -3705,6 +3741,7 @@ GROUP BY 1, 2
         "changepoint_cusum": _oracle_changepoint_cusum(),
         "ingest_dedup_lww": _oracle_ingest_lww(),
         "series_acf": _oracle_series_acf(),
+        "pack_sequences": _oracle_pack_sequences(),
         "quantile_over_time": _ORACLE_QUANTILE_OVER_TIME,
         "distinct_over_time": _oracle_distinct_over_time(),
         "frequency_over_time": cm_over_time_oracle_sql(

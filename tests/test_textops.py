@@ -2292,3 +2292,49 @@ def test_remove_duplicate_spans(spark):
 
     with _pytest.raises(ValueError):
         remove_duplicate_spans(docs, n=1)
+
+
+def test_pack_sequences_matches_bruteforce(spark):
+    """The two-phase sharded prefix scan must equal the naive
+    concat-and-split manifest on a hand case with empty docs, sparse
+    ids spanning several shards, and docs larger than seq_len."""
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.packing import (
+        pack_sequences)
+
+    docs = [(0, 3), (2, 0), (5, 10), (17, 1), (23, 7), (31, 0),
+            (40, 25)]
+    df = spark.createDataFrame(docs, "doc_id long, n_tokens long")
+    got = {r["doc_id"]: (r["tok_start"], r["seq_first"], r["seq_last"],
+                         r["n_seqs"], r["off_in_first"])
+           for r in pack_sequences(df, 8, shard_span=10).collect()}
+
+    start = 0
+    for did, n in docs:
+        if n > 0:
+            sf, sl = start // 8, (start + n - 1) // 8
+            assert got[did] == (start, sf, sl, sl - sf + 1, start % 8), did
+        else:
+            assert got[did] == (start, None, None, 0, None), did
+        start += n
+
+    with _pytest.raises(ValueError):
+        pack_sequences(df, 0)
+    with _pytest.raises(ValueError):
+        pack_sequences(df, 8, shard_span=0)
+
+
+def test_pack_sequences_shard_invariance(spark):
+    """shard_span must not be observable: manifests for spans 1, 3 and
+    10^6 (single shard) are identical on random-ish input."""
+    from json_time_series_extractor_spark.operators.packing import (
+        pack_sequences)
+
+    rows = [(i * 7 % 101, (i * 13) % 9) for i in range(40)]
+    rows = [(i, n) for i, (j, n) in enumerate(sorted(rows))]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    outs = [sorted(map(tuple, pack_sequences(df, 5, shard_span=s)
+                       .collect()))
+            for s in (1, 3, 1_000_000)]
+    assert outs[0] == outs[1] == outs[2]
