@@ -2938,6 +2938,44 @@ FROM agg
 """
 
 
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixing (operators/sampling.py
+    domain_mix_sample): α=0.5 UniMax-style rebalancing over the same
+    synthetic URL population as domain_stats — √-fp6 weights, exact
+    HUGEINT/decimal quota allocation (remainder dropped, never
+    redistributed), keyed-md5-rank selection inside each domain via
+    the shared two-phase quota sampler. FULL value check: the oracle
+    recomputes weights, quotas and the exact selected set."""
+    from json_time_series_extractor_spark.operators.sampling import (
+        domain_mix_sample)
+    from json_time_series_extractor_spark.operators.urltools import (
+        canonical_url, url_host)
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _synth_url_expr_spark().alias("url"))
+    d = docs.select(
+        "doc_id", url_host(canonical_url(F.col("url"))).alias("domain"))
+    return domain_mix_sample(d, 150, key_col="doc_id")
+
+
+def _oracle_domain_mix() -> str:
+    from json_time_series_extractor_spark.operators.sampling import (
+        domain_mix_oracle_sql)
+    from json_time_series_extractor_spark.operators.urltools import (
+        _CANON_HOST_RE, canonical_url_oracle_expr)
+
+    canon = canonical_url_oracle_expr("url")
+    docs_sql = f"""
+    SELECT doc_id,
+           CASE WHEN regexp_extract({canon}, '{_CANON_HOST_RE}', 1) = ''
+                THEN '(opaque)'
+                ELSE regexp_extract({canon}, '{_CANON_HOST_RE}', 1)
+           END AS domain
+    FROM (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents)
+"""
+    return domain_mix_oracle_sql(docs_sql, 150)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inactivity-gap sessionization of the per-user event stream
     (30-minute timeout): session bounds, counts and durations."""
@@ -3598,6 +3636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_dedup_lww": q_ingest_dedup_lww,
         "series_acf": q_series_acf,
         "pack_sequences": q_pack_sequences,
+        "domain_mix": q_domain_mix,
         "holt_winters": q_holt_winters,
         "holt_winters_seasonal": q_holt_winters_seasonal,
         "absent_buckets": q_absent_buckets,
@@ -3742,6 +3781,7 @@ GROUP BY 1, 2
         "ingest_dedup_lww": _oracle_ingest_lww(),
         "series_acf": _oracle_series_acf(),
         "pack_sequences": _oracle_pack_sequences(),
+        "domain_mix": _oracle_domain_mix(),
         "quantile_over_time": _ORACLE_QUANTILE_OVER_TIME,
         "distinct_over_time": _oracle_distinct_over_time(),
         "frequency_over_time": cm_over_time_oracle_sql(

@@ -99,9 +99,46 @@ def sample_per_group(df: DataFrame, group_cols: Sequence[str], n: int, *,
     them."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    counts = (df.groupBy(*group_cols)
+              .agg(F.count(F.lit(1)).alias("_gcnt"),
+                   F.lit(int(n)).cast("long").alias("_q")))
+    return _quota_sample(df, list(group_cols), counts,
+                         key_col=key_col, seed=seed, safety=safety)
+
+
+def sample_by_quota(df: DataFrame, group_cols: Sequence[str],
+                    quotas: DataFrame, *, quota_col: str = "quota",
+                    key_col: str = "doc_id", seed: int = 7,
+                    safety: float = 4.0) -> DataFrame:
+    """:func:`sample_per_group` with a PER-GROUP cap: ``quotas`` maps
+    ``group_cols`` → ``quota_col`` (how many rows to keep from that
+    group). Groups absent from ``quotas`` or with quota <= 0 are
+    dropped entirely. Selection, exactness and the two-phase scale
+    design are identical to :func:`sample_per_group` — the shared core
+    below — so the selected set for any group equals the naive
+    full-group hash-rank window with ``n = quota``."""
+    gcols = list(group_cols)
+    q_r = quotas.select(
+        *[F.col(g).alias(f"_g_{i}") for i, g in enumerate(gcols)],
+        F.col(quota_col).cast("long").alias("_q"))
+    on = functools.reduce(
+        lambda a, b: a & b,
+        [df[g].eqNullSafe(q_r[f"_g_{i}"]) for i, g in enumerate(gcols)])
+    counts = (df.join(F.broadcast(q_r), on, "inner")
+              .groupBy(*[df[g] for g in gcols])
+              .agg(F.count(F.lit(1)).alias("_gcnt"),
+                   F.first("_q").alias("_q"))
+              .where(F.col("_q") > 0))
+    return _quota_sample(df, gcols, counts,
+                         key_col=key_col, seed=seed, safety=safety)
+
+
+def _quota_sample(df: DataFrame, gcols: list, counts: DataFrame, *,
+                  key_col: str, seed: int, safety: float) -> DataFrame:
+    """Shared two-phase exact core: ``counts`` is one row per surviving
+    group with ``_gcnt`` (group size) and ``_q`` (rows to keep)."""
     if safety <= 1.0:
         raise ValueError(f"safety must be > 1, got {safety}")
-    gcols = list(group_cols)
     rank = hash_rank(F.col(key_col), seed)
     out_cols = df.columns
 
@@ -121,19 +158,19 @@ def sample_per_group(df: DataFrame, group_cols: Sequence[str], n: int, *,
     # One row per group — materialize it (localCheckpoint) so the three
     # downstream references cost lookups, not three re-aggregations of
     # the input.
-    counts = (df.groupBy(*gcols)
-              .agg(F.count(F.lit(1)).alias("_gcnt"))
+    counts = (counts
               .withColumn("_thr", F.least(
-                  F.lit(1.0), F.lit(float(safety) * n) / F.col("_gcnt")))
+                  F.lit(1.0),
+                  F.lit(float(safety)) * F.col("_q") / F.col("_gcnt")))
               .localCheckpoint(eager=True))
-    counts_r = g_renamed(counts, ["_thr"])
+    counts_r = g_renamed(counts, ["_thr", "_q"])
     survivors = (df.join(F.broadcast(counts_r), nullsafe_on(counts_r),
                          "inner")
                  .drop(*[f"_g_{i}" for i in range(len(gcols))])
                  .where(rank.isNull() | (rank < F.col("_thr"))))
 
     # Both window functions share the group partitioning (one shuffle of
-    # the ~safety*n survivors per group): the rank, and the group's
+    # the ~safety*q survivors per group): the rank, and the group's
     # survivor count used to prove the pre-filter kept enough rows.
     w = (Window.partitionBy(*gcols)
          .orderBy(hash_rank(F.col(key_col), seed), F.col(key_col)))
@@ -147,24 +184,25 @@ def sample_per_group(df: DataFrame, group_cols: Sequence[str], n: int, *,
     # including the zero-survivor corner, absent from `ranked` entirely
     # — is re-windowed over its full rows by the fallback, whose input
     # scan AQE skips when the broadcast `bad` side is empty (the
-    # ~always case: P(starved group) ~ exp(-n(safety-1)^2/2*safety)).
+    # ~always case: P(starved group) ~ exp(-q(safety-1)^2/2*safety)).
     good_rows = (ranked
-                 .where((F.col("_rn") <= n)
-                        & ((F.col("_scnt") >= n)
+                 .where((F.col("_rn") <= F.col("_q"))
+                        & ((F.col("_scnt") >= F.col("_q"))
                            | (F.col("_thr") >= 1.0)))
                  .select(*out_cols))
     satisfied = g_renamed(ranked.where((F.col("_rn") == 1)
-                                       & (F.col("_scnt") >= n)))
+                                       & (F.col("_scnt") >= F.col("_q"))))
     anti_on = functools.reduce(
         lambda a, b: a & b,
         [counts[g].eqNullSafe(satisfied[f"_g_{i}"])
          for i, g in enumerate(gcols)])
     bad = g_renamed(counts.where(F.col("_thr") < 1.0)
                     .join(satisfied, anti_on, "left_anti")
-                    .select(*gcols))
-    bad_rows = (df.join(F.broadcast(bad), nullsafe_on(bad), "left_semi")
+                    .select(*gcols, "_q"), ["_q"])
+    bad_rows = (df.join(F.broadcast(bad), nullsafe_on(bad), "inner")
+                .drop(*[f"_g_{i}" for i in range(len(gcols))])
                 .withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") <= n)
+                .where(F.col("_rn") <= F.col("_q"))
                 .select(*out_cols))
     return good_rows.unionByName(bad_rows)
 
@@ -228,4 +266,90 @@ r AS (
 SELECT series_key, bucket_ts, ts,
        CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_double
 FROM r WHERE rn <= {k}
+"""
+
+
+def domain_mix_sample(df: DataFrame, target_total: int, *,
+                      domain_col: str = "domain",
+                      key_col: str = "doc_id", seed: int = 7,
+                      safety: float = 4.0) -> DataFrame:
+    """Temperature-weighted domain mixing: rebalance a crawl so no
+    domain dominates the training mix.
+
+    The standard pretraining recipe (GPT-3's dataset weighting, UniMax)
+    samples domain d proportionally to count_d^α with α < 1 —
+    sub-linear, so the head flattens and the tail survives. α is fixed
+    at 0.5 here because √ is the one exponent that is EXACTLY
+    reproducible across engines (IEEE sqrt is correctly rounded;
+    arbitrary pow is not), which keeps the whole allocation integral:
+
+        w_d   = floor(√count_d · 1e6 + 0.5)          (fp6 int)
+        quota = (target_total · w_d) DIV Σw          (exact int)
+
+    The Σ-remainder (< #domains rows) is deliberately dropped rather
+    than redistributed — largest-remainder tie-breaks are exactly the
+    kind of cross-engine ambiguity this repo bans. Selection within a
+    domain is the house keyed-hash rank via :func:`sample_by_quota`,
+    so the chosen SET is deterministic across runs, partitionings and
+    cluster sizes, and any derived table sampled by the same key stays
+    aligned.
+
+    Scale shape: one summary hash agg (domain counts), one broadcast
+    scalar (Σw via a 1-row cross join — no collect), then the shared
+    two-phase quota sampler: map-only pre-filter + bounded windows.
+    decimal(38,0) holds target_total·w_d up to ~1e38 (ANSI fails
+    loudly beyond); the DuckDB oracle mirrors it in HUGEINT.
+    """
+    if target_total < 1:
+        raise ValueError(
+            f"target_total must be >= 1, got {target_total}")
+    cnts = (df.groupBy(F.col(domain_col).alias("_dom"))
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .withColumn("_w", F.floor(F.sqrt(F.col("_cnt")) * 1e6
+                                      + F.lit(0.5)).cast("long")))
+    wsum = cnts.agg(F.sum(F.col("_w").cast("decimal(38,0)"))
+                    .alias("_wsum"))
+    quotas = (cnts.crossJoin(F.broadcast(wsum))
+              .select(F.col("_dom").alias(domain_col),
+                      F.expr(f"CAST((CAST({int(target_total)} AS "
+                             f"DECIMAL(38,0)) * CAST(_w AS "
+                             f"DECIMAL(38,0))) DIV _wsum AS BIGINT)")
+                      .alias("quota")))
+    return sample_by_quota(df, [domain_col], quotas,
+                           key_col=key_col, seed=seed, safety=safety)
+
+
+def domain_mix_oracle_sql(docs_sql: str, target_total: int, *,
+                          domain_col: str = "domain",
+                          key_col: str = "doc_id",
+                          seed: int = 7) -> str:
+    """DuckDB replay of the exact :func:`domain_mix_sample` selection:
+    identical √-fp6 weights, HUGEINT quota allocation, md5 rank and
+    key tie-break. ``docs_sql`` yields at least (key_col,
+    domain_col)."""
+    return f"""
+WITH d AS ({docs_sql}),
+c AS (
+    SELECT {domain_col}, count(*) AS cnt,
+           CAST(CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e6 + 0.5)
+                AS BIGINT) AS HUGEINT) AS w
+    FROM d GROUP BY 1),
+q AS (
+    SELECT {domain_col},
+           CAST({int(target_total)} AS HUGEINT) * w
+               // (SELECT sum(w) FROM c) AS quota
+    FROM c),
+r AS (
+    SELECT d.*,
+           row_number() OVER (
+               PARTITION BY d.{domain_col}
+               ORDER BY CAST(concat('0x',
+                        substr(md5(CAST(d.{key_col} AS VARCHAR)
+                                   || ':{seed}'), 1, 8))
+                        AS BIGINT) / 4294967296.0,
+                        d.{key_col}) AS rn
+    FROM d)
+SELECT r.* EXCLUDE (rn)
+FROM r JOIN q USING ({domain_col})
+WHERE r.rn <= q.quota
 """

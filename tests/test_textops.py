@@ -2338,3 +2338,56 @@ def test_pack_sequences_shard_invariance(spark):
                        .collect()))
             for s in (1, 3, 1_000_000)]
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_sample_by_quota_and_domain_mix(spark):
+    """sample_by_quota must equal the naive per-group hash-rank window
+    at n = quota (including a tiny-safety fallback path); domain mix
+    allocates exact integer quotas from sqrt-fp6 weights."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.sampling import (
+        domain_mix_sample, sample_by_quota)
+
+    def rank(k, seed=7):
+        return int(hashlib.md5(f"{k}:{seed}".encode()).hexdigest()[:8],
+                   16) / 4294967296.0
+
+    rows = [(i, "a") for i in range(30)] + \
+           [(i, "b") for i in range(30, 50)] + \
+           [(50, "c"), (51, None)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    quotas = spark.createDataFrame(
+        [("a", 3), ("b", 5), ("c", 0), (None, 1)],
+        "domain string, quota int")
+
+    def naive(dom, q):
+        ids = [i for i, d in rows if d == dom]
+        return set(sorted(ids, key=lambda i: (rank(i), i))[:q])
+
+    for safety in (4.0, 1.01):   # 1.01 forces the starved fallback
+        got = {}
+        for r in sample_by_quota(df, ["domain"], quotas,
+                                 safety=safety).collect():
+            got.setdefault(r["domain"], set()).add(r["doc_id"])
+        assert got.get("a") == naive("a", 3)
+        assert got.get("b") == naive("b", 5)
+        assert "c" not in got                     # quota 0 -> dropped
+        assert got.get(None) == {51}              # null group kept
+
+    # domain mix: counts 9/4/1 -> w 3e6/2e6/1e6, W=6e6, T=6 -> 3/2/1
+    rows2 = [(i, "x") for i in range(9)] + \
+            [(100 + i, "y") for i in range(4)] + [(200, "z")]
+    d2 = spark.createDataFrame(rows2, "doc_id long, domain string")
+    got2 = {}
+    for r in domain_mix_sample(d2, 6).collect():
+        got2.setdefault(r["domain"], set()).add(r["doc_id"])
+    assert len(got2["x"]) == 3 and len(got2["y"]) == 2
+    assert got2["z"] == {200}
+    xs = [i for i, d in rows2 if d == "x"]
+    assert got2["x"] == set(sorted(xs, key=lambda i: (rank(i), i))[:3])
+
+    with _pytest.raises(ValueError):
+        domain_mix_sample(d2, 0)
