@@ -2938,6 +2938,86 @@ FROM agg
 """
 
 
+_BP_NAV = "home | about | contact | search"
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate LINE removal
+    (operators/dedup.py remove_boilerplate_lines): lines whose
+    normalized form appears in >= 3 distinct docs are removed from
+    every doc (no canonical keeper — contrast paragraph_dedup). The
+    single-line corpus first gets a deterministic page structure: a
+    constant nav line (removed everywhere), the doc body (removed only
+    where the same text really occurs in >= 3 docs), an immune short
+    'ok' line (< min_chars), and a per-domain copyright footer
+    (removed for domains with >= 3 docs). FULL value check: the oracle
+    rebuilds the pages and replays normalization, distinct-doc
+    counting and byte-for-byte reassembly."""
+    from json_time_series_extractor_spark.operators.dedup import (
+        remove_boilerplate_lines)
+    from json_time_series_extractor_spark.operators.urltools import (
+        canonical_url, url_host)
+
+    docs = _docs(spark, sf_dir)
+    domain = url_host(canonical_url(_synth_url_expr_spark()))
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.lit(_BP_NAV), F.col("text"), F.lit("ok"),
+            F.concat(F.lit("(c) 2024 "), domain,
+                     F.lit(" all rights reserved"))).alias("text"))
+    return remove_boilerplate_lines(pages, min_df=3, min_chars=6,
+                                    hash_fn="md5hi")
+
+
+def _oracle_boilerplate_lines() -> str:
+    from json_time_series_extractor_spark.operators.urltools import (
+        _CANON_HOST_RE, canonical_url_oracle_expr)
+
+    canon = canonical_url_oracle_expr("url")
+    return f"""
+WITH u AS (
+    SELECT doc_id, text, {_SYNTH_URL_SQL} AS url FROM documents),
+d0 AS (
+    SELECT doc_id,
+           concat_ws(chr(10), '{_BP_NAV}', text, 'ok',
+                     '(c) 2024 ' ||
+                     CASE WHEN regexp_extract({canon},
+                               '{_CANON_HOST_RE}', 1) = ''
+                          THEN '(opaque)'
+                          ELSE regexp_extract({canon},
+                               '{_CANON_HOST_RE}', 1) END ||
+                     ' all rights reserved') AS text
+    FROM u),
+l AS (
+    SELECT doc_id, j, lines[j] AS line
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d0),
+         unnest(generate_series(1, len(lines))) AS g(j)),
+c AS (
+    SELECT doc_id, j, line, trim(lower(line)) AS nrm,
+           length(trim(lower(line))) >= 6 AS is_c
+    FROM l),
+f AS (
+    SELECT md5(nrm) AS h FROM c WHERE is_c
+    GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+fin AS (
+    SELECT c.doc_id, c.j, c.line,
+           NOT (c.is_c AND f.h IS NOT NULL) AS keep
+    FROM c LEFT JOIN f ON md5(c.nrm) = f.h),
+p AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_removed,
+           coalesce(string_agg(line, chr(10) ORDER BY j)
+                    FILTER (WHERE keep), '') AS text_clean
+    FROM fin GROUP BY 1)
+SELECT d.doc_id, coalesce(p.n_lines, 0) AS n_lines,
+       coalesce(p.n_removed, 0) AS n_removed,
+       coalesce(p.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted domain mixing (operators/sampling.py
     domain_mix_sample): α=0.5 UniMax-style rebalancing over the same
@@ -3637,6 +3717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_acf": q_series_acf,
         "pack_sequences": q_pack_sequences,
         "domain_mix": q_domain_mix,
+        "boilerplate_lines": q_boilerplate_lines,
         "holt_winters": q_holt_winters,
         "holt_winters_seasonal": q_holt_winters_seasonal,
         "absent_buckets": q_absent_buckets,
@@ -3782,6 +3863,7 @@ GROUP BY 1, 2
         "series_acf": _oracle_series_acf(),
         "pack_sequences": _oracle_pack_sequences(),
         "domain_mix": _oracle_domain_mix(),
+        "boilerplate_lines": _oracle_boilerplate_lines(),
         "quantile_over_time": _ORACLE_QUANTILE_OVER_TIME,
         "distinct_over_time": _oracle_distinct_over_time(),
         "frequency_over_time": cm_over_time_oracle_sql(

@@ -812,3 +812,79 @@ def duplicate_ngram_stats(docs: DataFrame, *, n: int = 8,
                   / F.col("n_windows").cast("double")).otherwise(0.0)
     return marked.select("doc_id", "n_windows", "n_dup_windows",
                          frac.alias("dup_fraction"))
+
+
+def remove_boilerplate_lines(docs: DataFrame, *, min_df: int = 3,
+                             min_chars: int = 6,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             hash_fn: str = "xxhash64") -> DataFrame:
+    """Line-level boilerplate removal (the CCNet / RefinedWeb line
+    filter): a line whose normalized form appears in >= ``min_df``
+    DISTINCT documents is navigation/footer/banner furniture and is
+    removed from EVERY document — unlike :func:`dedup_paragraphs`,
+    which keeps one canonical copy, boilerplate has no canonical home.
+
+    Semantics (deterministic, partition-invariant, SQL-replayable):
+
+    - lines are the '\\n'-split of the text, preserved VERBATIM for
+      reassembly (removal decisions never alter surviving bytes);
+    - the dedup key is trim(lower(line)); lines whose key is shorter
+      than ``min_chars`` are immune (blank lines and ok/yes/menu
+      stubs repeat everywhere without being boilerplate *evidence*);
+    - document frequency counts DISTINCT docs — a line repeated 100×
+      inside ONE page is repetition (textstats territory), not
+      boilerplate.
+
+    Output: (doc_id, n_lines, n_removed, text_clean) — surviving lines
+    joined by '\\n' in original order; docs with NULL text yield
+    (0, 0, '').
+
+    Scale shape: posexplode (map-only) → TWO-LEVEL distinct-doc count
+    keyed by the 64-bit line hash ((hash, doc) partial/final agg, then
+    a summary-sized count — never a count-distinct expand, so a
+    million-page site collapses map-side) → equi-join the line rows
+    against the flagged-hash summary → one reassembly aggregate per
+    doc. No windows over raw text, no Python; ``hash_fn='md5hi'``
+    keeps the pipeline SQL-recomputable.
+    """
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    if min_chars < 1:
+        raise ValueError(f"min_chars must be >= 1, got {min_chars}")
+    lines = _materialize(
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.posexplode(F.split(F.col(text_col), "\n", -1))
+                    .alias("pos", "_line"))
+        .withColumn("_nrm", F.trim(F.lower(F.col("_line"))))
+        .withColumn("_cand", F.length("_nrm") >= min_chars)
+        .withColumn("_h", _token_hash64(F.col("_nrm"), hash_fn)))
+    flagged = (lines.where(F.col("_cand"))
+               .groupBy("_h", "doc_id").agg(F.lit(1).alias("_one"))
+               .groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+               .where(F.col("_df") >= min_df)
+               .select("_h", F.lit(True).alias("_flag")))
+    fin = (lines.join(flagged, "_h", "left")
+           .withColumn("_keep", ~(F.col("_cand")
+                                  & F.coalesce("_flag", F.lit(False)))))
+    per_doc = (fin.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_lines"),
+                    F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+                    .alias("n_removed"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.when(F.col("_keep"),
+                                       F.struct(F.col("pos").alias("p"),
+                                                F.col("_line")
+                                                .alias("t"))))),
+                            lambda s: s["t"]), "\n").alias("text_clean")))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_lines", F.lit(0)).cast("long")
+                    .alias("n_lines"),
+                    F.coalesce("n_removed", F.lit(0)).cast("long")
+                    .alias("n_removed"),
+                    F.coalesce("text_clean", F.lit("")).alias(
+                        "text_clean")))

@@ -2391,3 +2391,52 @@ def test_sample_by_quota_and_domain_mix(spark):
 
     with _pytest.raises(ValueError):
         domain_mix_sample(d2, 0)
+
+
+def test_remove_boilerplate_lines(spark):
+    """Hand-checked line removal: df counts DISTINCT docs (a line
+    repeated 5x inside one doc is not boilerplate), short lines are
+    immune no matter how common, removal hits EVERY copy, surviving
+    bytes are untouched, and NULL-text docs come back (0, 0, '')."""
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.dedup import (
+        remove_boilerplate_lines)
+
+    nav = "Accept our cookies"
+    docs = [
+        (0, f"{nav}\nunique zero\nok\n{nav.upper()}"),   # nav twice
+        (1, f"{nav}\nunique one"),
+        (2, f"{nav}\nunique two\nrepeat me\nrepeat me\nrepeat me"),
+        (3, "repeat me\nunique three\n  accept our COOKIES  "),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_lines"], r["n_removed"], r["text_clean"])
+           for r in remove_boilerplate_lines(
+               df, min_df=3, min_chars=6, hash_fn="md5hi").collect()}
+
+    # nav appears in docs 0,1,2,3 (normalized: case+trim) -> removed
+    # everywhere, including both copies in doc 0 and the padded copy
+    # in doc 3. "repeat me" has df=2 (docs 2,3) -> kept. "ok" df=1.
+    assert got[0] == (4, 2, "unique zero\nok")
+    assert got[1] == (2, 1, "unique one")
+    assert got[2] == (5, 1, "unique two\nrepeat me\nrepeat me\nrepeat me")
+    assert got[3] == (3, 1, "repeat me\nunique three")
+    assert got[4] == (0, 0, "")
+    assert got[5] == (1, 0, "")
+
+    # short lines immune even at corpus-wide df
+    short = spark.createDataFrame(
+        [(i, "hi\nbody %d" % i) for i in range(5)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text_clean"]
+           for r in remove_boilerplate_lines(
+               short, min_df=3, min_chars=6).collect()}
+    assert all(v.startswith("hi\n") for v in out.values())
+
+    with _pytest.raises(ValueError):
+        remove_boilerplate_lines(df, min_df=1)
+    with _pytest.raises(ValueError):
+        remove_boilerplate_lines(df, min_chars=0)
