@@ -1731,6 +1731,35 @@ def _oracle_anomaly_mad() -> str:
     return anomaly_mad_oracle_sql("events", unit="hour", k_buckets=24, k=3)
 
 
+def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO burn-rate alerting (operators/slo.py): per
+    synthetic service (user_id % 3), 1m error/request tier, trailing
+    1h + 6h RANGE windows on the epoch axis, 99.9% target, 6x
+    threshold — the SRE-workbook rule. Exact integer window sums, a
+    fixed-shape IEEE tail; the oracle replays frames, counts and
+    alert logic in full."""
+    from json_time_series_extractor_spark.operators.slo import (
+        slo_burn_rate)
+
+    ev = _events(spark, sf_dir).select(
+        (F.col("user_id") % 3).alias("service"), "ts",
+        (F.col("event_type") == "error").alias("is_error"))
+    out = slo_burn_rate(ev, tier="1 minute", short_window="1 hour",
+                        long_window="6 hours", slo_target=0.999,
+                        threshold=6.0)
+    sent = F.lit(-9.0e9)
+    for c in ("burn_short", "burn_long"):
+        out = out.withColumn(c, F.coalesce(F.col(c), sent))
+    return _quant6(out, "burn_short", "burn_long")
+
+
+def _oracle_slo_burn_rate() -> str:
+    from json_time_series_extractor_spark.operators.slo import (
+        slo_oracle_sql)
+
+    return slo_oracle_sql("events")
+
+
 def q_ingest_dedup_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-writer-wins out-of-order ingest dedup
     (operators/ingest.py dedup_ingest_lww): an at-least-once transport
@@ -3714,6 +3743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_mad": q_anomaly_mad,
         "changepoint_cusum": q_changepoint_cusum,
         "ingest_dedup_lww": q_ingest_dedup_lww,
+        "slo_burn_rate": q_slo_burn_rate,
         "series_acf": q_series_acf,
         "pack_sequences": q_pack_sequences,
         "domain_mix": q_domain_mix,
@@ -3860,6 +3890,7 @@ GROUP BY 1, 2
         "anomaly_mad": _oracle_anomaly_mad(),
         "changepoint_cusum": _oracle_changepoint_cusum(),
         "ingest_dedup_lww": _oracle_ingest_lww(),
+        "slo_burn_rate": _oracle_slo_burn_rate(),
         "series_acf": _oracle_series_acf(),
         "pack_sequences": _oracle_pack_sequences(),
         "domain_mix": _oracle_domain_mix(),

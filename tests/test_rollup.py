@@ -2208,3 +2208,59 @@ def test_series_acf_matches_bruteforce(spark, pts):
                 abs(r["acf"] - float(Fraction(num, den))) < 1e-12
         else:
             assert not r["defined"] and r["acf"] is None
+
+
+def test_slo_burn_rate(spark):
+    """Hand-checked multiwindow burn: a 5-minute error burst must trip
+    the alert only while BOTH windows burn above threshold, gaps widen
+    the time window (RANGE, not ROWS), and zero-traffic windows are
+    unscored rather than zero-burn."""
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.slo import (
+        slo_burn_rate)
+
+    base = datetime(2024, 1, 1, 12, 0)
+    rows = []
+    # service 0: 10 req/min for 30 min, minutes 10-14 all errors
+    for m in range(30):
+        for i in range(10):
+            rows.append((0, base + timedelta(minutes=m, seconds=i),
+                         10 <= m < 15))
+    # service 1: one clean request, then a 3-min gap, then an error —
+    # with ROWS frames the error minute would see only 2 present rows;
+    # with RANGE the clean minute at t-4min is still inside a 5-min
+    # short window.
+    rows.append((1, base, False))
+    rows.append((1, base + timedelta(minutes=4), True))
+    df = spark.createDataFrame(
+        rows, "service long, ts timestamp, is_error boolean")
+    out = slo_burn_rate(df, tier="1 minute", short_window="5 minutes",
+                        long_window="15 minutes", slo_target=0.9,
+                        threshold=3.0)
+    got = {(r["service"], r["bucket_ts"].minute): r
+           for r in out.collect()}
+
+    # service 0, minute 14: short window (10..14) all errors ->
+    # ratio 1.0, burn 10; long window (0..14) 50/150 -> burn 10/3
+    r = got[(0, 14)]
+    assert (r["req_short"], r["err_short"]) == (50, 50)
+    assert (r["req_long"], r["err_long"]) == (150, 50)
+    assert r["alert"] and abs(r["burn_short"] - 10.0) < 1e-12
+    # minute 9: no errors anywhere yet
+    assert not got[(0, 9)]["alert"] and got[(0, 9)]["err_long"] == 0
+    # minute 25: short window clean again -> alert clears even though
+    # the long window still carries the burst
+    r25 = got[(0, 25)]
+    assert r25["err_short"] == 0 and r25["err_long"] > 0
+    assert not r25["alert"]
+    # service 1 RANGE semantics: the error minute's short window spans
+    # minutes 0..4 -> 2 requests, 1 error
+    r1 = got[(1, 4)]
+    assert (r1["req_short"], r1["err_short"]) == (2, 1)
+    assert r1["scored"]
+
+    with _pytest.raises(ValueError):
+        slo_burn_rate(df, slo_target=1.0)
+    with _pytest.raises(ValueError):
+        slo_burn_rate(df, short_window="6 hours", long_window="1 hour")
