@@ -1731,6 +1731,35 @@ def _oracle_anomaly_mad() -> str:
     return anomaly_mad_oracle_sql("events", unit="hour", k_buckets=24, k=3)
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition
+    (operators/decompose.py): 2x24 centered-MA trend over the 1h
+    tier's per-bucket last values (RANGE frame — any gap disables the
+    estimate), per-phase detrended means as exact 2p-scale integer
+    rationals, residual from the fixed IEEE tail. Documented
+    deviation: seasonal indices are not re-centered. FULL value check
+    incl. x/trend/seasonal/residual and definedness."""
+    from json_time_series_extractor_spark.operators.decompose import (
+        seasonal_decompose)
+
+    out = seasonal_decompose(_event_samples(spark, sf_dir), "1 hour", 24)
+    sent = F.lit(-9.0e9)
+    for c in ("trend", "seasonal", "residual"):
+        out = out.withColumn(c, F.coalesce(F.col(c), sent))
+    return _quant6(out.select("series_key", "bucket_ts", "x_fp6",
+                              "phase", "defined", "trend", "seasonal",
+                              "residual"),
+                   "trend", "seasonal", "residual")
+
+
+def _oracle_seasonal_decompose() -> str:
+    from json_time_series_extractor_spark.operators.decompose import (
+        seasonal_decompose_oracle_sql)
+
+    return seasonal_decompose_oracle_sql("events", unit="hour",
+                                         period=24)
+
+
 def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiwindow SLO burn-rate alerting (operators/slo.py): per
     synthetic service (user_id % 3), 1m error/request tier, trailing
@@ -3744,6 +3773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint_cusum": q_changepoint_cusum,
         "ingest_dedup_lww": q_ingest_dedup_lww,
         "slo_burn_rate": q_slo_burn_rate,
+        "seasonal_decompose": q_seasonal_decompose,
         "series_acf": q_series_acf,
         "pack_sequences": q_pack_sequences,
         "domain_mix": q_domain_mix,
@@ -3891,6 +3921,7 @@ GROUP BY 1, 2
         "changepoint_cusum": _oracle_changepoint_cusum(),
         "ingest_dedup_lww": _oracle_ingest_lww(),
         "slo_burn_rate": _oracle_slo_burn_rate(),
+        "seasonal_decompose": _oracle_seasonal_decompose(),
         "series_acf": _oracle_series_acf(),
         "pack_sequences": _oracle_pack_sequences(),
         "domain_mix": _oracle_domain_mix(),

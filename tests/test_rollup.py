@@ -2264,3 +2264,44 @@ def test_slo_burn_rate(spark):
         slo_burn_rate(df, slo_target=1.0)
     with _pytest.raises(ValueError):
         slo_burn_rate(df, short_window="6 hours", long_window="1 hour")
+
+
+def test_seasonal_decompose(spark):
+    """On x_t = 10t + s[t % 4] (s summing to 0) the 2xP centered MA
+    recovers the line EXACTLY (symmetric weights kill the periodic
+    part), so trend/seasonal/residual are exact; edges are undefined;
+    a gap disables every window that spans it (RANGE semantics)."""
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.decompose import (
+        seasonal_decompose)
+
+    s = [0.0, 5.0, -3.0, -2.0]
+    base = datetime(2024, 1, 1)   # midnight -> phase == hour % 4
+    rows = [("a", base + timedelta(hours=t), 10.0 * t + s[t % 4])
+            for t in range(12)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+    got = {r["bucket_ts"].hour: r
+           for r in seasonal_decompose(df, "1 hour", 4).collect()}
+
+    for t in range(12):
+        r = got[t]
+        assert r["phase"] == t % 4
+        if 2 <= t <= 9:
+            assert r["defined"]
+            assert abs(r["trend"] - 10.0 * t) < 1e-9, t
+            assert abs(r["seasonal"] - s[t % 4]) < 1e-9, t
+            assert abs(r["residual"]) < 1e-9, t
+        else:
+            assert not r["defined"] and r["trend"] is None
+
+    # a missing hour disables every centered window spanning it
+    df2 = df.where(F.hour("ts") != 5)
+    got2 = {r["bucket_ts"].hour: r["defined"]
+            for r in seasonal_decompose(df2, "1 hour", 4).collect()}
+    assert not any(got2[t] for t in (3, 4, 6, 7))
+    assert got2[8] and got2[9]
+
+    with _pytest.raises(ValueError):
+        seasonal_decompose(df, period=5)
