@@ -164,6 +164,9 @@ def run_benchmarks() -> None:
                  "rollup_mergeable_cascade", "downsample_m4",
                  "gapfill_locf_stale", "histogram_rebin",
                  "rolling_correlation", "anomaly_mad",
+                 "changepoint_cusum", "ingest_dedup_lww", "series_acf",
+                 "pack_sequences", "domain_mix", "boilerplate_lines",
+                 "slo_burn_rate", "seasonal_decompose",
                  "chunk_pruned_scan", "decontaminate", "doc_lm_quality",
                  "domain_stats", "ann_ivfpq_topk",
                  "rollup_percentiles", "rollup_tdigest", "counter_rate",

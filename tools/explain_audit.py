@@ -174,6 +174,31 @@ AUDITED = [
     ("domain_stats", "two-level aggregation (domain, canonical) -> "
      "domain; never a count-distinct expand; canonicalization is "
      "map-only codegen"),
+    ("changepoint_cusum", "drawup/drawdown closed form: one summary "
+     "median/MAD aggregate per series + one equi-join + running "
+     "integer windows; zero floats, zero Python, no recursion"),
+    ("ingest_dedup_lww", "ONE max(struct) hash aggregate on the tier "
+     "key — map-side combinable, mergeable across incremental "
+     "partitions, rides the shuffle the 1m tier already pays"),
+    ("series_acf", "bucket reduction + tiny per-series stats + ONE "
+     "exploded self-equi-join (fan-out = max_lag) + one hash "
+     "aggregate; decimal-exact sums, no windows over raw rows"),
+    ("pack_sequences", "two-phase distributed prefix scan: shard "
+     "totals prefix-summed over SUMMARY rows only, bounded "
+     "within-shard windows, broadcast join back; never a global sort "
+     "of doc rows"),
+    ("domain_mix", "summary-sized weight/quota aggregates + the "
+     "shared two-phase quota sampler: map-only hash pre-filter, "
+     "bounded survivor windows, broadcast-empty fallback"),
+    ("boilerplate_lines", "posexplode -> two-level distinct-doc count "
+     "on the 64-bit line hash (never count-distinct expand) -> "
+     "equi-join + per-doc reassembly aggregate; no Python"),
+    ("slo_burn_rate", "one tier hash aggregate, ONE window per "
+     "service with two trailing RANGE frames; integer sums, "
+     "fixed-shape float tail"),
+    ("seasonal_decompose", "bucket reduction + one RANGE window per "
+     "series (p+1 rows in frame) + summary phase aggregate + "
+     "broadcast-sized join back; integer 2p-scale algebra"),
 ]
 
 
