@@ -2629,6 +2629,52 @@ def _oracle_doc_lm_quality() -> str:
                                 threshold_fp6=-820_000)
 
 
+_BM25_TERMS = ["hash", "join", "vector", "spark"]
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring (operators/bm25.py): the targeted-
+    curation retrieval primitive, k1=1.2 / b=0.75 over casefolded
+    whitespace tokens. Log-free cross-engine exactness (the lmscore
+    contract): ONE shared Python idf function consumes exact integer
+    (N, df) computed INDEPENDENTLY by each engine; the per-term ratio
+    is cleared to integers by 10·T; doc scores sum already-quantized
+    int64s. FULL value check incl. per-doc dl and matched-term
+    counts."""
+    from json_time_series_extractor_spark.operators.bm25 import (
+        bm25_scores)
+
+    return bm25_scores(_docs(spark, sf_dir), _BM25_TERMS)
+
+
+def _oracle_bm25() -> str:
+    import duckdb
+
+    from json_time_series_extractor_spark.operators.bm25 import (
+        bm25_oracle_sql)
+
+    # Same independent-counts contract as _oracle_doc_lm_quality: the
+    # oracle derives N / T / df from its OWN DuckDB aggregation.
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                        "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    tbl = f"read_parquet('{sf}/documents.parquet')"
+    n_docs, total = con.sql(f"""
+        SELECT count(*),
+               CAST(sum(coalesce(len(list_filter(string_split_regex(
+                   lower(text), '\\s+'), x -> x <> '')), 0)) AS BIGINT)
+        FROM {tbl}""").fetchone()
+    dfs = dict(con.sql(f"""
+        SELECT term, count(DISTINCT doc_id) FROM (
+            SELECT doc_id, unnest(list_filter(string_split_regex(
+                lower(text), '\\s+'), x -> x <> '')) AS term
+            FROM {tbl})
+        WHERE term IN ({', '.join(repr(t) for t in _BM25_TERMS)})
+        GROUP BY 1""").fetchall())
+    return bm25_oracle_sql("documents", _BM25_TERMS, int(n_docs),
+                           int(total), dfs)
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: punct/stopword/word-length signals + composite."""
     out = with_quality_score(_docs(spark, sf_dir)).select(
@@ -3778,6 +3824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "domain_mix": q_domain_mix,
         "boilerplate_lines": q_boilerplate_lines,
+        "bm25_scores": q_bm25_scores,
         "holt_winters": q_holt_winters,
         "holt_winters_seasonal": q_holt_winters_seasonal,
         "absent_buckets": q_absent_buckets,
@@ -3926,6 +3973,7 @@ GROUP BY 1, 2
         "pack_sequences": _oracle_pack_sequences(),
         "domain_mix": _oracle_domain_mix(),
         "boilerplate_lines": _oracle_boilerplate_lines(),
+        "bm25_scores": _oracle_bm25(),
         "quantile_over_time": _ORACLE_QUANTILE_OVER_TIME,
         "distinct_over_time": _oracle_distinct_over_time(),
         "frequency_over_time": cm_over_time_oracle_sql(

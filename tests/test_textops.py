@@ -2440,3 +2440,48 @@ def test_remove_boilerplate_lines(spark):
         remove_boilerplate_lines(df, min_df=1)
     with _pytest.raises(ValueError):
         remove_boilerplate_lines(df, min_chars=0)
+
+
+def test_bm25_scores(spark):
+    """Hand corpus vs a from-scratch float BM25: the cleared-fraction
+    integer formula must agree with the textbook expression (same idf
+    source), N/avgdl must count ALL docs incl. NULL text, and docs
+    matching no term must be absent."""
+    import math
+
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.bm25 import (
+        bm25_idf_fp6, bm25_scores)
+
+    docs = [(0, "hash join hash"), (1, "vector scan"),
+            (2, "join join join vector"), (3, "nothing relevant"),
+            (4, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           bm25_scores(df, ["hash", "vector", "join"]).collect()}
+
+    n, dls = 5, {0: 3, 1: 2, 2: 4, 3: 2, 4: 0}
+    total = sum(dls.values())
+    tfs = {0: {"hash": 2, "join": 1}, 1: {"vector": 1},
+           2: {"join": 3, "vector": 1}}
+    dfs = {"hash": 1, "join": 2, "vector": 2}
+    for did, terms in tfs.items():
+        expect = 0
+        for t, tf in terms.items():
+            idf = bm25_idf_fp6(n, dfs[t]) / 1e6
+            textbook = idf * tf * 2.2 / (
+                tf + 1.2 * (1 - 0.75 + 0.75 * dls[did] / (total / n)))
+            cleared = (bm25_idf_fp6(n, dfs[t]) * tf * 22 * total) / (
+                10 * total * tf + 3 * total + 9 * dls[did] * n)
+            assert abs(cleared / 1e6 - textbook) < 1e-6
+            expect += math.floor(cleared + 0.5)
+        r = got[did]
+        assert (r["score_fp6"], r["n_terms"], r["dl"]) == \
+            (expect, len(terms), dls[did]), did
+    assert 3 not in got and 4 not in got
+    # the richest match outranks the partial ones
+    assert got[2]["score_fp6"] > got[1]["score_fp6"]
+
+    with _pytest.raises(ValueError):
+        bm25_scores(df, [])
