@@ -166,7 +166,7 @@ def run_benchmarks() -> None:
                  "rolling_correlation", "anomaly_mad",
                  "changepoint_cusum", "ingest_dedup_lww", "series_acf",
                  "pack_sequences", "domain_mix", "boilerplate_lines",
-                 "slo_burn_rate", "seasonal_decompose",
+                 "slo_burn_rate", "seasonal_decompose", "bm25_scores",
                  "chunk_pruned_scan", "decontaminate", "doc_lm_quality",
                  "domain_stats", "ann_ivfpq_topk",
                  "rollup_percentiles", "rollup_tdigest", "counter_rate",

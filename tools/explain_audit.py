@@ -199,6 +199,9 @@ AUDITED = [
     ("seasonal_decompose", "bucket reduction + one RANGE window per "
      "series (p+1 rows in frame) + summary phase aggregate + "
      "broadcast-sized join back; integer 2p-scale algebra"),
+    ("bm25_scores", "explode filtered to query terms (query-sized "
+     "shuffle, not corpus-sized) + Q-row bounded collect + broadcast "
+     "idf join + one per-doc aggregate; scoring path has no Python"),
 ]
 
 
