@@ -2629,6 +2629,69 @@ def _oracle_doc_lm_quality() -> str:
                                 threshold_fp6=-820_000)
 
 
+_ORACLE_DOC_QUALITY = """
+WITH m AS (
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS n_tokens,
+           len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+           len(regexp_extract_all(lower(text),
+               '\\b(the|and|of|to|a|in|is|it|that|for)\\b')) AS n_stop
+    FROM documents),
+r AS (
+    SELECT doc_id, n_chars_calc, n_tokens,
+           CASE WHEN n_chars_calc > 0 THEN n_punct / n_chars_calc
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN n_tokens > 0 THEN n_stop / n_tokens
+                ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN n_tokens > 0 THEN n_chars_calc / n_tokens
+                ELSE 0.0 END AS mean_word_len
+    FROM m)
+SELECT doc_id, n_chars_calc, n_tokens,
+       CAST(floor(punct_ratio * 1000000 + 0.5) AS BIGINT) AS punct_ratio,
+       CAST(floor(stopword_ratio * 1000000 + 0.5) AS BIGINT)
+           AS stopword_ratio,
+       CAST(floor(mean_word_len * 1000000 + 0.5) AS BIGINT)
+           AS mean_word_len,
+       CAST(floor((least(stopword_ratio * 2.0, 1.0) * 0.5
+           + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                   THEN 1.0 ELSE 0.0 END) * 0.3
+           + (CASE WHEN punct_ratio < 0.1 THEN 1.0 ELSE 0.0 END) * 0.2)
+           * 1000000 + 0.5) AS BIGINT) AS quality_score
+FROM r
+"""
+
+
+def q_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-quantile quality filter (operators/rankselect.py):
+    Gopher-style 'drop the worst 20% by quality score' where the
+    threshold is the EXACT score at rank floor(0.2·N)+1 — found by the
+    two-phase counting select (coarse 2^20 histogram, then distinct
+    scores inside one bucket; no sort, no approxQuantile). Boundary
+    ties are kept, so <= 20% drops; the oracle is the naive sorted
+    selection the histogram select must be indistinguishable from.
+    FULL value check incl. the threshold and exact dropped count on
+    every surviving row."""
+    from json_time_series_extractor_spark.operators.rankselect import (
+        quantile_threshold_filter)
+
+    scored = _quant6(
+        with_quality_score(_docs(spark, sf_dir))
+        .select("doc_id", "quality_score"), "quality_score")
+    return quantile_threshold_filter(scored, "quality_score", 0.2)
+
+
+def _oracle_quality_threshold() -> str:
+    from json_time_series_extractor_spark.operators.rankselect import (
+        quantile_threshold_oracle_sql)
+
+    scored = (f"SELECT doc_id, quality_score FROM "
+              f"({_ORACLE_DOC_QUALITY})")
+    return quantile_threshold_oracle_sql(scored, 0.2,
+                                         score_col="quality_score")
+
+
 _BM25_TERMS = ["hash", "join", "vector", "spark"]
 
 
@@ -3825,6 +3888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": q_domain_mix,
         "boilerplate_lines": q_boilerplate_lines,
         "bm25_scores": q_bm25_scores,
+        "quality_threshold": q_quality_threshold,
         "holt_winters": q_holt_winters,
         "holt_winters_seasonal": q_holt_winters_seasonal,
         "absent_buckets": q_absent_buckets,
@@ -3974,6 +4038,7 @@ GROUP BY 1, 2
         "domain_mix": _oracle_domain_mix(),
         "boilerplate_lines": _oracle_boilerplate_lines(),
         "bm25_scores": _oracle_bm25(),
+        "quality_threshold": _oracle_quality_threshold(),
         "quantile_over_time": _ORACLE_QUANTILE_OVER_TIME,
         "distinct_over_time": _oracle_distinct_over_time(),
         "frequency_over_time": cm_over_time_oracle_sql(
@@ -4218,38 +4283,7 @@ FROM documents
         "doc_token_count_bpe": _oracle_doc_token_count_bpe(),
         "decontaminate": _oracle_decontaminate(),
         "doc_lm_quality": _oracle_doc_lm_quality(),
-        "doc_quality": """
-WITH m AS (
-    SELECT doc_id,
-           length(text) AS n_chars_calc,
-           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
-               AS n_tokens,
-           len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
-           len(regexp_extract_all(lower(text),
-               '\\b(the|and|of|to|a|in|is|it|that|for)\\b')) AS n_stop
-    FROM documents),
-r AS (
-    SELECT doc_id, n_chars_calc, n_tokens,
-           CASE WHEN n_chars_calc > 0 THEN n_punct / n_chars_calc
-                ELSE 0.0 END AS punct_ratio,
-           CASE WHEN n_tokens > 0 THEN n_stop / n_tokens
-                ELSE 0.0 END AS stopword_ratio,
-           CASE WHEN n_tokens > 0 THEN n_chars_calc / n_tokens
-                ELSE 0.0 END AS mean_word_len
-    FROM m)
-SELECT doc_id, n_chars_calc, n_tokens,
-       CAST(floor(punct_ratio * 1000000 + 0.5) AS BIGINT) AS punct_ratio,
-       CAST(floor(stopword_ratio * 1000000 + 0.5) AS BIGINT)
-           AS stopword_ratio,
-       CAST(floor(mean_word_len * 1000000 + 0.5) AS BIGINT)
-           AS mean_word_len,
-       CAST(floor((least(stopword_ratio * 2.0, 1.0) * 0.5
-           + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
-                   THEN 1.0 ELSE 0.0 END) * 0.3
-           + (CASE WHEN punct_ratio < 0.1 THEN 1.0 ELSE 0.0 END) * 0.2)
-           * 1000000 + 0.5) AS BIGINT) AS quality_score
-FROM r
-""",
+        "doc_quality": _ORACLE_DOC_QUALITY,
         # doc_repetition: rebuild the SAME deterministic line/paragraph
         # structure (3-token lines, mod-3-length line doubling, 5-line
         # paragraphs, first-paragraph repeat on doc_id%4==0), then

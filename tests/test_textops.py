@@ -2485,3 +2485,50 @@ def test_bm25_scores(spark):
 
     with _pytest.raises(ValueError):
         bm25_scores(df, [])
+
+
+def test_value_at_rank_and_quantile_threshold(spark):
+    """The two-phase counting select must equal Python sorted()[k] on
+    adversarial data: negatives (arithmetic-shift bucket order),
+    duplicates straddling coarse-bucket boundaries, rank 1 and rank N;
+    the threshold filter keeps boundary ties and reports exact
+    drops."""
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.rankselect import (
+        quantile_threshold_filter, value_at_rank)
+
+    vals = [-(1 << 30), -5, -5, -1, 0, 0, 0, 7, 7, (1 << 25) + 3,
+            (1 << 25) + 3, (1 << 40)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id long, score long")
+    sv = sorted(vals)
+    for rank in (1, 2, 5, 7, len(vals)):
+        assert value_at_rank(df, "score", rank,
+                             coarse_bits=20) == sv[rank - 1], rank
+    with _pytest.raises(ValueError):
+        value_at_rank(df, "score", len(vals) + 1)
+    with _pytest.raises(ValueError):
+        value_at_rank(df, "score", 0)
+
+    # drop_frac 0.25 of 12 -> k=3, threshold = sv[3] = -1; the three
+    # smaller rows drop, ties at -1 (none) kept
+    out = quantile_threshold_filter(df, "score", 0.25)
+    rows = out.collect()
+    assert all(r["threshold"] == -1 and r["n_dropped"] == 3
+               for r in rows)
+    assert sorted(r["score"] for r in rows) == sv[3:]
+
+    # tie straddling the cut: k=4 lands inside the 0-run -> threshold
+    # 0, only the 4 rows strictly below drop (ties kept)
+    out2 = quantile_threshold_filter(df, "score", 4.4 / 12)
+    assert sorted(r["score"] for r in out2.collect()) == sv[4:]
+    assert out2.first()["n_dropped"] == 4
+
+    # NULL scores always drop and never count toward N
+    dfn = df.unionByName(spark.createDataFrame(
+        [(99, None)], "id long, score long"))
+    assert quantile_threshold_filter(dfn, "score", 0.25).count() == 9
+
+    with _pytest.raises(ValueError):
+        quantile_threshold_filter(df, "score", 1.0)
