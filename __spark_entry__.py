@@ -2738,6 +2738,55 @@ def _oracle_bm25() -> str:
                            int(total), dfs)
 
 
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (operators/fuse.py):
+    BM25 (terms: hash/join/vector/spark) fused with exact embedding
+    cosine against query vector 0, k=60, top-50 each. Each ranking is
+    reduced by the sort-free histogram top-N (rankselect) before a
+    bounded rank window; contributions are fp6-quantized BEFORE the
+    integer sum. The oracle replays both rankings naively (ORDER BY)
+    — the histogram reduction must be indistinguishable. FULL value
+    check incl. per-ranker ranks."""
+    from json_time_series_extractor_spark.operators.bm25 import (
+        bm25_scores)
+    from json_time_series_extractor_spark.operators.fuse import rrf_fuse
+    from json_time_series_extractor_spark.operators.similarity import (
+        cosine_flat)
+
+    bm = (bm25_scores(_docs(spark, sf_dir), _BM25_TERMS)
+          .select(F.col("doc_id").alias("id"),
+                  F.col("score_fp6").alias("score")))
+    emb = _embeddings(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("_qv"))
+    cos = (emb.where(F.col("vec_id") != 0)
+           .crossJoin(F.broadcast(qv))
+           .select(F.col("vec_id").alias("id"),
+                   F.floor(cosine_flat(
+                       F.col("_qv"),
+                       F.transform("embedding",
+                                   lambda x: x.cast("double")),
+                       64) * 1e6 + F.lit(0.5)).cast("long")
+                   .alias("score")))
+    return rrf_fuse([("bm25", bm), ("cos", cos)], k=60, top_n=50)
+
+
+def _oracle_rrf_hybrid() -> str:
+    from json_time_series_extractor_spark.operators.fuse import (
+        rrf_oracle_sql)
+
+    bm = f"SELECT doc_id AS id, score_fp6 AS score FROM ({_oracle_bm25()})"
+    cos = """
+SELECT c.vec_id AS id,
+       CAST(floor(list_cosine_similarity(
+            CAST(q.embedding AS DOUBLE[]),
+            CAST(c.embedding AS DOUBLE[])) * 1e6 + 0.5) AS BIGINT)
+           AS score
+FROM embeddings c, embeddings q
+WHERE q.vec_id = 0 AND c.vec_id <> 0"""
+    return rrf_oracle_sql([("bm25", bm), ("cos", cos)], k=60, top_n=50)
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: punct/stopword/word-length signals + composite."""
     out = with_quality_score(_docs(spark, sf_dir)).select(
@@ -3889,6 +3938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "bm25_scores": q_bm25_scores,
         "quality_threshold": q_quality_threshold,
+        "rrf_hybrid": q_rrf_hybrid,
         "holt_winters": q_holt_winters,
         "holt_winters_seasonal": q_holt_winters_seasonal,
         "absent_buckets": q_absent_buckets,
@@ -4039,6 +4089,7 @@ GROUP BY 1, 2
         "boilerplate_lines": _oracle_boilerplate_lines(),
         "bm25_scores": _oracle_bm25(),
         "quality_threshold": _oracle_quality_threshold(),
+        "rrf_hybrid": _oracle_rrf_hybrid(),
         "quantile_over_time": _ORACLE_QUANTILE_OVER_TIME,
         "distinct_over_time": _oracle_distinct_over_time(),
         "frequency_over_time": cm_over_time_oracle_sql(

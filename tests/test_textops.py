@@ -2532,3 +2532,50 @@ def test_value_at_rank_and_quantile_threshold(spark):
 
     with _pytest.raises(ValueError):
         quantile_threshold_filter(df, "score", 1.0)
+
+
+def test_exact_top_n_and_rrf_fuse(spark):
+    """The histogram top-N must equal the naive sorted head (score
+    DESC, id ASC — including duplicate scores straddling the
+    threshold), and fusion must equal a brute-force Python RRF with
+    fp6-quantized contributions."""
+    import math
+
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.fuse import (
+        exact_top_n, rrf_fuse)
+
+    a = [(i, (i * 37) % 11) for i in range(40)]       # many score ties
+    dfa = spark.createDataFrame(a, "id long, score long")
+    got = sorted((r["id"], r["rank"])
+                 for r in exact_top_n(dfa, 10, score_col="score",
+                                      id_col="id").collect())
+    naive = sorted(a, key=lambda t: (-t[1], t[0]))[:10]
+    assert got == sorted((i, r + 1) for r, (i, s) in enumerate(naive))
+
+    b = [(i, 100 - i) for i in range(5, 25)]
+    dfb = spark.createDataFrame(b, "id long, score long")
+    fused = {r["id"]: r for r in
+             rrf_fuse([("a", dfa), ("b", dfb)], k=60, top_n=10).collect()}
+
+    rank_a = {i: r + 1 for r, (i, s) in enumerate(naive)}
+    rank_b = {i: r + 1 for r, (i, s) in
+              enumerate(sorted(b, key=lambda t: (-t[1], t[0]))[:10])}
+    expect_ids = set(rank_a) | set(rank_b)
+    assert set(fused) == expect_ids
+    for i in expect_ids:
+        exp = 0
+        for rk in (rank_a.get(i), rank_b.get(i)):
+            if rk is not None:
+                exp += math.floor(1.0 / (60 + rk) * 1e6 + 0.5)
+        r = fused[i]
+        assert r["rrf_fp6"] == exp, i
+        assert r["rank_a"] == rank_a.get(i, -1)
+        assert r["rank_b"] == rank_b.get(i, -1)
+        assert r["n_rankers"] == (i in rank_a) + (i in rank_b)
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
+    with _pytest.raises(ValueError):
+        rrf_fuse([("x", dfa), ("x", dfb)])

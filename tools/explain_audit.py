@@ -202,6 +202,9 @@ AUDITED = [
     ("bm25_scores", "explode filtered to query terms (query-sized "
      "shuffle, not corpus-sized) + Q-row bounded collect + broadcast "
      "idf join + one per-doc aggregate; scoring path has no Python"),
+    ("quality_threshold", "two counting hash aggregates with "
+     "driver-side walks locate the exact rank; the kept set is one "
+     "map-only filter; NO Sort stage anywhere in the plan"),
 ]
 
 
