@@ -205,6 +205,9 @@ AUDITED = [
     ("quality_threshold", "two counting hash aggregates with "
      "driver-side walks locate the exact rank; the kept set is one "
      "map-only filter; NO Sort stage anywhere in the plan"),
+    ("rrf_hybrid", "each ranking reduced by the histogram threshold "
+     "before a bounded single-partition rank window (top-N-sized); "
+     "fusion = union of top-N frames + one hash aggregate"),
 ]
 
 
