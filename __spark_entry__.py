@@ -2738,6 +2738,41 @@ def _oracle_bm25() -> str:
                            int(total), dfs)
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph.py): 10 power
+    iterations, d = 17/20, all divisions explicit integer floors —
+    the link-centrality quality prior of a crawl pipeline, certifiable
+    because no float exists. The synthetic graph gives every doc two
+    deterministic out-links ((31·id+7) mod N, (17·id+1) mod N). The
+    oracle UNROLLS all 10 iterations into chained CTEs and must match
+    every node's rank bit-for-bit."""
+    from json_time_series_extractor_spark.operators.graph import (
+        pagerank)
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 31 + 7) % n).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 17 + 1) % n).alias("dst"))
+    return pagerank(e1.unionByName(e2), iters=10)
+
+
+def _oracle_pagerank() -> str:
+    from json_time_series_extractor_spark.operators.graph import (
+        pagerank_oracle_sql)
+
+    edges = """
+    SELECT doc_id AS src,
+           (doc_id * 31 + 7) % (SELECT count(*) FROM documents) AS dst
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           (doc_id * 17 + 1) % (SELECT count(*) FROM documents)
+    FROM documents"""
+    return pagerank_oracle_sql(edges, iters=10)
+
+
 def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion (operators/fuse.py):
     BM25 (terms: hash/join/vector/spark) fused with exact embedding
@@ -3939,6 +3974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": q_bm25_scores,
         "quality_threshold": q_quality_threshold,
         "rrf_hybrid": q_rrf_hybrid,
+        "pagerank": q_pagerank,
         "holt_winters": q_holt_winters,
         "holt_winters_seasonal": q_holt_winters_seasonal,
         "absent_buckets": q_absent_buckets,
@@ -4090,6 +4126,7 @@ GROUP BY 1, 2
         "bm25_scores": _oracle_bm25(),
         "quality_threshold": _oracle_quality_threshold(),
         "rrf_hybrid": _oracle_rrf_hybrid(),
+        "pagerank": _oracle_pagerank(),
         "quantile_over_time": _ORACLE_QUANTILE_OVER_TIME,
         "distinct_over_time": _oracle_distinct_over_time(),
         "frequency_over_time": cm_over_time_oracle_sql(

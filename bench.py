@@ -167,7 +167,7 @@ def run_benchmarks() -> None:
                  "changepoint_cusum", "ingest_dedup_lww", "series_acf",
                  "pack_sequences", "domain_mix", "boilerplate_lines",
                  "slo_burn_rate", "seasonal_decompose", "bm25_scores",
-                 "quality_threshold", "rrf_hybrid",
+                 "quality_threshold", "rrf_hybrid", "pagerank",
                  "chunk_pruned_scan", "decontaminate", "doc_lm_quality",
                  "domain_stats", "ann_ivfpq_topk",
                  "rollup_percentiles", "rollup_tdigest", "counter_rate",

@@ -2579,3 +2579,38 @@ def test_exact_top_n_and_rrf_fuse(spark):
         rrf_fuse([])
     with _pytest.raises(ValueError):
         rrf_fuse([("x", dfa), ("x", dfb)])
+
+
+def test_pagerank_integer_exact(spark):
+    """The integer recurrence must match a from-scratch Python replay
+    on a hand graph with a hub, a dangling-ish sink (self-handled: no
+    out-links -> contributes nothing), parallel edges (multiset
+    semantics) and a no-inlink node; ranking sanity: the hub's target
+    outranks the isolated-tail node."""
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.graph import (
+        pagerank)
+
+    # 0->1, 0->1 (parallel), 1->2, 2->0, 3->0 ; node 3 has no in-links
+    edges = [(0, 1), (0, 1), (1, 2), (2, 0), (3, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pr"] for r in
+           pagerank(df, iters=10, scale=10**9).collect()}
+
+    scale, n = 10**9, 4
+    pr = {v: scale // n for v in range(4)}
+    deg = {0: 2, 1: 1, 2: 1, 3: 1}
+    for _ in range(10):
+        s = {v: 0 for v in range(4)}
+        for u, v in edges:
+            s[v] += pr[u] // deg[u]
+        pr = {v: (3 * scale) // (20 * n) + 17 * s[v] // 20
+              for v in range(4)}
+    assert got == pr
+    # node 1 receives BOTH parallel edges from 0 -> strictly above the
+    # base-only node 3
+    assert got[1] > got[3] and got[3] == (3 * scale) // (20 * n)
+
+    with _pytest.raises(ValueError):
+        pagerank(df, iters=0)
