@@ -1804,6 +1804,16 @@ def q_ingest_dedup_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_time_series_extractor_spark.operators.ingest import (
         dedup_ingest_lww)
 
+    versions, _ = _lww_versions(spark, sf_dir)
+    return _quant6(dedup_ingest_lww(versions), "value_double")
+
+
+def _lww_versions(spark: SparkSession, sf_dir: str):
+    """The deterministic synthesized redelivery multiset shared by the
+    batch and streaming LWW queries (and mirrored by
+    _ORACLE_INGEST_LWW_VERSIONS). Returns (versions, corrections) —
+    the corrections/stale frame separately so the streaming query can
+    deliver it late."""
     ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
     base = ev.select(
         F.col("event_type").alias("series_key"), "ts",
@@ -1822,9 +1832,58 @@ def q_ingest_dedup_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value_double") - F.lit(50.0)).alias("value_double"),
         late_ts.alias("ingest_ts"),
         F.lit(0).cast("int").alias("ingest_seq"), "event_id")
-    versions = (base.unionByName(redeliver).unionByName(correct)
-                .unionByName(stale).drop("event_id"))
-    return _quant6(dedup_ingest_lww(versions), "value_double")
+    on_time = base.unionByName(redeliver).drop("event_id")
+    late = correct.unionByName(stale).drop("event_id")
+    return on_time.unionByName(late), (on_time, late)
+
+
+def q_streaming_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LWW upsert reconciliation under the SAME full-value
+    oracle as the batch row (streaming/stream.py streaming_lww): a
+    LIVE watermarked micro-batch run — the on-time deliveries in one
+    file, every correction/stale republish arriving a micro-batch
+    LATER (inside the 1yr watermark), a far-future flush sentinel
+    closing all keys — must emit exactly the batch winners, because
+    max(struct) is order-independent and n_versions merges
+    additively."""
+    import os as _os
+    import shutil
+    from datetime import timedelta
+
+    from json_time_series_extractor_spark.streaming.stream import (
+        streaming_lww)
+
+    _, (on_time, late) = _lww_versions(spark, sf_dir)
+    tag = "".join(c if c.isalnum() else "_"
+                  for c in _os.path.basename(sf_dir.rstrip("/")))
+    base = f"/tmp/jtse_stream_lww_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    flush_ts = on_time.agg(F.max("ts")).first()[0] + timedelta(days=400)
+    flush = spark.createDataFrame(
+        [("_flush", flush_ts, 0.0, flush_ts, 0)],
+        "series_key string, ts timestamp, value_double double, "
+        "ingest_ts timestamp, ingest_seq int")
+    on_time.coalesce(1).write.parquet(base + "/src/f1")
+    late.unionByName(flush).coalesce(1).write.parquet(base + "/src/f2")
+
+    stream = (spark.readStream
+              .schema("series_key string, ts timestamp, "
+                      "value_double double, ingest_ts timestamp, "
+                      "ingest_seq int")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(base + "/src/*"))
+    sink = f"lww_stream_oracle_{tag}"
+    q = (streaming_lww(stream, watermark="365 days")
+         .writeStream.outputMode("append").format("memory")
+         .queryName(sink)
+         .option("checkpointLocation", base + "/ckpt").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = (spark.table(sink).where(F.col("series_key") != "_flush")
+           .localCheckpoint(eager=True))
+    return _quant6(out, "value_double")
 
 
 _ORACLE_INGEST_LWW_VERSIONS = """
@@ -3975,6 +4034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_threshold": q_quality_threshold,
         "rrf_hybrid": q_rrf_hybrid,
         "pagerank": q_pagerank,
+        "streaming_lww": q_streaming_lww,
         "holt_winters": q_holt_winters,
         "holt_winters_seasonal": q_holt_winters_seasonal,
         "absent_buckets": q_absent_buckets,
@@ -4127,6 +4187,7 @@ GROUP BY 1, 2
         "quality_threshold": _oracle_quality_threshold(),
         "rrf_hybrid": _oracle_rrf_hybrid(),
         "pagerank": _oracle_pagerank(),
+        "streaming_lww": _oracle_ingest_lww(),
         "quantile_over_time": _ORACLE_QUANTILE_OVER_TIME,
         "distinct_over_time": _oracle_distinct_over_time(),
         "frequency_over_time": cm_over_time_oracle_sql(

@@ -316,3 +316,34 @@ def streaming_bloom(sample_stream: DataFrame,
            .select("series_key",
                    F.col("window.start").alias("bucket_ts"), "bit"))
     return out.withColumn("bit", _stamp_params(F.col("bit"), k, m))
+
+
+def streaming_lww(version_stream: DataFrame,
+                  watermark: str = "10 minutes",
+                  ts_col: str = "ts") -> DataFrame:
+    """Watermarked streaming face of
+    :func:`operators.ingest.dedup_ingest_lww` — out-of-order upsert
+    reconciliation AS the data arrives.
+
+    This is deliberately the SAME function applied to a watermarked
+    stream: the LWW winner is a ``max(struct(ingest_ts, seq, value))``
+    — associative, commutative and ORDER-INDEPENDENT — so Spark's
+    built-in streaming aggregation merges late redeliveries/corrections
+    within the watermark into exactly the batch winner, regardless of
+    micro-batch boundaries; ``n_versions`` merges additively. The
+    group key includes the raw event-time column itself (supported
+    watermark form: state for a (series, ts) key is evicted once the
+    watermark passes ts), so append mode emits each key's final winner
+    exactly once.
+
+    Corrections arriving AFTER the watermark are dropped by the
+    engine — the documented streaming-vs-batch divergence every
+    watermarked operator here shares (the batch refresh path is the
+    reconciliation story for those).
+    """
+    from json_time_series_extractor_spark.operators.ingest import (
+        dedup_ingest_lww,
+    )
+
+    return dedup_ingest_lww(
+        version_stream.withWatermark(ts_col, watermark))

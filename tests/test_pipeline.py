@@ -1210,3 +1210,59 @@ def test_streaming_refresh_partial_log(spark, tmp_path):
     for k, w in want2.items():
         for c in ("min", "max", "sum_fp6", "cnt", "last", "last_ts"):
             assert got2[k][c] == w[c], (k, c)
+
+
+def test_streaming_lww_matches_batch(spark, tmp_path):
+    """Streamed LWW winners equal the batch dedup on closed keys: the
+    correction arrives a micro-batch AFTER its base delivery (within
+    the watermark) and must overturn it; n_versions merges additively
+    across batches; the same-key same-ingest_ts seq tie-break holds
+    across the batch boundary."""
+    from datetime import datetime, timedelta
+
+    from json_time_series_extractor_spark.operators.ingest import (
+        dedup_ingest_lww)
+    from json_time_series_extractor_spark.streaming.stream import (
+        streaming_lww)
+
+    t0 = datetime(2024, 1, 1, 0, 0)
+    sch = ("series_key string, ts timestamp, value_double double, "
+           "ingest_ts timestamp, ingest_seq int")
+    on_time = [("a", t0 + timedelta(minutes=m), float(m),
+                t0 + timedelta(minutes=m), 0) for m in range(20)]
+    late = (
+        [("a", t0 + timedelta(minutes=m), float(m) + 100.0,
+          t0 + timedelta(minutes=m, seconds=300), 1)
+         for m in range(0, 20, 3)]
+        # stale republish at the SAME late ingest_ts, lower seq: loses
+        + [("a", t0, -5.0, t0 + timedelta(seconds=300), 0)])
+    df1 = spark.createDataFrame(on_time, sch)
+    df2 = spark.createDataFrame(late, sch)
+    flush = spark.createDataFrame(
+        [("_flush", t0 + timedelta(days=30), 0.0,
+          t0 + timedelta(days=30), 0)], sch)
+    src = str(tmp_path / "src")
+    df1.coalesce(1).write.parquet(src + "/f1")
+    df2.unionByName(flush).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (spark.readStream.schema(sch)
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+    q = (streaming_lww(stream, watermark="2 hours")
+         .writeStream.outputMode("append").format("memory")
+         .queryName("lww_stream_test")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = (spark.table("lww_stream_test")
+                .where("series_key != '_flush'")
+                .localCheckpoint(eager=True))
+    batch = dedup_ingest_lww(df1.unionByName(df2))
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    got = {r["ts"].minute: (r["value_double"], r["n_versions"])
+           for r in streamed.collect()}
+    assert got[0] == (100.0, 3)    # correction beats base AND stale
+    assert got[3] == (103.0, 2)
+    assert got[1] == (1.0, 1)

@@ -208,6 +208,10 @@ AUDITED = [
     ("rrf_hybrid", "each ranking reduced by the histogram threshold "
      "before a bounded single-partition rank window (top-N-sized); "
      "fusion = union of top-N frames + one hash aggregate"),
+    ("pagerank", "Pregel shape: per iteration one equi-join vs "
+     "once-materialized annotated edges + one dst hash aggregate + "
+     "one left join; localCheckpoint per iteration truncates lineage "
+     "(the audited plan is the LAST iteration's, reading checkpoints)"),
 ]
 
 
