@@ -518,6 +518,20 @@ def q_rollup_1h_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rollup_select(rollup_cascade(r1m, "1 hour"))
 
 
+def q_rollup_month_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month tier (operators/rollup.py
+    rollup_calendar_cascade): months vary in length so F.window cannot
+    bucket them — the month tier cascades from the 1m→1d mergeable
+    chain via date_trunc. The oracle aggregates raw data straight into
+    date_trunc('month'), proving the double cascade exact."""
+    r1d = rollup_cascade(
+        rollup(_event_samples(spark, sf_dir), "1 minute",
+               deterministic_last=True), "1 day")
+    from json_time_series_extractor_spark.operators.rollup import (
+        rollup_calendar_cascade)
+    return _rollup_select(rollup_calendar_cascade(r1d, "month"))
+
+
 def q_rollup_1d_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase (salted) rollup; result identical to plain."""
     return _rollup_select(rollup_salted(_event_samples(spark, sf_dir),
@@ -4035,6 +4049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_hybrid": q_rrf_hybrid,
         "pagerank": q_pagerank,
         "streaming_lww": q_streaming_lww,
+        "rollup_month_cascade": q_rollup_month_cascade,
         "holt_winters": q_holt_winters,
         "holt_winters_seasonal": q_holt_winters_seasonal,
         "absent_buckets": q_absent_buckets,
@@ -4188,6 +4203,7 @@ GROUP BY 1, 2
         "rrf_hybrid": _oracle_rrf_hybrid(),
         "pagerank": _oracle_pagerank(),
         "streaming_lww": _oracle_ingest_lww(),
+        "rollup_month_cascade": _ORACLE_ROLLUP_TIER.format(unit="month"),
         "quantile_over_time": _ORACLE_QUANTILE_OVER_TIME,
         "distinct_over_time": _oracle_distinct_over_time(),
         "frequency_over_time": cm_over_time_oracle_sql(

@@ -109,6 +109,43 @@ def rollup_cascade(child: DataFrame, tier: str) -> DataFrame:
     )
 
 
+#: Calendar units rollup_calendar_cascade accepts (variable-length
+#: periods F.window cannot express; week excluded — ISO week vs
+#: date_trunc('week') conventions differ across engines).
+CALENDAR_UNITS = ("month", "quarter", "year")
+
+
+def rollup_calendar_cascade(child: DataFrame,
+                            unit: str = "month") -> DataFrame:
+    """Calendar-aligned coarse tiers — the TimescaleDB
+    ``time_bucket('1 month', ...)`` feature Spark's fixed-width
+    ``F.window`` cannot express (months/quarters/years vary in
+    length): re-bucket a finer tier by ``date_trunc``. Merge algebra
+    is identical to :func:`rollup_cascade` (mergeable state only —
+    never touches raw data), so month tiers cascade exactly from the
+    day tier a retention policy already keeps. Epoch alignment is
+    irrelevant here: calendar boundaries ARE date_trunc boundaries in
+    both engines.
+    """
+    if unit not in CALENDAR_UNITS:
+        raise ValueError(
+            f"unit must be one of {CALENDAR_UNITS}, got {unit!r}")
+    return (
+        child
+        .groupBy("series_key",
+                 F.date_trunc(unit, F.col("bucket_ts")).alias("bucket_ts"))
+        .agg(
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.sum("sum").alias("sum"),
+            F.sum("count").alias("count"),
+            (F.sum("sum") / F.sum("count")).alias("mean"),
+            F.max_by("last", "last_ts").alias("last"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )
+
+
 def rollup_percentiles(
     samples: DataFrame,
     tier: str = "1 hour",

@@ -2305,3 +2305,40 @@ def test_seasonal_decompose(spark):
 
     with _pytest.raises(ValueError):
         seasonal_decompose(df, period=5)
+
+
+def test_rollup_calendar_cascade(spark):
+    """Month/quarter tiers cascade exactly from the day tier across a
+    calendar boundary (variable-length months — the case F.window
+    cannot bucket), matching a direct from-raw aggregate."""
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.rollup import (
+        rollup, rollup_cascade, rollup_calendar_cascade)
+
+    rows = [("a", datetime(2024, 1, 30, 5), 1.0),
+            ("a", datetime(2024, 1, 31, 23, 59), 5.0),
+            ("a", datetime(2024, 2, 1, 0, 0), 9.0),
+            ("a", datetime(2024, 3, 31, 12), 2.0),
+            ("a", datetime(2024, 4, 1, 12), 7.0)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+    r1d = rollup_cascade(rollup(df, "1 minute",
+                                deterministic_last=True), "1 day")
+    got = {r["bucket_ts"].month: r for r in
+           rollup_calendar_cascade(r1d, "month").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    jan = got[1]
+    assert (jan["min"], jan["max"], jan["count"]) == (1.0, 5.0, 2)
+    assert jan["last"] == 5.0 and jan["last_ts"].day == 31
+    assert got[2]["count"] == 1 and got[2]["last"] == 9.0
+    assert all(got[m]["bucket_ts"].day == 1 for m in got)
+
+    q = {r["bucket_ts"].month: r for r in
+         rollup_calendar_cascade(r1d, "quarter").collect()}
+    assert set(q) == {1, 4}
+    assert q[1]["count"] == 4 and q[1]["sum"] == 17.0
+    assert q[4]["count"] == 1 and q[4]["last"] == 7.0
+
+    with _pytest.raises(ValueError):
+        rollup_calendar_cascade(r1d, "week")
