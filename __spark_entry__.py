@@ -3342,6 +3342,56 @@ FROM documents d LEFT JOIN p USING (doc_id)
 """
 
 
+def q_collapse_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc consecutive-duplicate-line collapse
+    (operators/dedup.py collapse_repeated_lines) — the stutter cleaner
+    complementing cross-doc boilerplate_lines. Deterministic stutter:
+    even doc_ids carry their body twice in a row; every page ends with
+    a doubled 'end of page'. Byte compare, non-consecutive repeats
+    preserved. FULL value check incl. byte-for-byte cleaned text."""
+    from json_time_series_extractor_spark.operators.dedup import (
+        collapse_repeated_lines)
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.col("text")),
+            F.lit("end of page"), F.lit("end of page")).alias("text"))
+    return collapse_repeated_lines(pages)
+
+
+_ORACLE_COLLAPSE_LINES = """
+WITH d0 AS (
+    SELECT doc_id,
+           concat_ws(chr(10), text,
+                     CASE WHEN doc_id % 2 = 0 THEN text END,
+                     'end of page', 'end of page') AS text
+    FROM documents),
+l AS (
+    SELECT doc_id, j, lines[j] AS line
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d0),
+         unnest(generate_series(1, len(lines))) AS g(j)),
+k AS (
+    SELECT doc_id, j, line,
+           coalesce(line <> lag(line) OVER (PARTITION BY doc_id
+                                            ORDER BY j), true) AS keep
+    FROM l),
+p AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_collapsed,
+           coalesce(string_agg(line, chr(10) ORDER BY j)
+                    FILTER (WHERE keep), '') AS text_clean
+    FROM k GROUP BY 1)
+SELECT d.doc_id, coalesce(p.n_lines, 0) AS n_lines,
+       coalesce(p.n_collapsed, 0) AS n_collapsed,
+       coalesce(p.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted domain mixing (operators/sampling.py
     domain_mix_sample): α=0.5 UniMax-style rebalancing over the same
@@ -4050,6 +4100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "streaming_lww": q_streaming_lww,
         "rollup_month_cascade": q_rollup_month_cascade,
+        "collapse_lines": q_collapse_lines,
         "holt_winters": q_holt_winters,
         "holt_winters_seasonal": q_holt_winters_seasonal,
         "absent_buckets": q_absent_buckets,
@@ -4204,6 +4255,7 @@ GROUP BY 1, 2
         "pagerank": _oracle_pagerank(),
         "streaming_lww": _oracle_ingest_lww(),
         "rollup_month_cascade": _ORACLE_ROLLUP_TIER.format(unit="month"),
+        "collapse_lines": _ORACLE_COLLAPSE_LINES,
         "quantile_over_time": _ORACLE_QUANTILE_OVER_TIME,
         "distinct_over_time": _oracle_distinct_over_time(),
         "frequency_over_time": cm_over_time_oracle_sql(

@@ -888,3 +888,54 @@ def remove_boilerplate_lines(docs: DataFrame, *, min_df: int = 3,
                     .alias("n_removed"),
                     F.coalesce("text_clean", F.lit("")).alias(
                         "text_clean")))
+
+
+def collapse_repeated_lines(docs: DataFrame, *,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Within-document consecutive-duplicate-line collapse (the
+    "stutter" cleaner: scraped terminal output, chat logs and
+    generated pages repeat a line N times in a row; training data
+    wants it once). The WITHIN-doc complement of
+    :func:`remove_boilerplate_lines` (cross-doc): a line survives iff
+    it differs from the line immediately above it — byte compare, so
+    surviving bytes are untouched and non-consecutive repeats are
+    deliberately preserved (those are structure, not stutter).
+
+    Output: (doc_id, n_lines, n_collapsed, text_clean). NULL text
+    yields (0, 0, '').
+
+    Scale shape: posexplode (map-only) → ONE lag window per document
+    (partition bounded by the doc's line count — the by-construction
+    bound every per-doc window here shares) → one reassembly
+    aggregate. No corpus-wide state at all.
+    """
+    lines = docs.select(F.col(id_col).alias("doc_id"),
+                        F.posexplode(F.split(F.col(text_col), "\n", -1))
+                        .alias("pos", "_line"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    fin = lines.withColumn(
+        "_keep", F.coalesce(F.col("_line") != F.lag("_line").over(w),
+                            F.lit(True)))
+    per_doc = (fin.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_lines"),
+                    F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+                    .alias("n_collapsed"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.when(F.col("_keep"),
+                                       F.struct(F.col("pos").alias("p"),
+                                                F.col("_line")
+                                                .alias("t"))))),
+                            lambda s: s["t"]), "\n").alias("text_clean")))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_lines", F.lit(0)).cast("long")
+                    .alias("n_lines"),
+                    F.coalesce("n_collapsed", F.lit(0)).cast("long")
+                    .alias("n_collapsed"),
+                    F.coalesce("text_clean", F.lit(""))
+                    .alias("text_clean")))

@@ -2614,3 +2614,23 @@ def test_pagerank_integer_exact(spark):
 
     with _pytest.raises(ValueError):
         pagerank(df, iters=0)
+
+
+def test_collapse_repeated_lines(spark):
+    """Byte compare, consecutive-only: 'a a b a c c c' -> 'a b a c'
+    (non-consecutive repeat preserved); trailing-whitespace variants
+    are NOT equal; NULL/empty docs come back (0/1, 0, '')."""
+    from json_time_series_extractor_spark.operators.dedup import (
+        collapse_repeated_lines)
+
+    df = spark.createDataFrame(
+        [(0, "a\na\nb\na\nc\nc\nc"), (1, "x\nx \nx"), (2, None),
+         (3, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_lines"], r["n_collapsed"],
+                         r["text_clean"])
+           for r in collapse_repeated_lines(df).collect()}
+    assert got[0] == (7, 3, "a\nb\na\nc")
+    assert got[1] == (3, 0, "x\nx \nx")   # 'x' != 'x ' byte compare
+    assert got[2] == (0, 0, "")
+    assert got[3] == (1, 0, "")
