@@ -40,6 +40,10 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
+from json_time_series_extractor_spark.operators._persist import (
+    materialize,
+)
+
 _DEC = "decimal(38,0)"
 
 
@@ -77,8 +81,11 @@ def bm25_scores(docs: DataFrame, query_terms: Sequence[str], *,
     lens = docs.select(F.col(id_col).alias("doc_id"),
                        F.coalesce(F.size(toks), F.lit(0))
                        .cast("long").alias("dl"))
-    lens = lens.withColumn(
-        "dl", F.when(F.col("dl") < 0, F.lit(0)).otherwise(F.col("dl")))
+    # lens feeds the stats action AND the scoring join; tf feeds the
+    # df collect AND the join — persist both or the tokenize/explode
+    # subplans re-execute per action.
+    lens = materialize(lens.withColumn(
+        "dl", F.when(F.col("dl") < 0, F.lit(0)).otherwise(F.col("dl"))))
     stats = lens.agg(F.count(F.lit(1)).alias("n"),
                      F.sum("dl").alias("t")).collect()[0]
     n_docs, total = int(stats["n"]), int(stats["t"])
@@ -89,6 +96,7 @@ def bm25_scores(docs: DataFrame, query_terms: Sequence[str], *,
           .where(F.col("term").isin(list(terms)))
           .groupBy("doc_id", "term")
           .agg(F.count(F.lit(1)).alias("tf")))
+    tf = materialize(tf)
     # bounded collect: one row per query term (df = distinct docs,
     # free from the tf frame's key structure)
     dfs = {r["term"]: int(r["df"]) for r in

@@ -33,6 +33,9 @@ from typing import Sequence, Tuple
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from json_time_series_extractor_spark.operators._persist import (
+    materialize,
+)
 from json_time_series_extractor_spark.operators.rankselect import (
     value_at_rank,
 )
@@ -47,7 +50,10 @@ def exact_top_n(df: DataFrame, n: int, *, score_col: str = "score",
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     v = F.col(score_col)
-    nn = df.where(v.isNotNull())
+    # count + the two value_at_rank passes + the final window are
+    # separate actions: persist or the ranker's whole plan re-executes
+    # per action (bm25 inside rrf_hybrid measured 4x without this).
+    nn = materialize(df.where(v.isNotNull()))
     cnt = nn.count()
     if cnt == 0:
         return nn.withColumn("rank", F.lit(0).cast("int")).limit(0)

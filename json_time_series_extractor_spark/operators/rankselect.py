@@ -32,6 +32,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from json_time_series_extractor_spark.operators._persist import (
+    materialize,
+)
+
 
 def value_at_rank(df: DataFrame, col: str, rank: int, *,
                   coarse_bits: int = 20) -> int:
@@ -89,13 +93,17 @@ def quantile_threshold_filter(df: DataFrame, score_col: str,
     if not 0.0 <= drop_frac < 1.0:
         raise ValueError(f"drop_frac must be in [0, 1), got {drop_frac}")
     v = F.col(score_col)
-    n = df.where(v.isNotNull()).count()
+    # The passes below are ACTIONS (count, two histogram collects, the
+    # dropped count, the final filter): without a persist each one
+    # re-executes the scoring subplan — the _materialize defect class.
+    nn = materialize(df.where(v.isNotNull()))
+    n = nn.count()
     if n == 0:
         raise ValueError(f"no non-null {score_col} rows")
     k = int(drop_frac * n)   # <= n-1 since drop_frac < 1
-    t = value_at_rank(df, score_col, k + 1, coarse_bits=coarse_bits)
-    dropped = df.where(v.isNotNull() & (v.cast("long") < F.lit(t))).count()
-    return (df.where(v.isNotNull() & (v.cast("long") >= F.lit(t)))
+    t = value_at_rank(nn, score_col, k + 1, coarse_bits=coarse_bits)
+    dropped = nn.where(v.cast("long") < F.lit(t)).count()
+    return (nn.where(v.cast("long") >= F.lit(t))
             .withColumn("threshold", F.lit(t).cast("long"))
             .withColumn("n_dropped", F.lit(int(dropped)).cast("long")))
 
