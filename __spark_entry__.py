@@ -3410,6 +3410,59 @@ FROM documents d LEFT JOIN p USING (doc_id)
 """
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL page-dump source (sources/jsonl.py read_jsonl): documents
+    exported to newline-delimited JSON, two deliberately malformed
+    lines injected, read back under the PERMISSIVE corrupt policy with
+    an explicit schema. FULL byte-fidelity check: per-doc md5(text)
+    and length must equal the original table's (JSON escaping
+    round-trips exactly), and the corrupt count — stamped on every row
+    like the threshold lineage columns — must be exactly the injected
+    2."""
+    import os as _os
+    import shutil
+
+    from json_time_series_extractor_spark.sources.jsonl import (
+        read_jsonl)
+
+    tag = "".join(c if c.isalnum() else "_"
+                  for c in _os.path.basename(sf_dir.rstrip("/")))
+    base = f"/tmp/jtse_jsonl_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    (docs.select(F.to_json(F.struct("doc_id", "lang", "text")))
+     .write.text(base + "/good"))
+    spark.createDataFrame(
+        [("GARBAGE not json at all",), ('{"doc_id": 1, "lang": tru',)],
+        "value string").coalesce(1).write.text(base + "/bad")
+
+    from json_time_series_extractor_spark.operators._persist import (
+        materialize)
+
+    # materialize: (a) the corrupt count + main output are two actions
+    # over one scan, (b) Spark disallows projecting ONLY the corrupt
+    # column straight off a raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_
+    # COLUMN) — the documented remedy is exactly this cache.
+    got = materialize(read_jsonl(
+        spark, base + "/*/", "doc_id long, lang string, text string",
+        mode="permissive"))
+    n_corrupt = got.where(F.col("_corrupt").isNotNull()).count()
+    return (got.where(F.col("_corrupt").isNull())
+            .select("doc_id", "lang",
+                    F.length("text").cast("long").alias("n_chars_rt"),
+                    F.md5(F.col("text").cast("binary")).alias("text_md5"),
+                    F.lit(int(n_corrupt)).cast("long").alias("n_corrupt")))
+
+
+_ORACLE_JSONL_ROUNDTRIP = """
+SELECT doc_id, lang,
+       CAST(length(text) AS BIGINT) AS n_chars_rt,
+       md5(text) AS text_md5,
+       CAST(2 AS BIGINT) AS n_corrupt
+FROM documents
+"""
+
+
 def q_collapse_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc consecutive-duplicate-line collapse
     (operators/dedup.py collapse_repeated_lines) — the stutter cleaner
@@ -4170,6 +4223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_month_cascade": q_rollup_month_cascade,
         "collapse_lines": q_collapse_lines,
         "histogram_fraction": q_histogram_fraction,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "holt_winters": q_holt_winters,
         "holt_winters_seasonal": q_holt_winters_seasonal,
         "absent_buckets": q_absent_buckets,
@@ -4326,6 +4380,7 @@ GROUP BY 1, 2
         "rollup_month_cascade": _ORACLE_ROLLUP_TIER.format(unit="month"),
         "collapse_lines": _ORACLE_COLLAPSE_LINES,
         "histogram_fraction": _histogram_fraction_oracle_sql(),
+        "jsonl_roundtrip": _ORACLE_JSONL_ROUNDTRIP,
         "quantile_over_time": _ORACLE_QUANTILE_OVER_TIME,
         "distinct_over_time": _oracle_distinct_over_time(),
         "frequency_over_time": cm_over_time_oracle_sql(

@@ -2634,3 +2634,51 @@ def test_collapse_repeated_lines(spark):
     assert got[1] == (3, 0, "x\nx \nx")   # 'x' != 'x ' byte compare
     assert got[2] == (0, 0, "")
     assert got[3] == (1, 0, "")
+
+
+def test_read_jsonl_corrupt_policies(spark, tmp_path):
+    """All three corrupt policies: permissive quarantines the raw line
+    (schema fields NULL), dropmalformed silently drops, failfast
+    raises; type-mismatch rows count as corrupt; well-formed text
+    round-trips byte-exactly including escapes."""
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.sources.jsonl import (
+        read_jsonl)
+
+    tricky = 'line "quoted" \\ backslash\nnewline\ttab'
+    good = spark.createDataFrame([(1, "en", tricky), (2, "de", None)],
+                                 "doc_id long, lang string, text string")
+    p = str(tmp_path / "d")
+    (good.select(F.to_json(F.struct("doc_id", "lang", "text")))
+     .write.text(p + "/good"))
+    spark.createDataFrame(
+        [("NOT JSON",), ('{"doc_id": "xyz", "lang": "en"}',)],
+        "value string").coalesce(1).write.text(p + "/bad")
+    sch = "doc_id long, lang string, text string"
+
+    perm = read_jsonl(spark, p + "/*/", sch).cache()
+    ok = {r["doc_id"]: r for r in
+          perm.where("_corrupt IS NULL").collect()}
+    assert ok[1]["text"] == tricky and ok[2]["text"] is None
+    bad = perm.where("_corrupt IS NOT NULL").collect()
+    assert len(bad) == 2
+    assert all(r["doc_id"] is None for r in bad)
+    assert {r["_corrupt"] for r in bad} == {
+        "NOT JSON", '{"doc_id": "xyz", "lang": "en"}'}
+
+    # dropmalformed asserted only on the unambiguous case (syntactic
+    # garbage): Spark's treatment of field-level TYPE mismatches under
+    # DROPMALFORMED is version/conf-dependent, so it is not pinned.
+    dropped = read_jsonl(spark, p + "/good/", sch, mode="dropmalformed")
+    assert dropped.count() == 2
+    spark.createDataFrame([("NOT JSON",)], "value string") \
+        .coalesce(1).write.text(p + "/bad2")
+    d2 = read_jsonl(spark, [p + "/good", p + "/bad2"],
+                    sch, mode="dropmalformed")
+    assert d2.count() == 2 and "_corrupt" not in d2.columns
+
+    with _pytest.raises(Exception):
+        read_jsonl(spark, p + "/*/", sch, mode="failfast").count()
+    with _pytest.raises(ValueError):
+        read_jsonl(spark, p + "/*/", sch, mode="lenient")
