@@ -3410,6 +3410,30 @@ FROM documents d LEFT JOIN p USING (doc_id)
 """
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment
+    (operators/sampling.py assign_splits): 90/5/4% by keyed md5 rank —
+    disjoint, exhaustive up to the held-back 1%, stable under corpus
+    growth (a doc's split depends only on its own key). FULL value
+    check: the oracle replays the identical rank + cumulative-literal
+    CASE per doc."""
+    from json_time_series_extractor_spark.operators.sampling import (
+        assign_splits)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return assign_splits(
+        docs, {"train": 0.90, "val": 0.05, "test": 0.04})
+
+
+def _oracle_split_assign() -> str:
+    from json_time_series_extractor_spark.operators.sampling import (
+        assign_splits_oracle_expr)
+
+    case = assign_splits_oracle_expr(
+        "doc_id", {"train": 0.90, "val": 0.05, "test": 0.04})
+    return f"SELECT doc_id, lang, {case} AS split FROM documents"
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL page-dump source (sources/jsonl.py read_jsonl): documents
     exported to newline-delimited JSON, two deliberately malformed
@@ -4224,6 +4248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_lines": q_collapse_lines,
         "histogram_fraction": q_histogram_fraction,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "split_assign": q_split_assign,
         "holt_winters": q_holt_winters,
         "holt_winters_seasonal": q_holt_winters_seasonal,
         "absent_buckets": q_absent_buckets,
@@ -4381,6 +4406,7 @@ GROUP BY 1, 2
         "collapse_lines": _ORACLE_COLLAPSE_LINES,
         "histogram_fraction": _histogram_fraction_oracle_sql(),
         "jsonl_roundtrip": _ORACLE_JSONL_ROUNDTRIP,
+        "split_assign": _oracle_split_assign(),
         "quantile_over_time": _ORACLE_QUANTILE_OVER_TIME,
         "distinct_over_time": _oracle_distinct_over_time(),
         "frequency_over_time": cm_over_time_oracle_sql(

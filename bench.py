@@ -169,7 +169,7 @@ def run_benchmarks() -> None:
                  "slo_burn_rate", "seasonal_decompose", "bm25_scores",
                  "quality_threshold", "rrf_hybrid", "pagerank",
                  "streaming_lww", "rollup_month_cascade", "collapse_lines",
-                 "histogram_fraction", "jsonl_roundtrip",
+                 "histogram_fraction", "jsonl_roundtrip", "split_assign",
                  "chunk_pruned_scan", "decontaminate", "doc_lm_quality",
                  "domain_stats", "ann_ivfpq_topk",
                  "rollup_percentiles", "rollup_tdigest", "counter_rate",

@@ -353,3 +353,55 @@ SELECT r.* EXCLUDE (rn)
 FROM r JOIN q USING ({domain_col})
 WHERE r.rn <= q.quota
 """
+
+
+def assign_splits(df: DataFrame, weights, *, key_col: str = "doc_id",
+                  split_col: str = "split", seed: int = 7) -> DataFrame:
+    """Deterministic train/val/test assignment: every row gets exactly
+    one split by where its keyed hash rank falls in the cumulative
+    weight intervals — [0, w1) → first split, [w1, w1+w2) → second, …
+    (the last interval absorbs rounding up to 1.0).
+
+    The properties a training pipeline actually needs, by
+    construction: DISJOINT (one rank, one interval), EXHAUSTIVE,
+    reproducible across runs/partitionings/cluster sizes, and STABLE
+    under corpus growth — a document's split never changes when other
+    documents are added, because the decision depends only on its own
+    key (the reason hash-interval splits beat any shuffle-and-slice
+    scheme at 100 TB, where "the" corpus is never finished).
+
+    ``weights`` is an ordered mapping name → positive weight, summing
+    to <= 1.0 (a shortfall leaves unassigned rows labelled NULL —
+    useful for held-back pools). Map-only; no shuffle, no state.
+    """
+    items = list(weights.items())
+    if not items:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for _, w in items):
+        raise ValueError(f"weights must be positive, got {items}")
+    total = sum(w for _, w in items)
+    if total > 1.0 + 1e-12:
+        raise ValueError(f"weights sum to {total} > 1")
+    rank = hash_rank(F.col(key_col), seed)
+    expr = None
+    cum = 0.0
+    for name, w in items:
+        cum += w
+        cond = rank < F.lit(float(cum))
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    return df.withColumn(split_col, expr)
+
+
+def assign_splits_oracle_expr(key_sql: str, weights, seed: int = 7) -> str:
+    """DuckDB CASE expression mirroring :func:`assign_splits` exactly:
+    same md5 rank, same cumulative float literals in the same order."""
+    rank = (f"(CAST(concat('0x', substr(md5(CAST({key_sql} AS VARCHAR)"
+            f" || ':{seed}'), 1, 8)) AS BIGINT) / 4294967296.0)")
+    branches = []
+    cum = 0.0
+    for name, w in list(weights.items()):
+        cum += w
+        branches.append(f"WHEN {rank} < CAST({float(cum)!r} AS DOUBLE) "
+                        f"THEN '{name}'")
+    return "CASE " + " ".join(branches) + " END"

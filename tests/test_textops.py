@@ -2682,3 +2682,43 @@ def test_read_jsonl_corrupt_policies(spark, tmp_path):
         read_jsonl(spark, p + "/*/", sch, mode="failfast").count()
     with _pytest.raises(ValueError):
         read_jsonl(spark, p + "/*/", sch, mode="lenient")
+
+
+def test_assign_splits(spark):
+    """Disjoint/exhaustive/stable: exactly one split per row, growth
+    stability (adding rows never moves an existing row's split),
+    held-back NULL pool when weights sum < 1, and agreement with a
+    Python md5 replay."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.operators.sampling import (
+        assign_splits)
+
+    def rank(k, seed=7):
+        return int(hashlib.md5(f"{k}:{seed}".encode()).hexdigest()[:8],
+                   16) / 4294967296.0
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    w = {"train": 0.6, "val": 0.2, "test": 0.1}
+    got = {r["doc_id"]: r["split"]
+           for r in assign_splits(df, w).collect()}
+    for i in range(300):
+        r = rank(i)
+        exp = ("train" if r < 0.6 else "val" if r < 0.8
+               else "test" if r < 0.9 else None)
+        assert got[i] == exp, i
+    assert set(got.values()) == {"train", "val", "test", None}
+
+    # growth stability: the first 100 keys keep their splits
+    small = {r["doc_id"]: r["split"] for r in assign_splits(
+        df.where("doc_id < 100"), w).collect()}
+    assert all(small[i] == got[i] for i in range(100))
+
+    with _pytest.raises(ValueError):
+        assign_splits(df, {})
+    with _pytest.raises(ValueError):
+        assign_splits(df, {"a": 0.7, "b": 0.4})
+    with _pytest.raises(ValueError):
+        assign_splits(df, {"a": -0.1})
