@@ -3410,6 +3410,59 @@ FROM documents d LEFT JOIN p USING (doc_id)
 """
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source (sources/warc.py, ISO 28500): documents are packed
+    into member-per-record .warc.gz files (one per partition, written
+    DISTRIBUTED — the spec-constructing builder shares no code with
+    the parser), then read back through binaryFile → streaming member
+    iterator → HTTP response unwrap. FULL value check: url, WARC-Date,
+    status, content-type and the payload md5 must reconstruct exactly
+    from the source table."""
+    import os as _os
+    import shutil
+    from datetime import datetime as _dt, timedelta as _td
+
+    from json_time_series_extractor_spark.sources.warc import (
+        build_warc, read_warc_pages)
+
+    tag = "".join(c if c.isalnum() else "_"
+                  for c in _os.path.basename(sf_dir.rstrip("/")))
+    base = f"/tmp/jtse_warc_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    _os.makedirs(base)
+    docs = (_docs(spark, sf_dir).where(F.col("text").isNotNull())
+            .select("doc_id", "text"))
+    t0 = _dt(2024, 1, 1)
+
+    def write_part(idx, rows):
+        recs = [(f"https://example.test/doc/{r['doc_id']}",
+                 t0 + _td(seconds=int(r["doc_id"])),
+                 r["text"].encode("utf-8")) for r in rows]
+        if recs:
+            with open(f"{base}/part-{idx:05d}.warc.gz", "wb") as f:
+                f.write(build_warc(recs, gzip_per_record=True))
+        return iter(())
+
+    docs.rdd.mapPartitionsWithIndex(write_part).count()
+    pages = read_warc_pages(spark, base + "/*.warc.gz")
+    return pages.select(
+        "url", "warc_ts", "http_status", "content_type",
+        F.md5("payload").alias("payload_md5"),
+        F.length("payload").cast("long").alias("n_bytes"))
+
+
+_ORACLE_WARC_ROUNDTRIP = """
+SELECT 'https://example.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       TIMESTAMP '2024-01-01 00:00:00'
+           + doc_id * INTERVAL 1 SECOND AS warc_ts,
+       CAST(200 AS INT) AS http_status,
+       'text/html; charset=utf-8' AS content_type,
+       md5(text) AS payload_md5,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split assignment
     (operators/sampling.py assign_splits): 90/5/4% by keyed md5 rank —
@@ -4249,6 +4302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_fraction": q_histogram_fraction,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "split_assign": q_split_assign,
+        "warc_roundtrip": q_warc_roundtrip,
         "holt_winters": q_holt_winters,
         "holt_winters_seasonal": q_holt_winters_seasonal,
         "absent_buckets": q_absent_buckets,
@@ -4407,6 +4461,7 @@ GROUP BY 1, 2
         "histogram_fraction": _histogram_fraction_oracle_sql(),
         "jsonl_roundtrip": _ORACLE_JSONL_ROUNDTRIP,
         "split_assign": _oracle_split_assign(),
+        "warc_roundtrip": _ORACLE_WARC_ROUNDTRIP,
         "quantile_over_time": _ORACLE_QUANTILE_OVER_TIME,
         "distinct_over_time": _oracle_distinct_over_time(),
         "frequency_over_time": cm_over_time_oracle_sql(

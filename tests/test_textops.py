@@ -2722,3 +2722,69 @@ def test_assign_splits(spark):
         assign_splits(df, {"a": 0.7, "b": 0.4})
     with _pytest.raises(ValueError):
         assign_splits(df, {"a": -0.1})
+
+
+def test_warc_parse_and_error_taxonomy(spark, tmp_path):
+    """From-spec WARC parsing: member-per-record gzip, whole-file gzip
+    and plain files all parse; non-response records pass through raw;
+    every documented rejection (bad version, missing length, overrun
+    block, chunked/content-encoded HTTP, torn gzip) raises ValueError;
+    on_error='skip' drops the torn FILE and keeps the good one."""
+    import gzip
+    from datetime import datetime, timezone
+
+    import pytest as _pytest
+
+    from json_time_series_extractor_spark.sources.warc import (
+        build_warc, parse_warc, read_warc_pages)
+
+    ts = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    recs = [("https://a.test/1", ts, b"<html>one</html>"),
+            ("https://a.test/2", ts, b"two \xe2\x9c\x93 utf8")]
+    per_rec = build_warc(recs, gzip_per_record=True)
+    plain = build_warc(recs, gzip_per_record=False)
+    whole = gzip.compress(plain, mtime=0)
+    for blob in (per_rec, plain, whole):
+        got = list(parse_warc(blob))
+        assert [h["warc-target-uri"] for h, _ in got] == \
+            ["https://a.test/1", "https://a.test/2"]
+        assert all(b.startswith(b"HTTP/1.1 200") for _, b in got)
+
+    # metadata record passes through with the raw block
+    meta = (b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+            b"WARC-Date: 2024-03-01T00:00:00Z\r\n"
+            b"Content-Length: 5\r\n\r\nhello\r\n\r\n")
+    h, block = next(iter(parse_warc(meta)))
+    assert h["warc-type"] == "metadata" and block == b"hello"
+
+    for bad in (
+        b"WARC/0.9\r\nContent-Length: 0\r\n\r\n\r\n\r\n",   # version
+        b"WARC/1.0\r\nWARC-Type: x\r\n\r\n\r\n\r\n",        # no length
+        b"WARC/1.0\r\nContent-Length: 999\r\n\r\nhi",       # overrun
+        per_rec[:-7],                                       # torn gzip
+    ):
+        with _pytest.raises(ValueError):
+            list(parse_warc(bad))
+
+    # HTTP framing rejections
+    chunked = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Date: 2024-03-01T00:00:00Z\r\n"
+               b"WARC-Target-URI: u\r\nContent-Length: 71\r\n\r\n"
+               b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+               b"5\r\nhello\r\n0\r\n\r\n".ljust(71, b" ") + b"\r\n\r\n")
+    (tmp_path / "chunked.warc").write_bytes(chunked)
+    with _pytest.raises(Exception):
+        read_warc_pages(spark, str(tmp_path / "chunked.warc")).count()
+
+    # skip policy: torn file dropped, good file read
+    (tmp_path / "good.warc.gz").write_bytes(per_rec)
+    (tmp_path / "torn.warc.gz").write_bytes(per_rec[:-7])
+    out = read_warc_pages(spark, str(tmp_path / "*.warc.gz"),
+                          on_error="skip")
+    rows = {r["url"]: r for r in out.collect()}
+    assert set(rows) == {"https://a.test/1", "https://a.test/2"}
+    assert rows["https://a.test/2"]["payload"] == b"two \xe2\x9c\x93 utf8"
+    assert rows["https://a.test/1"]["http_status"] == 200
+    assert rows["https://a.test/1"]["warc_ts"] == ts.replace(tzinfo=None)
+    with _pytest.raises(ValueError):
+        read_warc_pages(spark, "x", on_error="maybe")
