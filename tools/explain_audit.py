@@ -214,6 +214,14 @@ AUDITED = [
      "once-materialized annotated edges + one dst hash aggregate + "
      "one left join; localCheckpoint per iteration truncates lineage "
      "(the audited plan is the LAST iteration's, reading checkpoints)"),
+    ("split_assign", "map-only keyed-hash CASE: zero shuffles, zero "
+     "windows, zero state — the split survives any repartition"),
+    ("jsonl_roundtrip", "splittable line-based JSON scan with explicit "
+     "schema (no inference pass) + cached parse shared by the corrupt "
+     "count and the output projection"),
+    ("warc_roundtrip", "per-FILE binaryFile scan (gzip unsplittable — "
+     "the industry WARC pattern) into ONE streaming mapInPandas "
+     "boundary; everything after the unwrap is plain columns"),
 ]
 
 
