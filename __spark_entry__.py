@@ -3590,6 +3590,110 @@ FROM documents d LEFT JOIN p USING (doc_id)
 """
 
 
+def _synth_robots_txt(domain: str) -> str:
+    """Deterministic per-domain robots.txt shared by the Spark query
+    and the oracle generator: a fully-blocked other-agent group (must
+    NOT apply — group selection), a wildcard-prefix disallow, an
+    anchored longest-match allow override, and one plain disallow
+    whose target varies by domain."""
+    return (
+        "# synthetic policy\n"
+        "User-agent: googlebot\nDisallow: /\n\n"
+        "User-agent: *\n"
+        "Disallow: /Page/1*\n"
+        "Allow: /Page/12$\n"
+        f"Disallow: /Page/{len(domain) % 5}\n"
+    )
+
+
+_ROBOTS_PATH_RE = r"^[a-z][a-z0-9+.\-]*://[^/?#]*(/[^?#]*)"
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt compliance filtering
+    (operators/robots.py): deterministic per-domain policies parsed
+    ONCE by the shared Python parser (group selection incl. a decoy
+    fully-blocked googlebot group, wildcard + anchored patterns),
+    matching + longest-match/allow-tie precedence replayed
+    independently by each engine over the synth URL population. FULL
+    value check incl. the deciding rule's octet length."""
+    from json_time_series_extractor_spark.operators.robots import (
+        robots_filter, robots_rules_df)
+    from json_time_series_extractor_spark.operators.urltools import (
+        canonical_url, url_host)
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _synth_url_expr_spark().alias("url"))
+    urls = docs.select(
+        "doc_id",
+        url_host(canonical_url(F.col("url"))).alias("domain"),
+        F.when(F.regexp_extract(canonical_url(F.col("url")),
+                                _ROBOTS_PATH_RE, 1) == "", "/")
+        .otherwise(F.regexp_extract(canonical_url(F.col("url")),
+                                    _ROBOTS_PATH_RE, 1))
+        .alias("url_path"))
+    domains = [r["domain"] for r in
+               urls.select("domain").distinct().collect()]
+    robots = spark.createDataFrame(
+        [(d, _synth_robots_txt(d)) for d in sorted(domains)],
+        "domain string, robots_txt string")
+    out = robots_filter(urls, robots_rules_df(robots))
+    return out.select("doc_id", "domain", "url_path", "allowed",
+                      "rule_plen")
+
+
+def _oracle_robots_filter() -> str:
+    import duckdb
+
+    from json_time_series_extractor_spark.operators.robots import (
+        parse_robots_rules, robots_rules_values_sql)
+    from json_time_series_extractor_spark.operators.urltools import (
+        _CANON_HOST_RE, canonical_url_oracle_expr)
+
+    canon = canonical_url_oracle_expr("url")
+    host = (f"CASE WHEN regexp_extract({canon}, '{_CANON_HOST_RE}', 1)"
+            f" = '' THEN '(opaque)' ELSE regexp_extract({canon}, "
+            f"'{_CANON_HOST_RE}', 1) END")
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                        "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    domains = [r[0] for r in con.sql(f"""
+        SELECT DISTINCT {host} AS domain
+        FROM (SELECT doc_id, {_SYNTH_URL_SQL} AS url
+              FROM read_parquet('{sf}/documents.parquet'))
+        """).fetchall()]
+    rules_rows = []
+    for d in sorted(domains):
+        for allow, plen, rx in parse_robots_rules(_synth_robots_txt(d)):
+            rules_rows.append((d, allow, plen, rx))
+    vals = robots_rules_values_sql(rules_rows)
+    # DuckDB single-quoted strings pass backslashes through literally
+    path_re = _ROBOTS_PATH_RE
+    return f"""
+WITH u AS (
+    SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents),
+c AS (
+    SELECT doc_id, {host} AS domain,
+           CASE WHEN regexp_extract({canon}, '{path_re}', 1) = ''
+                THEN '/'
+                ELSE regexp_extract({canon}, '{path_re}', 1)
+           END AS url_path
+    FROM u),
+r AS ({vals}),
+m AS (
+    SELECT c.doc_id, c.domain, c.url_path, r.allow, r.plen,
+           row_number() OVER (
+               PARTITION BY c.doc_id
+               ORDER BY r.plen DESC, r.allow DESC) AS rn
+    FROM c JOIN r ON r.domain = c.domain
+                  AND regexp_matches(c.url_path, r.rx))
+SELECT c.doc_id, c.domain, c.url_path,
+       coalesce(m.allow, true) AS allowed,
+       CAST(coalesce(m.plen, -1) AS INT) AS rule_plen
+FROM c LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)
+"""
+
+
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted domain mixing (operators/sampling.py
     domain_mix_sample): α=0.5 UniMax-style rebalancing over the same
@@ -4303,6 +4407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "split_assign": q_split_assign,
         "warc_roundtrip": q_warc_roundtrip,
+        "robots_filter": q_robots_filter,
         "holt_winters": q_holt_winters,
         "holt_winters_seasonal": q_holt_winters_seasonal,
         "absent_buckets": q_absent_buckets,
@@ -4462,6 +4567,7 @@ GROUP BY 1, 2
         "jsonl_roundtrip": _ORACLE_JSONL_ROUNDTRIP,
         "split_assign": _oracle_split_assign(),
         "warc_roundtrip": _ORACLE_WARC_ROUNDTRIP,
+        "robots_filter": _oracle_robots_filter(),
         "quantile_over_time": _ORACLE_QUANTILE_OVER_TIME,
         "distinct_over_time": _oracle_distinct_over_time(),
         "frequency_over_time": cm_over_time_oracle_sql(

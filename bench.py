@@ -170,7 +170,7 @@ def run_benchmarks() -> None:
                  "quality_threshold", "rrf_hybrid", "pagerank",
                  "streaming_lww", "rollup_month_cascade", "collapse_lines",
                  "histogram_fraction", "jsonl_roundtrip", "split_assign",
-                 "warc_roundtrip",
+                 "warc_roundtrip", "robots_filter",
                  "chunk_pruned_scan", "decontaminate", "doc_lm_quality",
                  "domain_stats", "ann_ivfpq_topk",
                  "rollup_percentiles", "rollup_tdigest", "counter_rate",

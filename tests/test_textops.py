@@ -2788,3 +2788,43 @@ def test_warc_parse_and_error_taxonomy(spark, tmp_path):
     assert rows["https://a.test/1"]["warc_ts"] == ts.replace(tzinfo=None)
     with _pytest.raises(ValueError):
         read_warc_pages(spark, "x", on_error="maybe")
+
+
+def test_robots_parse_and_filter(spark):
+    """RFC 9309 semantics pinned: group selection (exact agent beats
+    *, decoy group must not leak), group merging, wildcard + anchored
+    patterns, longest-match precedence with the allow tie-break,
+    empty-Disallow no-op, comments, no-robots/no-match defaults."""
+    from json_time_series_extractor_spark.operators.robots import (
+        _pattern_to_regex, parse_robots_rules, robots_filter,
+        robots_rules_df)
+
+    txt = ("# comment\n"
+           "User-agent: googlebot\nDisallow: /\n\n"
+           "User-agent: bingbot\nUser-agent: *\n"
+           "Disallow: /a*\n"
+           "Allow: /a/ok$\n"
+           "Disallow:\n"
+           "Crawl-delay: 5\n"
+           "User-agent: *\nDisallow: /b\n")
+    star = parse_robots_rules(txt)
+    # two * groups merge; empty Disallow adds no rule
+    assert star == [(False, 3, "^/a.*"), (True, 6, "^/a/ok$"),
+                    (False, 2, "^/b")]
+    assert parse_robots_rules(txt, "googlebot") == [(False, 1, "^/")]
+    assert parse_robots_rules(txt, "bingbot") == star[:2]
+    assert parse_robots_rules("", "x") == []
+    # regex translation escapes regex specials in paths
+    assert _pattern_to_regex("/p+q.r$") == "^/p\\+q\\.r$"
+
+    robots = spark.createDataFrame([("d.test", txt)],
+                                   "domain string, robots_txt string")
+    urls = spark.createDataFrame(
+        [(1, "d.test", "/a/x"), (2, "d.test", "/a/ok"),
+         (3, "d.test", "/b"), (4, "d.test", "/c"),
+         (5, "nowhere.test", "/a/x")],
+        "doc_id long, domain string, url_path string")
+    got = {r["doc_id"]: (r["allowed"], r["rule_plen"]) for r in
+           robots_filter(urls, robots_rules_df(robots)).collect()}
+    assert got == {1: (False, 3), 2: (True, 6), 3: (False, 2),
+                   4: (True, -1), 5: (True, -1)}
