@@ -222,6 +222,10 @@ AUDITED = [
     ("warc_roundtrip", "per-FILE binaryFile scan (gzip unsplittable — "
      "the industry WARC pattern) into ONE streaming mapInPandas "
      "boundary; everything after the unwrap is plain columns"),
+    ("robots_filter", "rules broadcast as per-domain ARRAYS (one "
+     "summary-sized Arrow parse); matching is a higher-order filter + "
+     "aggregate fold per URL row — the URL table never explodes per "
+     "rule, no Python in the matching path"),
 ]
 
 
