@@ -73,7 +73,9 @@ def _build_parser() -> argparse.ArgumentParser:
                                "dedup-paragraphs", "dup-ngram-stats",
                                "token-count-bpe", "decontaminate",
                                "lm-quality", "domain-stats",
-                               "dedup-spans"])
+                               "dedup-spans", "boilerplate-lines",
+                               "collapse-lines", "domain-mix",
+                               "split-assign", "quality-threshold"])
     corp.add_argument("--fraction", type=float, default=0.1,
                       help="sample-fraction: keep probability")
     corp.add_argument("--group-col", default="lang")
@@ -121,6 +123,24 @@ def _build_parser() -> argparse.ArgumentParser:
     corp.add_argument("--chars-col", default=None,
                       help="domain-stats: optional per-doc char-count "
                            "column to total per domain")
+    corp.add_argument("--min-df", type=int, default=3,
+                      help="boilerplate-lines: distinct-doc frequency "
+                           "at which a line is furniture")
+    corp.add_argument("--min-chars", type=int, default=6,
+                      help="boilerplate-lines: normalized length below "
+                           "which lines are immune")
+    corp.add_argument("--target-total", type=int, default=100_000,
+                      help="domain-mix: docs to keep across all domains")
+    corp.add_argument("--domain-col", default="domain",
+                      help="domain-mix: pre-computed domain column")
+    corp.add_argument("--splits", default="train=0.9,val=0.05,test=0.05",
+                      help="split-assign: name=weight list in order")
+    corp.add_argument("--drop-frac", type=float, default=0.1,
+                      help="quality-threshold: worst fraction to drop "
+                           "by the exact corpus quantile")
+    corp.add_argument("--score-col", default="quality_score_fp6",
+                      help="quality-threshold: int64 score column "
+                           "(computed from text when absent)")
     corp.add_argument("--dup-ratio-flag-fp6", type=int,
                       default=1_500_000,
                       help="domain-stats: docs/pages ratio above which "
@@ -454,6 +474,48 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
         out = domain_stats(docs, url_col=args.url_col,
                            chars_col=args.chars_col,
                            dup_ratio_flag_fp6=args.dup_ratio_flag_fp6)
+    elif args.op == "boilerplate-lines":
+        from json_time_series_extractor_spark.operators.dedup import (
+            remove_boilerplate_lines)
+        out = remove_boilerplate_lines(docs, min_df=args.min_df,
+                                       min_chars=args.min_chars)
+    elif args.op == "collapse-lines":
+        from json_time_series_extractor_spark.operators.dedup import (
+            collapse_repeated_lines)
+        out = collapse_repeated_lines(docs)
+    elif args.op == "domain-mix":
+        from json_time_series_extractor_spark.operators.sampling import (
+            domain_mix_sample)
+        d = docs
+        if args.domain_col not in d.columns:
+            from json_time_series_extractor_spark.operators.urltools \
+                import canonical_url, url_host
+            d = d.withColumn(args.domain_col,
+                             url_host(canonical_url(F.col(args.url_col))))
+        out = domain_mix_sample(d, args.target_total,
+                                domain_col=args.domain_col,
+                                seed=args.seed)
+    elif args.op == "split-assign":
+        from json_time_series_extractor_spark.operators.sampling import (
+            assign_splits)
+        weights = {}
+        for part in args.splits.split(","):
+            name, _, w = part.partition("=")
+            weights[name.strip()] = float(w)
+        out = assign_splits(docs, weights, seed=args.seed)
+    elif args.op == "quality-threshold":
+        from json_time_series_extractor_spark.operators.rankselect \
+            import quantile_threshold_filter
+        d = docs
+        if args.score_col not in d.columns:
+            from json_time_series_extractor_spark.operators.textstats \
+                import with_quality_score
+            d = with_quality_score(d).withColumn(
+                args.score_col,
+                F.floor(F.col("quality_score") * 1e6 + F.lit(0.5))
+                .cast("long"))
+        out = quantile_threshold_filter(d, args.score_col,
+                                        args.drop_frac)
     elif args.op == "sample-fraction":
         out = deterministic_sample(docs, args.fraction, seed=args.seed)
     elif args.op == "sample-per-group":

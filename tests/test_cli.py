@@ -395,3 +395,61 @@ def test_corpus_subcommand_r7_ops(spark, tmp_path):
     assert r4["rows_out"] == 3              # 3 hosts
     row = ds.where("domain = 'h0.com'").first()
     assert row["n_pages"] == 5 and row["flagged"]  # heavy re-crawl dup
+
+
+def test_corpus_subcommand_r7b_ops(spark, tmp_path):
+    """The r7b corpus ops ride the same CLI surface: boilerplate /
+    stutter cleaning, temperature domain mixing (domain derived from
+    --url-col when absent), split assignment with a custom weight
+    spec, and the exact quality-threshold drop (score computed from
+    text when absent)."""
+    import argparse
+
+    from json_time_series_extractor_spark.cli import run_corpus
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+
+    def args(**kw):
+        base = dict(input=src, output=str(tmp_path / kw.pop("out")),
+                    op=None, fraction=0.1, group_col="lang",
+                    per_group_n=20, threshold=0.5, num_hashes=32,
+                    bands=16, seed=7, components_algorithm="minlabel",
+                    max_bucket_size=10_000, min_df=3, min_chars=6,
+                    target_total=50, domain_col="domain",
+                    url_col="url",
+                    splits="train=0.8,val=0.1,test=0.1",
+                    drop_frac=0.2, score_col="quality_score_fp6")
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    r = run_corpus(spark, args(out="b1", op="boilerplate-lines"))
+    assert r["rows_out"] == r["rows_in"]    # per-doc cleaned rows
+    cols = spark.read.parquet(r["output"]).columns
+    assert "text_clean" in cols and "n_removed" in cols
+
+    r2 = run_corpus(spark, args(out="b2", op="collapse-lines"))
+    assert r2["rows_out"] == r2["rows_in"]
+
+    r3 = run_corpus(spark, args(out="b3", op="split-assign"))
+    per = {row["split"]: row["count"] for row in
+           spark.read.parquet(r3["output"])
+           .groupBy("split").count().collect()}
+    assert set(per) == {"train", "val", "test"}   # weights sum to 1.0
+    assert per["train"] > per["val"]
+
+    r4 = run_corpus(spark, args(out="b4", op="quality-threshold"))
+    # drop <= 20% (boundary ties kept -> can drop fewer, never more)
+    assert 0.8 * r4["rows_in"] <= r4["rows_out"] < r4["rows_in"]
+    kept = spark.read.parquet(r4["output"])
+    assert kept.where("n_dropped > 0").count() == kept.count()
+
+    # domain-mix derives the domain from a synthesized url column
+    docs = spark.read.parquet(src).withColumn(
+        "url", F.concat(F.lit("https://site"),
+                        (F.col("doc_id") % 5).cast("string"),
+                        F.lit(".test/p/"),
+                        F.col("doc_id").cast("string")))
+    dsrc = str(tmp_path / "docs_url")
+    docs.write.parquet(dsrc)
+    r5 = run_corpus(spark, args(input=dsrc, out="b5", op="domain-mix"))
+    assert 0 < r5["rows_out"] <= 50
