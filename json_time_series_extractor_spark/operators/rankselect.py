@@ -93,17 +93,20 @@ def quantile_threshold_filter(df: DataFrame, score_col: str,
     if not 0.0 <= drop_frac < 1.0:
         raise ValueError(f"drop_frac must be in [0, 1), got {drop_frac}")
     v = F.col(score_col)
-    # The passes below are ACTIONS (count, two histogram collects, the
-    # dropped count, the final filter): without a persist each one
-    # re-executes the scoring subplan — the _materialize defect class.
-    nn = materialize(df.where(v.isNotNull()))
+    # The counting passes (count, two histogram collects, the dropped
+    # count) are separate ACTIONS: without a persist each re-executes
+    # the scoring subplan — the _materialize defect class. Persist the
+    # NARROW score projection only: at 100 TB caching the full rows
+    # would itself be a 100 TB write, while the final keep-filter reads
+    # the original frame once with the threshold pushed down.
+    nn = materialize(df.select(v.alias(score_col)).where(v.isNotNull()))
     n = nn.count()
     if n == 0:
         raise ValueError(f"no non-null {score_col} rows")
     k = int(drop_frac * n)   # <= n-1 since drop_frac < 1
     t = value_at_rank(nn, score_col, k + 1, coarse_bits=coarse_bits)
     dropped = nn.where(v.cast("long") < F.lit(t)).count()
-    return (nn.where(v.cast("long") >= F.lit(t))
+    return (df.where(v.isNotNull() & (v.cast("long") >= F.lit(t)))
             .withColumn("threshold", F.lit(t).cast("long"))
             .withColumn("n_dropped", F.lit(int(dropped)).cast("long")))
 

@@ -122,15 +122,22 @@ def robots_rules_df(robots: DataFrame, *, agent: str = "*",
 
 def robots_filter(urls: DataFrame, rules: DataFrame, *,
                   url_path_col: str = "url_path",
-                  domain_col: str = "domain") -> DataFrame:
+                  domain_col: str = "domain",
+                  broadcast_rules: bool = True) -> DataFrame:
     """Apply RFC 9309 precedence to every URL row.
 
-    ``rules`` is :func:`robots_rules_df` output (broadcast — domains
-    are summary-sized next to URLs). Adds ``allowed`` (boolean) and
-    ``rule_plen`` (octet length of the deciding rule, -1 when no rule
-    matched). Longest-match/allow-tie precedence is ONE higher-order
-    ``aggregate`` over the matched rules — the URL table never
-    explodes per rule.
+    ``rules`` is :func:`robots_rules_df` output. Adds ``allowed``
+    (boolean) and ``rule_plen`` (octet length of the deciding rule,
+    -1 when no rule matched). Longest-match/allow-tie precedence is
+    ONE higher-order ``aggregate`` over the matched rules — the URL
+    table never explodes per rule.
+
+    ``broadcast_rules``: the default hints a broadcast (a crawl's
+    policy table is usually far smaller than its URL table), but a
+    FULL-web domain population (~10^8 registrable domains) outgrows a
+    driver broadcast — pass False there and the equi-join shuffles on
+    domain like any other join (AQE still broadcasts it when it turns
+    out small).
     """
     path = F.col(url_path_col)
     matched = F.filter(
@@ -146,7 +153,8 @@ def robots_filter(urls: DataFrame, rules: DataFrame, *,
             | ((r["plen"] == acc["plen"]) & r["allow"]),
             F.struct(r["plen"].alias("plen"),
                      r["allow"].alias("allow"))).otherwise(acc))
-    return (urls.join(F.broadcast(rules),
+    right = F.broadcast(rules) if broadcast_rules else rules
+    return (urls.join(right,
                       urls[domain_col] == rules["domain"], "left")
             .drop(rules["domain"])
             .withColumn("_best", best)

@@ -109,14 +109,21 @@ def sample_per_group(df: DataFrame, group_cols: Sequence[str], n: int, *,
 def sample_by_quota(df: DataFrame, group_cols: Sequence[str],
                     quotas: DataFrame, *, quota_col: str = "quota",
                     key_col: str = "doc_id", seed: int = 7,
-                    safety: float = 4.0) -> DataFrame:
+                    safety: float = 4.0,
+                    broadcast_groups: bool = True) -> DataFrame:
     """:func:`sample_per_group` with a PER-GROUP cap: ``quotas`` maps
     ``group_cols`` → ``quota_col`` (how many rows to keep from that
     group). Groups absent from ``quotas`` or with quota <= 0 are
     dropped entirely. Selection, exactness and the two-phase scale
     design are identical to :func:`sample_per_group` — the shared core
     below — so the selected set for any group equals the naive
-    full-group hash-rank window with ``n = quota``."""
+    full-group hash-rank window with ``n = quota``.
+
+    ``broadcast_groups``: the per-group summary frames are hinted
+    broadcast by default (strata like language are few); a FULL-web
+    per-DOMAIN stratification (~10^8 groups) outgrows a driver
+    broadcast — pass False there and the joins shuffle on the group
+    key (AQE still broadcasts when the summary turns out small)."""
     gcols = list(group_cols)
     q_r = quotas.select(
         *[F.col(g).alias(f"_g_{i}") for i, g in enumerate(gcols)],
@@ -130,11 +137,13 @@ def sample_by_quota(df: DataFrame, group_cols: Sequence[str],
                    F.first("_q").alias("_q"))
               .where(F.col("_q") > 0))
     return _quota_sample(df, gcols, counts,
-                         key_col=key_col, seed=seed, safety=safety)
+                         key_col=key_col, seed=seed, safety=safety,
+                         broadcast_groups=broadcast_groups)
 
 
 def _quota_sample(df: DataFrame, gcols: list, counts: DataFrame, *,
-                  key_col: str, seed: int, safety: float) -> DataFrame:
+                  key_col: str, seed: int, safety: float,
+                  broadcast_groups: bool = True) -> DataFrame:
     """Shared two-phase exact core: ``counts`` is one row per surviving
     group with ``_gcnt`` (group size) and ``_q`` (rows to keep)."""
     if safety <= 1.0:
@@ -164,7 +173,8 @@ def _quota_sample(df: DataFrame, gcols: list, counts: DataFrame, *,
                   F.lit(float(safety)) * F.col("_q") / F.col("_gcnt")))
               .localCheckpoint(eager=True))
     counts_r = g_renamed(counts, ["_thr", "_q"])
-    survivors = (df.join(F.broadcast(counts_r), nullsafe_on(counts_r),
+    _maybe_b = F.broadcast if broadcast_groups else (lambda x: x)
+    survivors = (df.join(_maybe_b(counts_r), nullsafe_on(counts_r),
                          "inner")
                  .drop(*[f"_g_{i}" for i in range(len(gcols))])
                  .where(rank.isNull() | (rank < F.col("_thr"))))
@@ -199,7 +209,7 @@ def _quota_sample(df: DataFrame, gcols: list, counts: DataFrame, *,
     bad = g_renamed(counts.where(F.col("_thr") < 1.0)
                     .join(satisfied, anti_on, "left_anti")
                     .select(*gcols, "_q"), ["_q"])
-    bad_rows = (df.join(F.broadcast(bad), nullsafe_on(bad), "inner")
+    bad_rows = (df.join(_maybe_b(bad), nullsafe_on(bad), "inner")
                 .drop(*[f"_g_{i}" for i in range(len(gcols))])
                 .withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") <= F.col("_q"))
@@ -272,7 +282,8 @@ FROM r WHERE rn <= {k}
 def domain_mix_sample(df: DataFrame, target_total: int, *,
                       domain_col: str = "domain",
                       key_col: str = "doc_id", seed: int = 7,
-                      safety: float = 4.0) -> DataFrame:
+                      safety: float = 4.0,
+                      broadcast_groups: bool = True) -> DataFrame:
     """Temperature-weighted domain mixing: rebalance a crawl so no
     domain dominates the training mix.
 
@@ -316,7 +327,8 @@ def domain_mix_sample(df: DataFrame, target_total: int, *,
                              f"DECIMAL(38,0))) DIV _wsum AS BIGINT)")
                       .alias("quota")))
     return sample_by_quota(df, [domain_col], quotas,
-                           key_col=key_col, seed=seed, safety=safety)
+                           key_col=key_col, seed=seed, safety=safety,
+                           broadcast_groups=broadcast_groups)
 
 
 def domain_mix_oracle_sql(docs_sql: str, target_total: int, *,
