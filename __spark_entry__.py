@@ -4339,6 +4339,85 @@ def q_chunk_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = compress_chunks(samples, "1 day")
     return scan_chunks_pruned(chunks, value_lo=200.0)
 
+
+def q_promql_rate_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL query-language frontend (r7, plans/promql.py): parse +
+    compile ``sum(rate({series_key=~".+"}[1h]))`` onto the engine. The
+    reference has no query surface (its options object is the closest
+    analog, ``TimeSeriesExtractorOptions.cs:13-410``); this frontend
+    lowers a documented PromQL subset onto the already-oracled
+    operators: ``rate`` -> :func:`rate_extrapolated` (the exact
+    Prometheus boundary extrapolation), ``sum`` -> one per-bucket hash
+    aggregate. FULL value: ``fp6_cross_series`` quantizes per-series
+    rates to 1e-6 ints BEFORE the cross-series sum (the repo's
+    quantize-then-accumulate doctrine), so the oracle replays the
+    compiled pipeline bit-for-bit."""
+    from json_time_series_extractor_spark.plans.promql import promql
+
+    out = promql(_event_samples(spark, sf_dir),
+                 'sum(rate({series_key=~".+"}[1h]))', "1 hour",
+                 fp6_cross_series=True)
+    return _quant6(out, "value")
+
+
+def _oracle_promql_rate_sum() -> str:
+    from json_time_series_extractor_spark.operators.rate import (
+        rate_extrapolated_oracle_sql)
+
+    rates = rate_extrapolated_oracle_sql(
+        "SELECT event_type AS series_key, ts, value AS v FROM events",
+        "hour", 3600)
+    return f"""
+WITH q AS (
+    SELECT series_key, bucket_ts,
+           CAST(floor(rate * 1000000 + 0.5) AS BIGINT) AS rq
+    FROM ({rates}) WHERE rate IS NOT NULL)
+SELECT '' AS series_key, bucket_ts,
+       CAST(floor((CAST(sum(rq) AS DOUBLE) / 1e6) * 1000000 + 0.5)
+            AS BIGINT) AS value
+FROM q GROUP BY bucket_ts
+"""
+
+
+def q_promql_topk_overtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL frontend, window + ranking path:
+    ``topk(2, max_over_time({series_key=~".+"}[6h]))`` at step 1h.
+    ``max_over_time`` lowers to a trailing wall-clock RANGE frame over
+    the 1h rollup partials (mergeable re-aggregation — max of maxes,
+    never a raw rescan; data gaps widen the window, matching Prometheus
+    wall-clock ranges, unlike present-rows ``rolling_over_time``);
+    ``topk`` to a per-BUCKET bounded rank window with deterministic
+    (value desc, series_key) tie-break. max is identity-preserving, so
+    the value compares exactly with no quantization."""
+    from json_time_series_extractor_spark.plans.promql import promql
+
+    return promql(_event_samples(spark, sf_dir),
+                  'topk(2, max_over_time({series_key=~".+"}[6h]))',
+                  "1 hour")
+
+
+_ORACLE_PROMQL_TOPK = """
+WITH r AS (
+    SELECT event_type AS series_key,
+           date_trunc('hour', ts) AS bucket_ts,
+           max(value) AS mx
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+o AS (
+    SELECT series_key, bucket_ts,
+           max(mx) OVER (
+               PARTITION BY series_key
+               ORDER BY CAST(epoch_us(bucket_ts) / 1000000 AS BIGINT)
+               RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW) AS value
+    FROM r),
+rk AS (
+    SELECT series_key, bucket_ts, value,
+           row_number() OVER (PARTITION BY bucket_ts
+                              ORDER BY value DESC, series_key) AS rn
+    FROM o)
+SELECT series_key, bucket_ts, value FROM rk WHERE rn <= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4468,6 +4547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "chunk_roundtrip": q_chunk_roundtrip,
         "chunk_pruned_scan": q_chunk_pruned_scan,
+        "promql_rate_sum": q_promql_rate_sum,
+        "promql_topk_overtime": q_promql_topk_overtime,
     }
 
 
@@ -5214,6 +5295,8 @@ SELECT event_type AS series_key, ts, value AS value_double FROM events
 SELECT event_type AS series_key, ts, value AS value_double
 FROM events WHERE value >= 200.0
 """,
+        "promql_rate_sum": _oracle_promql_rate_sum(),
+        "promql_topk_overtime": _ORACLE_PROMQL_TOPK,
     }
     # The star variant must land on the SAME clustering as min-label.
     d["neardup_components_star"] = d["neardup_components"]
