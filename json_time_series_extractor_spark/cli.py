@@ -146,6 +146,37 @@ def _build_parser() -> argparse.ArgumentParser:
                       help="domain-stats: docs/pages ratio above which "
                            "a domain is flagged (1e-6 fixed point)")
 
+    q = sub.add_parser(
+        "query",
+        help="run a PromQL-subset expression over a samples table "
+             "(plans/promql.py: tumbling-grid evaluation, lowered onto "
+             "the engine's operators)")
+    q.add_argument("--input", required=True,
+                   help="samples table path (parquet; needs the key/ts/"
+                        "value columns)")
+    q.add_argument("--expr", required=True,
+                   help="PromQL expression, e.g. "
+                        "'sum(rate({series_key=~\".+\"}[1h]))'")
+    q.add_argument("--step", default="1 hour",
+                   help="evaluation grid, e.g. '1 hour' (range selectors "
+                        "must align to it)")
+    q.add_argument("--key-col", default="series_key")
+    q.add_argument("--ts-col", default="ts")
+    q.add_argument("--value-col", default="value_double")
+    q.add_argument("--fp6-cross-series", action="store_true",
+                   help="quantize to 1e-6 ints before cross-series float "
+                        "accumulation (reproducible sums)")
+    q.add_argument("--histogram-bounds", action="append", default=[],
+                   metavar="NAME=B0,B1,...",
+                   help="declare histogram bin bounds for a metric so "
+                        "histogram_quantile() can lower onto the "
+                        "mergeable histogram tier (repeatable)")
+    q.add_argument("--output", default=None,
+                   help="parquet output dir; omit to print row count + "
+                        "first rows as JSON")
+    q.add_argument("--show", type=int, default=20,
+                   help="rows to print when --output is omitted")
+
     pipe = sub.add_parser("pipeline", help="run the resumable pipeline")
     pipe.add_argument("--input", required=True,
                       help="pages table path (parquet dir)")
@@ -539,6 +570,40 @@ def run_corpus(spark: SparkSession, args: argparse.Namespace) -> dict:
     return report
 
 
+def run_query(spark: SparkSession, args: argparse.Namespace) -> dict:
+    """PromQL-subset dispatch: parse the declared histogram bounds, compile
+    the expression onto the samples table and either write parquet or
+    report count + head rows. The compiled plan is stock Catalyst (the
+    frontend lowers everything onto the engine's operators), so writing
+    the result is one ordinary distributed job."""
+    from json_time_series_extractor_spark.plans.promql import promql
+
+    bounds = {}
+    for spec in args.histogram_bounds:
+        name, _, rest = spec.partition("=")
+        if not rest:
+            raise SystemExit(f"--histogram-bounds needs NAME=B0,B1,... "
+                             f"got {spec!r}")
+        bounds[name] = tuple(float(b) for b in rest.split(","))
+    out = promql(spark.read.parquet(args.input), args.expr, args.step,
+                 key_col=args.key_col, ts_col=args.ts_col,
+                 value_col=args.value_col,
+                 fp6_cross_series=args.fp6_cross_series,
+                 histogram_bounds=bounds or None)
+    report = {"command": "query", "expr": args.expr, "step": args.step}
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        report["output"] = args.output
+        report["rows"] = spark.read.parquet(args.output).count()
+        return report
+    rows = out.orderBy("series_key", "bucket_ts").limit(args.show).collect()
+    report["rows_shown"] = [
+        {"series_key": r.series_key, "bucket_ts": str(r.bucket_ts),
+         "value": r.value} for r in rows]
+    report["rows"] = out.count()
+    return report
+
+
 def main(argv: Optional[List[str]] = None) -> None:
     from json_time_series_extractor_spark.plans.session import get_spark
     from json_time_series_extractor_spark.sources.pages import (
@@ -558,6 +623,9 @@ def main(argv: Optional[List[str]] = None) -> None:
         return
     if args.command == "corpus":
         print(json.dumps(run_corpus(spark, args)))
+        return
+    if args.command == "query":
+        print(json.dumps(run_query(spark, args)))
         return
 
     report = run_pipeline(spark, args)

@@ -31,7 +31,13 @@ TUMBLING bucket grid instead:
   ``changes``) requires R == step and evaluates per tumbling R bucket —
   exactly the engine's oracled per-bucket operators. ``rate``/``increase``
   use the full Prometheus boundary extrapolation
-  (:func:`~..operators.rate.rate_extrapolated`).
+  (:func:`~..operators.rate.rate_extrapolated`);
+- ``absent(m)`` / ``absent_over_time(m[R])`` lower onto
+  :func:`~..operators.gapfill.absent_buckets` (grid bounded by each
+  series' own observed span); ``histogram_quantile(phi, m)`` lowers onto
+  the mergeable histogram tier using per-metric declared bin bounds
+  (``histogram_bounds={name: (b0, ...)}``), the engine's analog of
+  Prometheus' per-metric ``le`` bucket layout.
 
 Label model: the engine's series identity is the single ``series_key``
 column, so that is the one label. A bare metric name matches it exactly;
@@ -205,11 +211,15 @@ _PARAM_AGGS = {"topk", "bottomk", "quantile", "count_values"}
 #: range-vector functions -> lowering kind
 _RANGE_FNS = {"rate", "increase", "irate", "delta", "resets", "changes",
               "avg_over_time", "min_over_time", "max_over_time",
-              "sum_over_time", "count_over_time", "last_over_time"}
+              "sum_over_time", "count_over_time", "last_over_time",
+              "absent_over_time"}
 
 #: instant-vector scalar-shape functions (pure Column lowerings)
 _SIMPLE_FNS = {"abs", "ceil", "floor", "sgn", "clamp", "clamp_min",
                "clamp_max"}
+
+#: functions with bespoke lowerings onto engine operators
+_SPECIAL_FNS = {"histogram_quantile", "absent"}
 
 _CMP_OPS = {"==", "!=", ">", "<", ">=", "<="}
 _SET_OPS = {"and", "or", "unless"}
@@ -328,7 +338,8 @@ class Parser:
         raise PromQLSyntaxError(f"unexpected {t.text!r} at {t.pos}")
 
     def func_call(self, name: str) -> Node:
-        if name not in _RANGE_FNS and name not in _SIMPLE_FNS:
+        if (name not in _RANGE_FNS and name not in _SIMPLE_FNS
+                and name not in _SPECIAL_FNS):
             raise PromQLSyntaxError(f"unknown function {name!r}")
         self.expect("LPAREN")
         args = [self.or_expr()]
@@ -449,12 +460,18 @@ class PromQLCompiler:
     def __init__(self, samples: DataFrame, step: str = "1 hour", *,
                  key_col: str = "series_key", ts_col: str = "ts",
                  value_col: str = "value_double",
-                 fp6_cross_series: bool = False):
+                 fp6_cross_series: bool = False,
+                 histogram_bounds: Optional[dict] = None):
         self.samples = samples
         self.step = step
         self.step_s = _interval_seconds(step)
         self.key_col, self.ts_col, self.value_col = key_col, ts_col, value_col
         self.fp6 = fp6_cross_series
+        #: metric name -> explicit histogram bin bounds; a
+        #: histogram_quantile() over that name lowers onto the mergeable
+        #: histogram tier (this engine declares bins per metric, the
+        #: analog of Prometheus' per-metric `le` bucket layout).
+        self.histogram_bounds = dict(histogram_bounds or {})
 
     # -- public -----------------------------------------------------------
     def compile(self, node_or_src: Union[Node, str]) -> DataFrame:
@@ -523,6 +540,8 @@ class PromQLCompiler:
                     f"{fn}: range {sel.range_s}s must be a multiple of "
                     f"step {self.step_s}s")
             k = sel.range_s // self.step_s
+            if fn == "absent_over_time":
+                return self._absent(sel, k)
             return self._over_time(fn[:-len("_over_time")],
                                    self._rollup(sel, self.step), k)
         if sel.range_s != self.step_s:
@@ -596,6 +615,47 @@ class PromQLCompiler:
             raise PromQLCompileError(f"unhandled over_time agg {agg}")
         return _Vec(tier_df.select("series_key", "bucket_ts",
                                    val.alias("value")))
+
+    def _absent(self, sel: Selector, k: int) -> _Vec:
+        """``absent_over_time(m[R])`` / ``absent(m)`` (k=1): emit 1 for
+        each grid bucket whose trailing k buckets contain NO sample of
+        the series. Lowers onto :func:`~..operators.gapfill.
+        absent_buckets`: absent runs are maximal, so "k consecutive
+        trailing absents" is exactly ``gap_pos >= k`` inside a run. The
+        grid spans each series' own observed [min, max] bucket (the
+        engine's gap-fill convention — leading/trailing absence is
+        undefined without an external series roster, a documented
+        deviation from Prometheus' label-less absent())."""
+        from ..operators.gapfill import absent_buckets
+
+        gaps = absent_buckets(self._rollup(sel, self.step), self.step)
+        return _Vec(gaps.where(F.col("gap_pos") >= k)
+                    .select("series_key", "bucket_ts",
+                            F.lit(1.0).alias("value")))
+
+    def _histogram_quantile(self, phi: float, sel: Selector) -> _Vec:
+        """Lower onto the mergeable histogram tier: bin the samples at
+        step granularity with the metric's declared bounds, then the
+        engine's oracled interpolation (first/last-bin clamps, NULL on
+        empty) — quantiles without per-bucket raw-data sorts."""
+        from ..operators.rollup import histogram_quantile, rollup_histogram
+
+        if sel.range_s is not None:
+            raise PromQLCompileError(
+                "histogram_quantile() takes an instant selector")
+        name = sel.name
+        if name not in self.histogram_bounds:
+            raise PromQLCompileError(
+                f"histogram_quantile: no declared bin bounds for "
+                f"{name!r}; pass histogram_bounds={{name: (b0, b1, ...)}}")
+        hist = rollup_histogram(self._matcher_filter(sel), self.step,
+                                bounds=self.histogram_bounds[name],
+                                key_col=self.key_col, ts_col=self.ts_col,
+                                value_col=self.value_col)
+        out = histogram_quantile(hist, [phi],
+                                 bounds=self.histogram_bounds[name],
+                                 names=("value",))
+        return _Vec(out.select("series_key", "bucket_ts", "value"))
 
     # -- aggregation lowering -------------------------------------------------
     def _fp6_int(self, c: Column) -> Column:
@@ -798,6 +858,26 @@ class PromQLCompiler:
                     f"{node.func}() takes exactly one range selector")
             return self._range_fn(node.func, node.args[0])
 
+        if node.func == "absent":
+            if len(node.args) != 1 or not isinstance(node.args[0], Selector):
+                raise PromQLCompileError("absent() takes one selector")
+            sel = node.args[0]
+            if sel.range_s is not None:
+                raise PromQLCompileError(
+                    "absent() takes an instant selector; use "
+                    "absent_over_time(m[R]) for ranges")
+            return self._absent(sel, 1)
+
+        if node.func == "histogram_quantile":
+            if (len(node.args) != 2
+                    or not isinstance(node.args[1], Selector)):
+                raise PromQLCompileError(
+                    "histogram_quantile(phi, selector) takes a scalar and "
+                    "a selector")
+            phi = self._expect_scalar(node.args[0],
+                                      "histogram_quantile() phi")
+            return self._histogram_quantile(phi, node.args[1])
+
         if node.func in ("clamp", "clamp_min", "clamp_max"):
             want = 3 if node.func == "clamp" else 2
             if len(node.args) != want:
@@ -865,10 +945,12 @@ class PromQLCompiler:
 def promql(samples: DataFrame, query: str, step: str = "1 hour", *,
            key_col: str = "series_key", ts_col: str = "ts",
            value_col: str = "value_double",
-           fp6_cross_series: bool = False) -> DataFrame:
+           fp6_cross_series: bool = False,
+           histogram_bounds: Optional[dict] = None) -> DataFrame:
     """One-shot convenience: parse *query* and compile it against *samples*
     on the *step* tumbling grid. Returns DataFrame(series_key, bucket_ts,
     value)."""
     return PromQLCompiler(
         samples, step, key_col=key_col, ts_col=ts_col, value_col=value_col,
-        fp6_cross_series=fp6_cross_series).compile(query)
+        fp6_cross_series=fp6_cross_series,
+        histogram_bounds=histogram_bounds).compile(query)

@@ -402,6 +402,44 @@ def test_fp6_mode_exact(spark, samples):
     assert got == {k: v / 1e6 for k, v in exp.items()}
 
 
+def test_absent_and_absent_over_time(spark, samples):
+    # b is present in hours 0 and 3 only -> hours 1, 2 are absent
+    # (grid spans the series' own observed [min, max] bucket).
+    got = _collect(promql(samples, "absent(b)", "1 hour"))
+    assert got == {("b", _ts(60)): 1.0, ("b", _ts(120)): 1.0}
+    # absent over 2h = 2 consecutive trailing absents -> only hour 2
+    got = _collect(promql(samples, "absent_over_time(b[2h])", "1 hour"))
+    assert got == {("b", _ts(120)): 1.0}
+    # a is present every hour -> nothing absent
+    assert _collect(promql(samples, "absent(a)", "1 hour")) == {}
+    with pytest.raises(PromQLCompileError):
+        promql(samples, "absent(b[1h])", "1 hour")
+
+
+def test_histogram_quantile_lowering(spark, samples):
+    from json_time_series_extractor_spark.operators.rollup import (
+        histogram_quantile,
+        rollup_histogram,
+    )
+    bounds = (2.0, 5.0, 8.0)
+    got = _collect(promql(samples, "histogram_quantile(0.5, a)", "1 hour",
+                          histogram_bounds={"a": bounds}))
+    direct = {
+        (r.series_key, r.bucket_ts): r.value
+        for r in histogram_quantile(
+            rollup_histogram(samples.where("series_key = 'a'"), "1 hour",
+                             bounds=bounds),
+            [0.5], bounds=bounds, names=("value",))
+        .select("series_key", "bucket_ts", "value").collect()}
+    assert got == direct and got
+    with pytest.raises(PromQLCompileError):
+        promql(samples, "histogram_quantile(0.5, b)", "1 hour",
+               histogram_bounds={"a": bounds})
+    with pytest.raises(PromQLCompileError):
+        promql(samples, "histogram_quantile(a, a)", "1 hour",
+               histogram_bounds={"a": bounds})
+
+
 def test_compiler_instance_reuse(spark, samples):
     c = PromQLCompiler(samples, "1 hour")
     a = _collect(c.compile("a"))
