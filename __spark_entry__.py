@@ -603,6 +603,46 @@ GROUP BY 1, 2
 """
 
 
+def q_rollup_realtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time continuous aggregate (operators/refresh.py
+    realtime_rollup — TimescaleDB real-time view semantics): the 1m
+    tier is materialized only up to a mid-corpus watermark
+    (2024-01-16); the query serves closed buckets from the tier and
+    aggregates the raw tail past the watermark on the fly — two pruned
+    scans + one hash aggregate, NO joins. FULL value check: the oracle
+    recomputes every bucket from all raw rows at once (exact
+    fixed-point sums, lexicographic last), plus the materialized flag
+    from the same watermark — a bucket served by the wrong side, a
+    tail row double-counted into a closed bucket, or any merge drift
+    breaks the hash."""
+    from json_time_series_extractor_spark.operators.refresh import (
+        realtime_rollup, rollup_mergeable)
+
+    wm = "2024-01-16 00:00:00"
+    raw = _event_samples(spark, sf_dir)
+    tier = rollup_mergeable(raw.where(F.col("ts") < F.lit(wm)),
+                            "1 minute")
+    return realtime_rollup(tier, raw, wm, "1 minute")
+
+
+_ORACLE_ROLLUP_REALTIME = """
+SELECT event_type AS series_key,
+       date_trunc('minute', ts) AS bucket_ts,
+       min(value) AS min,
+       max(value) AS max,
+       CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_fp6,
+       count(value) AS cnt,
+       first(value ORDER BY ts DESC, value DESC) AS last,
+       max(ts) AS last_ts,
+       date_trunc('minute', ts) < TIMESTAMP '2024-01-16 00:00:00'
+           AS materialized
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2, 9
+"""
+
+
 def q_rollup_refresh_deletes(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """The DELETE/UPDATE half of the invalidation contract
@@ -4436,6 +4476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h_cascade": q_rollup_1h_cascade,
         "rollup_1d_salted": q_rollup_1d_salted,
         "rollup_incremental_refresh": q_rollup_incremental_refresh,
+        "rollup_realtime": q_rollup_realtime,
         "rollup_refresh_deletes": q_rollup_refresh_deletes,
         "rollup_mergeable_cascade": q_rollup_mergeable_cascade,
         "rollup_percentiles": q_rollup_percentiles,
@@ -4601,6 +4642,7 @@ FROM base
         "rollup_1h_cascade": _ORACLE_ROLLUP_TIER.format(unit="hour"),
         "rollup_1d_salted": _ORACLE_ROLLUP_TIER.format(unit="day"),
         "rollup_incremental_refresh": _oracle_rollup_refresh(),
+        "rollup_realtime": _ORACLE_ROLLUP_REALTIME,
         "rollup_refresh_deletes": _ORACLE_REFRESH_DELETES,
         "rollup_mergeable_cascade": _ORACLE_MERGEABLE_TIER.format(
             unit="hour"),

@@ -373,6 +373,59 @@ def read_merged_tier(spark, output_path: str) -> DataFrame:
         .drop("p_batch")
 
 
+def realtime_rollup(
+    tier: DataFrame,
+    raw: DataFrame,
+    watermark,
+    tier_interval: str = "1 minute",
+    *,
+    key_col: str = "series_key",
+    ts_col: str = "ts",
+    value_col: str = "value_double",
+) -> DataFrame:
+    """TimescaleDB-style *real-time continuous aggregate*: serve closed
+    buckets from the materialized ``tier`` and aggregate the raw tail
+    past the materialization ``watermark`` on the fly, so queries see
+    up-to-the-second results without waiting for the next refresh.
+
+    Exactness: the watermark is floored to the tier's epoch-aligned
+    bucket grid INSIDE the plan, the tier is filtered to
+    ``bucket_ts < aligned`` and raw to ``ts >= aligned`` — the two
+    sides cover disjoint, gap-free bucket ranges, and every statistic
+    is exactly mergeable, so the union is bit-identical to
+    ``rollup_mergeable(all raw)`` for ANY watermark (including one
+    before / after all data: either side may be empty).
+
+    Scale shape: no joins at all. Both filters are partition pruning on
+    a ``bucket_ts``- / ``ts``-partitioned table — the tier scan reads
+    only closed partitions, the raw scan only the tail past the
+    watermark (hours, not the 100 TB of history) — and the tail's one
+    hash aggregate is partial/final combinable. ``materialized`` flags
+    which side served each bucket (a bucket on the wrong side breaks
+    the full-recompute oracle hash).
+
+    Reference anchor: the tier rows carry the same rolled-up points the
+    reference's extracted samples feed (TimeSeriesExtractor.cs sample
+    stream); this is the read-path completion of :func:`refresh_rollup`
+    (the write path).
+    """
+    from json_time_series_extractor_spark.operators.gapfill import (
+        _epoch_floor, _interval_seconds)
+
+    secs = _interval_seconds(tier_interval)
+    aligned = _epoch_floor(F.lit(watermark).cast("timestamp"), secs)
+    closed = (tier
+              .where(F.col("bucket_ts") < aligned)
+              .select("series_key", "bucket_ts", *_MERGE_COLS)
+              .withColumn("materialized", F.lit(True)))
+    fresh = (rollup_mergeable(
+        raw.where(F.col(ts_col).cast("timestamp") >= aligned),
+        tier_interval, key_col=key_col, ts_col=ts_col,
+        value_col=value_col)
+        .withColumn("materialized", F.lit(False)))
+    return closed.unionByName(fresh)
+
+
 def refresh_oracle_sql(table: str = "events", *, unit: str = "minute",
                        series_expr: str = "event_type", ts_col: str = "ts",
                        value_col: str = "value",

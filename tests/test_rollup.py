@@ -1378,6 +1378,66 @@ def test_refresh_rollup_plan_never_shuffles_the_tier(spark):
     assert plan.count("BroadcastHashJoin") == 3  # anti, semi, right-outer
 
 
+def test_realtime_rollup_equals_full_recompute(spark):
+    """Real-time continuous aggregate: materialized-tier ∪ raw-tail
+    must equal a full from-raw recompute bit-for-bit for EVERY
+    watermark position — aligned, unaligned (floors to the bucket
+    grid), before all data (all fresh), and after all data (all
+    materialized) — with the materialized flag naming the serving
+    side."""
+    from json_time_series_extractor_spark.operators.refresh import (
+        realtime_rollup, rollup_mergeable)
+
+    schema = "series_key string, ts timestamp, value_double double"
+    rows = [("a", datetime(2024, 1, 1, 0, 0, 10), 2.0),
+            ("a", datetime(2024, 1, 1, 0, 0, 50), 8.0),
+            ("a", datetime(2024, 1, 1, 0, 1, 5), 4.0),
+            ("a", datetime(2024, 1, 1, 0, 3, 30), 7.0),   # bucket gap
+            ("b", datetime(2024, 1, 1, 0, 1, 30), 1.0),
+            ("b", datetime(2024, 1, 1, 0, 1, 30), 3.0)]   # exact-ts tie
+    raw = spark.createDataFrame(rows, schema)
+    want = {(r["series_key"], r["bucket_ts"]): r
+            for r in rollup_mergeable(raw, "1 minute").collect()}
+
+    for wm, aligned_min in [
+            (datetime(2024, 1, 1, 0, 2), 2),       # aligned, mid-data
+            (datetime(2024, 1, 1, 0, 1, 45), 1),   # unaligned -> floor
+            (datetime(2023, 12, 31), None),        # before all: all fresh
+            (datetime(2024, 1, 2), 99)]:           # after all: all tier
+        tier = rollup_mergeable(
+            raw.where(F.col("ts") < F.lit(wm)), "1 minute")
+        got = {(r["series_key"], r["bucket_ts"]): r
+               for r in realtime_rollup(tier, raw, wm,
+                                        "1 minute").collect()}
+        assert set(got) == set(want), wm
+        for k, w in want.items():
+            g = got[k]
+            for c in ("min", "max", "sum_fp6", "cnt", "last", "last_ts"):
+                assert g[c] == w[c], (wm, k, c)
+            if aligned_min is None:
+                assert g["materialized"] is False, (wm, k)
+            else:
+                assert g["materialized"] is (k[1].minute < aligned_min), \
+                    (wm, k)
+
+
+def test_realtime_rollup_plan_has_no_joins(spark):
+    """The real-time union is two pruned scans + one hash aggregate —
+    no join anywhere (the scale contract: the tier scan reads closed
+    partitions, the raw scan only the tail)."""
+    from json_time_series_extractor_spark.operators.refresh import (
+        realtime_rollup, rollup_mergeable)
+
+    schema = "series_key string, ts timestamp, value_double double"
+    raw = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1), 1.0)], schema)
+    out = realtime_rollup(rollup_mergeable(raw, "1 minute"), raw,
+                          datetime(2024, 1, 1), "1 minute")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
 def test_downsample_lttb_keeps_extremes_and_endpoints(spark):
     """LTTB (bucket-mean-anchor variant): first/last buckets keep the
     series' first/last samples; an interior bucket keeps its most
