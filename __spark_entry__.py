@@ -4419,6 +4419,52 @@ FROM q GROUP BY bucket_ts
 """
 
 
+def q_promql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL frontend, subquery path (r7c):
+    ``max_over_time(sum(rate({series_key=~".+"}[1h]))[6h:1h])`` — the
+    inner expression (cross-series rate sum, the promql_rate_sum
+    pipeline) evaluates per 1h bucket, then the outer ``max_over_time``
+    re-aggregates its INSTANT values over a trailing 6h wall-clock
+    RANGE frame (Prometheus subquery semantics: the outer fn sees one
+    value per inner step, never raw samples). fp6 mode quantizes
+    per-series rates before the cross-series sum; max is
+    identity-preserving over those already-quantized doubles, so the
+    oracle (same rate CTE + a DuckDB interval RANGE window max)
+    replays the value bit-for-bit."""
+    from json_time_series_extractor_spark.plans.promql import promql
+
+    out = promql(
+        _event_samples(spark, sf_dir),
+        'max_over_time(sum(rate({series_key=~".+"}[1h]))[6h:1h])',
+        "1 hour", fp6_cross_series=True)
+    return _quant6(out, "value")
+
+
+def _oracle_promql_subquery() -> str:
+    from json_time_series_extractor_spark.operators.rate import (
+        rate_extrapolated_oracle_sql)
+
+    rates = rate_extrapolated_oracle_sql(
+        "SELECT event_type AS series_key, ts, value AS v FROM events",
+        "hour", 3600)
+    return f"""
+WITH q AS (
+    SELECT series_key, bucket_ts,
+           CAST(floor(rate * 1000000 + 0.5) AS BIGINT) AS rq
+    FROM ({rates}) WHERE rate IS NOT NULL),
+s AS (
+    SELECT '' AS series_key, bucket_ts,
+           CAST(sum(rq) AS DOUBLE) / 1e6 AS v
+    FROM q GROUP BY bucket_ts)
+SELECT series_key, bucket_ts,
+       CAST(floor(max(v) OVER (
+                PARTITION BY series_key ORDER BY bucket_ts
+                RANGE BETWEEN INTERVAL 5 HOUR PRECEDING AND CURRENT ROW)
+            * 1000000 + 0.5) AS BIGINT) AS value
+FROM s
+"""
+
+
 def q_promql_topk_overtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL frontend, window + ranking path:
     ``topk(2, max_over_time({series_key=~".+"}[6h]))`` at step 1h.
@@ -4589,6 +4635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_roundtrip": q_chunk_roundtrip,
         "chunk_pruned_scan": q_chunk_pruned_scan,
         "promql_rate_sum": q_promql_rate_sum,
+        "promql_subquery": q_promql_subquery,
         "promql_topk_overtime": q_promql_topk_overtime,
     }
 
@@ -5338,6 +5385,7 @@ SELECT event_type AS series_key, ts, value AS value_double
 FROM events WHERE value >= 200.0
 """,
         "promql_rate_sum": _oracle_promql_rate_sum(),
+        "promql_subquery": _oracle_promql_subquery(),
         "promql_topk_overtime": _ORACLE_PROMQL_TOPK,
     }
     # The star variant must land on the SAME clustering as min-label.

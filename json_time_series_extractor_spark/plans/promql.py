@@ -32,6 +32,11 @@ TUMBLING bucket grid instead:
   exactly the engine's oracled per-bucket operators. ``rate``/``increase``
   use the full Prometheus boundary extrapolation
   (:func:`~..operators.rate.rate_extrapolated`);
+- subqueries ``expr[R:S]`` (S must equal the evaluation step; ``[R:]``
+  defaults it): the inner expression evaluates on the step grid and the
+  outer ``*_over_time`` re-aggregates its INSTANT values over a trailing
+  wall-clock RANGE frame — e.g. ``max_over_time(rate(m[1h])[6h:1h])``;
+  output rows exist only at the inner vector's present buckets;
 - ``absent(m)`` / ``absent_over_time(m[R])`` lower onto
   :func:`~..operators.gapfill.absent_buckets` (grid bounded by each
   series' own observed span); ``histogram_quantile(phi, m)`` lowers onto
@@ -174,6 +179,17 @@ class Selector:
 
 
 @dataclass(frozen=True)
+class Subquery:
+    """``expr[R:S]`` — evaluate ``expr`` per step bucket, expose the
+    per-bucket instant values as a range vector of R wall-clock.
+    ``step_s=None`` means the default (the compiler's evaluation
+    step), i.e. ``expr[R:]``."""
+    expr: "Node"
+    range_s: int
+    step_s: Optional[int] = None
+
+
+@dataclass(frozen=True)
 class Call:
     func: str
     args: tuple
@@ -202,7 +218,7 @@ class Unary:
     expr: "Node"
 
 
-Node = Union[Num, Selector, Call, Agg, Binary, Unary]
+Node = Union[Num, Selector, Subquery, Call, Agg, Binary, Unary]
 
 _AGG_OPS = {"sum", "min", "max", "avg", "count", "topk", "bottomk",
             "quantile", "count_values"}
@@ -325,17 +341,47 @@ class Parser:
             self.next()
             node = self.or_expr()
             self.expect("RPAREN")
-            return node
+            return self._maybe_postfix_subquery(node)
         if t.kind == "LBRACE":
             return self.selector(None)
         if t.kind == "IDENT":
             name = self.next().text
             if name in _AGG_OPS:
-                return self.agg_expr(name)
+                return self._maybe_postfix_subquery(self.agg_expr(name))
             if self.peek().kind == "LPAREN":
-                return self.func_call(name)
+                return self._maybe_postfix_subquery(self.func_call(name))
             return self.selector(name)
         raise PromQLSyntaxError(f"unexpected {t.text!r} at {t.pos}")
+
+    def _bracket_range(self):
+        """Inside ``[...]``: ``1h`` -> (3600, None, False);
+        ``1h:5m`` / ``1h:`` -> (3600, step|None, True). The lexer is
+        context-free, so ``h:5m`` arrives as ONE ident — split it here
+        (the re-lex the tokenizer comment promises)."""
+        num = self.expect("NUM").text
+        unit = self.expect("IDENT").text
+        if ":" in unit:
+            u, _, rest = unit.partition(":")
+            rng = duration_seconds(num + u)
+            step = duration_seconds(rest) if rest else None
+            self.expect("RBRACK")
+            return rng, step, True
+        self.expect("RBRACK")
+        return duration_seconds(num + unit), None, False
+
+    def _maybe_postfix_subquery(self, node: Node) -> Node:
+        """``(expr)[R:S]`` / ``fn(...)[R:S]`` / ``agg(...)[R:S]`` —
+        a bracket after a non-selector expression must be a subquery
+        (plain ranges attach to selectors only)."""
+        if self.peek().kind != "LBRACK":
+            return node
+        pos = self.next().pos
+        rng, step, is_sub = self._bracket_range()
+        if not is_sub:
+            raise PromQLSyntaxError(
+                f"plain range at {pos} attaches to a selector; a range "
+                f"over an expression needs a subquery [R:S]")
+        return Subquery(node, rng, step)
 
     def func_call(self, name: str) -> Node:
         if (name not in _RANGE_FNS and name not in _SIMPLE_FNS
@@ -396,14 +442,23 @@ class Parser:
         if name is None and not matchers:
             raise PromQLSyntaxError("selector needs a name or matchers")
         range_s = None
+        sub = None
         if self.accept("LBRACK"):
-            range_s = duration_seconds(self.duration_text())
-            self.expect("RBRACK")
+            rng, step, is_sub = self._bracket_range()
+            if is_sub:
+                sub = (rng, step)           # m[R:S] — subquery over m
+            else:
+                range_s = rng
         offset_s = 0
         if self.peek().kind == "IDENT" and self.peek().text == "offset":
             self.next()
             offset_s = duration_seconds(self.duration_text())
-        return Selector(name, tuple(matchers), range_s, offset_s)
+        node = Selector(name, tuple(matchers), range_s, offset_s)
+        if sub is not None:
+            # offset on the inner selector == offset on the subquery:
+            # shifting the data shifts every trailing window identically.
+            return Subquery(node, sub[0], sub[1])
+        return node
 
     def duration_text(self) -> str:
         """Durations lex as NUM + IDENT ('1' 'h'); re-join them."""
@@ -615,6 +670,65 @@ class PromQLCompiler:
             raise PromQLCompileError(f"unhandled over_time agg {agg}")
         return _Vec(tier_df.select("series_key", "bucket_ts",
                                    val.alias("value")))
+
+    def _subquery_fn(self, fn: str, sub: Subquery) -> _Vec:
+        """``fn_over_time(expr[R:S])``: evaluate the inner expression on
+        its own grid (S must equal the evaluation step — tumbling-grid
+        rule), then re-aggregate the inner INSTANT values over the
+        trailing R of wall clock. Mirrors Prometheus' subquery
+        semantics: the outer function sees one value per inner
+        evaluation step, NOT the raw samples —
+        ``avg_over_time(m[3h:1h])`` averages 3 per-bucket instant reads
+        where ``avg_over_time(m[3h])`` averages every raw sample.
+        Documented deviation: output rows exist only at buckets where
+        the inner vector has a row (the engine has no external eval
+        grid to place results on empty buckets)."""
+        if not fn.endswith("_over_time") or fn == "absent_over_time":
+            raise PromQLCompileError(
+                f"{fn} over a subquery is not supported (only the "
+                f"*_over_time re-aggregations lower onto a computed "
+                f"vector; absent_over_time needs the selector's gap "
+                f"machinery)")
+        step_s = self.step_s if sub.step_s is None else sub.step_s
+        if step_s != self.step_s:
+            raise PromQLCompileError(
+                f"subquery step {step_s}s must equal the evaluation "
+                f"step {self.step_s}s (tumbling-grid evaluation)")
+        if sub.range_s % self.step_s:
+            raise PromQLCompileError(
+                f"subquery range {sub.range_s}s must be a multiple of "
+                f"the step {self.step_s}s")
+        k = sub.range_s // self.step_s
+        inner = self._expect_vec(sub.expr, "subquery")
+        agg = fn[:-len("_over_time")]
+        epoch = (F.unix_micros(F.col("bucket_ts").cast("timestamp"))
+                 / 1_000_000)
+        w = (Window.partitionBy("series_key").orderBy(epoch.cast("long"))
+             .rangeBetween(-(k - 1) * self.step_s, 0))
+        v = F.col("value")
+        vq = self._fp6_int(v) if self.fp6 else v
+        if agg == "avg":
+            val = (F.sum(vq).over(w).cast("double")
+                   / F.count(v).over(w))
+            if self.fp6:
+                val = val / F.lit(1e6)
+        elif agg == "min":
+            val = F.min(v).over(w)
+        elif agg == "max":
+            val = F.max(v).over(w)
+        elif agg == "sum":
+            val = F.sum(vq).over(w).cast("double")
+            if self.fp6:
+                val = val / F.lit(1e6)
+        elif agg == "count":
+            val = F.count(v).over(w).cast("double")
+        elif agg == "last":
+            val = F.max(F.struct(F.col("bucket_ts").alias("t"),
+                                 v.alias("v"))).over(w)["v"]
+        else:  # pragma: no cover — gated by _RANGE_FNS + the guard above
+            raise PromQLCompileError(f"unhandled over_time agg {agg}")
+        return _Vec(inner.df.select("series_key", "bucket_ts",
+                                    val.alias("value")))
 
     def _absent(self, sel: Selector, k: int) -> _Vec:
         """``absent_over_time(m[R])`` / ``absent(m)`` (k=1): emit 1 for
@@ -853,9 +967,15 @@ class PromQLCompiler:
     # -- function lowering ---------------------------------------------------
     def _call(self, node: Call) -> _Vec:
         if node.func in _RANGE_FNS:
-            if len(node.args) != 1 or not isinstance(node.args[0], Selector):
+            if len(node.args) != 1:
                 raise PromQLCompileError(
-                    f"{node.func}() takes exactly one range selector")
+                    f"{node.func}() takes exactly one range argument")
+            if isinstance(node.args[0], Subquery):
+                return self._subquery_fn(node.func, node.args[0])
+            if not isinstance(node.args[0], Selector):
+                raise PromQLCompileError(
+                    f"{node.func}() takes exactly one range selector "
+                    f"or subquery")
             return self._range_fn(node.func, node.args[0])
 
         if node.func == "absent":
@@ -913,6 +1033,10 @@ class PromQLCompiler:
             return float(node.value)
         if isinstance(node, Selector):
             return self._instant(node)
+        if isinstance(node, Subquery):
+            raise PromQLCompileError(
+                "a subquery expr[R:S] is only valid as the argument of "
+                "a *_over_time function")
         if isinstance(node, Call):
             return self._call(node)
         if isinstance(node, Agg):

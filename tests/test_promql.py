@@ -440,6 +440,89 @@ def test_histogram_quantile_lowering(spark, samples):
                histogram_bounds={"a": bounds})
 
 
+def test_subquery_parse_shapes():
+    from json_time_series_extractor_spark.plans.promql import Subquery
+
+    n = parse("max_over_time(rate(m[1h])[6h:1h])")
+    assert isinstance(n, Call) and n.func == "max_over_time"
+    sub = n.args[0]
+    assert isinstance(sub, Subquery)
+    assert sub.range_s == 21600 and sub.step_s == 3600
+    assert isinstance(sub.expr, Call) and sub.expr.func == "rate"
+    # default step [R:]
+    sub = parse("avg_over_time(m[3h:])").args[0]
+    assert sub.range_s == 10800 and sub.step_s is None
+    # subquery directly over an instant selector, and over an agg/paren
+    assert isinstance(parse("last_over_time(m[2h:1h])").args[0], Subquery)
+    assert isinstance(parse("sum_over_time(sum(m)[2h:1h])").args[0],
+                      Subquery)
+    assert isinstance(parse("min_over_time((m + 1)[2h:1h])").args[0],
+                      Subquery)
+    with pytest.raises(PromQLSyntaxError):
+        parse("max_over_time(rate(m[1h])[6h])")  # plain range on expr
+
+
+def test_subquery_over_instant_vs_raw_range(spark, samples):
+    """The Prometheus subquery distinction: avg_over_time(a[2h:1h])
+    averages the per-bucket INSTANT values (deterministic last per
+    bucket), not the raw samples — so it differs from avg_over_time
+    (a[2h]) wherever a bucket holds >1 sample."""
+    # instant values for a: h0->2.0 (last of 1,3,2), h1->6.0, h2->5.0,
+    # h3->9.0 (last of 7,9)
+    got = _collect(promql(samples, "avg_over_time(a[2h:1h])", "1 hour"))
+    assert got == {("a", _ts(0)): 2.0, ("a", _ts(60)): 4.0,
+                   ("a", _ts(120)): 5.5, ("a", _ts(180)): 7.0}
+    raw = _collect(promql(samples, "avg_over_time(a[2h])", "1 hour"))
+    assert raw[("a", _ts(60))] == (1.0 + 3.0 + 2.0 + 4.0 + 6.0) / 5
+    assert got[("a", _ts(60))] != raw[("a", _ts(60))]
+
+
+def test_subquery_over_computed_vector(spark, samples):
+    """max_over_time(rate(c[1h])[2h:1h]) == trailing 2-bucket max of
+    the already-tested rate vector."""
+    rate = _collect(promql(samples, "rate(c[1h])", "1 hour"))
+    got = _collect(promql(samples, "max_over_time(rate(c[1h])[2h:1h])",
+                          "1 hour"))
+    assert set(got) == set(rate)
+    for (k, ts), v in got.items():
+        prev = rate.get((k, ts - timedelta(hours=1)), -math.inf)
+        assert v == max(rate[(k, ts)], prev), (k, ts)
+    # gaps widen, never shrink: series b's hour-3 window reaches back
+    # only 2h of WALL CLOCK, so the hour-0 instant (30.0) stays out and
+    # the sum is just hour 3's own instant (40.0, the last of 20/40)
+    sub = _collect(promql(samples, "sum_over_time(b[2h:1h])", "1 hour"))
+    assert sub == {("b", _ts(0)): 30.0, ("b", _ts(180)): 40.0}
+
+
+def test_subquery_count_last_and_default_step(spark, samples):
+    got = _collect(promql(samples, "count_over_time(b[4h:])", "1 hour"))
+    assert got == {("b", _ts(0)): 1.0, ("b", _ts(180)): 2.0}
+    got = _collect(promql(samples, "last_over_time(b[4h:1h])", "1 hour"))
+    assert got == {("b", _ts(0)): 30.0, ("b", _ts(180)): 40.0}
+
+
+def test_subquery_errors(spark, samples):
+    with pytest.raises(PromQLCompileError):      # step != eval step
+        promql(samples, "avg_over_time(a[2h:30m])", "1 hour")
+    with pytest.raises(PromQLCompileError):      # range not multiple
+        promql(samples, "avg_over_time(a[90m:1h])", "1 hour")
+    with pytest.raises(PromQLCompileError):      # bare subquery
+        promql(samples, "a[2h:1h]", "1 hour")
+    with pytest.raises(PromQLCompileError):      # rate over subquery
+        promql(samples, "rate(sum(a)[2h:1h])", "1 hour")
+    with pytest.raises(PromQLCompileError):      # absent over subquery
+        promql(samples, "absent_over_time(sum(a)[2h:1h])", "1 hour")
+
+
+def test_subquery_fp6_mode(spark, samples):
+    """fp6 quantizes the inner instant values before the frame sum."""
+    got = _collect(promql(samples, "sum_over_time(a[2h:1h])", "1 hour",
+                          fp6_cross_series=True))
+    plain = _collect(promql(samples, "sum_over_time(a[2h:1h])",
+                            "1 hour"))
+    assert got == plain   # exact halves: quantization is identity here
+
+
 def test_compiler_instance_reuse(spark, samples):
     c = PromQLCompiler(samples, "1 hour")
     a = _collect(c.compile("a"))
