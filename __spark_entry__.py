@@ -4419,6 +4419,29 @@ FROM q GROUP BY bucket_ts
 """
 
 
+def q_promql_tier_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL frontend, tier-routed read path (r7c): the SAME
+    ``topk(2, max_over_time(m[6h]))`` as promql_topk_overtime, but
+    served from a materialized 1-minute rollup tier — the compiler
+    routes instant/_over_time selectors onto the tier (cascading 1m→1h
+    with mergeable state) instead of rescanning raw samples; at 100 TB
+    that is reading the tiny tier, not raw history. max/last are
+    identity-preserving under cascading, so the SAME full-value oracle
+    as the raw-path row must hash-match — any routing error (wrong
+    tier, broken cascade, matcher/offset applied to the wrong column)
+    surfaces as a value diff."""
+    from json_time_series_extractor_spark.operators.rollup import rollup
+    from json_time_series_extractor_spark.plans.promql import promql
+
+    raw = _event_samples(spark, sf_dir)
+    tier_1m = rollup(raw, "1 minute", deterministic_last=True)
+    empty = spark.createDataFrame(
+        [], "series_key string, ts timestamp, value_double double")
+    return promql(empty,
+                  'topk(2, max_over_time({series_key=~".+"}[6h]))',
+                  "1 hour", tiers={"1 minute": tier_1m})
+
+
 def q_promql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL frontend, subquery path (r7c):
     ``max_over_time(sum(rate({series_key=~".+"}[1h]))[6h:1h])`` — the
@@ -4636,6 +4659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_pruned_scan": q_chunk_pruned_scan,
         "promql_rate_sum": q_promql_rate_sum,
         "promql_subquery": q_promql_subquery,
+        "promql_tier_routed": q_promql_tier_routed,
         "promql_topk_overtime": q_promql_topk_overtime,
     }
 
@@ -5386,6 +5410,7 @@ FROM events WHERE value >= 200.0
 """,
         "promql_rate_sum": _oracle_promql_rate_sum(),
         "promql_subquery": _oracle_promql_subquery(),
+        "promql_tier_routed": _ORACLE_PROMQL_TOPK,
         "promql_topk_overtime": _ORACLE_PROMQL_TOPK,
     }
     # The star variant must land on the SAME clustering as min-label.

@@ -32,6 +32,11 @@ TUMBLING bucket grid instead:
   exactly the engine's oracled per-bucket operators. ``rate``/``increase``
   use the full Prometheus boundary extrapolation
   (:func:`~..operators.rate.rate_extrapolated`);
+- tier routing: pass ``tiers={'1 minute': rollup(...)}`` and instant /
+  ``*_over_time`` / ``absent*`` selectors serve from the materialized
+  tier (exact-step, or a cascade from the coarsest dividing tier)
+  instead of rescanning raw samples — the 100 TB read path; the rate
+  family and ``histogram_quantile`` always read raw (per-sample facts);
 - subqueries ``expr[R:S]`` (S must equal the evaluation step; ``[R:]``
   defaults it): the inner expression evaluates on the step grid and the
   outer ``*_over_time`` re-aggregates its INSTANT values over a trailing
@@ -88,7 +93,7 @@ from ..operators.rate import (
     gauge_delta,
     rate_extrapolated,
 )
-from ..operators.rollup import rollup
+from ..operators.rollup import rollup, rollup_cascade
 
 
 # ---------------------------------------------------------------------------
@@ -516,7 +521,8 @@ class PromQLCompiler:
                  key_col: str = "series_key", ts_col: str = "ts",
                  value_col: str = "value_double",
                  fp6_cross_series: bool = False,
-                 histogram_bounds: Optional[dict] = None):
+                 histogram_bounds: Optional[dict] = None,
+                 tiers: Optional[dict] = None):
         self.samples = samples
         self.step = step
         self.step_s = _interval_seconds(step)
@@ -527,6 +533,12 @@ class PromQLCompiler:
         #: histogram tier (this engine declares bins per metric, the
         #: analog of Prometheus' per-metric `le` bucket layout).
         self.histogram_bounds = dict(histogram_bounds or {})
+        #: {interval spec: materialized rollup() tier DataFrame (built
+        #: with deterministic_last=True)} — instant/_over_time/absent
+        #: selectors serve from these instead of rescanning raw samples
+        #: (see :meth:`_routed_tier`).
+        self.tiers = {_interval_seconds(k): v
+                      for k, v in (tiers or {}).items()}
 
     # -- public -----------------------------------------------------------
     def compile(self, node_or_src: Union[Node, str]) -> DataFrame:
@@ -539,9 +551,8 @@ class PromQLCompiler:
         return out.df.select("series_key", "bucket_ts", "value")
 
     # -- selector lowering --------------------------------------------------
-    def _matcher_filter(self, sel: Selector) -> DataFrame:
-        df = self.samples
-        key = F.col(self.key_col)
+    def _apply_matchers(self, df: DataFrame, sel: Selector,
+                        key: Column) -> DataFrame:
         if sel.name is not None:
             df = df.where(key == sel.name)
         for m in sel.matchers:
@@ -557,6 +568,10 @@ class PromQLCompiler:
                 df = df.where(key.rlike(f"^(?:{m.value})$"))
             else:
                 df = df.where(~key.rlike(f"^(?:{m.value})$"))
+        return df
+
+    def _matcher_filter(self, sel: Selector) -> DataFrame:
+        df = self._apply_matchers(self.samples, sel, F.col(self.key_col))
         if sel.offset_s:
             if sel.offset_s % self.step_s:
                 raise PromQLCompileError(
@@ -571,7 +586,53 @@ class PromQLCompiler:
                     / F.lit(1e6) + F.lit(float(sel.offset_s))))
         return df
 
+    def _routed_tier(self, sel: Selector, tier: str) -> Optional[DataFrame]:
+        """Tier routing: serve the per-step partials from a materialized
+        rollup tier — the exact-step tier when declared, else a
+        :func:`~..operators.rollup.rollup_cascade` from the COARSEST
+        dividing tier (fewest rows rescanned) — instead of rescanning
+        raw samples. At 100 TB this is the difference between reading
+        the tiny 1h tier and reading all raw history; filters and the
+        cascade are one pruned scan + at most one hash aggregate.
+
+        Scope: instant selectors, the ``*_over_time`` family and
+        ``absent*`` route; the rate family and ``histogram_quantile``
+        always read raw samples (boundary extrapolation and bin
+        assignment are per-sample facts a min/max/sum/last tier cannot
+        carry). min/max/count/last are bit-exact under cascading;
+        sum/avg re-accumulate in a different order (the same ulp caveat
+        as any re-partitioned double sum). Tiers must be built with
+        ``deterministic_last=True`` so exact-ts ties stay stable."""
+        t_s = _interval_seconds(tier)
+        if t_s in self.tiers:
+            src_s = t_s
+        else:
+            divs = [s for s in self.tiers if t_s % s == 0 and s < t_s]
+            if not divs:
+                return None
+            src_s = max(divs)
+        df = self._apply_matchers(self.tiers[src_s], sel,
+                                  F.col("series_key"))
+        if sel.offset_s:
+            if sel.offset_s % self.step_s:
+                raise PromQLCompileError(
+                    f"offset {sel.offset_s}s must be a multiple of the "
+                    f"step {self.step_s}s (tumbling-grid evaluation)")
+            # offset is a multiple of the step, hence of every dividing
+            # tier's width — the shifted buckets stay grid-aligned.
+            df = df.withColumn(
+                "bucket_ts",
+                F.timestamp_seconds(
+                    F.unix_micros(F.col("bucket_ts")) / F.lit(1e6)
+                    + F.lit(float(sel.offset_s))))
+        if src_s != t_s:
+            df = rollup_cascade(df, tier)
+        return df
+
     def _rollup(self, sel: Selector, tier: str) -> DataFrame:
+        routed = self._routed_tier(sel, tier)
+        if routed is not None:
+            return routed
         return rollup(self._matcher_filter(sel), tier,
                       key_col=self.key_col, ts_col=self.ts_col,
                       value_col=self.value_col, deterministic_last=True)
@@ -1070,11 +1131,13 @@ def promql(samples: DataFrame, query: str, step: str = "1 hour", *,
            key_col: str = "series_key", ts_col: str = "ts",
            value_col: str = "value_double",
            fp6_cross_series: bool = False,
-           histogram_bounds: Optional[dict] = None) -> DataFrame:
+           histogram_bounds: Optional[dict] = None,
+           tiers: Optional[dict] = None) -> DataFrame:
     """One-shot convenience: parse *query* and compile it against *samples*
     on the *step* tumbling grid. Returns DataFrame(series_key, bucket_ts,
-    value)."""
+    value). ``tiers`` maps interval specs to materialized rollup tiers
+    that serve instant/_over_time selectors instead of raw rescans."""
     return PromQLCompiler(
         samples, step, key_col=key_col, ts_col=ts_col, value_col=value_col,
         fp6_cross_series=fp6_cross_series,
-        histogram_bounds=histogram_bounds).compile(query)
+        histogram_bounds=histogram_bounds, tiers=tiers).compile(query)

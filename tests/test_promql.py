@@ -523,6 +523,40 @@ def test_subquery_fp6_mode(spark, samples):
     assert got == plain   # exact halves: quantization is identity here
 
 
+def test_tier_routing_serves_from_materialized_tiers(spark, samples):
+    """With a materialized tier declared, instant/_over_time/absent
+    queries must NOT read raw samples: raw is passed EMPTY, so any
+    answer at all proves routing, and the values must equal the
+    from-raw evaluation. Covers the exact-step tier, the cascade from a
+    finer dividing tier, matchers, offset, subqueries, and the raw-only
+    rate family falling back."""
+    from json_time_series_extractor_spark.operators.rollup import rollup
+
+    empty = spark.createDataFrame(
+        [], "series_key string, ts timestamp, value_double double")
+    t1m = rollup(samples, "1 minute", deterministic_last=True)
+    t1h = rollup(samples, "1 hour", deterministic_last=True)
+    for tiers in ({"1 hour": t1h}, {"1 minute": t1m},
+                  {"1 minute": t1m, "1 hour": t1h}):
+        for q in ("a", "max_over_time({series_key=~\"a|b\"}[2h])",
+                  "count_over_time(b[3h])", "absent(b)",
+                  "last_over_time(a[2h] offset 1h)",
+                  "topk(1, max_over_time({series_key=~\".+\"}[2h]))",
+                  "max_over_time(sum(a)[3h:1h])"):
+            want = _collect(promql(samples, q, "1 hour"))
+            got = _collect(promql(empty, q, "1 hour", tiers=tiers))
+            assert got == want and want, (tiers.keys(), q)
+    # rate always reads raw: with empty raw it yields nothing even
+    # though a tier is declared
+    assert _collect(promql(empty, "rate(c[1h])", "1 hour",
+                           tiers={"1 hour": t1h})) == {}
+    # a coarser-than-step tier cannot serve and raw is used
+    t1d = rollup(samples, "1 day", deterministic_last=True)
+    assert _collect(promql(samples, "a", "1 hour",
+                           tiers={"1 day": t1d})) == \
+        _collect(promql(samples, "a", "1 hour"))
+
+
 def test_compiler_instance_reuse(spark, samples):
     c = PromQLCompiler(samples, "1 hour")
     a = _collect(c.compile("a"))
