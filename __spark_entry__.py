@@ -3866,6 +3866,52 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         floor=0.7)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-based semantic dedup (operators/dedup.py
+    semdedup — Abbas et al. 2023, arXiv:2303.09540): spherical-k-means
+    cluster assignment (map-only expressions over shared deterministic
+    centroids), then within-cluster pairing via a self-equi-join ON THE
+    CLUSTER ID; the survivor is the member LEAST similar to its
+    centroid, and a row drops iff some earlier-priority member of its
+    cluster is within the threshold (the paper's triangular rule).
+    Threshold 0.42 fits the synthetic embedding distribution (max
+    pairwise cosine ~0.51); every cross-engine decision happens on
+    fp6-quantized integers. FULL value check: the oracle selects the
+    SAME md5-ranked training sample in DuckDB, trains its own centroids
+    with the shared Python trainer, and replays assignment + keeper
+    rule entirely in SQL — a wrong cluster, tie-break, priority order,
+    or a missed/extra drop breaks the hash."""
+    from json_time_series_extractor_spark.operators.dedup import (
+        semdedup, semdedup_centroids)
+
+    emb = _embeddings(spark, sf_dir)
+    cents = semdedup_centroids(emb, n_centroids=8, sample_cap=256)
+    return semdedup(emb, cents, threshold=0.42)
+
+
+def _oracle_semdedup() -> str:
+    import duckdb
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.dedup import (
+        semdedup_oracle_sql, semdedup_sample_sql)
+    from json_time_series_extractor_spark.operators.similarity import (
+        kmeans_unit_centroids)
+
+    # Same independent-training contract as _oracle_doc_token_count_bpe:
+    # the centroid matrix derives from the compared corpus via DuckDB's
+    # own sample read + the shared trainer.
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                        "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    sample = con.sql(semdedup_sample_sql(
+        f"read_parquet('{sf}/embeddings.parquet')",
+        sample_cap=256)).fetchall()
+    cents = kmeans_unit_centroids(
+        np.array([r[0] for r in sample], dtype=np.float64), 8)
+    return semdedup_oracle_sql(cents, threshold=0.42)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact all-pairs baseline,
     explicitly requested — the operator default auto-switches to LSH
@@ -4637,6 +4683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
+        "semdedup": q_semdedup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "sample_fraction": q_sample_fraction,
         "sample_per_lang": q_sample_per_lang,
@@ -5283,6 +5330,7 @@ FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
 """,
+        "semdedup": _oracle_semdedup(),
         "embedding_neardup": """
 WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

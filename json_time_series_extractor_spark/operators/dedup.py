@@ -939,3 +939,197 @@ def collapse_repeated_lines(docs: DataFrame, *,
                     .alias("n_collapsed"),
                     F.coalesce("text_clean", F.lit(""))
                     .alias("text_clean")))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — cluster-based semantic deduplication (Abbas et al. 2023,
+# arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+def semdedup_sample_sql(table: str = "embeddings", *,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        sample_cap: int = 256) -> str:
+    """DuckDB twin of :func:`semdedup_centroids`' training-sample
+    selection — kept beside the impl so the oracle generator and the
+    Spark operator provably pick the SAME rows in the SAME order
+    (md5 of the stringified id is the shared deterministic rank; the
+    id itself breaks md5 ties)."""
+    return (f"SELECT CAST({vec_col} AS DOUBLE[]) AS v FROM {table} "
+            f"WHERE {vec_col} IS NOT NULL "
+            f"ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} "
+            f"LIMIT {sample_cap}")
+
+
+def semdedup_centroids(embeddings: DataFrame, *, n_centroids: int = 8,
+                       sample_cap: int = 256, seed: int = 13,
+                       iters: int = 8, id_col: str = "vec_id",
+                       vec_col: str = "embedding"):
+    """Deterministic spherical k-means centroids for :func:`semdedup`.
+
+    Sample = the ``sample_cap`` rows with the smallest
+    ``(md5(id), id)`` — a deterministic pseudo-random sample computed
+    as a TakeOrderedAndProject (per-partition top-k + merge: no global
+    sort, and at 10^12 rows the driver still only sees ``sample_cap``
+    vectors). md5 rather than xxhash64 because the ORACLE must select
+    the identical sample in DuckDB (:func:`semdedup_sample_sql`); the
+    trainer itself is the shared
+    :func:`~.similarity.kmeans_unit_centroids`. Returns a
+    unit-normalized (k, dim) float64 ndarray."""
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.similarity import (
+        _as_double, kmeans_unit_centroids)
+
+    sampled = (embeddings
+               .where(F.col(vec_col).isNotNull())
+               .select(_as_double(F.col(vec_col)).alias("_v"),
+                       F.md5(F.col(id_col).cast("string")).alias("_h"),
+                       F.col(id_col).alias("_id"))
+               .orderBy("_h", "_id").limit(sample_cap)
+               .select("_v").collect())
+    if not sampled:
+        return np.zeros((0, 0), dtype=np.float64)
+    m = np.array([r["_v"] for r in sampled], dtype=np.float64)
+    return kmeans_unit_centroids(m, n_centroids, seed=seed, iters=iters)
+
+
+def _centroid_sims6(v: Column, centroids) -> Column:
+    """Array of structs (fp6-quantized cosine to centroid i, -i), whose
+    array_max IS the deterministic argmax: highest quantized similarity,
+    ties to the LOWEST centroid id. Quantizing BEFORE the argmax is what
+    makes the cluster assignment replayable in SQL — both engines
+    compare the same integers, never raw doubles. The fold-form
+    :func:`~.similarity.cosine` keeps the k*dim assignment expressions
+    compact (the unrolled ``cosine_flat`` times k centroids overflows
+    the whole-stage-codegen method limit and falls back to interpreted
+    anyway); it is bit-identical to the flat form per its docstring."""
+    from json_time_series_extractor_spark.operators.similarity import (
+        cosine)
+
+    entries = []
+    for i, c in enumerate(centroids):
+        cvec = F.array(*[F.lit(float(x)) for x in c])
+        q6 = F.floor(cosine(v, cvec) * 1e6 + F.lit(0.5)).cast("long")
+        entries.append(F.struct(q6.alias("q6"), F.lit(-i).alias("nc")))
+    return F.array(*entries)
+
+
+def semdedup(embeddings: DataFrame, centroids, *,
+             threshold: float = 0.9,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             dim: Optional[int] = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with spherical
+    k-means, then deduplicate WITHIN each cluster — two documents are
+    semantic duplicates when their cosine similarity meets ``threshold``,
+    and the survivor is the one LESS similar to its cluster centroid
+    (the paper's keep-the-edge-example policy, their best-performing
+    variant).
+
+    Keeper rule (the paper's released triangular implementation, not a
+    transitive-component rule): order each cluster by
+    (centroid_sim ASC, id ASC); a row is DROPPED iff some EARLIER row of
+    the same cluster is within ``threshold`` — whether or not that
+    earlier row is itself dropped. Deterministic and order-free: the
+    decision for each row depends only on set membership, so it
+    distributes as one equi-join.
+
+    Exactness: cluster assignment argmaxes fp6-QUANTIZED centroid
+    similarities (ties to the lowest centroid id) and the duplicate
+    test compares fp6-quantized pair similarities against
+    ``floor(threshold*1e6+0.5)`` — every cross-engine decision happens
+    on integers (repo doctrine: quantize before compare).
+
+    Scale shape: assignment is map-only unrolled expressions (k*dim
+    multiply-adds inside codegen, no Python); the pair stage is a
+    self-equi-join ON THE CLUSTER ID — the method's defining property
+    is that k scales with the corpus (the paper uses ~10^5 clusters for
+    LAION) so per-cluster row counts stay bounded; the same B² caveat
+    as LSH buckets applies and cluster sizes should be monitored via
+    ``detect_hot_keys``-style counts when k is misconfigured.
+
+    Output: (vec_id, cell, centroid_sim6, dropped) — one row per input
+    vector with a non-null embedding and positive norm.
+    """
+    from json_time_series_extractor_spark.operators.similarity import (
+        _as_double, _norm, _probe_dim, cosine_flat)
+
+    if dim is None:
+        dim = _probe_dim(embeddings, vec_col)
+    t6 = int(__import__("math").floor(threshold * 1e6 + 0.5))
+    base = (embeddings
+            .where(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("vec_id"),
+                    _as_double(F.col(vec_col)).alias("_v")))
+    base = base.where(_norm(F.col("_v")) > 0)
+    pick = F.array_max(_centroid_sims6(F.col("_v"), centroids))
+    assigned = _materialize(base.select(
+        "vec_id", "_v",
+        (-pick["nc"]).cast("int").alias("cell"),
+        pick["q6"].alias("centroid_sim6")))
+    lo, hi = assigned.alias("lo"), assigned.alias("hi")
+    earlier = ((F.col("lo.centroid_sim6") < F.col("hi.centroid_sim6"))
+               | ((F.col("lo.centroid_sim6") == F.col("hi.centroid_sim6"))
+                  & (F.col("lo.vec_id") < F.col("hi.vec_id"))))
+    pair6 = F.floor(
+        cosine_flat(F.col("lo._v"), F.col("hi._v"), dim)
+        * 1e6 + F.lit(0.5)).cast("long")
+    dropped = (lo.join(hi, (F.col("lo.cell") == F.col("hi.cell"))
+                       & earlier, "inner")
+               .where(pair6 >= F.lit(t6))
+               .select(F.col("hi.vec_id").alias("vec_id"))
+               .distinct()
+               .withColumn("_d", F.lit(True)))
+    return (assigned
+            .join(dropped, "vec_id", "left")
+            .select("vec_id", "cell", "centroid_sim6",
+                    F.coalesce(F.col("_d"), F.lit(False)).alias("dropped")))
+
+
+def semdedup_oracle_sql(centroids, *, threshold: float = 0.9,
+                        table: str = "embeddings",
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> str:
+    """DuckDB ground truth for :func:`semdedup`, given the SAME centroid
+    matrix (model-sized shared state; see :func:`semdedup_centroids`):
+    assignment replayed with list_cosine_similarity + the identical
+    quantize-then-argmax tie-break, the triangular keeper rule as an
+    EXISTS join. Kept beside the impl."""
+    t6 = int(__import__("math").floor(threshold * 1e6 + 0.5))
+    rows = ",\n           ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(x)) for x in c))
+        for i, c in enumerate(centroids))
+    return f"""
+WITH e AS (
+    SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS v
+    FROM {table}
+    WHERE {vec_col} IS NOT NULL AND list_inner_product(
+        CAST({vec_col} AS DOUBLE[]), CAST({vec_col} AS DOUBLE[])) > 0),
+c(cid, cv) AS (
+    VALUES {rows}),
+sims AS (
+    SELECT e.vec_id, c.cid,
+           CAST(floor(list_cosine_similarity(e.v, c.cv) * 1e6 + 0.5)
+                AS BIGINT) AS q6
+    FROM e CROSS JOIN c),
+a AS (
+    SELECT vec_id, cid AS cell, q6 AS centroid_sim6 FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY q6 DESC, cid) AS rk
+        FROM sims) WHERE rk = 1),
+av AS (
+    SELECT a.*, e.v FROM a JOIN e USING (vec_id)),
+dropped AS (
+    SELECT DISTINCT hi.vec_id
+    FROM av lo JOIN av hi ON lo.cell = hi.cell
+     AND (lo.centroid_sim6 < hi.centroid_sim6
+          OR (lo.centroid_sim6 = hi.centroid_sim6
+              AND lo.vec_id < hi.vec_id))
+    WHERE CAST(floor(list_cosine_similarity(lo.v, hi.v) * 1e6 + 0.5)
+               AS BIGINT) >= {t6})
+SELECT vec_id, CAST(cell AS INTEGER) AS cell, centroid_sim6,
+       vec_id IN (SELECT vec_id FROM dropped) AS dropped
+FROM a
+"""

@@ -170,6 +170,21 @@ def ivf_centroids(corpus: DataFrame, *, n_centroids: int,
         # result instead of a numpy axis error mid-k-means.
         return np.zeros((0, 0), dtype=np.float64)
     m = np.array([r["_v"] for r in sampled], dtype=np.float64)
+    return kmeans_unit_centroids(m, n_centroids, seed=seed, iters=iters)
+
+
+def kmeans_unit_centroids(m, n_centroids: int, *, seed: int = 13,
+                          iters: int = 8):
+    """Seeded spherical k-means over the rows of ``m`` (n, dim):
+    unit-normalize, k-means++ init, Lloyd iterations with deterministic
+    empty-cell re-seed. Bit-reproducible for a given (row order, k,
+    seed, iters) — the shared-Python trainer both the Spark operators
+    (:func:`ivf_centroids`, semdedup) and the DuckDB oracle generators
+    call on identically-selected samples (the BPE 'shared trainer'
+    doctrine: model-sized state is shared, corpus-sized work is done by
+    each engine independently)."""
+    import numpy as np
+
     norms = np.sqrt((m * m).sum(axis=1))
     norms[norms == 0.0] = 1.0
     u = m / norms[:, None]

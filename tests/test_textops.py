@@ -215,6 +215,100 @@ def test_embedding_neardup_exact_vs_numpy(spark):
         assert abs(got[k] - v) < 1e-9
 
 
+def test_semdedup_keeper_rule_and_triangular_drops(spark):
+    """SemDeDup semantics on hand-built vectors: two orthogonal
+    clusters; within cluster X a chain a~b, b~c with a!~c must drop BOTH
+    b and c (the paper's triangular rule compares against every EARLIER
+    item, kept or not); the survivor is the item LEAST similar to the
+    centroid; cross-cluster near-parallel pairs never pair up."""
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.dedup import semdedup
+
+    def unit(v):
+        a = np.array(v, dtype=np.float64)
+        return (a / np.linalg.norm(a)).tolist()
+
+    e1, e2 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        # cluster 0 chain: a=0, b=1 (cos(a,b)~.995), c=2 (cos(b,c)~.995,
+        # cos(a,c)~.980 < T)
+        (0, unit([1.0, 0.10, 0.0, 0.0])),
+        (1, unit([1.0, 0.00, 0.0, 0.0])),
+        (2, unit([1.0, -0.10, 0.0, 0.0])),
+        # cluster 1: two isolated far-apart members, nothing dropped
+        (3, unit([0.0, 1.0, 0.5, 0.0])),
+        (4, unit([0.1, 1.0, -0.5, 0.0])),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+    cents = np.array([e1, e2], dtype=np.float64)
+    out = {r.vec_id: r for r in semdedup(df, cents,
+                                         threshold=0.99).collect()}
+    assert {i: out[i].cell for i in out} == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1}
+    # priority = lowest centroid_sim first: ids 0 and 2 tie on |dot e1|
+    # (cos ~.995 each), id tie-break keeps 0; 1 is closest to the
+    # centroid. 1 drops vs 0 (cos .995 >= .99); 2 drops vs 0? cos(0,2)
+    # ~= .980 < .99, but 2 drops vs EARLIER 1? priority(1) is WORST
+    # (highest centroid sim) so 1 is not earlier than 2 -> 2 survives.
+    assert out[1].dropped is True
+    assert out[0].dropped is False and out[2].dropped is False
+    assert out[3].dropped is False and out[4].dropped is False
+    # triangular drop: make c closer to b so cos(b,c) >= T with priority
+    # order a < c < b: then b drops vs a, and ALSO vs c
+    rows2 = [
+        (0, unit([1.0, 0.12, 0.0, 0.0])),    # a: least centroid-similar
+        (1, unit([1.0, 0.00, 0.0, 0.0])),    # b: most centroid-similar
+        (2, unit([1.0, 0.05, 0.0, 0.0])),    # c: between
+    ]
+    df2 = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows2],
+        "vec_id long, embedding array<float>")
+    out2 = {r.vec_id: r.dropped
+            for r in semdedup(df2, cents, threshold=0.995).collect()}
+    # cos(a,c)=cos(.12 vs .05 tilt)~.9994>=T -> c drops vs a;
+    # cos(c,b)~.9988>=T -> b drops vs c (earlier, though dropped itself)
+    assert out2 == {0: False, 1: True, 2: True}
+
+
+def test_semdedup_centroids_deterministic_and_oracle_replay(spark):
+    """Centroid training is bit-reproducible, and the DuckDB oracle
+    (sample SQL + shared trainer + full SQL replay) agrees with the
+    operator row-for-row on a real slice."""
+    import duckdb
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.dedup import (
+        semdedup,
+        semdedup_centroids,
+        semdedup_oracle_sql,
+        semdedup_sample_sql,
+    )
+    from json_time_series_extractor_spark.operators.similarity import (
+        kmeans_unit_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = semdedup_centroids(emb, n_centroids=4, sample_cap=64)
+    c2 = semdedup_centroids(emb, n_centroids=4, sample_cap=64)
+    assert np.array_equal(c1, c2)
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW embeddings AS SELECT * FROM "
+            "'/root/testdata/sf0.001/embeddings.parquet'")
+    sample = con.sql(semdedup_sample_sql(sample_cap=64)).fetchall()
+    c3 = kmeans_unit_centroids(
+        np.array([r[0] for r in sample], dtype=np.float64), 4)
+    assert np.array_equal(c1, c3)
+
+    got = {tuple(r) for r in semdedup(emb, c1, threshold=0.42).collect()}
+    want = {tuple(r)
+            for r in con.sql(semdedup_oracle_sql(c3,
+                                                 threshold=0.42)).fetchall()}
+    assert got == want and got
+
+
 def test_embedding_neardup_lsh_subset_of_exact(spark):
     from json_time_series_extractor_spark.operators.dedup import (
         embedding_neardup_pairs,
