@@ -4409,6 +4409,17 @@ def q_chunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decompress_chunks(chunks)
 
 
+def q_chunk_chimp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chimp chunk compression round-trip (core/chimp.py — Liakos et
+    al., PVLDB'22): the engine's second value codec (2-bit flags +
+    rounded lead classes vs Gorilla's 5+6-bit windows; smaller on noisy
+    values, timestamps keep delta-of-delta). Oracle = the original
+    event stream — decode(encode(x)) must equal x bit-exactly."""
+    chunks = compress_chunks(_event_samples(spark, sf_dir), "1 day",
+                             codec="chimp")
+    return decompress_chunks(chunks, codec="chimp")
+
+
 def q_chunk_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map-pruned chunk scan (operators/chunks.py
     scan_chunks_pruned): chunks carry (ts_min, ts_max, v_min, v_max)
@@ -4703,6 +4714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "chunk_roundtrip": q_chunk_roundtrip,
+        "chunk_chimp_roundtrip": q_chunk_chimp_roundtrip,
         "chunk_pruned_scan": q_chunk_pruned_scan,
         "promql_rate_sum": q_promql_rate_sum,
         "promql_subquery": q_promql_subquery,
@@ -5450,6 +5462,9 @@ SELECT vec_id AS query_id, true AS recall_ok FROM embeddings
 WHERE vec_id < 5
 """,
         "chunk_roundtrip": """
+SELECT event_type AS series_key, ts, value AS value_double FROM events
+""",
+        "chunk_chimp_roundtrip": """
 SELECT event_type AS series_key, ts, value AS value_double FROM events
 """,
         "chunk_pruned_scan": """

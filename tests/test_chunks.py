@@ -70,6 +70,62 @@ def test_timestamps_roundtrip_property(deltas):
     assert list(roundtrip_ts(ts)) == list(ts)
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=True,
+                          width=64), max_size=60))
+def test_chimp_values_roundtrip_property(vals):
+    from json_time_series_extractor_spark.core import chimp
+
+    out = chimp.decode_values(chimp.encode_values(vals))
+    assert (np.asarray(vals, dtype=np.float64).view(np.uint64)
+            == out.view(np.uint64)).all()
+
+
+def test_chimp_specials_and_flag_paths():
+    """Hand-picked sequences that force every Chimp flag path: repeats
+    ('00'), many trailing zeros ('01' — small-integer doubles XOR on
+    exponent/high-mantissa bits only), stable lead class ('10'), and
+    lead-class changes ('11'); bit-exact on specials."""
+    from json_time_series_extractor_spark.core import chimp
+
+    cases = [
+        [0.0, -0.0, math.nan, math.inf, -math.inf, 1e-300, -1e300],
+        [42.5] * 50,                             # '00' path
+        [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],          # '01': integral doubles
+        list(np.cumsum(np.full(40, 0.1))),       # '10': stable lead class
+        [1.0, 1e300, 1e-300, -1.0, math.pi],     # '11': lead swings
+    ]
+    for vals in cases:
+        out = chimp.decode_values(chimp.encode_values(vals))
+        assert (np.asarray(vals, dtype=np.float64).view(np.uint64)
+                == out.view(np.uint64)).all(), vals
+    # the paper's headline: noisy walks beat Gorilla
+    walk = list(np.cumsum(np.random.default_rng(3).normal(0, 1, 400)))
+    assert len(chimp.encode_values(walk)) < \
+        len(gorilla.encode_values(walk))
+
+
+def test_chunk_operator_roundtrip_chimp_codec(spark):
+    """compress/decompress with codec='chimp' roundtrips exactly and an
+    unknown codec raises before any job runs."""
+    from json_time_series_extractor_spark.operators.chunks import (
+        compress_chunks,
+        decompress_chunks,
+    )
+
+    rows = [("a", datetime(2024, 2, 5, 16 + i // 60, i % 60),
+             float(np.sin(i)) * 100) for i in range(120)]
+    samples = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, value_double double")
+    chunks = compress_chunks(samples, "1 hour", codec="chimp")
+    decoded = sorted((r.series_key, r.ts, r.value_double)
+                     for r in decompress_chunks(chunks,
+                                                codec="chimp").collect())
+    assert decoded == sorted(rows)
+    with pytest.raises(ValueError):
+        compress_chunks(samples, "1 hour", codec="zstd")
+
+
 def test_chunk_operator_roundtrip(spark):
     from json_time_series_extractor_spark.operators.chunks import (
         compress_chunks,
