@@ -171,6 +171,13 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="declare histogram bin bounds for a metric so "
                         "histogram_quantile() can lower onto the "
                         "mergeable histogram tier (repeatable)")
+    q.add_argument("--tier", action="append", default=[],
+                   metavar="INTERVAL=PATH",
+                   help="materialized rollup tier parquet (built with "
+                        "deterministic_last=True), e.g. "
+                        "'1 minute=/tiers/1m'; instant/_over_time "
+                        "selectors serve from it instead of rescanning "
+                        "raw samples (repeatable)")
     q.add_argument("--output", default=None,
                    help="parquet output dir; omit to print row count + "
                         "first rows as JSON")
@@ -585,11 +592,18 @@ def run_query(spark: SparkSession, args: argparse.Namespace) -> dict:
             raise SystemExit(f"--histogram-bounds needs NAME=B0,B1,... "
                              f"got {spec!r}")
         bounds[name] = tuple(float(b) for b in rest.split(","))
+    tiers = {}
+    for spec in args.tier:
+        interval, _, path = spec.partition("=")
+        if not path:
+            raise SystemExit(f"--tier needs INTERVAL=PATH, got {spec!r}")
+        tiers[interval] = spark.read.parquet(path)
     out = promql(spark.read.parquet(args.input), args.expr, args.step,
                  key_col=args.key_col, ts_col=args.ts_col,
                  value_col=args.value_col,
                  fp6_cross_series=args.fp6_cross_series,
-                 histogram_bounds=bounds or None)
+                 histogram_bounds=bounds or None,
+                 tiers=tiers or None)
     report = {"command": "query", "expr": args.expr, "step": args.step}
     if args.output:
         out.write.mode("overwrite").parquet(args.output)

@@ -453,3 +453,44 @@ def test_corpus_subcommand_r7b_ops(spark, tmp_path):
     docs.write.parquet(dsrc)
     r5 = run_corpus(spark, args(input=dsrc, out="b5", op="domain-mix"))
     assert 0 < r5["rows_out"] <= 50
+
+
+def test_run_query_promql_and_tier_routing(spark, tmp_path):
+    """cli query: compile + run a PromQL expression from argparse args;
+    --tier routes onto the materialized tier and must return identical
+    rows; --histogram-bounds parse errors reject loudly."""
+    from json_time_series_extractor_spark.cli import (
+        _build_parser,
+        run_query,
+    )
+    from json_time_series_extractor_spark.operators.rollup import rollup
+
+    src = str(tmp_path / "samples")
+    (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+     .select(F.col("event_type").alias("series_key"), "ts",
+             F.col("value").cast("double").alias("value_double"))
+     .write.parquet(src))
+    tier = str(tmp_path / "t1m")
+    rollup(spark.read.parquet(src), "1 minute",
+           deterministic_last=True).write.parquet(tier)
+
+    def args(*extra):
+        return _build_parser().parse_args([
+            "query", "--input", src, "--expr",
+            'max_over_time({series_key=~".+"}[6h])', "--show", "3",
+            *extra])
+
+    plain = run_query(spark, args())
+    routed = run_query(spark, args("--tier", f"1 minute={tier}"))
+    assert plain["rows"] == routed["rows"] > 0
+    assert plain["rows_shown"] == routed["rows_shown"]
+
+    out = str(tmp_path / "qout")
+    written = run_query(spark, args("--output", out))
+    assert written["rows"] == plain["rows"]
+    assert spark.read.parquet(out).count() == plain["rows"]
+
+    with pytest.raises(SystemExit):
+        run_query(spark, args("--histogram-bounds", "nope"))
+    with pytest.raises(SystemExit):
+        run_query(spark, args("--tier", "nope"))
