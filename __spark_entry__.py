@@ -698,6 +698,33 @@ FROM g LEFT JOIN del d
 """
 
 
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Misra-Gries heavy-hitter tier (operators/mg.py —
+    Agarwal et al. PODS'12 mergeable summaries): per-(event_type, 1h)
+    bounded summaries of heavy user_ids (k=8 counters) cascade to the
+    day by exact integer counter sums + ONE deterministic compaction
+    (subtract the (k+1)-th largest, drop non-positive) — order-free by
+    construction, so any Spark partitioning yields the identical
+    summary; the deterministic counterpart of the Count-Min tier
+    (undercount <= 2n/(k+1), never an overestimate; hypothesis-asserted
+    vs brute force). FULL value check: the oracle replays both tiers'
+    count -> subtract algebra with the same windows, all integers."""
+    from json_time_series_extractor_spark.operators.mg import (
+        mg_cascade, mg_tier)
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("series_key"), "ts",
+        F.col("user_id").cast("string").alias("item"))
+    return mg_cascade(mg_tier(ev, "1 hour", k=8, item_col="item"),
+                      "1 day", k=8)
+
+
+def _oracle_mg_heavy_hitters() -> str:
+    from json_time_series_extractor_spark.operators.mg import mg_oracle_sql
+
+    return mg_oracle_sql("events", k=8)
+
+
 def q_top_k_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-day heavy hitters (top-3 series by sample count);
     integer counts make the ranking engine-exact, so rank is compared
@@ -4665,6 +4692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "time_weighted_avg": q_time_weighted_avg,
         "top_k_series": q_top_k_series,
+        "mg_heavy_hitters": q_mg_heavy_hitters,
         "gapfill_locf": q_gapfill_locf,
         "gapfill_locf_stale": q_gapfill_locf_stale,
         "gapfill_locf_partitioned": q_gapfill_locf_partitioned,
@@ -4842,6 +4870,7 @@ GROUP BY 1, 2
             "WHERE value IS NOT NULL", "hour", 0.3, 0.1),
         "holt_winters_seasonal": _holt_seasonal_oracle(),
         "pii_redact": _pii_oracle_sql(),
+        "mg_heavy_hitters": _oracle_mg_heavy_hitters(),
         "top_k_series": """
 WITH c AS (
     SELECT date_trunc('day', ts) AS bucket_ts,

@@ -2437,3 +2437,80 @@ def test_histogram_fraction(spark):
         histogram_fraction(h, [41.0], bounds=bounds)    # above range
     with _pytest.raises(ValueError):
         histogram_fraction(h, [15.0], bounds=(10.0, 10.0, 40.0))
+
+
+def test_mg_tier_hand_example(spark):
+    """MG compaction on a hand-computed bucket: counts [5,4,4,2,1] with
+    k=2 -> d = 3rd largest = 4 -> survivors {a:1} (the tied 4s and the
+    tail subtract to <= 0); a bucket with <= k items passes through
+    exactly (d=0)."""
+    from json_time_series_extractor_spark.operators.mg import mg_tier
+
+    t0 = datetime(2024, 1, 1, 0, 30)
+    rows = ([("s", t0, "a")] * 5 + [("s", t0, "b")] * 4
+            + [("s", t0, "c")] * 4 + [("s", t0, "d")] * 2
+            + [("s", t0, "e")]
+            + [("u", t0, "x")] * 3 + [("u", t0, "y")])
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, item string")
+    out = {(r.series_key, r.item): r.mg_cnt
+           for r in mg_tier(df, "1 hour", k=2, item_col="item").collect()}
+    assert out == {("s", "a"): 1, ("u", "x"): 3, ("u", "y"): 1}
+
+
+def test_mg_guarantee_property(spark):
+    """Frequency guarantee vs brute force on adversarial-ish streams:
+    the tier underestimates by at most n/(k+1), the 2-level cascade by
+    at most 2n/(k+1), estimates never exceed truth, and every item more
+    frequent than the bound survives."""
+    from collections import Counter
+
+    from json_time_series_extractor_spark.operators.mg import (
+        mg_cascade,
+        mg_tier,
+    )
+
+    import random
+    rnd = random.Random(11)
+    k = 4
+    rows = []
+    for h in range(6):  # six 1h buckets cascading into one day
+        for _ in range(200):
+            # Zipf-ish: few heavy items + a long tail
+            item = (f"hot{rnd.randint(0, 2)}" if rnd.random() < 0.5
+                    else f"cold{rnd.randint(0, 60)}")
+            rows.append(("s", datetime(2024, 1, 1, h, rnd.randint(0, 59)),
+                         item))
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, item string")
+    tier = mg_tier(df, "1 hour", k=k, item_col="item")
+    day = mg_cascade(tier, "1 day", k=k)
+
+    per_hour = Counter()
+    for _, ts, item in rows:
+        per_hour[(ts.hour, item)] += 1
+    got_hour = {(r.bucket_ts.hour, r.item): r.mg_cnt
+                for r in tier.collect()}
+    n_hour = Counter()
+    for (h, _), c in per_hour.items():
+        n_hour[h] += c
+    for (h, item), f in per_hour.items():
+        est = got_hour.get((h, item), 0)
+        assert est <= f
+        assert f - est <= n_hour[h] // (k + 1) + 1, (h, item)
+        if f > n_hour[h] / (k + 1):
+            assert (h, item) in got_hour
+    for key, est in got_hour.items():
+        assert est <= per_hour[key]          # never an overestimate
+
+    true_day = Counter(item for _, _, item in rows)
+    n = sum(true_day.values())
+    got_day = {r.item: r.mg_cnt for r in day.collect()}
+    for item, f in true_day.items():
+        est = got_day.get(item, 0)
+        assert est <= f
+        assert f - est <= 2 * n // (k + 1) + 1, item
+        if f > 2 * n / (k + 1):
+            assert item in got_day, item
+    for item, est in got_day.items():
+        assert est <= true_day[item]
