@@ -3997,6 +3997,37 @@ def q_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
 
 
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling (operators/sampling.py
+    sample_by_token_budget): per-language char budgets — the unit
+    training mixes are actually set in, where sample_per_lang caps ROW
+    counts. Keep rule: hash-rank prefix per group until the cumulative
+    weight crosses the budget (boundary row kept, growth-stable).
+    Two-phase: groups that fit pass whole with no window; oversized
+    groups window only ~safety x budget of prefiltered survivors;
+    starved groups (anti-join derived, incl. the all-rows-prefiltered
+    corner) recompute exactly. FULL value check: the oracle is the
+    naive full-group md5-order cumulative prefix — same rank, same
+    boundary rule; any prefilter or fallback error changes the kept
+    set and breaks the hash."""
+    from json_time_series_extractor_spark.operators.sampling import (
+        sample_by_token_budget)
+
+    return sample_by_token_budget(
+        _docs(spark, sf_dir), ["lang"], 10_000,
+        weight_col="n_chars", key_col="doc_id", seed=7) \
+        .select("doc_id", "lang", "n_chars")
+
+
+def _oracle_sample_token_budget() -> str:
+    from json_time_series_extractor_spark.operators.sampling import (
+        token_budget_oracle_sql)
+
+    return token_budget_oracle_sql(
+        "SELECT doc_id, lang, n_chars FROM documents", "lang", 10_000,
+        weight_expr="n_chars", key_sql="doc_id", seed=7)
+
+
 _ORACLE_SAMPLE_PER_LANG = """
 WITH r AS (
     SELECT doc_id, lang,
@@ -4726,6 +4757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "sample_fraction": q_sample_fraction,
         "sample_per_lang": q_sample_per_lang,
+        "sample_token_budget": q_sample_token_budget,
         "dedup_incremental": q_dedup_incremental,
         "retention_expiry": q_retention_expiry,
         "media_image_features": q_media_image_features,
@@ -5283,6 +5315,7 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         "html_text_extract": _oracle_html_text_sql(),
         "sample_fraction": _ORACLE_SAMPLE_FRACTION,
         "sample_per_lang": _ORACLE_SAMPLE_PER_LANG,
+        "sample_token_budget": _oracle_sample_token_budget(),
         "dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
         "simhash_pairs": _simhash_oracle_sql(),
         # neardup_components: exact-Jaccard pairs (= the verified LSH

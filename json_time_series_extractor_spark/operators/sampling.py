@@ -417,3 +417,140 @@ def assign_splits_oracle_expr(key_sql: str, weights, seed: int = 7) -> str:
         branches.append(f"WHEN {rank} < CAST({float(cum)!r} AS DOUBLE) "
                         f"THEN '{name}'")
     return "CASE " + " ".join(branches) + " END"
+
+
+def sample_by_token_budget(df: DataFrame, group_cols: Sequence[str],
+                           budget: int, *, weight_col: str,
+                           key_col: str = "doc_id", seed: int = 7,
+                           safety: float = 1.5,
+                           broadcast_groups: bool = True) -> DataFrame:
+    """Budgeted sampling in WEIGHT units (tokens / chars / bytes) — the
+    unit training budgets are actually set in, where
+    :func:`sample_by_quota` caps ROW counts.
+
+    Keep rule (deterministic, partition-agnostic, SQL-replayable): rank
+    each group's rows by ``(hash_rank(key), key)``; a row is kept iff
+    the cumulative weight of all earlier-ranked rows in its group is
+    strictly below ``budget``. The boundary row that crosses the budget
+    is KEPT (so a group whose first document alone exceeds the budget
+    still contributes it), everything after is dropped; kept weight is
+    therefore < budget + max_row_weight, and the kept set is a PREFIX
+    of the group's hash order — re-running with a larger budget only
+    ever adds rows (growth-stable, like :func:`assign_splits`).
+
+    Two-phase scale design (the :func:`sample_per_group` doctrine): a
+    first aggregate takes each group's total weight; groups whose total
+    fits the budget pass through whole with no window at all; otherwise
+    a rank prefilter ``rank < safety * budget / total_weight`` bounds
+    the windowed rows to ~safety × the budget's share — because the
+    prefilter keeps a rank-PREFIX, cumulative sums over it equal the
+    full-group ones for every surviving row, so the result is exact
+    whenever the survivors' weight covers the budget; the (Chernoff-
+    rare) starved groups fall back to a full-group window. One shuffle
+    of ~budget-sized survivor sets, never of whole groups.
+
+    ``weight_col`` must be non-negative; NULL weights count as 0.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    if safety <= 1.0:
+        raise ValueError(f"safety must be > 1, got {safety}")
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty (budget the whole "
+                         "corpus by adding a constant group column)")
+    out_cols = df.columns
+    rank = hash_rank(F.col(key_col), seed)
+    w_val = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+
+    totals = (df.groupBy(*gcols)
+              .agg(F.sum(w_val).alias("_tok"))
+              .withColumn("_thr", F.when(
+                  F.col("_tok") <= F.lit(budget), F.lit(1.0)).otherwise(
+                  F.least(F.lit(1.0),
+                          F.lit(float(safety)) * F.lit(float(budget))
+                          / F.col("_tok"))))
+              .localCheckpoint(eager=True))
+
+    def renamed(frame: DataFrame, extra: Sequence[str]) -> DataFrame:
+        return frame.select(
+            *[F.col(g).alias(f"_g_{i}") for i, g in enumerate(gcols)],
+            *[F.col(c) for c in extra])
+
+    def on_cond(right: DataFrame) -> Column:
+        return functools.reduce(
+            lambda a, b: a & b,
+            [df[g].eqNullSafe(right[f"_g_{i}"])
+             for i, g in enumerate(gcols)])
+
+    _maybe_b = F.broadcast if broadcast_groups else (lambda x: x)
+    t_r = renamed(totals, ["_thr", "_tok"])
+    joined = (df.join(_maybe_b(t_r), on_cond(t_r), "inner")
+              .drop(*[f"_g_{i}" for i in range(len(gcols))]))
+    # whole-group fast path: total fits the budget -> every row kept,
+    # no window touches these rows at all
+    whole = joined.where(F.col("_tok") <= F.lit(budget)) \
+        .select(*out_cols)
+    survivors = joined.where(
+        (F.col("_tok") > F.lit(budget))
+        & (rank.isNull() | (rank < F.col("_thr"))))
+
+    def budget_prefix(rows: DataFrame) -> DataFrame:
+        order = Window.partitionBy(*gcols).orderBy(
+            hash_rank(F.col(key_col), seed), F.col(key_col))
+        cum_before = F.coalesce(
+            F.sum(w_val).over(order.rowsBetween(
+                Window.unboundedPreceding, -1)), F.lit(0))
+        return (rows
+                .withColumn("_cb", cum_before)
+                .withColumn("_stok", F.sum(w_val).over(
+                    Window.partitionBy(*gcols))))
+
+    ranked = budget_prefix(survivors)
+    good = ranked.where(F.col("_stok") >= F.lit(budget)) \
+        .where(F.col("_cb") < F.lit(budget)).select(*out_cols)
+    # starved groups: the prefilter kept less weight than the budget
+    # while filtering (thr < 1) — derived as filtered-groups ANTI
+    # satisfied-groups (NOT from `ranked`: a group whose every row the
+    # prefilter dropped is absent from it entirely). Recomputed from
+    # full rows; the broadcast side is ~always empty and AQE skips the
+    # scan.
+    satisfied = renamed(
+        ranked.where(F.col("_stok") >= F.lit(budget))
+        .select(*gcols).distinct(), [])
+    anti_on = functools.reduce(
+        lambda a, b: a & b,
+        [totals[g].eqNullSafe(satisfied[f"_g_{i}"])
+         for i, g in enumerate(gcols)])
+    bad = renamed(
+        totals.where((F.col("_tok") > F.lit(budget))
+                     & (F.col("_thr") < 1.0))
+        .join(satisfied, anti_on, "left_anti").select(*gcols), [])
+    fallback_rows = df.join(F.broadcast(bad), on_cond(bad), "left_semi")
+    fallback = budget_prefix(fallback_rows) \
+        .where(F.col("_cb") < F.lit(budget)).select(*out_cols)
+    return whole.unionByName(good).unionByName(fallback)
+
+
+def token_budget_oracle_sql(docs_sql: str, group_expr: str, budget: int, *,
+                            weight_expr: str, key_sql: str = "doc_id",
+                            seed: int = 7) -> str:
+    """DuckDB ground truth for :func:`sample_by_token_budget`: the naive
+    full-group hash-order cumulative window — same rank, same boundary
+    rule. Kept beside the impl."""
+    return f"""
+WITH src AS ({docs_sql}),
+r AS (
+    SELECT *,
+           CAST(concat('0x', substr(md5(CAST({key_sql} AS VARCHAR)
+                                        || ':{seed}'), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS _rk,
+           COALESCE(CAST({weight_expr} AS BIGINT), 0) AS _w
+    FROM src),
+c AS (
+    SELECT *, COALESCE(sum(_w) OVER (
+        PARTITION BY {group_expr} ORDER BY _rk, {key_sql}
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _cb
+    FROM r)
+SELECT * EXCLUDE (_rk, _w, _cb) FROM c WHERE _cb < {budget}
+"""

@@ -2922,3 +2922,63 @@ def test_robots_parse_and_filter(spark):
            robots_filter(urls, robots_rules_df(robots)).collect()}
     assert got == {1: (False, 3), 2: (True, 6), 3: (False, 2),
                    4: (True, -1), 5: (True, -1)}
+
+
+def test_sample_by_token_budget_exact_vs_bruteforce(spark):
+    """Budgeted sampling == the naive full-group hash-order cumulative
+    prefix, across: groups that fit whole, budget-crossing boundary
+    rows (kept), a tiny safety that FORCES the starved-group fallback,
+    partition-count invariance, and a NULL group key."""
+    import hashlib
+
+    from json_time_series_extractor_spark.operators.sampling import (
+        sample_by_token_budget,
+    )
+
+    rows = []
+    for i in range(120):
+        lang = [None, "en", "de", "fr"][i % 4]
+        rows.append((i, lang, (i * 37) % 50 + 1))  # weights 1..50
+    rows.append((999, "tiny", 10_000))             # single huge doc
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+
+    def rank(key):
+        h = hashlib.md5(f"{key}:7".encode()).hexdigest()
+        return int(h[:8], 16) / 2**32
+
+    def brute(budget):
+        keep = set()
+        by_g = {}
+        for i, lang, w in rows:
+            by_g.setdefault(lang, []).append((rank(i), i, w))
+        for g, items in by_g.items():
+            cum = 0
+            for _, i, w in sorted(items):
+                if cum < budget:
+                    keep.add(i)
+                cum += w
+        return keep
+
+    for budget in (40, 500, 10_000):
+        want = brute(budget)
+        got = {r.doc_id for r in sample_by_token_budget(
+            df, ["lang"], budget, weight_col="w").collect()}
+        assert got == want, budget
+        # safety so tight the prefilter starves -> fallback must repair
+        got_tight = {r.doc_id for r in sample_by_token_budget(
+            df.repartition(13), ["lang"], budget, weight_col="w",
+            safety=1.0000001).collect()}
+        assert got_tight == want, budget
+    # growth stability: larger budget only ever ADDS rows
+    small = {r.doc_id for r in sample_by_token_budget(
+        df, ["lang"], 40, weight_col="w").collect()}
+    big = {r.doc_id for r in sample_by_token_budget(
+        df, ["lang"], 500, weight_col="w").collect()}
+    assert small <= big
+    # the huge boundary doc is kept (a group's first doc always is)
+    assert 999 in small
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sample_by_token_budget(df, [], 10, weight_col="w")
+    with _pytest.raises(ValueError):
+        sample_by_token_budget(df, ["lang"], 0, weight_col="w")
