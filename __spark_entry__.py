@@ -725,6 +725,60 @@ def _oracle_mg_heavy_hitters() -> str:
     return mg_oracle_sql("events", k=8)
 
 
+def q_streaming_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face of the Misra-Gries tier (operators/mg.py
+    write_mg_partials_stream): LIVE two-micro-batch run — batch 1 the
+    on-time 95% of events, batch 2 the late 5% (event_id % 20 = 7) —
+    each batch appending its own COMPACTED summary (<= k rows per
+    bucket per batch: bounded summary state persists, never raw
+    counts); the tier materializes at read by exact counter sums + one
+    compaction, keeping the 2n/(k+1) undercount bound however the
+    stream was micro-batched. FULL value check: the oracle replays each
+    batch's compaction on the same predicate split, then the read-side
+    merge — the algebra is commutative so only the row partition
+    matters, and any state leak, double count or compaction drift
+    breaks the hash."""
+    import os as _os
+    import shutil
+
+    from json_time_series_extractor_spark.operators.mg import (
+        read_merged_mg, write_mg_partials_stream)
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.col("event_type").alias("series_key"), "ts",
+        F.col("user_id").cast("string").alias("item"))
+    tag = "".join(c if c.isalnum() else "_"
+                  for c in _os.path.basename(sf_dir.rstrip("/")))
+    base = f"/tmp/jtse_stream_mg_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    is_late = F.pmod(F.col("event_id"), F.lit(20)) == 7
+    cols = ["series_key", "ts", "item"]
+    ev.where(~is_late).select(*cols).coalesce(1) \
+        .write.parquet(base + "/src/f1")
+    ev.where(is_late).select(*cols).coalesce(1) \
+        .write.parquet(base + "/src/f2")
+
+    stream = (spark.readStream
+              .schema("series_key string, ts timestamp, item string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(base + "/src/*"))
+    q = write_mg_partials_stream(stream, base + "/tier", "1 hour", 8,
+                                 checkpoint_dir=base + "/ckpt")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_merged_mg(spark, base + "/tier", 8) \
+        .localCheckpoint(eager=True)
+
+
+def _oracle_streaming_mg() -> str:
+    from json_time_series_extractor_spark.operators.mg import (
+        mg_stream_oracle_sql)
+
+    return mg_stream_oracle_sql("events", k=8)
+
+
 def q_top_k_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-day heavy hitters (top-3 series by sample count);
     integer counts make the ranking engine-exact, so rank is compared
@@ -4724,6 +4778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": q_time_weighted_avg,
         "top_k_series": q_top_k_series,
         "mg_heavy_hitters": q_mg_heavy_hitters,
+        "streaming_mg": q_streaming_mg,
         "gapfill_locf": q_gapfill_locf,
         "gapfill_locf_stale": q_gapfill_locf_stale,
         "gapfill_locf_partitioned": q_gapfill_locf_partitioned,
@@ -4903,6 +4958,7 @@ GROUP BY 1, 2
         "holt_winters_seasonal": _holt_seasonal_oracle(),
         "pii_redact": _pii_oracle_sql(),
         "mg_heavy_hitters": _oracle_mg_heavy_hitters(),
+        "streaming_mg": _oracle_streaming_mg(),
         "top_k_series": """
 WITH c AS (
     SELECT date_trunc('day', ts) AS bucket_ts,

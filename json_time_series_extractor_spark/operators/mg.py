@@ -96,15 +96,57 @@ def mg_cascade(child: DataFrame, tier: str, k: int = 8) -> DataFrame:
     return _mg_compact(summed, k)
 
 
-def mg_oracle_sql(table: str = "events", *, k: int = 8,
-                  fine_unit: str = "hour", coarse_unit: str = "day",
-                  series_expr: str = "event_type", ts_col: str = "ts",
-                  item_expr: str = "CAST(user_id AS VARCHAR)") -> str:
-    """DuckDB ground truth for the fine->coarse MG chain: the identical
-    count -> (k+1)-th-largest subtract -> sum -> subtract algebra, all
-    integers. Kept beside the impl."""
-    def compact(src: str) -> str:
-        return f"""
+def write_mg_partials_stream(samples_stream: DataFrame, output_path: str,
+                             tier: str = "1 hour", k: int = 8, *,
+                             checkpoint_dir: str,
+                             key_col: str = "series_key",
+                             ts_col: str = "ts",
+                             item_col: str = "item"):
+    """Streaming face of the MG tier (the partial-log pattern of
+    ``refresh.write_partials_stream``): each micro-batch appends its own
+    COMPACTED summary — at most k rows per (series, bucket) per batch,
+    so what persists is bounded summary state, never raw per-item
+    counts — stamped with the batch id; nothing rewrites previous
+    batches, and a crash-replayed batch id rewrites exactly its own
+    directory with identical content (idempotent replay). The tier
+    materializes at read (:func:`read_merged_mg`) by exact counter sums
+    + one compaction; because per-batch builds forfeit at most
+    ``n_batch/(k+1)`` each and the read compaction at most ``n/(k+1)``,
+    the merged estimate keeps the module's ``2n/(k+1)`` undercount
+    bound however the stream was micro-batched.
+
+    Returns the started StreamingQuery."""
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        parts = mg_tier(batch_df, tier, k, key_col=key_col,
+                        ts_col=ts_col, item_col=item_col)
+        (parts.withColumn("p_batch", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .parquet(f"{output_path}/b{batch_id:05d}"))
+
+    return (samples_stream.writeStream
+            .foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .start())
+
+
+def read_merged_mg(spark, output_path: str, k: int = 8) -> DataFrame:
+    """Materialize the MG tier from the partial log: exact integer sum
+    of every live batch's counters per (series, bucket, item), one
+    compaction — the same merge algebra as :func:`mg_cascade`."""
+    from json_time_series_extractor_spark.operators.refresh import (
+        _log_dirs)
+
+    live, _, _ = _log_dirs(spark, output_path)
+    parts = spark.read.parquet(*live)
+    summed = (parts.groupBy("series_key", "bucket_ts", "item")
+              .agg(F.sum("mg_cnt").alias("cnt")))
+    return _mg_compact(summed, k)
+
+
+def _compact_sql(src: str, k: int) -> str:
+    """DuckDB twin of :func:`_mg_compact` over a (series_key, bucket_ts,
+    item, cnt) relation. Kept beside the impl."""
+    return f"""
     SELECT series_key, bucket_ts, item, cnt - d AS mg_cnt FROM (
         SELECT *, max(CASE WHEN rn = {k + 1} THEN cnt ELSE 0 END)
                       OVER (PARTITION BY series_key, bucket_ts) AS d
@@ -113,6 +155,47 @@ def mg_oracle_sql(table: str = "events", *, k: int = 8,
                 PARTITION BY series_key, bucket_ts
                 ORDER BY cnt DESC, item) AS rn
             FROM {src})) WHERE cnt > d"""
+
+
+def mg_stream_oracle_sql(table: str = "events", *, k: int = 8,
+                         unit: str = "hour",
+                         series_expr: str = "event_type",
+                         ts_col: str = "ts",
+                         item_expr: str = "CAST(user_id AS VARCHAR)",
+                         late_pred: str = "event_id % 20 = 7") -> str:
+    """DuckDB ground truth for the two-micro-batch streaming run: each
+    batch's compaction replayed on the same predicate split, then the
+    read-side sum + compaction. The merge algebra is commutative, so
+    only the row PARTITION matters, not batch order."""
+    def batch_counts(pred: str) -> str:
+        return f"""(
+    SELECT {series_expr} AS series_key,
+           date_trunc('{unit}', {ts_col}) AS bucket_ts,
+           {item_expr} AS item, count(*) AS cnt
+    FROM {table} WHERE ({pred}) AND {item_expr} IS NOT NULL
+    GROUP BY 1, 2, 3)"""
+
+    merged = f"""(
+    SELECT series_key, bucket_ts, item, sum(mg_cnt) AS cnt
+    FROM (SELECT * FROM b0 UNION ALL SELECT * FROM b1)
+    GROUP BY 1, 2, 3)"""
+    return f"""
+WITH b0 AS ({_compact_sql(batch_counts(f"NOT ({late_pred})"), k)}),
+b1 AS ({_compact_sql(batch_counts(late_pred), k)})
+SELECT series_key, bucket_ts, item, CAST(mg_cnt AS BIGINT) AS mg_cnt
+FROM ({_compact_sql(merged, k)})
+"""
+
+
+def mg_oracle_sql(table: str = "events", *, k: int = 8,
+                  fine_unit: str = "hour", coarse_unit: str = "day",
+                  series_expr: str = "event_type", ts_col: str = "ts",
+                  item_expr: str = "CAST(user_id AS VARCHAR)") -> str:
+    """DuckDB ground truth for the fine->coarse MG chain: the identical
+    count -> (k+1)-th-largest subtract -> sum -> subtract algebra, all
+    integers. Kept beside the impl."""
+    def compact(src: str) -> str:
+        return _compact_sql(src, k)
 
     fine_counts = f"""(
     SELECT {series_expr} AS series_key,

@@ -2514,3 +2514,59 @@ def test_mg_guarantee_property(spark):
             assert item in got_day, item
     for item, est in got_day.items():
         assert est <= true_day[item]
+
+
+def test_mg_partial_log_merge_and_bound(spark, tmp_path):
+    """Streaming MG partial log: per-batch compacted summaries merged
+    at read equal the brute-force sum+compact of the same batch
+    summaries, and keep the 2n/(k+1) undercount bound vs the TRUE
+    union counts; re-writing a batch directory (crash replay) changes
+    nothing."""
+    from collections import Counter
+
+    from json_time_series_extractor_spark.operators.mg import (
+        mg_tier,
+        read_merged_mg,
+    )
+
+    k = 3
+    t0 = datetime(2024, 1, 1, 0, 30)
+    batches = [
+        [("s", t0, f"i{j % 7}") for j in range(40)],
+        [("s", t0, f"i{j % 5}") for j in range(25)],
+    ]
+    base = str(tmp_path / "mglog")
+    for bi, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "series_key string, ts timestamp, item string")
+        (mg_tier(df, "1 hour", k=k, item_col="item")
+         .withColumn("p_batch", F.lit(bi))
+         .write.mode("overwrite").parquet(f"{base}/b{bi:05d}"))
+    got = {r.item: r.mg_cnt
+           for r in read_merged_mg(spark, base, k=k).collect()}
+
+    def compact(counts):
+        d = sorted(counts.values(), reverse=True)[k] \
+            if len(counts) > k else 0
+        return {i: c - d for i, c in counts.items() if c > d}
+
+    per_batch = [compact(Counter(i for _, _, i in rows))
+                 for rows in batches]
+    summed = Counter()
+    for s in per_batch:
+        summed.update(s)
+    assert got == compact(summed)
+    true = Counter(i for rows in batches for _, _, i in rows)
+    n = sum(true.values())
+    for item, f in true.items():
+        est = got.get(item, 0)
+        assert est <= f and f - est <= 2 * n // (k + 1) + 1
+    # crash replay: rewriting batch 0 with identical content is a no-op
+    df0 = spark.createDataFrame(
+        batches[0], "series_key string, ts timestamp, item string")
+    (mg_tier(df0, "1 hour", k=k, item_col="item")
+     .withColumn("p_batch", F.lit(0))
+     .write.mode("overwrite").parquet(f"{base}/b00000"))
+    again = {r.item: r.mg_cnt
+             for r in read_merged_mg(spark, base, k=k).collect()}
+    assert again == got
