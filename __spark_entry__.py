@@ -3267,6 +3267,46 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "top_3gram_char_frac")
 
 
+def q_doc_lang_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained language identification (operators/lmscore.py
+    lang_id_scores — Cavnar-Trenkle-style per-language char-trigram
+    profiles, trained on the corpus' own labels; the supervised sibling
+    of the heuristic doc_lang_id): one trigram explode + a small langs
+    fan-out + two broadcast joins + one integer hash aggregate; argmax
+    by (score DESC, lang ASC), all fixed-point — no log, no float (the
+    lmscore doctrine). On this synthetic corpus labels don't correlate
+    with text, so accuracy ~= the majority prior — the MACHINERY is
+    under test; real-distribution accuracy is pytest-asserted on a
+    distinct-distribution corpus. FULL value check: the oracle trains
+    its OWN per-language tables from DuckDB counts and replays scoring
+    + argmax; any counting, smoothing, truncation or tie-break drift
+    breaks the hash."""
+    from json_time_series_extractor_spark.operators.lmscore import (
+        lang_id_scores, lang_profiles, lang_trigram_frequencies)
+
+    docs = _docs(spark, sf_dir)
+    profs = lang_profiles(
+        (r["lang"], r["gram"], r["cnt"])
+        for r in lang_trigram_frequencies(docs, max_vocab=16384).collect())
+    return lang_id_scores(docs, profs)
+
+
+def _oracle_doc_lang_id_trained() -> str:
+    import duckdb
+
+    from json_time_series_extractor_spark.operators.lmscore import (
+        duckdb_lang_trigram_frequencies_sql, lang_id_oracle_sql,
+        lang_profiles)
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                        "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.sql(duckdb_lang_trigram_frequencies_sql(
+        f"read_parquet('{sf}/documents.parquet')",
+        max_vocab=16384)).fetchall()
+    return lang_id_oracle_sql("documents", lang_profiles(rows))
+
+
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic marker-word language ID with deterministic tie-break."""
     return with_lang_id(_docs(spark, sf_dir)).select(
@@ -4798,6 +4838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "paragraph_dedup": q_paragraph_dedup,
         "doc_lang_id": q_doc_lang_id,
+        "doc_lang_id_trained": q_doc_lang_id_trained,
         "doc_fingerprint": q_doc_fingerprint,
         "html_text_extract": q_html_text_extract,
         "dedup_exact": q_dedup_exact,
@@ -5308,6 +5349,7 @@ SELECT doc_id, n_lines,
            AS top_3gram_char_frac
 FROM m
 """,
+        "doc_lang_id_trained": _oracle_doc_lang_id_trained(),
         "doc_lang_id": """
 WITH s AS (
     SELECT doc_id,

@@ -209,3 +209,200 @@ u AS (
 SELECT gram, count(*) AS cnt FROM u
 GROUP BY 1 ORDER BY cnt DESC, gram LIMIT {max_vocab}
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained language identification (per-language trigram profiles)
+# ---------------------------------------------------------------------------
+
+def lang_trigram_frequencies(docs: DataFrame, *, text_col: str = "text",
+                             lang_col: str = "lang",
+                             max_vocab: int = 16384) -> DataFrame:
+    """Per-language top-``max_vocab`` (lang, gram, cnt) from LABELED
+    docs — the training aggregate of the trained language classifier
+    (the supervised sibling of :func:`trigram_frequencies`). Truncation
+    is per language by (cnt DESC, gram ASC) via a bounded rank window
+    over the aggregated vocabulary rows (vocab-sized, not corpus-sized)."""
+    from pyspark.sql import Window
+
+    counts = (docs
+              .where(F.col(lang_col).isNotNull())
+              .select(F.col(lang_col).alias("lang"),
+                      F.explode(_char_trigrams(_normalize(F.col(text_col))))
+                      .alias("gram"))
+              .groupBy("lang", "gram")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "gram"))
+    return counts.withColumn("_rn", rn).where(F.col("_rn") <= max_vocab) \
+        .drop("_rn")
+
+
+def lang_profiles(rows: Iterable[Tuple[str, str, int]]
+                  ) -> Dict[str, LmTable]:
+    """Shared trainer: one :func:`trigram_logprob_table` per language
+    from (lang, gram, cnt) rows. Both engines call THIS on their own
+    independently-aggregated counts (the lmscore doctrine: model-sized
+    state shared, corpus-sized work independent)."""
+    by_lang: Dict[str, List[Tuple[str, int]]] = {}
+    for lang, gram, cnt in rows:
+        by_lang.setdefault(lang, []).append((gram, cnt))
+    return {lang: trigram_logprob_table(items)
+            for lang, items in sorted(by_lang.items())}
+
+
+def lang_id_scores(docs: DataFrame, profiles: Dict[str, LmTable], *,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   label_col: str | None = "lang") -> DataFrame:
+    """Classify each document as the language whose trigram LM scores
+    it highest (naive-Bayes / Cavnar-Trenkle-style n-gram profiles,
+    trained on the corpus' own labels — no external model).
+
+    Scoring is one trigram explode, a langs-dimension fan-out (|L|
+    rows per gram, |L| small), two broadcast left joins and one
+    integer hash aggregate per (doc, lang); argmax is a min(struct)
+    over the |L| per-doc rows — deterministic (score DESC, lang ASC),
+    all fixed-point integers, no log, no float. Output: (doc_id,
+    pred_lang, score_fp6, n_trigrams[, label, correct]) —
+    ``pred_lang`` NULL for docs with no trigram.
+    """
+    spark = docs.sparkSession
+    langs = sorted(profiles)
+    if not langs:
+        raise ValueError("profiles must be non-empty")
+    lp_rows = [(lang, g, v) for lang in langs
+               for g, v in profiles[lang][0].items()]
+    ctx_rows = [(lang, c, v) for lang in langs
+                for c, v in profiles[lang][1].items()]
+    lp_df = F.broadcast(spark.createDataFrame(
+        lp_rows or [("", "", 0)][:0], "lang string, gram string, lp long"))
+    ctx_df = F.broadcast(spark.createDataFrame(
+        ctx_rows or [("", "", 0)][:0], "lang string, ctx string, lpu long"))
+    lang_dim = F.broadcast(spark.createDataFrame(
+        [(lang, profiles[lang][2]) for lang in langs],
+        "lang string, lp0 long"))
+
+    u = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(_char_trigrams(_normalize(F.col(text_col))))
+        .alias("gram"))
+    j = (u.crossJoin(lang_dim)
+         .join(lp_df, ["lang", "gram"], "left")
+         .join(ctx_df,
+               (F.col("ctx") == F.substring(F.col("gram"), 1, 2))
+               & (ctx_df["lang"] == lang_dim["lang"]), "left"))
+    per_gram = F.when(F.col("gram").isNull(), F.lit(None).cast("long")) \
+        .otherwise(F.coalesce(F.col("lp"), F.col("lpu"), F.col("lp0")))
+    per_lang = (j.select("doc_id", lang_dim["lang"].alias("lang"),
+                         per_gram.alias("_lp"))
+                .groupBy("doc_id", "lang")
+                .agg(F.count("_lp").alias("n_trigrams"),
+                     F.sum("_lp").alias("score_fp6")))
+    pick = F.min(F.when(
+        F.col("n_trigrams") > 0,
+        F.struct((-F.col("score_fp6")).alias("ns"),
+                 F.col("lang").alias("lang"),
+                 F.col("score_fp6").alias("s"))))
+    per_doc = (per_lang.groupBy("doc_id")
+               .agg(pick.alias("_b"),
+                    F.max("n_trigrams").alias("n_trigrams")))
+    out = per_doc.select(
+        "doc_id", F.col("_b.lang").alias("pred_lang"),
+        F.col("_b.s").alias("score_fp6"), "n_trigrams")
+    if label_col is None:
+        return out
+    labels = docs.select(F.col(id_col).alias("doc_id"),
+                         F.col(label_col).alias("label"))
+    return (out.join(labels, "doc_id")
+            .withColumn("correct",
+                        F.coalesce(F.col("pred_lang") == F.col("label"),
+                                   F.lit(False))))
+
+
+def duckdb_lang_trigram_frequencies_sql(table: str, *,
+                                        text_col: str = "text",
+                                        lang_col: str = "lang",
+                                        max_vocab: int = 16384) -> str:
+    """DuckDB twin of :func:`lang_trigram_frequencies` — the oracle
+    generator trains from THIS."""
+    return f"""
+WITH n AS (
+    SELECT {lang_col} AS lang,
+           trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')) AS s
+    FROM {table} WHERE {lang_col} IS NOT NULL),
+u AS (
+    SELECT lang,
+           unnest(list_transform(generate_series(1, length(s) - 2),
+                                 i -> s[i:i+2])) AS gram
+    FROM n WHERE length(s) >= 3),
+c AS (
+    SELECT lang, gram, count(*) AS cnt FROM u GROUP BY 1, 2)
+SELECT lang, gram, cnt FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY cnt DESC, gram) AS rn
+    FROM c) WHERE rn <= {max_vocab}
+"""
+
+
+def lang_id_oracle_sql(table: str, profiles: Dict[str, LmTable], *,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       label_col: str = "lang") -> str:
+    """DuckDB replay of :func:`lang_id_scores` with the per-language
+    tables embedded as VALUES (trained independently from DuckDB
+    counts). Same integer algebra, same (score DESC, lang ASC)
+    argmax."""
+    langs = sorted(profiles)
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    lp_values = ", ".join(
+        f"('{esc(lang)}', '{esc(g)}', {v})"
+        for lang in langs for g, v in sorted(profiles[lang][0].items())) \
+        or "('\\x00', '\\x00', 0)"
+    ctx_values = ", ".join(
+        f"('{esc(lang)}', '{esc(c)}', {v})"
+        for lang in langs for c, v in sorted(profiles[lang][1].items())) \
+        or "('\\x00', '\\x00', 0)"
+    dim_values = ", ".join(
+        f"('{esc(lang)}', {profiles[lang][2]})" for lang in langs)
+    return f"""
+WITH lp(lang, gram, lp) AS (VALUES {lp_values}),
+ctxt(lang, ctx, lpu) AS (VALUES {ctx_values}),
+dim(lang, lp0) AS (VALUES {dim_values}),
+n AS (
+    SELECT {id_col} AS doc_id,
+           trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')) AS s
+    FROM {table}),
+u AS (
+    SELECT doc_id, unnest(CASE WHEN length(s) >= 3 THEN
+               list_transform(generate_series(1, length(s) - 2),
+                              i -> s[i:i+2])
+           ELSE [NULL] END) AS gram
+    FROM n),
+scored AS (
+    SELECT u.doc_id, dim.lang,
+           CASE WHEN u.gram IS NULL THEN NULL
+                ELSE coalesce(lp.lp, ctxt.lpu, dim.lp0) END AS lpg
+    FROM u CROSS JOIN dim
+    LEFT JOIN lp ON lp.lang = dim.lang AND u.gram = lp.gram
+    LEFT JOIN ctxt ON ctxt.lang = dim.lang AND u.gram[1:2] = ctxt.ctx),
+per_lang AS (
+    SELECT doc_id, lang, count(lpg) AS n_trigrams,
+           CAST(sum(lpg) AS BIGINT) AS score_fp6
+    FROM scored GROUP BY 1, 2),
+nt AS (
+    SELECT doc_id, CAST(max(n_trigrams) AS BIGINT) AS n_trigrams
+    FROM per_lang GROUP BY 1),
+pick AS (
+    SELECT doc_id, lang AS pred_lang, score_fp6,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score_fp6 DESC, lang) AS rk
+    FROM per_lang WHERE n_trigrams > 0)
+SELECT nt.doc_id, p.pred_lang, p.score_fp6, nt.n_trigrams,
+       d.{label_col} AS label,
+       coalesce(p.pred_lang = d.{label_col}, FALSE) AS correct
+FROM nt
+JOIN {table} d ON nt.doc_id = d.{id_col}
+LEFT JOIN pick p ON p.doc_id = nt.doc_id AND p.rk = 1
+"""

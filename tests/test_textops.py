@@ -2982,3 +2982,44 @@ def test_sample_by_token_budget_exact_vs_bruteforce(spark):
         sample_by_token_budget(df, [], 10, weight_col="w")
     with _pytest.raises(ValueError):
         sample_by_token_budget(df, ["lang"], 0, weight_col="w")
+
+
+def test_lang_id_trained_classifies_distinct_distributions(spark):
+    """Trained trigram lang-ID on a corpus whose languages REALLY
+    differ in character distribution: perfect labeled-set accuracy,
+    deterministic argmax tie-break, NULL pred for empty docs, and
+    unlabeled docs classified by the trained profiles."""
+    from json_time_series_extractor_spark.operators.lmscore import (
+        lang_id_scores,
+        lang_profiles,
+        lang_trigram_frequencies,
+    )
+
+    mk = {
+        "aa": lambda i: "alpha beta gamma " * (3 + i % 2),
+        "bb": lambda i: "zux qyw vrk jmp " * (3 + i % 2),
+        "cc": lambda i: "1234 5678 9012 " * (3 + i % 2),
+    }
+    rows = [(lang_i * 10 + i, mk[lang](i), lang)
+            for lang_i, lang in enumerate(sorted(mk))
+            for i in range(8)]
+    rows.append((999, "", "aa"))          # empty doc -> NULL pred
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+    profs = lang_profiles(
+        (r.lang, r.gram, r.cnt)
+        for r in lang_trigram_frequencies(docs).collect())
+    assert sorted(profs) == ["aa", "bb", "cc"]
+    out = {r.doc_id: r for r in lang_id_scores(docs, profs).collect()}
+    for doc_id, text, lang in rows:
+        if not text:
+            assert out[doc_id].pred_lang is None
+            assert out[doc_id].correct is False
+        else:
+            assert out[doc_id].pred_lang == lang, doc_id
+            assert out[doc_id].correct is True
+    # unlabeled scoring path (label_col=None): same predictions
+    unl = {r.doc_id: r.pred_lang
+           for r in lang_id_scores(docs.drop("lang"), profs,
+                                   label_col=None).collect()}
+    assert all(unl[i] == out[i].pred_lang for i, _, _ in rows)
