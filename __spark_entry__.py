@@ -725,6 +725,50 @@ def _oracle_mg_heavy_hitters() -> str:
     return mg_oracle_sql("events", k=8)
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-step funnel (operators/funnel.py): per-user
+    first-conversion view→click→purchase within 7 days of the first
+    view — strictly-after ordering (exact-ts ties don't advance),
+    horizon anchored at t1 inclusive, stalls propagate NULLs. No
+    per-user sort, no raw-event window: k chained hash aggregates +
+    user-keyed equi-joins on monotonically shrinking frames. FULL
+    value check: the oracle replays the same chained-min CTEs —
+    exact timestamps, a wrong anchor/tie/horizon rule breaks the
+    hash."""
+    from json_time_series_extractor_spark.operators.funnel import (
+        funnel_steps)
+
+    out = funnel_steps(_events(spark, sf_dir),
+                       ["view", "click", "purchase"],
+                       horizon="7 days")
+    # stalled steps are NULL timestamps; the hash gate needs typed
+    # sentinels (oracle-typing rule) — presence is already encoded in
+    # steps_completed, so epoch-0 loses nothing.
+    sentinel = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(f"t{i}"), sentinel).alias(f"t{i}")
+          for i in (1, 2, 3)],
+        "steps_completed")
+
+
+def _oracle_funnel() -> str:
+    from json_time_series_extractor_spark.operators.funnel import (
+        funnel_oracle_sql)
+
+    inner = funnel_oracle_sql("events", ["view", "click", "purchase"],
+                              horizon="7 days")
+    sent = "TIMESTAMP '1970-01-01 00:00:00'"
+    return f"""
+SELECT user_id,
+       coalesce(t1, {sent}) AS t1,
+       coalesce(t2, {sent}) AS t2,
+       coalesce(t3, {sent}) AS t3,
+       steps_completed
+FROM ({inner})
+"""
+
+
 def q_streaming_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming face of the Misra-Gries tier (operators/mg.py
     write_mg_partials_stream): LIVE two-micro-batch run — batch 1 the
@@ -4819,6 +4863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_k_series": q_top_k_series,
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "streaming_mg": q_streaming_mg,
+        "funnel_conversion": q_funnel,
         "gapfill_locf": q_gapfill_locf,
         "gapfill_locf_stale": q_gapfill_locf_stale,
         "gapfill_locf_partitioned": q_gapfill_locf_partitioned,
@@ -5000,6 +5045,7 @@ GROUP BY 1, 2
         "pii_redact": _pii_oracle_sql(),
         "mg_heavy_hitters": _oracle_mg_heavy_hitters(),
         "streaming_mg": _oracle_streaming_mg(),
+        "funnel_conversion": _oracle_funnel(),
         "top_k_series": """
 WITH c AS (
     SELECT date_trunc('day', ts) AS bucket_ts,

@@ -1,0 +1,117 @@
+"""Ordered multi-step funnel analysis over an event stream.
+
+The classic product-analytics question — "of the users who did A, how
+many went on to do B, then C, within T of starting?" — as a
+deterministic per-user operator. Semantics are the standard
+*first-conversion* funnel:
+
+- ``t1`` = the user's earliest step-1 event;
+- ``t_i`` (i >= 2) = the earliest step-i event STRICTLY after
+  ``t_(i-1)`` (an exact-timestamp tie does not advance the funnel —
+  documented, deterministic);
+- with a ``horizon``, every later step must also land within
+  ``t1 + horizon`` (anchored at the funnel START, the common product
+  definition);
+- a missing step leaves that and all later timestamps NULL.
+
+Spark construction: NO per-user sort and no window over raw events —
+step 1 is one hash aggregate, each later step is one filtered hash
+aggregate joined by user to the previous step's frame (min over a
+``ts > prev`` predicate). k steps = k aggregates + (k-1) equi-joins on
+``user_id``, every frame after the first bounded by the converting-user
+count (monotonically shrinking); at warehouse scale the joins
+co-partition on the same user key the sessionizer uses. Everything is
+exact timestamp arithmetic — trivially SQL-replayable
+(:func:`funnel_oracle_sql`).
+
+Reference anchor: consumes the same extracted event stream the
+reference's samples feed (TimeSeriesExtractor.cs); the funnel is the
+user-journey analog of the engine's sessionization operator
+(``operators/sessions.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from json_time_series_extractor_spark.operators.gapfill import (
+    _interval_seconds,
+)
+
+
+def funnel_steps(events: DataFrame, steps: Sequence[str], *,
+                 horizon: Optional[str] = None,
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """Per-user first-conversion funnel over ``steps`` (event-type
+    values, in order). Output: one row per user who performed step 1 —
+    ``(user_id, t1, ..., tk, steps_completed)``.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    horizon_s = _interval_seconds(horizon) if horizon else None
+    ev = events.select(F.col(user_col).alias("user_id"),
+                       F.col(ts_col).alias("ts"),
+                       F.col(type_col).alias("etype"))
+    cur = (ev.where(F.col("etype") == steps[0])
+           .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = ev.where(F.col("etype") == step) \
+            .select("user_id", F.col("ts").alias("_ts"))
+        cond = F.col("_ts") > F.col(f"t{i - 1}")
+        if horizon_s is not None:
+            cond = cond & (F.col("_ts") <= F.col("t1")
+                           + F.expr(f"INTERVAL {horizon_s} SECOND"))
+        carried = [f"t{j}" for j in range(1, i)]
+        cur = (cur.join(nxt, "user_id", "left")
+               .groupBy("user_id", *carried)
+               .agg(F.min(F.when(cond, F.col("_ts"))).alias(f"t{i}")))
+        # a user stalled at step i-1 keeps NULLs for every later step:
+        # min(NULL when) is NULL, and the next cond propagates it.
+    done = sum(F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+               for i in range(1, len(steps) + 1))
+    return cur.select("user_id", *[f"t{i}" for i in
+                                   range(1, len(steps) + 1)],
+                      done.cast("int").alias("steps_completed"))
+
+
+def funnel_oracle_sql(table: str, steps: Sequence[str], *,
+                      horizon: Optional[str] = None,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type") -> str:
+    """DuckDB ground truth: the same chained-min construction as
+    chained CTEs. Kept beside the impl."""
+    horizon_s = _interval_seconds(horizon) if horizon else None
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    parts = [f"""
+s1 AS (
+    SELECT {user_col} AS user_id, min({ts_col}) AS t1
+    FROM {table} WHERE {type_col} = '{esc(steps[0])}'
+    GROUP BY 1)"""]
+    for i, step in enumerate(steps[1:], start=2):
+        carried = ", ".join(f"t{j}" for j in range(1, i))
+        within = (f" AND e.{ts_col} <= p.t1 + INTERVAL {horizon_s} SECOND"
+                  if horizon_s is not None else "")
+        parts.append(f"""
+s{i} AS (
+    SELECT p.user_id, {carried},
+           min(CASE WHEN e.{ts_col} > p.t{i - 1}{within}
+                    THEN e.{ts_col} END) AS t{i}
+    FROM s{i - 1} p
+    LEFT JOIN {table} e
+      ON e.{user_col} = p.user_id AND e.{type_col} = '{esc(step)}'
+    GROUP BY ALL)""")
+    ts_cols = ", ".join(f"t{i}" for i in range(1, len(steps) + 1))
+    done = " + ".join(
+        f"(CASE WHEN t{i} IS NOT NULL THEN 1 ELSE 0 END)"
+        for i in range(1, len(steps) + 1))
+    return f"""
+WITH {",".join(parts)}
+SELECT user_id, {ts_cols}, CAST({done} AS INTEGER) AS steps_completed
+FROM s{len(steps)}
+"""

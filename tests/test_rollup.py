@@ -2570,3 +2570,51 @@ def test_mg_partial_log_merge_and_bound(spark, tmp_path):
     again = {r.item: r.mg_cnt
              for r in read_merged_mg(spark, base, k=k).collect()}
     assert again == got
+
+
+def test_funnel_steps_semantics(spark):
+    """First-conversion funnel edge cases: earliest step-1 anchors,
+    strictly-after ordering (an exact-ts tie does NOT advance), the
+    horizon is anchored at t1 and inclusive, stalls propagate NULLs,
+    and users without step 1 are absent."""
+    from json_time_series_extractor_spark.operators.funnel import (
+        funnel_steps,
+    )
+
+    def t(m, s=0):
+        return datetime(2024, 1, 1, 0, m, s)
+
+    rows = [
+        # u1: clean conversion; earliest view anchors even though a
+        # later view also precedes the click
+        (1, t(0), "view"), (1, t(4), "view"), (1, t(5), "click"),
+        (1, t(9), "purchase"),
+        # u2: click EXACTLY at the view timestamp -> tie does not count;
+        # the later click does, purchase after horizon (t1 + 10min) out
+        (2, t(2), "view"), (2, t(2), "click"), (2, t(3), "click"),
+        (2, t(20), "purchase"),
+        # u3: purchase BEFORE the click -> stalls at click=NULL even
+        # though a purchase exists
+        (3, t(1), "view"), (3, t(2), "purchase"), (3, t(6), "click"),
+        # u4: no view at all -> absent from the funnel
+        (4, t(0), "click"), (4, t(1), "purchase"),
+        # u5: purchase exactly at t1 + horizon -> inclusive, counts
+        (5, t(0), "view"), (5, t(1), "click"), (5, t(10), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    out = {r.user_id: r for r in funnel_steps(
+        df, ["view", "click", "purchase"],
+        horizon="10 minutes").collect()}
+    assert set(out) == {1, 2, 3, 5}
+    assert (out[1].t1, out[1].t2, out[1].t3) == (t(0), t(5), t(9))
+    assert out[1].steps_completed == 3
+    assert (out[2].t1, out[2].t2, out[2].t3) == (t(2), t(3), None)
+    assert (out[3].t1, out[3].t2, out[3].t3) == (t(1), t(6), None)
+    assert (out[5].t1, out[5].t2, out[5].t3) == (t(0), t(1), t(10))
+    with pytest.raises(ValueError):
+        funnel_steps(df, ["view"])
+    # no horizon: u2's late purchase now converts
+    free = {r.user_id: r.t3 for r in funnel_steps(
+        df, ["view", "click", "purchase"]).collect()}
+    assert free[2] == t(20)
