@@ -226,6 +226,37 @@ AUDITED = [
      "summary-sized Arrow parse); matching is a higher-order filter + "
      "aggregate fold per URL row — the URL table never explodes per "
      "rule, no Python in the matching path"),
+    ("rollup_realtime", "real-time continuous aggregate: two PRUNED "
+     "scans (tier below the watermark, raw tail at/after) + one hash "
+     "aggregate — NO joins anywhere; both filters are partition "
+     "pruning on a partitioned table"),
+    ("promql_tier_routed", "tier-routed PromQL: the compiled plan reads "
+     "the materialized 1m tier (one cascade hash agg + RANGE frame + "
+     "rank window), never the raw samples"),
+    ("promql_subquery", "PromQL subquery: inner rate pipeline, "
+     "fp6-quantized cross-series sum, one trailing RANGE frame over "
+     "the inner vector's instant values"),
+    ("semdedup", "map-only quantized-argmax cluster assignment (k*dim "
+     "fold expressions, no Python), persisted once, then ONE "
+     "self-equi-join on the cluster id + left join for the drop flag"),
+    ("chunk_chimp_roundtrip", "same two-Arrow-boundary chunk shape as "
+     "the Gorilla row; the codec swap is inside the same "
+     "applyInPandas/mapInPandas calls"),
+    ("mg_heavy_hitters", "one hash aggregate per tier + two windows "
+     "over the SAME (series, bucket) partition (one shuffle each); the "
+     "day tier reads only <= k summary rows per child bucket"),
+    ("sample_token_budget", "fits-whole groups bypass windows "
+     "entirely; oversized groups window only rank-prefiltered "
+     "survivors; starved-group fallback is a broadcast anti-join on a "
+     "~always-empty side"),
+    ("doc_lang_id_trained", "one trigram explode + |L| fan-out + two "
+     "broadcast joins + integer hash agg; argmax is a struct-min over "
+     "|L| rows per doc — no Python, no log; the 1 nested-loop join is "
+     "the deliberate |L|-row broadcast langs-dimension cross join (the "
+     "ANN query-vector pattern)"),
+    ("funnel_conversion", "k chained hash aggregates + user-keyed "
+     "equi-joins on monotonically shrinking frames; no per-user sort, "
+     "no window over raw events"),
 ]
 
 
