@@ -769,6 +769,31 @@ FROM ({inner})
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cohort retention (operators/funnel.py cohort_retention —
+    the ground-truth sibling of the KMV-sketch kmv_retention row):
+    purchasers cohorted by first-purchase day (epoch-aligned periods,
+    NOT date_trunc('week') — the cross-engine ISO-week trap), activity
+    distinct per (user, period), retention as the exact integer
+    division active*1e6 DIV cohort_users. Two map-side-combinable
+    aggregates + one user-keyed equi-join + a broadcast sizes join.
+    FULL value check: direct SQL replay; 214 rows / 11 cohorts / 44
+    distinct ratios at sf0.01."""
+    from json_time_series_extractor_spark.operators.funnel import (
+        cohort_retention)
+
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    return cohort_retention(ev, "1 day")
+
+
+def _oracle_cohort_retention() -> str:
+    from json_time_series_extractor_spark.operators.funnel import (
+        cohort_retention_oracle_sql)
+
+    return cohort_retention_oracle_sql(
+        "(SELECT * FROM events WHERE event_type = 'purchase')", 86400)
+
+
 def q_streaming_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming face of the Misra-Gries tier (operators/mg.py
     write_mg_partials_stream): LIVE two-micro-batch run — batch 1 the
@@ -4864,6 +4889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "streaming_mg": q_streaming_mg,
         "funnel_conversion": q_funnel,
+        "cohort_retention": q_cohort_retention,
         "gapfill_locf": q_gapfill_locf,
         "gapfill_locf_stale": q_gapfill_locf_stale,
         "gapfill_locf_partitioned": q_gapfill_locf_partitioned,
@@ -5046,6 +5072,7 @@ GROUP BY 1, 2
         "mg_heavy_hitters": _oracle_mg_heavy_hitters(),
         "streaming_mg": _oracle_streaming_mg(),
         "funnel_conversion": _oracle_funnel(),
+        "cohort_retention": _oracle_cohort_retention(),
         "top_k_series": """
 WITH c AS (
     SELECT date_trunc('day', ts) AS bucket_ts,

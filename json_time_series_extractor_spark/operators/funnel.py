@@ -115,3 +115,89 @@ WITH {",".join(parts)}
 SELECT user_id, {ts_cols}, CAST({done} AS INTEGER) AS steps_completed
 FROM s{len(steps)}
 """
+
+
+def cohort_retention(events: DataFrame, period: str = "1 week", *,
+                     user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Exact cohort-retention matrix: users cohorted by the period of
+    their FIRST event; ``active_users`` = how many of a cohort were
+    active ``period_offset`` periods later (the exact ground-truth
+    sibling of the KMV-sketch retention tier, ``kmv_retention``).
+
+    Periods are epoch-aligned fixed-length buckets (``_epoch_floor``),
+    NOT ``date_trunc('week')`` — ISO-week conventions differ across
+    engines (the rollup_calendar_cascade lesson), epoch arithmetic does
+    not. ``retention_fp6`` is the exact integer division
+    ``active * 1e6 DIV cohort_users`` (no float ratio to drift).
+
+    Plan shape: one hash aggregate on user (firsts), one distinct on
+    (user, period) — both map-side combinable — one user-keyed
+    equi-join (co-partitioned with the firsts aggregate), one small
+    hash aggregate on (cohort, offset), and a broadcast join of the
+    cohort sizes. Output rows = cohorts × offsets (tiny at any scale).
+
+    Output: (cohort_ts, period_offset, active_users, cohort_users,
+    retention_fp6), offset 0 always present with active == cohort size.
+    """
+    from json_time_series_extractor_spark.operators.gapfill import (
+        _epoch_floor,
+    )
+
+    p_s = _interval_seconds(period)
+    ev = events.select(F.col(user_col).alias("user_id"),
+                       F.col(ts_col).alias("ts"))
+    firsts = (ev.groupBy("user_id")
+              .agg(_epoch_floor(F.min("ts"), p_s).alias("cohort_ts")))
+    activity = (ev.select("user_id",
+                          _epoch_floor(F.col("ts"), p_s).alias("p"))
+                .distinct())
+    j = activity.join(firsts, "user_id")
+    offset = ((F.unix_timestamp("p")
+               - F.unix_timestamp("cohort_ts")) / p_s).cast("int")
+    per = (j.groupBy("cohort_ts", offset.alias("period_offset"))
+           .agg(F.count(F.lit(1)).alias("active_users")))
+    sizes = (firsts.groupBy("cohort_ts")
+             .agg(F.count(F.lit(1)).alias("cohort_users")))
+    out = per.join(F.broadcast(sizes), "cohort_ts")
+    return out.select(
+        "cohort_ts", "period_offset", "active_users", "cohort_users",
+        F.expr("active_users * 1000000 DIV cohort_users")
+        .alias("retention_fp6"))
+
+
+def cohort_retention_oracle_sql(table: str, period_s: int, *,
+                                user_col: str = "user_id",
+                                ts_col: str = "ts") -> str:
+    """DuckDB ground truth: the same epoch-floor cohorting, distinct
+    activity periods, and exact integer retention ratio."""
+    def floor_expr(col: str) -> str:
+        return (f"to_timestamp(CAST(floor(epoch({col}) / {period_s}) "
+                f"AS BIGINT) * {period_s})::TIMESTAMP")
+
+    return f"""
+WITH firsts AS (
+    SELECT {user_col} AS user_id,
+           {floor_expr(f"min({ts_col})")} AS cohort_ts
+    FROM {table} GROUP BY 1),
+activity AS (
+    SELECT DISTINCT {user_col} AS user_id,
+           {floor_expr(ts_col)} AS p
+    FROM {table}),
+j AS (
+    SELECT f.cohort_ts,
+           CAST((epoch(a.p) - epoch(f.cohort_ts)) / {period_s} AS INTEGER)
+               AS period_offset
+    FROM activity a JOIN firsts f USING (user_id)),
+per AS (
+    SELECT cohort_ts, period_offset, count(*) AS active_users
+    FROM j GROUP BY 1, 2),
+sizes AS (
+    SELECT cohort_ts, count(*) AS cohort_users FROM firsts GROUP BY 1)
+SELECT p.cohort_ts, p.period_offset,
+       CAST(p.active_users AS BIGINT) AS active_users,
+       CAST(s.cohort_users AS BIGINT) AS cohort_users,
+       CAST(p.active_users * 1000000 // s.cohort_users AS BIGINT)
+           AS retention_fp6
+FROM per p JOIN sizes s USING (cohort_ts)
+"""

@@ -2618,3 +2618,36 @@ def test_funnel_steps_semantics(spark):
     free = {r.user_id: r.t3 for r in funnel_steps(
         df, ["view", "click", "purchase"]).collect()}
     assert free[2] == t(20)
+
+
+def test_cohort_retention_hand_example(spark):
+    """Cohort retention on hand-built activity: cohorting by FIRST
+    event period, distinct-period activity (two events in one period
+    count once), exact integer retention ratios, and epoch-aligned
+    periods (not ISO weeks)."""
+    from json_time_series_extractor_spark.operators.funnel import (
+        cohort_retention,
+    )
+
+    def d(day, hour=12):
+        return datetime(2024, 1, day, hour)
+
+    rows = [
+        # cohort day 1: users 1,2,3 — day2: only 1,2; day3: only 1
+        (1, d(1)), (1, d(2)), (1, d(2, 18)), (1, d(3)),
+        (2, d(1)), (2, d(2)),
+        (3, d(1)),
+        # cohort day 2: user 4 — active again day 3
+        (4, d(2)), (4, d(3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r.cohort_ts.day, r.period_offset):
+           (r.active_users, r.cohort_users, r.retention_fp6)
+           for r in cohort_retention(df, "1 day").collect()}
+    assert got == {
+        (1, 0): (3, 3, 1_000_000),
+        (1, 1): (2, 3, 666_666),       # exact DIV, truncating
+        (1, 2): (1, 3, 333_333),
+        (2, 0): (1, 1, 1_000_000),
+        (2, 1): (1, 1, 1_000_000),
+    }
