@@ -206,7 +206,14 @@ def run_benchmarks() -> None:
                  "media_real_decode", "media_real_audio", "media_real_frames",
                  "media_conformance", "media_container_meta",
                  "cosine_scores", "ann_topk", "ann_lsh_topk",
-                 "ann_ivf_topk", "ann_pq_topk"]:
+                 "ann_ivf_topk", "ann_pq_topk",
+                 "rollup_realtime", "promql_rate_sum",
+                 "promql_topk_overtime", "promql_subquery",
+                 "promql_tier_routed", "semdedup",
+                 "chunk_chimp_roundtrip", "mg_heavy_hitters",
+                 "streaming_mg", "sample_token_budget",
+                 "doc_lang_id_trained", "funnel_conversion",
+                 "cohort_retention"]:
         timed(name,
               lambda n=name: queries[n](spark, SF_DIR)
               .write.format("noop").mode("overwrite").save(),
