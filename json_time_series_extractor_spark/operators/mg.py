@@ -143,6 +143,50 @@ def read_merged_mg(spark, output_path: str, k: int = 8) -> DataFrame:
     return _mg_compact(summed, k)
 
 
+def compact_mg_partials(spark, output_path: str) -> int:
+    """Fold the live MG partial directories into one compacted
+    generation (``c<highest folded id>``), crash-safe by supersession —
+    the same temp-write + ONE atomic rename contract as
+    ``refresh.compact_partials`` (readers see either the old or the new
+    view, never a partial one; debris sweeps on the next call).
+
+    The fold is the merge algebra's ASSOCIATIVE half only — exact
+    integer counter sums per (series, bucket, item), NO k-compaction at
+    rest — so :func:`read_merged_mg` returns the bit-identical summary
+    before and after any compaction schedule (a k-compaction at rest
+    would be a valid MG merge but would make the read depend on WHEN
+    compaction ran). The fold still bounds state: per-key duplicates
+    across batches collapse, so a generation holds at most the distinct
+    surviving keys instead of #batches × k rows; the k-bound itself is
+    applied at read. Returns the number of directories folded."""
+    from json_time_series_extractor_spark.operators.refresh import (
+        _log_dirs)
+    from json_time_series_extractor_spark.plans.pipeline import hadoop_fs
+
+    live, _, stale = _log_dirs(spark, output_path)
+    fs, _ = hadoop_fs(spark, output_path)
+    for p in stale:
+        _, hp = hadoop_fs(spark, p)
+        fs.delete(hp, True)
+    if len(live) < 2:
+        return 0
+    hi = max(int(p.rsplit("/", 1)[1][1:]) for p in live)
+    tmp = f"{output_path}/_compact_tmp"
+    (spark.read.parquet(*live)
+     .groupBy("series_key", "bucket_ts", "item")
+     .agg(F.sum("mg_cnt").alias("mg_cnt"),
+          F.max("p_batch").alias("p_batch"))
+     .write.mode("overwrite").parquet(tmp))
+    _, src = hadoop_fs(spark, tmp)
+    _, dst = hadoop_fs(spark, f"{output_path}/c{hi:05d}")
+    fs.rename(src, dst)
+    _, _, stale = _log_dirs(spark, output_path)
+    for p in stale:
+        _, hp = hadoop_fs(spark, p)
+        fs.delete(hp, True)
+    return len(live)
+
+
 def _compact_sql(src: str, k: int) -> str:
     """DuckDB twin of :func:`_mg_compact` over a (series_key, bucket_ts,
     item, cnt) relation. Kept beside the impl."""

@@ -2651,3 +2651,46 @@ def test_cohort_retention_hand_example(spark):
         (2, 0): (1, 1, 1_000_000),
         (2, 1): (1, 1, 1_000_000),
     }
+
+
+def test_mg_partial_log_compaction_invariant(spark, tmp_path):
+    """compact_mg_partials folds by exact counter sums only, so
+    read_merged_mg is bit-identical before and after compaction; the
+    generation supersedes its inputs (b-dirs swept), and a later batch
+    still merges in."""
+    from json_time_series_extractor_spark.operators.mg import (
+        compact_mg_partials,
+        mg_tier,
+        read_merged_mg,
+    )
+
+    k = 3
+    t0 = datetime(2024, 1, 1, 0, 30)
+    base = str(tmp_path / "mglog2")
+
+    def write_batch(bi, items):
+        df = spark.createDataFrame(
+            [("s", t0, i) for i in items],
+            "series_key string, ts timestamp, item string")
+        (mg_tier(df, "1 hour", k=k, item_col="item")
+         .withColumn("p_batch", F.lit(bi))
+         .write.mode("overwrite").parquet(f"{base}/b{bi:05d}"))
+
+    write_batch(0, [f"i{j % 7}" for j in range(40)])
+    write_batch(1, [f"i{j % 5}" for j in range(25)])
+    before = {tuple(r) for r in read_merged_mg(spark, base, k=k).collect()}
+    assert compact_mg_partials(spark, base) == 2
+    after = {tuple(r) for r in read_merged_mg(spark, base, k=k).collect()}
+    assert after == before
+    import os
+    names = sorted(os.listdir(base))
+    assert "c00001" in names and not any(n.startswith("b") for n in names)
+    # a later batch merges into the compacted view
+    write_batch(2, [f"i{j % 2}" for j in range(30)])
+    with_late = {tuple(r)
+                 for r in read_merged_mg(spark, base, k=k).collect()}
+    assert with_late != after
+    # idempotent: nothing left to fold after a second compaction + read
+    assert compact_mg_partials(spark, base) == 2
+    assert {tuple(r) for r in read_merged_mg(spark, base,
+                                             k=k).collect()} == with_late
