@@ -794,6 +794,32 @@ def _oracle_cohort_retention() -> str:
         "(SELECT * FROM events WHERE event_type = 'purchase')", 86400)
 
 
+def q_mg_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding heavy hitters (operators/mg.py mg_over_time): per
+    (series, hour), the MG merge of the trailing 6 PRESENT buckets'
+    summaries — completes the sliding-sketch family (hll/cm/tdigest
+    _over_time) with the same present-bucket-index window semantics
+    and n_buckets gate; summary rows fan out (<= k per bucket), exact
+    integer sums per window, ONE compaction per output bucket. FULL
+    value check: the oracle replays tier build + fan-out + sums +
+    compaction, all integers."""
+    from json_time_series_extractor_spark.operators.mg import (
+        mg_over_time, mg_tier)
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("series_key"), "ts",
+        F.col("user_id").cast("string").alias("item"))
+    return mg_over_time(mg_tier(ev, "1 hour", k=8, item_col="item"),
+                        6, k=8)
+
+
+def _oracle_mg_over_time() -> str:
+    from json_time_series_extractor_spark.operators.mg import (
+        mg_over_time_oracle_sql)
+
+    return mg_over_time_oracle_sql("events", k=8, k_buckets=6)
+
+
 def q_streaming_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming face of the Misra-Gries tier (operators/mg.py
     write_mg_partials_stream): LIVE two-micro-batch run — batch 1 the
@@ -4888,6 +4914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_k_series": q_top_k_series,
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "streaming_mg": q_streaming_mg,
+        "mg_over_time": q_mg_over_time,
         "funnel_conversion": q_funnel,
         "cohort_retention": q_cohort_retention,
         "gapfill_locf": q_gapfill_locf,
@@ -5071,6 +5098,7 @@ GROUP BY 1, 2
         "pii_redact": _pii_oracle_sql(),
         "mg_heavy_hitters": _oracle_mg_heavy_hitters(),
         "streaming_mg": _oracle_streaming_mg(),
+        "mg_over_time": _oracle_mg_over_time(),
         "funnel_conversion": _oracle_funnel(),
         "cohort_retention": _oracle_cohort_retention(),
         "top_k_series": """

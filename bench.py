@@ -211,7 +211,7 @@ def run_benchmarks() -> None:
                  "promql_topk_overtime", "promql_subquery",
                  "promql_tier_routed", "semdedup",
                  "chunk_chimp_roundtrip", "mg_heavy_hitters",
-                 "streaming_mg", "sample_token_budget",
+                 "streaming_mg", "mg_over_time", "sample_token_budget",
                  "doc_lang_id_trained", "funnel_conversion",
                  "cohort_retention"]:
         timed(name,

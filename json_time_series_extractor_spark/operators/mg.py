@@ -51,9 +51,11 @@ MG_SCHEMA = ("series_key string, bucket_ts timestamp, item string, "
              "mg_cnt bigint")
 
 
-def _mg_compact(counts: DataFrame, k: int) -> DataFrame:
+def _mg_compact(counts: DataFrame, k: int, extra_cols=()) -> DataFrame:
     """One deterministic MG compaction of exact per-item counts:
-    subtract the (k+1)-th largest count, drop the non-positive."""
+    subtract the (k+1)-th largest count, drop the non-positive.
+    ``extra_cols`` pass through (columns functionally determined by the
+    (series, bucket) partition, e.g. ``n_buckets``)."""
     part = ["series_key", "bucket_ts"]
     rn = F.row_number().over(
         Window.partitionBy(*part).orderBy(F.col("cnt").desc(), "item"))
@@ -64,7 +66,8 @@ def _mg_compact(counts: DataFrame, k: int) -> DataFrame:
             .withColumn("_d", d)
             .where(F.col("cnt") > F.col("_d"))
             .select("series_key", "bucket_ts", "item",
-                    (F.col("cnt") - F.col("_d")).alias("mg_cnt")))
+                    (F.col("cnt") - F.col("_d")).alias("mg_cnt"),
+                    *extra_cols))
 
 
 def mg_tier(samples: DataFrame, tier: str = "1 hour", k: int = 8, *,
@@ -94,6 +97,92 @@ def mg_cascade(child: DataFrame, tier: str, k: int = 8) -> DataFrame:
                        "item")
               .agg(F.sum("mg_cnt").alias("cnt")))
     return _mg_compact(summed, k)
+
+
+def mg_over_time(tier: DataFrame, k_buckets: int, k: int = 8, *,
+                 min_buckets: int = 1) -> DataFrame:
+    """Sliding heavy hitters: per (series, bucket), the MG merge of the
+    trailing ``k_buckets`` PRESENT buckets' summaries — "which items
+    dominated the last k hours, hourly" from summary rows alone.
+    Completes the sliding-sketch family next to ``hll_over_time``
+    (distincts), ``cm_over_time`` (frequencies) and
+    ``tdigest_over_time`` (quantiles), with the same
+    present-bucket-INDEX window semantics and ``n_buckets`` gate (a
+    per-item ROWS frame would silently reach past the window where an
+    item is absent from an intermediate bucket — the documented r6
+    lesson).
+
+    Same fan-out shape as ``cm_over_time``: summary rows (<= k per
+    bucket) fan to the <= k_buckets later present-bucket indices, exact
+    integer counter sums per item per window, then ONE compaction per
+    output bucket. Undercount vs the window's true counts is bounded by
+    the window's child forfeits plus the one compaction — <= 2·n_win/
+    (k+1), the module's cascade bound. Output: MG_SCHEMA + ``n_buckets``.
+    """
+    if k_buckets < 1:
+        raise ValueError(f"k_buckets must be >= 1, got {k_buckets}")
+    if min_buckets < 1:
+        raise ValueError(f"min_buckets must be >= 1, got {min_buckets}")
+    b = (tier.select("series_key", "bucket_ts").distinct()
+         .withColumn("_i", F.row_number().over(
+             Window.partitionBy("series_key").orderBy("bucket_ts"))))
+    fan = (tier.join(b, ["series_key", "bucket_ts"])
+           .select("series_key", "item", "mg_cnt",
+                   F.explode(F.sequence(
+                       F.col("_i"),
+                       F.col("_i") + F.lit(k_buckets - 1))).alias("_ti")))
+    tgt = b.select("series_key", F.col("bucket_ts").alias("_tbt"),
+                   F.col("_i").alias("_ti"),
+                   F.least(F.col("_i"), F.lit(k_buckets))
+                   .alias("n_buckets"))
+    summed = (fan.join(tgt, ["series_key", "_ti"])
+              .where(F.col("n_buckets") >= min_buckets)
+              .groupBy("series_key", F.col("_tbt").alias("bucket_ts"),
+                       "item", "n_buckets")
+              .agg(F.sum("mg_cnt").alias("cnt")))
+    return _mg_compact(summed, k, extra_cols=("n_buckets",))
+
+
+def mg_over_time_oracle_sql(table: str = "events", *, k: int = 8,
+                            k_buckets: int = 6, unit: str = "hour",
+                            series_expr: str = "event_type",
+                            ts_col: str = "ts",
+                            item_expr: str = "CAST(user_id AS VARCHAR)"
+                            ) -> str:
+    """DuckDB ground truth for :func:`mg_over_time` over a from-raw
+    fine tier: per-bucket MG build, the same present-bucket-index
+    fan-out + integer sums, one compaction per window. Kept beside
+    the impl."""
+    fine_counts = f"""(
+    SELECT {series_expr} AS series_key,
+           date_trunc('{unit}', {ts_col}) AS bucket_ts,
+           {item_expr} AS item, count(*) AS cnt
+    FROM {table} WHERE {item_expr} IS NOT NULL
+    GROUP BY 1, 2, 3)"""
+    summed = f"""(
+    SELECT f.series_key, b2.bucket_ts, f.item,
+           CAST(least(b2.i, {k_buckets}) AS INT) AS n_buckets,
+           CAST(sum(f.mg_cnt) AS BIGINT) AS cnt
+    FROM (SELECT t.*, br.i + r.range AS ti
+          FROM fine t JOIN b br USING (series_key, bucket_ts)
+          CROSS JOIN range(0, {k_buckets}) r) f
+    JOIN b b2 ON b2.series_key = f.series_key AND b2.i = f.ti
+    GROUP BY 1, 2, 3, 4)"""
+    compacted = _compact_sql(summed, k).replace(
+        "SELECT series_key, bucket_ts, item, cnt - d AS mg_cnt",
+        "SELECT series_key, bucket_ts, item, cnt - d AS mg_cnt, "
+        "n_buckets", 1)
+    return f"""
+WITH fine AS ({_compact_sql(fine_counts, k)}),
+b AS (
+    SELECT series_key, bucket_ts,
+           row_number() OVER (PARTITION BY series_key
+                              ORDER BY bucket_ts) AS i
+    FROM (SELECT DISTINCT series_key, bucket_ts FROM fine))
+SELECT series_key, bucket_ts, item, CAST(mg_cnt AS BIGINT) AS mg_cnt,
+       n_buckets
+FROM ({compacted})
+"""
 
 
 def write_mg_partials_stream(samples_stream: DataFrame, output_path: str,

@@ -2694,3 +2694,54 @@ def test_mg_partial_log_compaction_invariant(spark, tmp_path):
     assert compact_mg_partials(spark, base) == 2
     assert {tuple(r) for r in read_merged_mg(spark, base,
                                              k=k).collect()} == with_late
+
+
+def test_mg_over_time_window_semantics_and_bound(spark):
+    """Sliding MG: trailing PRESENT-bucket windows (absent buckets skip
+    — index semantics, not wall clock), n_buckets ramps, estimates
+    never exceed window truth and undercount <= 2*n_win/(k+1); a
+    window-dominant item always survives."""
+    from collections import Counter
+
+    from json_time_series_extractor_spark.operators.mg import (
+        mg_over_time,
+        mg_tier,
+    )
+
+    import random
+    rnd = random.Random(5)
+    k, kb = 3, 3
+    # hours 0,1,2 and 5 (gap: 3,4 absent) — hour 5's window is the
+    # trailing 3 PRESENT buckets {1, 2, 5}
+    hours = [0, 1, 2, 5]
+    rows = []
+    for h in hours:
+        for _ in range(60):
+            item = (f"hot{rnd.randint(0, 1)}" if rnd.random() < 0.6
+                    else f"cold{rnd.randint(0, 25)}")
+            rows.append(("s", datetime(2024, 1, 1, h, rnd.randint(0, 59)),
+                         item))
+    df = spark.createDataFrame(
+        rows, "series_key string, ts timestamp, item string")
+    tier = mg_tier(df, "1 hour", k=k, item_col="item")
+    out = mg_over_time(tier, kb, k=k)
+    got = {}
+    nb = {}
+    for r in out.collect():
+        got.setdefault(r.bucket_ts.hour, {})[r.item] = r.mg_cnt
+        nb[r.bucket_ts.hour] = r.n_buckets
+    assert nb == {0: 1, 1: 2, 2: 3, 5: 3}
+    windows = {0: [0], 1: [0, 1], 2: [0, 1, 2], 5: [1, 2, 5]}
+    for h, win in windows.items():
+        true = Counter(i for _, ts, i in rows if ts.hour in win)
+        n = sum(true.values())
+        for item, f in true.items():
+            est = got.get(h, {}).get(item, 0)
+            assert est <= f, (h, item)
+            assert f - est <= 2 * n // (k + 1) + 1, (h, item)
+            if f > 2 * n / (k + 1):
+                assert item in got.get(h, {}), (h, item)
+        for item, est in got.get(h, {}).items():
+            assert est <= true[item]
+    with pytest.raises(ValueError):
+        mg_over_time(tier, 0)
