@@ -3223,6 +3223,44 @@ END
 """
 
 
+def q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot diff (operators/urltools.py snapshot_delta — the
+    incremental-processing primitive: only added ∪ changed re-enters
+    the pipeline between crawls; dedup_incremental is its near-dup
+    sibling). Snapshots derive deterministically from documents: old =
+    doc_id % 10 != 3, new = doc_id % 10 != 7 with every 5th text
+    edited — yielding all four statuses (300/100/50/50 at sf0.01).
+    One md5hi fingerprint projection per side + ONE full outer
+    equi-join; at scale both snapshots bucket by the key and the join
+    is co-partitioned. FULL value check: the oracle replays the md5hi
+    fingerprint (HUGEINT assembly wrapped to the signed int64 Spark's
+    shiftleft produces), NULL sentinel, join and status CASE."""
+    from json_time_series_extractor_spark.operators.urltools import (
+        snapshot_delta)
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) != 3) \
+        .select(F.col("doc_id").alias("url"), "text")
+    new = (docs.where(F.pmod(F.col("doc_id"), F.lit(10)) != 7)
+           .select(F.col("doc_id").alias("url"),
+                   F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+                          F.concat(F.col("text"), F.lit(" [edit]")))
+                   .otherwise(F.col("text")).alias("text")))
+    return snapshot_delta(old, new, key_col="url")
+
+
+def _oracle_snapshot_delta() -> str:
+    from json_time_series_extractor_spark.operators.urltools import (
+        snapshot_delta_oracle_sql)
+
+    return snapshot_delta_oracle_sql(
+        "SELECT doc_id AS url, text FROM documents WHERE doc_id % 10 != 3",
+        "SELECT doc_id AS url, CASE WHEN doc_id % 5 = 0 "
+        "THEN text || ' [edit]' ELSE text END AS text "
+        "FROM documents WHERE doc_id % 10 != 7",
+        key_sql="url")
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + URL-level dedup (round-5) — the first
     stage of a crawl dedup pipeline — under FULL value check: the
@@ -4933,6 +4971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_quality": q_doc_lm_quality,
         "doc_repetition": q_doc_repetition,
         "url_dedup": q_url_dedup,
+        "snapshot_delta": q_snapshot_delta,
         "domain_stats": q_domain_stats,
         "paragraph_dedup": q_paragraph_dedup,
         "doc_lang_id": q_doc_lang_id,
@@ -5332,6 +5371,7 @@ FROM documents
         # duplicate fractions from list_distinct, top n-gram share from
         # an unnest+group-by mode with the same count-desc/gram-asc
         # tie-break the Spark fold's sorted-run scan implies.
+        "snapshot_delta": _oracle_snapshot_delta(),
         "url_dedup": _oracle_url_dedup(),
         "domain_stats": _oracle_domain_stats(),
         "paragraph_dedup": _ORACLE_PARAGRAPH_DEDUP,

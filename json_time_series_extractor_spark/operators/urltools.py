@@ -158,3 +158,83 @@ def canonical_url_oracle_expr(url_sql: str) -> str:
     return (f"CASE WHEN {scheme} = '' THEN lower(trim({url_sql})) "
             f"ELSE {scheme} || '://' || {host} || {path_n} || {query_n} "
             f"END")
+
+
+def snapshot_delta(old: DataFrame, new: DataFrame, *,
+                   key_col: str = "url",
+                   content_col: str = "text") -> DataFrame:
+    """Crawl snapshot diff: classify every key across two corpus
+    snapshots as ``added`` (new only), ``removed`` (old only),
+    ``changed`` (both, different content fingerprint) or ``unchanged``
+    — the incremental-processing primitive that decides what re-enters
+    the pipeline between crawls (dedup/extract/rollup only the added ∪
+    changed set; ``dedup_incremental`` is its near-dup sibling).
+
+    Content identity = the 64-bit md5-high hash of the content column
+    (md5hi, the repo's SQL-recomputable hash — DuckDB has md5 but not
+    xxhash64; a changed byte flips the status; NULL content hashes to a
+    sentinel so NULL vs '' is a change). Construction: one fingerprint
+    projection per side + ONE full outer equi-join on the key — at
+    scale both snapshots bucket by the same key, making the join
+    co-partitioned and shuffle-free; no windows, no Python.
+
+    Output: (key, status, old_fp, new_fp) with fingerprints as typed
+    sentinel 0 on the absent side (never NULL — the oracle-typing
+    rule).
+    """
+    from json_time_series_extractor_spark.operators.dedup import (
+        _token_hash64,
+    )
+
+    def fp(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(key_col).alias("key"),
+            F.coalesce(_token_hash64(F.col(content_col), "md5hi"),
+                       F.lit(0x6e)).alias(f"{side}_fp"))
+
+    o, n = fp(old, "old"), fp(new, "new")
+    j = o.join(n, "key", "full_outer")
+    status = (F.when(F.col("old_fp").isNull(), F.lit("added"))
+              .when(F.col("new_fp").isNull(), F.lit("removed"))
+              .when(F.col("old_fp") == F.col("new_fp"),
+                    F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select(
+        "key", status.alias("status"),
+        F.coalesce("old_fp", F.lit(0)).alias("old_fp"),
+        F.coalesce("new_fp", F.lit(0)).alias("new_fp"))
+
+
+def snapshot_delta_oracle_sql(old_sql: str, new_sql: str, *,
+                              key_sql: str = "url",
+                              content_sql: str = "text") -> str:
+    """DuckDB ground truth for :func:`snapshot_delta`: the same md5hi
+    fingerprint (HUGEINT assembly wrapped to signed int64 to match
+    Spark's shiftleft sign wrap), NULL sentinel, full outer join and
+    status CASE. Kept beside the impl."""
+    def fp(src: str) -> str:
+        hu = (f"CAST(CAST(concat('0x', substr(md5({content_sql}), 1, 8)) "
+              f"AS BIGINT) AS HUGEINT) * 4294967296 "
+              f"+ CAST(concat('0x', substr(md5({content_sql}), 9, 8)) "
+              f"AS BIGINT)")
+        signed = (f"CAST(CASE WHEN {hu} >= 9223372036854775808 "
+                  f"THEN {hu} - 18446744073709551616 "
+                  f"ELSE {hu} END AS BIGINT)")
+        return (f"SELECT {key_sql} AS key, "
+                f"coalesce({signed}, 110) AS fp FROM ({src})")
+
+    return f"""
+WITH o AS ({fp(old_sql)}),
+n AS ({fp(new_sql)}),
+j AS (
+    SELECT coalesce(o.key, n.key) AS key, o.fp AS old_fp, n.fp AS new_fp
+    FROM o FULL OUTER JOIN n ON o.key = n.key)
+SELECT key,
+       CASE WHEN old_fp IS NULL THEN 'added'
+            WHEN new_fp IS NULL THEN 'removed'
+            WHEN old_fp = new_fp THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       coalesce(old_fp, 0) AS old_fp,
+       coalesce(new_fp, 0) AS new_fp
+FROM j
+"""

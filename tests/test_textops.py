@@ -3023,3 +3023,28 @@ def test_lang_id_trained_classifies_distinct_distributions(spark):
            for r in lang_id_scores(docs.drop("lang"), profs,
                                    label_col=None).collect()}
     assert all(unl[i] == out[i].pred_lang for i, _, _ in rows)
+
+
+def test_snapshot_delta_statuses(spark):
+    """Snapshot diff classifies added/removed/changed/unchanged; NULL
+    content differs from empty string; fingerprints carry typed
+    sentinels on the absent side."""
+    from json_time_series_extractor_spark.operators.urltools import (
+        snapshot_delta,
+    )
+
+    old = spark.createDataFrame(
+        [("a", "same"), ("b", "before"), ("c", "gone"), ("d", None),
+         ("e", "")],
+        "url string, text string")
+    new = spark.createDataFrame(
+        [("a", "same"), ("b", "after"), ("d", ""), ("e", ""),
+         ("f", "fresh")],
+        "url string, text string")
+    got = {r.key: r for r in snapshot_delta(old, new).collect()}
+    assert {k: v.status for k, v in got.items()} == {
+        "a": "unchanged", "b": "changed", "c": "removed",
+        "d": "changed",                 # NULL -> '' is a change
+        "e": "unchanged", "f": "added"}
+    assert got["c"].new_fp == 0 and got["f"].old_fp == 0
+    assert got["a"].old_fp == got["a"].new_fp != 0
