@@ -257,6 +257,16 @@ AUDITED = [
     ("funnel_conversion", "k chained hash aggregates + user-keyed "
      "equi-joins on monotonically shrinking frames; no per-user sort, "
      "no window over raw events"),
+    ("mg_over_time", "summary rows (<= k per bucket) fan to <= "
+     "k_buckets present-bucket indices, exact integer sums per window, "
+     "one compaction per output bucket — sketch-sized rows only, never "
+     "raw history"),
+    ("snapshot_delta", "one md5hi fingerprint projection per side + "
+     "ONE full outer equi-join — co-partitioned and shuffle-free on "
+     "key-bucketed snapshots; no windows, no Python"),
+    ("cohort_retention", "two map-side-combinable aggregates + one "
+     "user-keyed equi-join + a broadcast sizes join; output = cohorts "
+     "x offsets"),
 ]
 
 
