@@ -4034,6 +4034,45 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quant6(out, "duration_s")
 
 
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PCA projection (operators/similarity.py
+    pca_train/pca_project — the standard FAISS preprocessing step
+    before PQ/IVF: pack variance into the leading coordinates so
+    sub-quantizers split balanced work). Trainer = shared pca_fit over
+    the md5-ranked deterministic sample (the semdedup selection);
+    eigenvector signs fixed by the largest-|entry|-positive convention;
+    projection = one fold-dot per component against literal vectors,
+    map-only, fp6-quantized. FULL value check: the oracle trains its
+    OWN model from the DuckDB-read sample and replays every projection
+    with list_inner_product — a wrong sample row, eigen order, sign, or
+    mean offset breaks the hash."""
+    from json_time_series_extractor_spark.operators.similarity import (
+        pca_project, pca_train)
+
+    emb = _embeddings(spark, sf_dir)
+    return pca_project(emb, pca_train(emb, 8, sample_cap=256))
+
+
+def _oracle_embedding_pca() -> str:
+    import duckdb
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.dedup import (
+        semdedup_sample_sql)
+    from json_time_series_extractor_spark.operators.similarity import (
+        pca_fit, pca_oracle_sql)
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                        "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    sample = con.sql(semdedup_sample_sql(
+        f"read_parquet('{sf}/embeddings.parquet')",
+        sample_cap=256)).fetchall()
+    model = pca_fit(np.array([r[0] for r in sample],
+                             dtype=np.float64), 8)
+    return pca_oracle_sql(model)
+
+
 def q_cosine_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine scores for query vectors vec_id < 5 (exact ANN
     baseline, order-insensitively comparable)."""
@@ -5001,6 +5040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_conformance": q_media_conformance,
         "media_container_meta": q_media_container_meta,
         "cosine_scores": q_cosine_scores,
+        "embedding_pca": q_embedding_pca,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -5644,6 +5684,7 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
 """,
         "semdedup": _oracle_semdedup(),
+        "embedding_pca": _oracle_embedding_pca(),
         "embedding_neardup": """
 WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -212,7 +212,7 @@ def run_benchmarks() -> None:
                  "promql_tier_routed", "semdedup",
                  "chunk_chimp_roundtrip", "mg_heavy_hitters",
                  "streaming_mg", "mg_over_time", "sample_token_budget",
-                 "snapshot_delta",
+                 "snapshot_delta", "embedding_pca",
                  "doc_lang_id_trained", "funnel_conversion",
                  "cohort_retention"]:
         timed(name,

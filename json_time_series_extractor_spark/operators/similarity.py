@@ -390,3 +390,114 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
     return (scored
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic PCA for embedding columns (pre-ANN dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+def pca_fit(m, n_components: int):
+    """Shared deterministic PCA trainer over the rows of ``m`` (n, dim):
+    mean-center, eigendecompose the covariance (numpy ``eigh`` —
+    deterministic for a given input), take the top ``n_components`` by
+    (eigenvalue DESC, index), and fix each eigenvector's arbitrary sign
+    by making its largest-|entry| coordinate positive (ties to the
+    lowest index). Returns (mean, components (k, dim),
+    explained_variance_ratio (k,)) — model-sized state both engines
+    share, the kmeans_unit_centroids / BPE doctrine.
+
+    PCA before PQ/IVF is the standard FAISS preprocessing step (OPQ's
+    simpler sibling): it packs variance into the leading coordinates so
+    sub-quantizers split balanced work."""
+    import numpy as np
+
+    m = np.asarray(m, dtype=np.float64)
+    mean = m.mean(axis=0)
+    c = m - mean
+    cov = (c.T @ c) / max(len(m) - 1, 1)
+    w, v = np.linalg.eigh(cov)          # ascending eigenvalues
+    order = np.argsort(-w, kind="stable")[:n_components]
+    comps = v[:, order].T.copy()
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total = float(w.sum()) or 1.0
+    evr = np.maximum(w[order], 0.0) / total
+    return mean, comps, evr
+
+
+def pca_train(embeddings: DataFrame, n_components: int = 8, *,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              sample_cap: int = 256):
+    """Train :func:`pca_fit` on the deterministic md5-ranked sample
+    (the :func:`~.dedup.semdedup_centroids` selection — a
+    TakeOrderedAndProject both engines replay; see
+    ``semdedup_sample_sql``)."""
+    import numpy as np
+
+    sampled = (embeddings
+               .where(F.col(vec_col).isNotNull())
+               .select(_as_double(F.col(vec_col)).alias("_v"),
+                       F.md5(F.col(id_col).cast("string")).alias("_h"),
+                       F.col(id_col).alias("_id"))
+               .orderBy("_h", "_id").limit(sample_cap)
+               .select("_v").collect())
+    return pca_fit(np.array([r["_v"] for r in sampled],
+                            dtype=np.float64), n_components)
+
+
+def pca_project(embeddings: DataFrame, model, *,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                fp6: bool = True) -> DataFrame:
+    """Project every embedding onto the PCA components: per component,
+    ``dot(v, comp) - dot(mean, comp)`` — the mean term is a Python
+    scalar, so each coordinate is ONE fold-dot against a literal vector
+    (map-only, no Python workers, no shuffle). ``fp6`` quantizes each
+    coordinate to a 1e-6 int so a SQL oracle replays values exactly.
+
+    Output: (vec_id, pc0..pc{k-1})."""
+    import numpy as np
+
+    mean, comps, _ = model
+    base = (embeddings
+            .where(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("vec_id"),
+                    _as_double(F.col(vec_col)).alias("_v")))
+    cols = []
+    for i, comp in enumerate(comps):
+        cvec = F.array(*[F.lit(float(x)) for x in comp])
+        off = float(np.dot(mean, comp))
+        val = _dot(F.col("_v"), cvec) - F.lit(off)
+        if fp6:
+            val = F.floor(val * 1e6 + F.lit(0.5)).cast("long")
+        cols.append(val.alias(f"pc{i}"))
+    return base.select("vec_id", *cols)
+
+
+def pca_oracle_sql(model, *, table: str = "embeddings",
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   fp6: bool = True) -> str:
+    """DuckDB replay of :func:`pca_project` with the component vectors
+    embedded as DOUBLE[] literals (list_inner_product's summation
+    agrees with the fold-dot at the 1e-6 quantization — the
+    cosine_scores-validated pairing). Kept beside the impl."""
+    import numpy as np
+
+    mean, comps, _ = model
+    exprs = []
+    for i, comp in enumerate(comps):
+        lits = ", ".join(repr(float(x)) for x in comp)
+        off = repr(float(np.dot(mean, comp)))
+        e = (f"list_inner_product(CAST({vec_col} AS DOUBLE[]), "
+             f"[{lits}]::DOUBLE[]) - CAST({off} AS DOUBLE)")
+        if fp6:
+            e = f"CAST(floor(({e}) * 1e6 + 0.5) AS BIGINT)"
+        exprs.append(f"{e} AS pc{i}")
+    cols = ",\n       ".join(exprs)
+    return f"""
+SELECT {id_col} AS vec_id,
+       {cols}
+FROM {table}
+WHERE {vec_col} IS NOT NULL
+"""

@@ -3048,3 +3048,49 @@ def test_snapshot_delta_statuses(spark):
         "e": "unchanged", "f": "added"}
     assert got["c"].new_fp == 0 and got["f"].old_fp == 0
     assert got["a"].old_fp == got["a"].new_fp != 0
+
+
+def test_pca_recovers_dominant_directions(spark):
+    """PCA on embeddings with two planted high-variance directions:
+    components recover them in variance order with the deterministic
+    sign convention; projections match a numpy replay; training is
+    bit-reproducible; explained variance is sorted."""
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+        pca_train,
+    )
+
+    rng = np.random.default_rng(9)
+    n, dim = 200, 16
+    base = rng.normal(0, 0.05, (n, dim))
+    d1 = np.zeros(dim); d1[2] = 1.0                   # dominant axis
+    d2 = np.zeros(dim); d2[7] = 1.0                   # second axis
+    m = base + np.outer(rng.normal(0, 3.0, n), d1) \
+        + np.outer(rng.normal(0, 1.5, n), d2)
+    m32 = m.astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in m32[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+
+    model = pca_train(df, 2, sample_cap=200)
+    mean, comps, evr = model
+    assert abs(abs(comps[0][2]) - 1.0) < 0.05        # pc0 ~ axis 2
+    assert abs(abs(comps[1][7]) - 1.0) < 0.05        # pc1 ~ axis 7
+    assert comps[0][np.argmax(np.abs(comps[0]))] > 0  # sign convention
+    assert evr[0] > evr[1] > 0
+    model2 = pca_train(df, 2, sample_cap=200)
+    assert np.array_equal(comps, model2[1])
+
+    got = {r.vec_id: (r.pc0, r.pc1)
+           for r in pca_project(df, model).collect()}
+    m64 = m32.astype(np.float64)
+    for i in (0, 17, 199):
+        want0 = float(m64[i] @ comps[0] - mean @ comps[0])
+        # fold-dot sums left-to-right; allow 1 ulp at the fp6 boundary
+        assert abs(got[i][0] - round(want0 * 1e6)) <= 1, i
+    # fewer rows than components: pca_fit still returns what it can
+    mean3, comps3, _ = pca_fit(m64[:3], 8)
+    assert comps3.shape[1] == dim and len(comps3) == 8
