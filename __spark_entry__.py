@@ -4607,6 +4607,32 @@ FROM '{_MEDIA_CONFORMANCE_FIXTURE}'
 """
 
 
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashes over the spec-constructed conformance
+    vectors (operators/multimodal.py image_perceptual_hashes): REAL
+    decode -> integer aHash64/dHash64 (BT.601 luma, center-of-cell
+    8x8 / 8x9 grids, floor-mean threshold) — the corpus-scale image
+    NEAR-dup stage beside the exact pix_sha (re-encodes keep small
+    Hamming distance where the exact hash flips); band/bucket the
+    64-bit hashes exactly like SimHash text near-dup. FULL value check:
+    the fixture builder (which imports NOTHING from the repo) stamps
+    expected hashes from its a-priori sample arrays via its OWN
+    implementation of the documented contract — decode drift, a luma/
+    grid/threshold deviation, or a sign-wrap bug breaks the hash."""
+    from json_time_series_extractor_spark.operators.multimodal import (
+        image_perceptual_hashes)
+
+    media = spark.read.parquet(_MEDIA_CONFORMANCE_FIXTURE) \
+        .select("media_id", "media")
+    return image_perceptual_hashes(media)
+
+
+_ORACLE_MEDIA_PHASH = f"""
+SELECT media_id, fmt, width, height, ahash64, dhash64
+FROM '{_MEDIA_CONFORMANCE_FIXTURE}'
+"""
+
+
 _MEDIA_CONTAINER_META_FIXTURE = os.path.join(
     _FIXTURES_DIR, "media_container_meta.parquet")
 
@@ -5038,6 +5064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_real_audio": q_media_real_audio,
         "media_real_frames": q_media_real_frames,
         "media_conformance": q_media_conformance,
+        "media_phash": q_media_phash,
         "media_container_meta": q_media_container_meta,
         "cosine_scores": q_cosine_scores,
         "embedding_pca": q_embedding_pca,
@@ -5758,6 +5785,7 @@ FROM f
         "media_real_audio": _ORACLE_MEDIA_REAL_AUDIO,
         "media_real_frames": _ORACLE_MEDIA_REAL_FRAMES,
         "media_conformance": _ORACLE_MEDIA_CONFORMANCE,
+        "media_phash": _ORACLE_MEDIA_PHASH,
         "media_container_meta": _ORACLE_MEDIA_CONTAINER_META,
         "cosine_scores": """
 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

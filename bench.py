@@ -204,7 +204,7 @@ def run_benchmarks() -> None:
                  "embedding_neardup_lsh", "retention_expiry",
                  "media_image_features", "media_frame_sample",
                  "media_real_decode", "media_real_audio", "media_real_frames",
-                 "media_conformance", "media_container_meta",
+                 "media_conformance", "media_phash", "media_container_meta",
                  "cosine_scores", "ann_topk", "ann_lsh_topk",
                  "ann_ivf_topk", "ann_pq_topk",
                  "rollup_realtime", "promql_rate_sum",

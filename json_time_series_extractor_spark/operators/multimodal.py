@@ -254,6 +254,109 @@ def image_pixel_hashes(df: DataFrame, *, id_col: str = "media_id",
     return df.select(id_col, blob_col).mapInPandas(run, PIXEL_HASH_SCHEMA)
 
 
+PERCEPTUAL_HASH_SCHEMA = ("media_id long, fmt string, width int, "
+                          "height int, ahash64 long, dhash64 long")
+
+
+def perceptual_hashes_from_array(arr) -> tuple:
+    """aHash64 + dHash64 of a decoded uint8 pixel array — the image
+    near-dup fingerprint (re-encodes, format changes and mild quality
+    loss keep a small Hamming distance where the exact pix_sha flips).
+
+    Integer-only contract (implemented INDEPENDENTLY by
+    tools/build_conformance_fixture.py from its a-priori arrays, so the
+    fixture oracle proves decode+hash against the spec, not against
+    itself):
+
+    - grayscale: c<3 -> channel 0 (alpha ignored); otherwise the BT.601 integer luma
+      ``(299*R + 587*G + 114*B) // 1000`` over the first three channels
+      (alpha ignored);
+    - sampling: center-of-cell nearest neighbor on a GHxGW grid —
+      ``g[i][j] = gray[(2i+1)*H // (2*GH)][(2j+1)*W // (2*GW)]`` —
+      well-defined for ANY image size >= 1x1 (no box-mean boundary
+      ambiguity);
+    - aHash (8x8): bit ``i*8+j`` = 1 iff ``g[i][j] > sum(g) // 64``;
+    - dHash (8 rows x 9 cols): bit ``i*8+j`` = 1 iff
+      ``g[i][j+1] > g[i][j]``;
+    - both wrap to signed int64 (bit 63 is the sign).
+    """
+    import numpy as np
+
+    a = np.asarray(arr, np.uint8)
+    if a.ndim == 2 or a.shape[2] < 3:
+        # 1 channel = the luma itself; 2 channels = gray+alpha (alpha
+        # ignored, like the RGB case)
+        gray = a[:, :, 0].astype(np.int64) if a.ndim == 3 \
+            else a.astype(np.int64)
+    else:
+        rgb = a[:, :, :3].astype(np.int64)
+        gray = (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1]
+                + 114 * rgb[:, :, 2]) // 1000
+    h, w = gray.shape
+
+    def grid(gh: int, gw: int):
+        ri = [((2 * i + 1) * h) // (2 * gh) for i in range(gh)]
+        ci = [((2 * j + 1) * w) // (2 * gw) for j in range(gw)]
+        return gray[np.ix_(ri, ci)]
+
+    def signed(x: int) -> int:
+        return ((x + (1 << 63)) % (1 << 64)) - (1 << 63)
+
+    g8 = grid(8, 8)
+    m = int(g8.sum()) // 64
+    ah = 0
+    for i in range(8):
+        for j in range(8):
+            if int(g8[i, j]) > m:
+                ah |= 1 << (i * 8 + j)
+    g9 = grid(8, 9)
+    dh = 0
+    for i in range(8):
+        for j in range(8):
+            if int(g9[i, j + 1]) > int(g9[i, j]):
+                dh |= 1 << (i * 8 + j)
+    return signed(ah), signed(dh)
+
+
+def image_perceptual_hashes(df: DataFrame, *, id_col: str = "media_id",
+                            blob_col: str = "media",
+                            on_error: str = "raise") -> DataFrame:
+    """REAL decode -> :func:`perceptual_hashes_from_array`, via the same
+    Arrow-batched map-only kernel as :func:`image_pixel_hashes`; the
+    corpus-scale image near-dup stage (hash once, then band/bucket the
+    64-bit hashes exactly like SimHash text near-dup)."""
+    _check_on_error(on_error)
+
+    def _kernel(blob: bytes) -> tuple:
+        import numpy as np
+
+        fmt, pixels = _real_decode_pixels(blob)
+        arr = np.ascontiguousarray(pixels, np.uint8)
+        h, w = arr.shape[:2]
+        ah, dh = perceptual_hashes_from_array(arr)
+        return fmt, w, h, ah, dh
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rows = [], []
+            for mid, b in zip(pdf[id_col], pdf[blob_col]):
+                ok, out = _guard(_kernel, bytes(b), on_error)
+                if ok:
+                    ids.append(mid)
+                    rows.append(out)
+                elif on_error == "null":
+                    ids.append(mid)
+                    rows.append((None, None, None, None, None))
+            res = pd.DataFrame(rows, columns=["fmt", "width", "height",
+                                              "ahash64", "dhash64"])
+            res.insert(0, "media_id",
+                       pd.Series(ids, dtype=pdf[id_col].dtype))
+            yield res
+
+    return df.select(id_col, blob_col).mapInPandas(
+        run, PERCEPTUAL_HASH_SCHEMA)
+
+
 RESIZED_SCHEMA = ("media_id long, media binary, width int, height int, "
                   "size_bytes long")
 

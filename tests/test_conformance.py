@@ -130,3 +130,52 @@ def test_fixture_counts_stay_documented():
         " ".join(entry.q_media_real_audio.__doc__.split())
     m = re.search(r"REAL WAV decode of (\d+) committed blobs", coverage)
     assert m and int(m.group(1)) == n_audio
+
+
+def test_perceptual_hashes_near_dup_property(spark):
+    """aHash/dHash behave as near-dup fingerprints: identical pixels
+    under different containers hash identically; mild noise keeps a
+    small Hamming distance; structurally different images are far; a
+    tiny image (grid smaller than 8x8) still hashes; hand-computed 2x2
+    checker board matches the documented contract."""
+    import numpy as np
+
+    from json_time_series_extractor_spark.operators.multimodal import (
+        perceptual_hashes_from_array,
+    )
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (32, 40, 3)).astype(np.uint8)
+    # smooth it so single-pixel noise cannot flip many cells
+    img = (img.astype(np.int64) // 4 * 4).astype(np.uint8)
+    base_a, base_d = perceptual_hashes_from_array(img)
+    assert perceptual_hashes_from_array(img.copy()) == (base_a, base_d)
+
+    noisy = img.astype(np.int64)
+    noisy[::7, ::9] += 2                        # mild, sub-threshold
+    na, nd = perceptual_hashes_from_array(
+        np.clip(noisy, 0, 255).astype(np.uint8))
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(base_a, na) <= 8 and ham(base_d, nd) <= 12
+    other = rng.integers(0, 256, (32, 40, 3)).astype(np.uint8)
+    oa, od = perceptual_hashes_from_array(other)
+    assert ham(base_a, oa) > 12 or ham(base_d, od) > 12
+
+    # hand example: 2x2 checkerboard [[0,255],[255,0]] -> center
+    # samples alternate; mean = 127 -> aHash bits exactly where the
+    # sampled cell is 255
+    chk = np.array([[0, 255], [255, 0]], np.uint8)
+    ah, dh = perceptual_hashes_from_array(chk)
+    bits = [(i, j) for i in range(8) for j in range(8)
+            if (ah >> (i * 8 + j)) & 1]
+    # row cell i maps to source row (2i+1)*2//16 = 0 for i<4 else 1
+    for i, j in bits:
+        sr, sc = (0 if i < 4 else 1), (0 if j < 4 else 1)
+        assert chk[sr, sc] == 255
+    assert len(bits) == 32
+    # 1x1 image: every sample equal -> both hashes zero
+    assert perceptual_hashes_from_array(
+        np.array([[7]], np.uint8)) == (0, 0)

@@ -53,6 +53,43 @@ SEED = 20260817
 # ---------------------------------------------------------------------------
 
 
+def _phash(arr: np.ndarray) -> tuple:
+    """Independent aHash64/dHash64 of an a-priori sample array — the
+    documented integer contract of operators/multimodal.py::
+    perceptual_hashes_from_array, re-implemented here WITHOUT importing
+    the repo (BT.601 integer luma over the first 3 channels, center-of-
+    cell nearest-neighbor 8x8 / 8x9 grids, floor-mean threshold /
+    left-right compare, signed int64 wrap)."""
+    a = np.asarray(arr, np.uint8)
+    if a.ndim == 2 or a.shape[2] < 3:
+        # 1 channel = the luma itself; 2 channels = gray+alpha (alpha
+        # ignored, like the RGB case)
+        gray = a[:, :, 0].astype(np.int64) if a.ndim == 3 \
+            else a.astype(np.int64)
+    else:
+        rgb = a[:, :, :3].astype(np.int64)
+        gray = (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1]
+                + 114 * rgb[:, :, 2]) // 1000
+    h, w = gray.shape
+
+    def grid(gh, gw):
+        ri = [((2 * i + 1) * h) // (2 * gh) for i in range(gh)]
+        ci = [((2 * j + 1) * w) // (2 * gw) for j in range(gw)]
+        return gray[np.ix_(ri, ci)]
+
+    def signed(x):
+        return ((x + (1 << 63)) % (1 << 64)) - (1 << 63)
+
+    g8 = grid(8, 8)
+    m = int(g8.sum()) // 64
+    ah = sum(1 << (i * 8 + j) for i in range(8) for j in range(8)
+             if int(g8[i, j]) > m)
+    g9 = grid(8, 9)
+    dh = sum(1 << (i * 8 + j) for i in range(8) for j in range(8)
+             if int(g9[i, j + 1]) > int(g9[i, j]))
+    return signed(ah), signed(dh)
+
+
 def _sha(arr: np.ndarray) -> tuple:
     a = np.ascontiguousarray(arr, np.uint8)
     h, w = a.shape[:2]
@@ -1279,7 +1316,8 @@ def main() -> None:
     rows = []
     for vid, (fmt, note, blob, expected) in enumerate(_vectors(rng)):
         w, h, c, dig = _sha(expected)
-        rows.append((vid, fmt, note, blob, w, h, c, dig))
+        ah, dh = _phash(expected)
+        rows.append((vid, fmt, note, blob, w, h, c, dig, ah, dh))
     fmts = sorted({r[1] for r in rows})
     assert len(rows) >= 10 and len(fmts) >= 5, (len(rows), fmts)
     table = pa.table({
@@ -1291,6 +1329,8 @@ def main() -> None:
         "height": pa.array([r[5] for r in rows], pa.int32()),
         "n_channels": pa.array([r[6] for r in rows], pa.int32()),
         "pix_sha": pa.array([r[7] for r in rows], pa.string()),
+        "ahash64": pa.array([r[8] for r in rows], pa.int64()),
+        "dhash64": pa.array([r[9] for r in rows], pa.int64()),
     })
     pq.write_table(table, OUT, compression="zstd")
     print(f"wrote {OUT}: {len(rows)} spec-constructed vectors "
