@@ -267,6 +267,12 @@ AUDITED = [
     ("cohort_retention", "two map-side-combinable aggregates + one "
      "user-keyed equi-join + a broadcast sizes join; output = cohorts "
      "x offsets"),
+    ("embedding_pca", "one fold-dot per component against literal "
+     "vectors — map-only, no shuffle, no Python workers (training is "
+     "a bounded TakeOrderedAndProject sample)"),
+    ("media_phash", "the shared real-decode Arrow kernel (one "
+     "mapInPandas boundary), map-only — the same shape as the pixel "
+     "hash row"),
 ]
 
 
