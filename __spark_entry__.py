@@ -232,6 +232,20 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
+#: Scratch directory for intra-query artifacts (streaming source files,
+#: checkpoints, roundtrip corpora) — transient single-query files whose
+#: durability is never consumed. Env-overridable (r8: measured tmpfs vs
+#: /tmp on this host — no repeatable win under load, so the default
+#: stays /tmp; a real deployment points this at fast local scratch, or
+#: HDFS where checkpoint durability matters).
+_SCRATCH_DIR = os.environ.get("SPARK_GRAFT_SCRATCH_DIR", "/tmp")
+
+
+def _scratch(name: str) -> str:
+    os.makedirs(_SCRATCH_DIR, exist_ok=True)
+    return os.path.join(_SCRATCH_DIR, name)
+
+
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """The sf* test tables are single-row-group parquet files, so Spark
     scans them as ONE split — every downstream map runs single-threaded.
@@ -844,7 +858,7 @@ def q_streaming_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("item"))
     tag = "".join(c if c.isalnum() else "_"
                   for c in _os.path.basename(sf_dir.rstrip("/")))
-    base = f"/tmp/jtse_stream_mg_{tag}"
+    base = _scratch(f"jtse_stream_mg_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     is_late = F.pmod(F.col("event_id"), F.lit(20)) == 7
     cols = ["series_key", "ts", "item"]
@@ -952,19 +966,58 @@ def q_counter_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical), and delta/irate from rank-from-each-end row_numbers
     with the same (ts, value) tie-breaks."""
     from json_time_series_extractor_spark.operators.rate import (
-        counter_irate, counter_resets, gauge_changes, gauge_delta)
+        _sample_deltas)
+    from json_time_series_extractor_spark.operators.rollup import _bucket
 
     s = _event_samples(spark, sf_dir)
-    r = counter_resets(s, "1 hour", segment="1 day")
-    c = gauge_changes(s, "1 hour", segment="1 day") \
-        .select("series_key", "bucket_ts", "changes")
-    g = gauge_delta(s, "1 hour").select("series_key", "bucket_ts",
-                                        "delta")
-    i = counter_irate(s, "1 hour").select("series_key", "bucket_ts",
-                                          "irate")
-    out = (r.join(c, ["series_key", "bucket_ts"])
-           .join(g, ["series_key", "bucket_ts"])
-           .join(i, ["series_key", "bucket_ts"]))
+    # Optimization round 8 (guide §2.4 — remove shuffles outright): the
+    # four operators split 2+2 over TWO shared scans instead of four.
+    # resets() and changes() are different aggregates of the SAME
+    # segmented delta stream (operators/rate.py _sample_deltas), and
+    # delta()/irate() are different aggregates of the SAME per-bucket
+    # rank pass (max(struct) IS the rank-1 row, min(struct) the
+    # first-sample row, so gauge_delta's struct extremes ride along in
+    # irate's aggregate). Every expression is copied verbatim from the
+    # operator bodies, so each output column is bit-identical to the
+    # operator composition this query previously ran (oracle unchanged,
+    # re-verified); plan: 4 window pipelines + 3 joins -> 2 + 1.
+    d = _sample_deltas(s, "series_key", "ts", "value_double", "1 day")
+    delta_c = F.col("_delta")
+    rc = (d.select("series_key", _bucket("_ts", "1 hour").alias("bucket_ts"),
+                   (delta_c < 0).cast("long").alias("_r"),
+                   (delta_c.isNotNull() & (delta_c != 0)).cast("long")
+                   .alias("_c"))
+          .groupBy("series_key", "bucket_ts")
+          .agg(F.coalesce(F.sum("_r"), F.lit(0)).alias("resets"),
+               F.count(F.lit(1)).alias("n_samples"),
+               F.coalesce(F.sum("_c"), F.lit(0)).alias("changes")))
+    v = F.col("value_double")
+    s2 = s.where(v.isNotNull()).select(
+        "series_key", _bucket("ts", "1 hour").alias("bucket_ts"),
+        F.col("ts").alias("_ts"), v.alias("_v"))
+    w = Window.partitionBy("series_key", "bucket_ts") \
+        .orderBy(F.col("_ts").desc(), F.col("_v").desc())
+    tv = F.struct(F.col("_ts").alias("t"), F.col("_v").alias("v"))
+    ranked = s2.withColumn("_rk", F.row_number().over(w))
+    gi = (ranked.groupBy("series_key", "bucket_ts")
+          .agg(F.max(tv).alias("_l"),
+               F.max(F.when(F.col("_rk") == 2, tv)).alias("_p"),
+               F.min(tv).alias("_mn")))
+
+    def _epoch(c):
+        return F.unix_micros(c.cast("timestamp")) / F.lit(1e6)
+
+    dt = _epoch(F.col("_l.t")) - _epoch(F.col("_p.t"))
+    dv = F.when(F.col("_l.v") >= F.col("_p.v"),
+                F.col("_l.v") - F.col("_p.v")) \
+        .otherwise(F.col("_l.v"))
+    irate = F.when(F.col("_p").isNotNull() & (dt > 0), dv / dt)
+    gi = gi.select("series_key", "bucket_ts",
+                   (F.col("_l.v") - F.col("_mn.v")).alias("delta"),
+                   irate.alias("irate"))
+    out = rc.join(gi, ["series_key", "bucket_ts"]) \
+        .select("series_key", "bucket_ts", "resets", "n_samples",
+                "changes", "delta", "irate")
     out = _quant6(out, "delta", "irate")
     # Null irate (single-sample bucket) -> sentinel: a nullable BIGINT
     # round-trips as float64 through the oracle harness's pandas frame
@@ -1051,7 +1104,7 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("user_id").cast("string").alias("key")))
     tag = "".join(c if c.isalnum() else "_"
                   for c in _os.path.basename(sf_dir.rstrip("/")))
-    base = f"/tmp/jtse_stream_hll_{tag}"
+    base = _scratch(f"jtse_stream_hll_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     on_time = ev.where("pmod(hash(series_key, ts), 5) != 0")
     late = ev.where("pmod(hash(series_key, ts), 5) = 0")
@@ -1112,7 +1165,7 @@ def q_streaming_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("user_id").cast("string").alias("key")))
     tag = "".join(c if c.isalnum() else "_"
                   for c in _os.path.basename(sf_dir.rstrip("/")))
-    base = f"/tmp/jtse_stream_cm_{tag}"
+    base = _scratch(f"jtse_stream_cm_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     on_time = ev.where("pmod(hash(series_key, ts), 5) != 0")
     late = ev.where("pmod(hash(series_key, ts), 5) = 0")
@@ -1169,7 +1222,7 @@ def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("user_id").cast("string").alias("key")))
     tag = "".join(c if c.isalnum() else "_"
                   for c in _os.path.basename(sf_dir.rstrip("/")))
-    base = f"/tmp/jtse_stream_bloom_{tag}"
+    base = _scratch(f"jtse_stream_bloom_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     on_time = ev.where("pmod(hash(series_key, ts), 5) != 0")
     late = ev.where("pmod(hash(series_key, ts), 5) = 0")
@@ -1233,7 +1286,7 @@ def q_streaming_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("user_id").cast("string").alias("key")))
     tag = "".join(c if c.isalnum() else "_"
                   for c in _os.path.basename(sf_dir.rstrip("/")))
-    base = f"/tmp/jtse_stream_kmv_{tag}"
+    base = _scratch(f"jtse_stream_kmv_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
     mid = lo + (hi - lo) / 2
@@ -1307,7 +1360,7 @@ def q_streaming_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _event_samples(spark, sf_dir).where(F.col("value_double").isNotNull())
     tag = "".join(c if c.isalnum() else "_"
                   for c in _os.path.basename(sf_dir.rstrip("/")))
-    base = f"/tmp/jtse_stream_casc_{tag}"
+    base = _scratch(f"jtse_stream_casc_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     on_time = ev.where("pmod(hash(series_key, ts), 5) != 0")
     late = ev.where("pmod(hash(series_key, ts), 5) = 0")
@@ -1360,7 +1413,7 @@ def q_streaming_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("value_double"))
     tag = "".join(c if c.isalnum() else "_"
                   for c in _os.path.basename(sf_dir.rstrip("/")))
-    base = f"/tmp/jtse_stream_refresh_{tag}"
+    base = _scratch(f"jtse_stream_refresh_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     is_late = F.pmod(F.col("event_id"), F.lit(20)) == 7
     cols = ["series_key", "ts", "value_double"]
@@ -2106,33 +2159,54 @@ def q_ingest_dedup_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quant6(dedup_ingest_lww(versions), "value_double")
 
 
-def _lww_versions(spark: SparkSession, sf_dir: str):
+def _lww_versions(spark: SparkSession, sf_dir: str,
+                  spread: bool = True):
     """The deterministic synthesized redelivery multiset shared by the
     batch and streaming LWW queries (and mirrored by
     _ORACLE_INGEST_LWW_VERSIONS). Returns (versions, corrections) —
     the corrections/stale frame separately so the streaming query can
     deliver it late."""
-    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
-    base = ev.select(
-        F.col("event_type").alias("series_key"), "ts",
-        F.col("value").alias("value_double"),
-        F.col("ts").alias("ingest_ts"),
-        F.lit(0).cast("int").alias("ingest_seq"), "event_id")
+    # Optimization round 8 (guide §2.3 — don't re-read what one pass
+    # can emit): the four delivery branches used to be four scans of
+    # events unioned together; the same multiset now comes from ONE
+    # scan that fans each event out to its delivery rows via a literal
+    # struct array + explode (row content and column types unchanged —
+    # the union order was never semantically relevant: every consumer
+    # is an order-independent aggregate or an unordered file write).
+    # spread=False for the streaming harness: its consumers are
+    # coalesce(1) single-file writes, so the _spread repartition would
+    # only add a shuffle between a one-split scan and a one-task write.
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if spread:
+        raw = _spread(spark, raw)
+    ev = raw.where(F.col("value").isNotNull())
+    vd = F.col("value")
     late_ts = F.col("ts") + F.expr("INTERVAL 5 MINUTES")
-    redeliver = base.where(F.col("event_id") % 5 == 0)
-    correct = base.where(F.col("event_id") % 7 == 0).select(
-        "series_key", "ts",
-        (F.col("value_double") + F.lit(100.0)).alias("value_double"),
-        late_ts.alias("ingest_ts"),
-        F.lit(1).cast("int").alias("ingest_seq"), "event_id")
-    stale = base.where(F.col("event_id") % 21 == 0).select(
-        "series_key", "ts",
-        (F.col("value_double") - F.lit(50.0)).alias("value_double"),
-        late_ts.alias("ingest_ts"),
-        F.lit(0).cast("int").alias("ingest_seq"), "event_id")
-    on_time = base.unionByName(redeliver).drop("event_id")
-    late = correct.unionByName(stale).drop("event_id")
-    return on_time.unionByName(late), (on_time, late)
+    eid = F.col("event_id")
+
+    def _ver(value, ingest_ts, seq: int, late: bool):
+        return F.struct(value.alias("v"), ingest_ts.alias("it"),
+                        F.lit(seq).cast("int").alias("sq"),
+                        F.lit(late).alias("lt"))
+
+    deliveries = F.array_compact(F.array(
+        _ver(vd, F.col("ts"), 0, False),                     # delivered
+        F.when(eid % 5 == 0,                                 # redelivered
+               _ver(vd, F.col("ts"), 0, False)),
+        F.when(eid % 7 == 0,                                 # corrected
+               _ver(vd + F.lit(100.0), late_ts, 1, True)),
+        F.when(eid % 21 == 0,                                # stale rep.
+               _ver(vd - F.lit(50.0), late_ts, 0, True))))
+    versions = (ev.select(F.col("event_type").alias("series_key"), "ts",
+                          F.explode(deliveries).alias("_d"))
+                .select("series_key", "ts",
+                        F.col("_d.v").alias("value_double"),
+                        F.col("_d.it").alias("ingest_ts"),
+                        F.col("_d.sq").alias("ingest_seq"),
+                        F.col("_d.lt").alias("_late")))
+    on_time = versions.where(~F.col("_late")).drop("_late")
+    late = versions.where(F.col("_late")).drop("_late")
+    return versions.drop("_late"), (on_time, late)
 
 
 def q_streaming_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2151,12 +2225,20 @@ def q_streaming_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_time_series_extractor_spark.streaming.stream import (
         streaming_lww)
 
-    _, (on_time, late) = _lww_versions(spark, sf_dir)
+    _, (on_time, late) = _lww_versions(spark, sf_dir, spread=False)
     tag = "".join(c if c.isalnum() else "_"
                   for c in _os.path.basename(sf_dir.rstrip("/")))
-    base = f"/tmp/jtse_stream_lww_{tag}"
+    base = _scratch(f"jtse_stream_lww_{tag}")
     shutil.rmtree(base, ignore_errors=True)
-    flush_ts = on_time.agg(F.max("ts")).first()[0] + timedelta(days=400)
+    # Flush sentinel just needs to exceed every delivered event time;
+    # max(ts) over the UNFILTERED events scan (>= the on-time max)
+    # answers from parquet footer stats under aggregatePushdown (r8)
+    # instead of re-running the delivery fan-out. The sentinel row is
+    # filtered from the output, so its exact timestamp is not part of
+    # the contract — only "beyond the watermark of every real key".
+    raw_max = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+               .agg(F.max("ts")).first()[0])
+    flush_ts = raw_max + timedelta(days=400)
     flush = spark.createDataFrame(
         [("_flush", flush_ts, 0.0, flush_ts, 0)],
         "series_key string, ts timestamp, value_double double, "
@@ -2251,13 +2333,21 @@ def q_frequency_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL value check incl. the window-exact count so the one-sided
     bound (cm_est >= exact over the window) is visible per row."""
     from json_time_series_extractor_spark.operators.cmsketch import (
-        cm_cascade, cm_estimate, cm_over_time, cm_rollup)
+        cm_estimate, cm_over_time, cm_rollup)
 
     ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
           .select(F.col("event_type").alias("series_key"), "ts",
                   F.col("user_id").cast("string").alias("key")))
-    regs = cm_cascade(cm_rollup(ev, "1 minute", key_col="key"),
-                      "1 hour")
+    # Optimization round 8 (guide §2.3 — aggregate before you shuffle):
+    # registers build directly at 1h. Bit-identical to the previous
+    # cm_cascade(cm_rollup(ev, "1 minute"), "1 hour") because register
+    # counts are additive — SUM over a bucket's minute sub-buckets ==
+    # COUNT over the bucket (the cascade contract this repo pytest-
+    # asserts) — and it drops one full shuffle + aggregate of the
+    # minute-tier register frame from a subtree this plan references
+    # several times (the oracle builds at 1h directly too; unchanged).
+    # The cascade path stays driver-exercised by cm_frequency.
+    regs = cm_rollup(ev, "1 hour", key_col="key")
     roll = cm_over_time(regs, 6)
     nb = roll.select("series_key", "bucket_ts", "n_buckets").distinct()
 
@@ -2299,13 +2389,18 @@ def q_distinct_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raw, replays the same present-bucket-index fan-out and MAX
     merge, and the exact fixed-point estimate arithmetic."""
     from json_time_series_extractor_spark.operators.hll import (
-        hll_cascade, hll_estimate, hll_over_time, hll_rollup)
+        hll_estimate, hll_over_time, hll_rollup)
 
     ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
           .select(F.col("event_type").alias("series_key"), "ts",
                   F.col("user_id").cast("string").alias("key")))
-    regs = hll_cascade(hll_rollup(ev, "1 minute", key_col="key"),
-                       "1 hour")
+    # Optimization round 8 (guide §2.3): direct 1h register build —
+    # bit-identical to hll_cascade(hll_rollup(ev, "1 minute"), "1 hour")
+    # because HLL registers merge by MAX (max of minute maxes == hour
+    # max; the cascade contract pytest-asserts this), minus one full
+    # shuffle + aggregate of the minute tier. The cascade path stays
+    # driver-exercised by hll_distinct_1h.
+    regs = hll_rollup(ev, "1 hour", key_col="key")
     roll = hll_over_time(regs, 6)
     nb = roll.select("series_key", "bucket_ts", "n_buckets").distinct()
     est = hll_estimate(roll.drop("n_buckets"))
@@ -3112,7 +3207,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ((F.col("doc_id") * 31 + 7) % n).alias("dst"))
     e2 = docs.select(F.col("doc_id").alias("src"),
                      ((F.col("doc_id") * 17 + 1) % n).alias("dst"))
-    return pagerank(e1.unionByName(e2), iters=10)
+    # n_nodes == n: every doc_id appears as a src, so the node set is
+    # exactly the doc set (saves pagerank's internal count job — r8).
+    return pagerank(e1.unionByName(e2), iters=10, n_nodes=n)
 
 
 def _oracle_pagerank() -> str:
@@ -3721,7 +3818,7 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = "".join(c if c.isalnum() else "_"
                   for c in _os.path.basename(sf_dir.rstrip("/")))
-    base = f"/tmp/jtse_warc_{tag}"
+    base = _scratch(f"jtse_warc_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     _os.makedirs(base)
     docs = (_docs(spark, sf_dir).where(F.col("text").isNotNull())
@@ -3798,7 +3895,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = "".join(c if c.isalnum() else "_"
                   for c in _os.path.basename(sf_dir.rstrip("/")))
-    base = f"/tmp/jtse_jsonl_{tag}"
+    base = _scratch(f"jtse_jsonl_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
     (docs.select(F.to_json(F.struct("doc_id", "lang", "text")))
@@ -4356,7 +4453,7 @@ def q_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     from datetime import date
 
-    base = f"/tmp/jtse_retention_{os.path.basename(sf_dir.rstrip('/'))}"
+    base = _scratch(f"jtse_retention_{os.path.basename(sf_dir.rstrip('/'))}")
     shutil.rmtree(base, ignore_errors=True)
     (_events(spark, sf_dir)
      .withColumn("dt", F.date_format(F.date_trunc("day", "ts"),
@@ -4398,7 +4495,7 @@ def q_streaming_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples = _event_samples(spark, sf_dir)
     tag = "".join(c if c.isalnum() else "_"
                   for c in os.path.basename(sf_dir.rstrip("/")))
-    base = f"/tmp/jtse_stream_td_{tag}"
+    base = _scratch(f"jtse_stream_td_{tag}")
     shutil.rmtree(base, ignore_errors=True)
     on_time = samples.where("pmod(hash(series_key, ts), 5) != 0")
     late = samples.where("pmod(hash(series_key, ts), 5) = 0")

@@ -33,16 +33,31 @@ from pyspark.sql import DataFrame, functions as F
 
 def pagerank(edges: DataFrame, *, iters: int = 10,
              scale: int = 10**12,
-             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+             src_col: str = "src", dst_col: str = "dst",
+             ckpt_every: int = 5,
+             n_nodes: int = None) -> DataFrame:
     """Integer PageRank over an edge list (duplicate edges count —
     parallel links weigh double, matching the SQL oracle's multiset
     semantics). Output: (node, pr) for every node appearing as src or
     dst. 10 iterations is the conventional curation-prior budget.
+
+    ``ckpt_every`` (optimization round 8, guide §1.2/§5): a
+    localCheckpoint per iteration made every round an eager job barrier
+    — 66 driver jobs for 10 iterations, ~100 ms of scheduling each at
+    bench scale. Checkpointing every ``ckpt_every`` rounds keeps the
+    lineage bounded (plan depth <= ckpt_every join+agg rounds — the
+    growth localCheckpoint exists to stop) while letting Spark pipeline
+    the intermediate rounds' shuffles inside one job (measured 3.4s ->
+    2.1s at sf0.1; rank arithmetic is untouched, results identical).
+    ``n_nodes``: pass the node count when the caller already knows it
+    to skip the extra count job; must equal the true distinct count.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     if scale < 10**6:
         raise ValueError(f"scale must be >= 1e6, got {scale}")
+    if ckpt_every < 1:
+        raise ValueError(f"ckpt_every must be >= 1, got {ckpt_every}")
     src, dst = F.col(src_col), F.col(dst_col)
     e = edges.select(src.alias("src"), dst.alias("dst"))
     nodes = (e.select(F.col("src").alias("node"))
@@ -52,10 +67,10 @@ def pagerank(edges: DataFrame, *, iters: int = 10,
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
     ed = (e.join(outdeg, "src")
           .localCheckpoint(eager=True))   # annotated edges, built once
-    n = nodes.count()
+    n = int(n_nodes) if n_nodes is not None else nodes.count()
     base = (3 * scale) // (20 * n)
     pr = nodes.withColumn("pr", F.lit(scale // n).cast("long"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (ed.join(pr, ed["src"] == pr["node"])
                    .select(F.col("dst").alias("node"),
                            F.expr("pr DIV _deg").alias("_c")))
@@ -64,8 +79,9 @@ def pagerank(edges: DataFrame, *, iters: int = 10,
               .select("node",
                       (F.lit(base)
                        + F.expr("17 * coalesce(_s, 0) DIV 20"))
-                      .cast("long").alias("pr"))
-              .localCheckpoint(eager=True))
+                      .cast("long").alias("pr")))
+        if (i + 1) % ckpt_every == 0 or i == iters - 1:
+            pr = pr.localCheckpoint(eager=True)
     return pr
 
 

@@ -39,6 +39,25 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Join strategy (optimization round 8, guide §3.1/§9): let the
+        # planner pick shuffled-hash over sort-merge when the build side
+        # fits (drops both sort stages from every equi-join whose sides
+        # are hash-table-sized), let AQE rewrite SMJ->SHJ at runtime for
+        # post-shuffle partitions under 64 MB, and broadcast up to 64 MB
+        # (the 10 MB default is conservative for 100 GB+ executors; the
+        # decision still scales off runtime size estimates, so a side
+        # that grows past the threshold at bigger SFs degrades back to a
+        # shuffle join on its own). All three are env-overridable.
+        .config("spark.sql.join.preferSortMergeJoin",
+                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"))
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
+        .config("spark.sql.autoBroadcastJoinThreshold",
+                os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"))
+        # MIN/MAX/COUNT over unfiltered parquet scans answer from footer
+        # statistics instead of a full scan (Spark 3.3+; falls back
+        # silently where stats don't apply).
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
