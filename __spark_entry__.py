@@ -246,6 +246,17 @@ def _scratch(name: str) -> str:
     return os.path.join(_SCRATCH_DIR, name)
 
 
+def _local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Tiny literal frame as ONE partition (r8). createDataFrame slices
+    a local collection into defaultParallelism pickled-Python
+    partitions; a downstream coalesce(1) then walks all of them
+    SEQUENTIALLY in one task, each paying a Python-worker round trip
+    (~0.17 s each measured — ~5 s per flush-sentinel write at
+    local[32]). One slice = one round trip."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """The sf* test tables are single-row-group parquet files, so Spark
     scans them as ONE split — every downstream map runs single-threaded.
@@ -1109,7 +1120,7 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     on_time = ev.where("pmod(hash(series_key, ts), 5) != 0")
     late = ev.where("pmod(hash(series_key, ts), 5) = 0")
     flush_ts = ev.agg(F.max("ts")).first()[0] + timedelta(days=365)
-    flush = spark.createDataFrame(
+    flush = _local_df(spark,
         [("_flush", flush_ts, "k")],
         "series_key string, ts timestamp, key string")
     on_time.coalesce(1).write.parquet(base + "/src/f1")
@@ -1170,7 +1181,7 @@ def q_streaming_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
     on_time = ev.where("pmod(hash(series_key, ts), 5) != 0")
     late = ev.where("pmod(hash(series_key, ts), 5) = 0")
     flush_ts = ev.agg(F.max("ts")).first()[0] + timedelta(days=365)
-    flush = spark.createDataFrame(
+    flush = _local_df(spark,
         [("_flush", flush_ts, "k")],
         "series_key string, ts timestamp, key string")
     on_time.coalesce(1).write.parquet(base + "/src/f1")
@@ -1227,7 +1238,7 @@ def q_streaming_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     on_time = ev.where("pmod(hash(series_key, ts), 5) != 0")
     late = ev.where("pmod(hash(series_key, ts), 5) = 0")
     flush_ts = ev.agg(F.max("ts")).first()[0] + timedelta(days=365)
-    flush = spark.createDataFrame(
+    flush = _local_df(spark,
         [("_flush", flush_ts, "k")],
         "series_key string, ts timestamp, key string")
     on_time.coalesce(1).write.parquet(base + "/src/f1")
@@ -1365,7 +1376,7 @@ def q_streaming_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     on_time = ev.where("pmod(hash(series_key, ts), 5) != 0")
     late = ev.where("pmod(hash(series_key, ts), 5) = 0")
     flush_ts = ev.agg(F.max("ts")).first()[0] + timedelta(days=365)
-    flush = spark.createDataFrame(
+    flush = _local_df(spark,
         [("_flush", flush_ts, 0.0)],
         "series_key string, ts timestamp, value_double double")
     on_time.coalesce(1).write.parquet(base + "/src/f1")
@@ -2239,7 +2250,7 @@ def q_streaming_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_max = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
                .agg(F.max("ts")).first()[0])
     flush_ts = raw_max + timedelta(days=400)
-    flush = spark.createDataFrame(
+    flush = _local_df(spark,
         [("_flush", flush_ts, 0.0, flush_ts, 0)],
         "series_key string, ts timestamp, value_double double, "
         "ingest_ts timestamp, ingest_seq int")
@@ -3900,9 +3911,9 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
     (docs.select(F.to_json(F.struct("doc_id", "lang", "text")))
      .write.text(base + "/good"))
-    spark.createDataFrame(
-        [("GARBAGE not json at all",), ('{"doc_id": 1, "lang": tru',)],
-        "value string").coalesce(1).write.text(base + "/bad")
+    _local_df(spark,
+              [("GARBAGE not json at all",), ('{"doc_id": 1, "lang": tru',)],
+              "value string").coalesce(1).write.text(base + "/bad")
 
     from json_time_series_extractor_spark.operators._persist import (
         materialize)
@@ -4500,7 +4511,7 @@ def q_streaming_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     on_time = samples.where("pmod(hash(series_key, ts), 5) != 0")
     late = samples.where("pmod(hash(series_key, ts), 5) = 0")
     flush_ts = samples.agg(F.max("ts")).first()[0] + timedelta(days=365)
-    flush = spark.createDataFrame(
+    flush = _local_df(spark,
         [("_flush", flush_ts, 0.0)],
         "series_key string, ts timestamp, value_double double")
     on_time.coalesce(1).write.parquet(base + "/src/f1")

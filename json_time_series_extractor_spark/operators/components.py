@@ -72,22 +72,28 @@ def connected_components(pairs: DataFrame, *, id_a: str = "id_a",
 
     for _ in range(max_iterations):
         prop = (edges.join(labels, edges.src == labels.node)
-                .select(F.col("dst").alias("node"), "component"))
-        new_labels = (labels.unionByName(prop)
+                .select(F.col("dst").alias("node"), "component",
+                        F.lit(None).cast(labels.schema["component"]
+                                         .dataType).alias("_old")))
+        # r8 (guide §2.4): carry each node's OLD label through the
+        # aggregate (every node has exactly one labels row, so
+        # max(_old) recovers it) — the convergence check becomes a
+        # filter over the checkpointed round output instead of a
+        # join+shuffle job per round.
+        own = labels.select("node", "component",
+                            F.col("component").alias("_old"))
+        new_labels = (own.unionByName(prop)
                       .groupBy("node")
-                      .agg(F.min("component").alias("component"))
+                      .agg(F.min("component").alias("component"),
+                           (F.min("component") != F.max("_old"))
+                           .alias("_chg"))
                       .localCheckpoint(eager=True))
-        # Convergence = no label changed. One aggregate over the joined
-        # old/new labels (both tiny relative to the edge set).
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .where(F.col("n.component") != F.col("o.component"))
-                   .count())
+        changed = new_labels.where("_chg").limit(1).count()
         # Release the previous round's snapshot (new_labels is already
         # materialized, so nothing still depends on it); the FINAL round's
         # checkpoint stays alive for the caller.
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.drop("_chg")
         if changed == 0:
             edges.unpersist()
             return labels
@@ -158,10 +164,15 @@ def _connected_components_star(pairs: DataFrame, *, id_a: str, id_b: str,
                 .localCheckpoint(eager=True))
     for _ in range(max_iterations):
         after = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        # Converged when the edge sets match exactly (both directions of
-        # exceptAll — counts alone can agree while sets differ).
-        stable = (after.exceptAll(edges).limit(1).count() == 0
-                  and edges.exceptAll(after).limit(1).count() == 0)
+        # Converged when the edge sets match exactly. Both sides are
+        # distinct, so ONE full-outer join finding no one-sided row is
+        # the whole symmetric difference (r8: was two exceptAll
+        # subtract jobs per round).
+        stable = (after.withColumn("_a", F.lit(1))
+                  .join(edges.withColumn("_e", F.lit(1)), ["u", "v"],
+                        "full_outer")
+                  .where(F.col("_a").isNull() | F.col("_e").isNull())
+                  .limit(1).count() == 0)
         edges.unpersist()
         edges = after
         if stable:

@@ -59,7 +59,7 @@ def exact_top_n(df: DataFrame, n: int, *, score_col: str = "score",
         return nn.withColumn("rank", F.lit(0).cast("int")).limit(0)
     if cnt > n:
         t = value_at_rank(nn, score_col, cnt - n + 1,
-                          coarse_bits=coarse_bits)
+                          coarse_bits=coarse_bits, n_rows=cnt)
         nn = nn.where(v.cast("long") >= F.lit(t))
     w = Window.orderBy(F.desc(score_col), F.asc(id_col))
     return (nn.withColumn("rank", F.row_number().over(w))

@@ -38,22 +38,57 @@ from json_time_series_extractor_spark.operators._persist import (
 
 
 def value_at_rank(df: DataFrame, col: str, rank: int, *,
-                  coarse_bits: int = 20) -> int:
+                  coarse_bits: int = 20,
+                  n_rows: int = None) -> int:
     """Exact ``rank``-th smallest (1-indexed, duplicates counted) of an
-    int64 column, in two counting passes — no sort, no quantile
+    int64 column, in at most two counting passes — no sort, no quantile
     approximation. Raises if ``rank`` exceeds the non-null row count.
+
+    ``n_rows`` (optimization round 8): callers that already know the
+    non-null row count (both in-repo callers count first) can pass it;
+    when the WHOLE column has <= 2^coarse_bits rows, one pass over the
+    distinct values is within the same a-priori collect bound the fine
+    pass already promises, so the coarse pass is skipped — one action
+    instead of two. The two-pass form remains the scale path.
     """
+    return _value_at_rank_with_below(df, col, rank,
+                                     coarse_bits=coarse_bits,
+                                     n_rows=n_rows)[0]
+
+
+def _value_at_rank_with_below(df: DataFrame, col: str, rank: int, *,
+                              coarse_bits: int = 20,
+                              n_rows: int = None) -> tuple:
+    """(value at rank, count of rows strictly below that value) — the
+    second element falls out of the counting walks for free, so callers
+    that need the dropped-row count (quantile_threshold_filter) don't
+    pay an extra counting job for it."""
     if rank < 1:
         raise ValueError(f"rank must be >= 1, got {rank}")
     if not 8 <= coarse_bits <= 40:
         raise ValueError(f"coarse_bits must be in [8, 40], got {coarse_bits}")
     v = F.col(col)
+    nn = df.where(v.isNotNull())
+    below = 0
+    if n_rows is not None and int(n_rows) <= (1 << coarse_bits):
+        # Single-pass: every distinct value (bounded by n_rows).
+        fine = sorted(
+            nn.groupBy(v.cast("long").alias("_v"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .collect(), key=lambda r: r["_v"])
+        remaining = rank
+        for r in fine:
+            if remaining <= r["_c"]:
+                return int(r["_v"]), below
+            remaining -= r["_c"]
+            below += r["_c"]
+        total = sum(r["_c"] for r in fine)
+        raise ValueError(f"rank {rank} > non-null rows {total}")
     # floor shift keeps bucket order == value order for negatives too
     # sorts happen DRIVER-side over the collected summary rows (never
     # a Sort stage, even a summary-sized one)
     coarse = sorted(
-        df.where(v.isNotNull())
-        .groupBy(F.shiftright(v.cast("long"), coarse_bits).alias("_b"))
+        nn.groupBy(F.shiftright(v.cast("long"), coarse_bits).alias("_b"))
         .agg(F.count(F.lit(1)).alias("_c"))
         .collect(), key=lambda r: r["_b"])
     remaining = rank
@@ -63,19 +98,21 @@ def value_at_rank(df: DataFrame, col: str, rank: int, *,
             bucket = r["_b"]
             break
         remaining -= r["_c"]
+        below += r["_c"]
     if bucket is None:
         total = sum(r["_c"] for r in coarse)
         raise ValueError(f"rank {rank} > non-null rows {total}")
     fine = sorted(
-        df.where(F.shiftright(v.cast("long"), coarse_bits)
+        nn.where(F.shiftright(v.cast("long"), coarse_bits)
                  == F.lit(int(bucket)))
         .groupBy(v.cast("long").alias("_v"))
         .agg(F.count(F.lit(1)).alias("_c"))
         .collect(), key=lambda r: r["_v"])
     for r in fine:
         if remaining <= r["_c"]:
-            return int(r["_v"])
+            return int(r["_v"]), below
         remaining -= r["_c"]
+        below += r["_c"]
     raise AssertionError("coarse/fine passes disagree")  # unreachable
 
 
@@ -104,8 +141,10 @@ def quantile_threshold_filter(df: DataFrame, score_col: str,
     if n == 0:
         raise ValueError(f"no non-null {score_col} rows")
     k = int(drop_frac * n)   # <= n-1 since drop_frac < 1
-    t = value_at_rank(nn, score_col, k + 1, coarse_bits=coarse_bits)
-    dropped = nn.where(v.cast("long") < F.lit(t)).count()
+    # r8: the dropped count is the threshold walk's cumulative count of
+    # values strictly below t — no separate counting job needed.
+    t, dropped = _value_at_rank_with_below(
+        nn, score_col, k + 1, coarse_bits=coarse_bits, n_rows=n)
     return (df.where(v.isNotNull() & (v.cast("long") >= F.lit(t)))
             .withColumn("threshold", F.lit(t).cast("long"))
             .withColumn("n_dropped", F.lit(int(dropped)).cast("long")))

@@ -2605,6 +2605,25 @@ def test_value_at_rank_and_quantile_threshold(spark):
     with _pytest.raises(ValueError):
         value_at_rank(df, "score", 0)
 
+    # r8 single-pass shortcut (n_rows <= 2^coarse_bits) and the r8
+    # walk-derived below-count must agree with the two-pass path and
+    # with Python on every rank, including the coarse_bits=8 regime
+    # where this data spans many coarse buckets (two-pass) vs n_rows
+    # known (single-pass).
+    from json_time_series_extractor_spark.operators.rankselect import (
+        _value_at_rank_with_below)
+    for rank in range(1, len(vals) + 1):
+        expect = (sv[rank - 1], sum(1 for x in vals if x < sv[rank - 1]))
+        assert _value_at_rank_with_below(
+            df, "score", rank, coarse_bits=8) == expect, rank
+        assert _value_at_rank_with_below(
+            df, "score", rank, coarse_bits=8,
+            n_rows=len(vals)) == expect, rank
+        assert value_at_rank(df, "score", rank,
+                             n_rows=len(vals)) == sv[rank - 1], rank
+    with _pytest.raises(ValueError):
+        value_at_rank(df, "score", len(vals) + 1, n_rows=len(vals))
+
     # drop_frac 0.25 of 12 -> k=3, threshold = sv[3] = -1; the three
     # smaller rows drop, ties at -1 (none) kept
     out = quantile_threshold_filter(df, "score", 0.25)
