@@ -1574,8 +1574,10 @@ def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_time_series_extractor_spark.operators.dedup import (
         duplicate_ngram_stats)
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return duplicate_ngram_stats(docs, n=8, hash_fn="md5hi")
+    # r8: _docs spreads the one-split scan — the tokenize + window
+    # hash map side (the operator's dominant cost) was single-task.
+    return duplicate_ngram_stats(_docs(spark, sf_dir), n=8,
+                                 hash_fn="md5hi")
 
 
 _ORACLE_DUP_NGRAM = r"""

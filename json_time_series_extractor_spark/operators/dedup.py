@@ -999,20 +999,29 @@ def _centroid_sims6(v: Column, centroids) -> Column:
     array_max IS the deterministic argmax: highest quantized similarity,
     ties to the LOWEST centroid id. Quantizing BEFORE the argmax is what
     makes the cluster assignment replayable in SQL — both engines
-    compare the same integers, never raw doubles. The fold-form
-    :func:`~.similarity.cosine` keeps the k*dim assignment expressions
-    compact (the unrolled ``cosine_flat`` times k centroids overflows
-    the whole-stage-codegen method limit and falls back to interpreted
-    anyway); it is bit-identical to the flat form per its docstring."""
-    from json_time_series_extractor_spark.operators.similarity import (
-        cosine)
+    compare the same integers, never raw doubles. The fold-form cosine
+    keeps the k*dim assignment expressions compact (the unrolled
+    ``cosine_flat`` times k centroids overflows the whole-stage-codegen
+    method limit and falls back to interpreted anyway); it is
+    bit-identical to the flat form per its docstring. r8: the k cosines
+    are one ``transform`` over a literal centroid MATRIX — the same
+    fold ops per element (results unchanged), built in ~20 py4j round
+    trips instead of ~10k (driver plan construction measured ~0.8s for
+    this helper alone)."""
+    cmat = F.array(*[F.lit([float(x) for x in c]) for c in centroids])
 
-    entries = []
-    for i, c in enumerate(centroids):
-        cvec = F.array(*[F.lit(float(x)) for x in c])
-        q6 = F.floor(cosine(v, cvec) * 1e6 + F.lit(0.5)).cast("long")
-        entries.append(F.struct(q6.alias("q6"), F.lit(-i).alias("nc")))
-    return F.array(*entries)
+    def _fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    def _entry(c, i):
+        dot = _fold_sum(F.zip_with(v, c, lambda x, y: x * y))
+        denom = (F.sqrt(_fold_sum(F.transform(v, lambda x: x * x)))
+                 * F.sqrt(_fold_sum(F.transform(c, lambda x: x * x))))
+        cos = F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+        q6 = F.floor(cos * 1e6 + F.lit(0.5)).cast("long")
+        return F.struct(q6.alias("q6"), (-i).alias("nc"))
+
+    return F.transform(cmat, _entry)
 
 
 def semdedup(embeddings: DataFrame, centroids, *,
@@ -1053,7 +1062,7 @@ def semdedup(embeddings: DataFrame, centroids, *,
     vector with a non-null embedding and positive norm.
     """
     from json_time_series_extractor_spark.operators.similarity import (
-        _as_double, _norm, _probe_dim, cosine_flat)
+        _as_double, _norm, _probe_dim, dot_flat_sql)
 
     if dim is None:
         dim = _probe_dim(embeddings, vec_col)
@@ -1064,16 +1073,25 @@ def semdedup(embeddings: DataFrame, centroids, *,
                     _as_double(F.col(vec_col)).alias("_v")))
     base = base.where(_norm(F.col("_v")) > 0)
     pick = F.array_max(_centroid_sims6(F.col("_v"), centroids))
+    # r8 (guide §1.2 per-task work): carry each row's norm through the
+    # persisted assignment so the pair stage evaluates ONE unrolled dot
+    # per candidate pair instead of three — sqrt(dot(a,a)) per side is
+    # computed once per ROW here and multiplied at the pair, the exact
+    # cosine_flat op order (the cosine_topk precedent: bit-identical).
     assigned = _materialize(base.select(
         "vec_id", "_v",
         (-pick["nc"]).cast("int").alias("cell"),
-        pick["q6"].alias("centroid_sim6")))
+        pick["q6"].alias("centroid_sim6"),
+        F.sqrt(dot_flat_sql("_v", "_v", dim)).alias("_n")))
     lo, hi = assigned.alias("lo"), assigned.alias("hi")
     earlier = ((F.col("lo.centroid_sim6") < F.col("hi.centroid_sim6"))
                | ((F.col("lo.centroid_sim6") == F.col("hi.centroid_sim6"))
                   & (F.col("lo.vec_id") < F.col("hi.vec_id"))))
+    pair_denom = F.col("lo._n") * F.col("hi._n")
     pair6 = F.floor(
-        cosine_flat(F.col("lo._v"), F.col("hi._v"), dim)
+        F.when(pair_denom > 0,
+               dot_flat_sql("lo._v", "hi._v", dim) / pair_denom)
+        .otherwise(F.lit(0.0))
         * 1e6 + F.lit(0.5)).cast("long")
     dropped = (lo.join(hi, (F.col("lo.cell") == F.col("hi.cell"))
                        & earlier, "inner")

@@ -270,42 +270,55 @@ def lang_id_scores(docs: DataFrame, profiles: Dict[str, LmTable], *,
     langs = sorted(profiles)
     if not langs:
         raise ValueError("profiles must be non-empty")
-    lp_rows = [(lang, g, v) for lang in langs
-               for g, v in profiles[lang][0].items()]
-    ctx_rows = [(lang, c, v) for lang in langs
-                for c, v in profiles[lang][1].items()]
+    # r8 restructure (round-7 verdict #3): the previous plan crossJoined
+    # the exploded trigram stream with the |L|-row language dimension,
+    # so the hash-aggregate input grew |L|x. The per-lang tables are now
+    # pivoted into map<lang, lp> columns keyed by gram/ctx — ONE stream
+    # of gram rows, two broadcast left joins, and an |L|-wide aggregate
+    # whose per-lang sums read the maps. Same integers, same coalesce
+    # chain (gram hit -> ctx backoff -> lang floor), same argmax
+    # tie-break, so the scores and predictions are bit-identical; the
+    # aggregate input shrinks |L|x (the restructure matters at 100+
+    # languages; measured ~0.8s off the 8-lang driver row at sf0.1).
+    lp_by_gram: Dict[str, Dict[str, int]] = {}
+    ctx_by_ctx: Dict[str, Dict[str, int]] = {}
+    for lang in langs:
+        for g, v in profiles[lang][0].items():
+            lp_by_gram.setdefault(g, {})[lang] = v
+        for c, v in profiles[lang][1].items():
+            ctx_by_ctx.setdefault(c, {})[lang] = v
+    lp0 = {lang: int(profiles[lang][2]) for lang in langs}
     lp_df = F.broadcast(spark.createDataFrame(
-        lp_rows or [("", "", 0)][:0], "lang string, gram string, lp long"))
+        list(lp_by_gram.items()), "gram string, lpm map<string,bigint>"))
     ctx_df = F.broadcast(spark.createDataFrame(
-        ctx_rows or [("", "", 0)][:0], "lang string, ctx string, lpu long"))
-    lang_dim = F.broadcast(spark.createDataFrame(
-        [(lang, profiles[lang][2]) for lang in langs],
-        "lang string, lp0 long"))
+        list(ctx_by_ctx.items()), "_ctx string, lpum map<string,bigint>"))
 
     u = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(_char_trigrams(_normalize(F.col(text_col))))
         .alias("gram"))
-    j = (u.crossJoin(lang_dim)
-         .join(lp_df, ["lang", "gram"], "left")
-         .join(ctx_df,
-               (F.col("ctx") == F.substring(F.col("gram"), 1, 2))
-               & (ctx_df["lang"] == lang_dim["lang"]), "left"))
-    per_gram = F.when(F.col("gram").isNull(), F.lit(None).cast("long")) \
-        .otherwise(F.coalesce(F.col("lp"), F.col("lpu"), F.col("lp0")))
-    per_lang = (j.select("doc_id", lang_dim["lang"].alias("lang"),
-                         per_gram.alias("_lp"))
-                .groupBy("doc_id", "lang")
-                .agg(F.count("_lp").alias("n_trigrams"),
-                     F.sum("_lp").alias("score_fp6")))
-    pick = F.min(F.when(
-        F.col("n_trigrams") > 0,
-        F.struct((-F.col("score_fp6")).alias("ns"),
-                 F.col("lang").alias("lang"),
-                 F.col("score_fp6").alias("s"))))
-    per_doc = (per_lang.groupBy("doc_id")
-               .agg(pick.alias("_b"),
-                    F.max("n_trigrams").alias("n_trigrams")))
+    j = (u.withColumn("_ctx", F.substring(F.col("gram"), 1, 2))
+         .join(lp_df, ["gram"], "left")
+         .join(ctx_df, ["_ctx"], "left"))
+    gram_ok = F.col("gram").isNotNull()
+
+    def _score(lang: str):
+        return F.sum(F.when(gram_ok, F.coalesce(
+            F.col("lpm").getItem(lang), F.col("lpum").getItem(lang),
+            F.lit(lp0[lang]))))
+
+    per_doc = (j.groupBy("doc_id")
+               .agg(F.count(F.when(gram_ok, F.lit(1)))
+                    .alias("n_trigrams"),
+                    *[_score(lang).alias(f"_s{i}")
+                      for i, lang in enumerate(langs)]))
+    pick = F.array_min(F.array(*[
+        F.struct((-F.col(f"_s{i}")).alias("ns"),
+                 F.lit(lang).alias("lang"),
+                 F.col(f"_s{i}").alias("s"))
+        for i, lang in enumerate(langs)]))
+    per_doc = per_doc.withColumn(
+        "_b", F.when(F.col("n_trigrams") > 0, pick))
     out = per_doc.select(
         "doc_id", F.col("_b.lang").alias("pred_lang"),
         F.col("_b.s").alias("score_fp6"), "n_trigrams")
