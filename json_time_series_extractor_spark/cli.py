@@ -610,11 +610,19 @@ def run_query(spark: SparkSession, args: argparse.Namespace) -> dict:
         report["output"] = args.output
         report["rows"] = spark.read.parquet(args.output).count()
         return report
-    rows = out.orderBy("series_key", "bucket_ts").limit(args.show).collect()
-    report["rows_shown"] = [
-        {"series_key": r.series_key, "bucket_ts": str(r.bucket_ts),
-         "value": r.value} for r in rows]
-    report["rows"] = out.count()
+    # r8 (ADVICE): one execution for the report path — persist the
+    # result so the shown-rows collect and the count don't each re-run
+    # the full compiled plan.
+    out = out.persist()
+    try:
+        rows = (out.orderBy("series_key", "bucket_ts").limit(args.show)
+                .collect())
+        report["rows_shown"] = [
+            {"series_key": r.series_key, "bucket_ts": str(r.bucket_ts),
+             "value": r.value} for r in rows]
+        report["rows"] = out.count()
+    finally:
+        out.unpersist()
     return report
 
 

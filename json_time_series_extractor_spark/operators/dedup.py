@@ -361,7 +361,7 @@ def embedding_neardup_pairs(embeddings: DataFrame, *,
     map-side-collapsed aggregate, paid only in auto mode).
     """
     from json_time_series_extractor_spark.operators.similarity import (
-        dot_flat, hyperplane_signature_table)
+        dot_flat_sql, hyperplane_signature_table)
 
     base = embeddings.select(
         F.col(id_col).alias("_id"),
@@ -380,7 +380,7 @@ def embedding_neardup_pairs(embeddings: DataFrame, *,
 
     # Per-vector norm computed once, before any pairing (1 dot per pair).
     base = base.withColumn(
-        "_n", F.sqrt(dot_flat(F.col("_v"), F.col("_v"), dim)))
+        "_n", F.sqrt(dot_flat_sql("_v", "_v", dim)))
     banded = _materialize(  # self-joined below: hash each vector once
         hyperplane_signature_table(base, "_id", "_v", bits=bits,
                                    tables=tables, dim=dim))

@@ -40,7 +40,7 @@ from typing import Iterable, Iterator, Optional
 from pyspark.sql import DataFrame, Window, functions as F
 
 from json_time_series_extractor_spark.operators.similarity import (
-    _as_double, _probe_dim, dot_flat)
+    _as_double, _probe_dim, dot_flat_sql)
 
 
 def pq_train(corpus: DataFrame, *, m: int = 8, n_codes: int = 256,
@@ -281,15 +281,15 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(F.col(vec_col)).alias("_cv"))
     c = c.withColumn("_cn",
-                     F.sqrt(dot_flat(F.col("_cv"), F.col("_cv"), dim)))
+                     F.sqrt(dot_flat_sql("_cv", "_cv", dim)))
     qd = q.withColumn("_qn",
-                      F.sqrt(dot_flat(F.col("_qv"), F.col("_qv"), dim)))
+                      F.sqrt(dot_flat_sql("_qv", "_qv", dim)))
     denom = F.col("_qn") * F.col("_cn")
     scored = (cand.join(c, "neighbor_id")
               .join(F.broadcast(qd), "query_id")
               .select("query_id", "neighbor_id",
                       F.when(denom > 0,
-                             dot_flat(F.col("_qv"), F.col("_cv"), dim)
+                             dot_flat_sql("_qv", "_cv", dim)
                              / denom)
                       .otherwise(F.lit(0.0)).alias("cosine_sim")))
     w = Window.partitionBy("query_id").orderBy(
@@ -379,15 +379,15 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(F.col(vec_col)).alias("_cv"))
     c = c.withColumn("_cn",
-                     F.sqrt(dot_flat(F.col("_cv"), F.col("_cv"), dim)))
+                     F.sqrt(dot_flat_sql("_cv", "_cv", dim)))
     qd = q.withColumn("_qn",
-                      F.sqrt(dot_flat(F.col("_qv"), F.col("_qv"), dim)))
+                      F.sqrt(dot_flat_sql("_qv", "_qv", dim)))
     denom = F.col("_qn") * F.col("_cn")
     scored = (cand.join(c, "neighbor_id")
               .join(F.broadcast(qd), "query_id")
               .select("query_id", "neighbor_id",
                       F.when(denom > 0,
-                             dot_flat(F.col("_qv"), F.col("_cv"), dim)
+                             dot_flat_sql("_qv", "_cv", dim)
                              / denom)
                       .otherwise(F.lit(0.0)).alias("cosine_sim")))
     w = Window.partitionBy("query_id").orderBy(

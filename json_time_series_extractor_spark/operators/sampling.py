@@ -131,7 +131,12 @@ def sample_by_quota(df: DataFrame, group_cols: Sequence[str],
     on = functools.reduce(
         lambda a, b: a & b,
         [df[g].eqNullSafe(q_r[f"_g_{i}"]) for i, g in enumerate(gcols)])
-    counts = (df.join(F.broadcast(q_r), on, "inner")
+    # r8 (ADVICE): respect broadcast_groups here too — the ~1e8-group
+    # per-domain case must not force a driver broadcast of the quota
+    # frame; with False the join shuffles on the group key (AQE still
+    # broadcasts when the frame turns out small).
+    q_r_j = F.broadcast(q_r) if broadcast_groups else q_r
+    counts = (df.join(q_r_j, on, "inner")
               .groupBy(*[df[g] for g in gcols])
               .agg(F.count(F.lit(1)).alias("_gcnt"),
                    F.first("_q").alias("_q"))

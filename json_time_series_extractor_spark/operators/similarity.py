@@ -98,17 +98,17 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
     # precomputed norms bit-identically).
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(F.col(vec_col)).alias("_cv"))
-    c = c.withColumn("_cn", F.sqrt(dot_flat(F.col("_cv"), F.col("_cv"), dim)))
+    c = c.withColumn("_cn", F.sqrt(dot_flat_sql("_cv", "_cv", dim)))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        _as_double(F.col(query_vec_col)).alias("_qv"))
-    q = q.withColumn("_qn", F.sqrt(dot_flat(F.col("_qv"), F.col("_qv"), dim)))
+    q = q.withColumn("_qn", F.sqrt(dot_flat_sql("_qv", "_qv", dim)))
     denom = F.col("_qn") * F.col("_cn")
     # Broadcast the small query side: the cross join becomes map-side.
     scored = (c.crossJoin(F.broadcast(q))
               .where(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
                       F.when(denom > 0,
-                             dot_flat(F.col("_qv"), F.col("_cv"), dim)
+                             dot_flat_sql("_qv", "_cv", dim)
                              / denom)
                       .otherwise(F.lit(0.0)).alias("cosine_sim")))
     w = Window.partitionBy("query_id").orderBy(
@@ -142,7 +142,7 @@ def hyperplane_signature(vec: Column, bits: int, table: int = 0,
     Bit p = 1 iff dot(plane_p, vec) > 0.
     """
     def bit(p: int) -> Column:
-        weights = F.array(*[F.lit(w) for w in plane_weights(table, p, dim)])
+        weights = F.lit(plane_weights(table, p, dim))   # one-call literal
         dot = F.aggregate(
             F.zip_with(vec, weights, lambda x, w: x * w),
             F.lit(0.0), lambda acc, x: acc + x)
@@ -254,10 +254,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
         dim = _probe_dim(corpus, vec_col)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(F.col(vec_col)).alias("_cv"))
-    c = c.withColumn("_cn", F.sqrt(dot_flat(F.col("_cv"), F.col("_cv"), dim)))
+    c = c.withColumn("_cn", F.sqrt(dot_flat_sql("_cv", "_cv", dim)))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        _as_double(F.col(query_vec_col)).alias("_qv"))
-    q = q.withColumn("_qn", F.sqrt(dot_flat(F.col("_qv"), F.col("_qv"), dim)))
+    q = q.withColumn("_qn", F.sqrt(dot_flat_sql("_qv", "_qv", dim)))
 
     cunit = ivf_centroids(corpus, n_centroids=n_centroids,
                           id_col=id_col, vec_col=vec_col)
@@ -301,7 +301,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
               .where(F.col("query_id") != F.col("neighbor_id"))
               .select("query_id", "neighbor_id",
                       F.when(denom > 0,
-                             dot_flat(F.col("_qv"), F.col("_cv"), dim)
+                             dot_flat_sql("_qv", "_cv", dim)
                              / denom)
                       .otherwise(F.lit(0.0)).alias("cosine_sim")))
     w = Window.partitionBy("query_id").orderBy(
@@ -371,10 +371,10 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
         dim = _probe_dim(corpus, vec_col)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(F.col(vec_col)).alias("_cv"))
-    c = c.withColumn("_cn", F.sqrt(dot_flat(F.col("_cv"), F.col("_cv"), dim)))
+    c = c.withColumn("_cn", F.sqrt(dot_flat_sql("_cv", "_cv", dim)))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        _as_double(F.col(query_vec_col)).alias("_qv"))
-    q = q.withColumn("_qn", F.sqrt(dot_flat(F.col("_qv"), F.col("_qv"), dim)))
+    q = q.withColumn("_qn", F.sqrt(dot_flat_sql("_qv", "_qv", dim)))
 
     cs = hyperplane_signature_table(c, "neighbor_id", "_cv",
                                     bits=bits, tables=tables, dim=dim)
@@ -394,7 +394,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10, *,
               .join(F.broadcast(q), "query_id")
               .select("query_id", "neighbor_id",
                       F.when(denom > 0,
-                             dot_flat(F.col("_qv"), F.col("_cv"), dim)
+                             dot_flat_sql("_qv", "_cv", dim)
                              / denom)
                       .otherwise(F.lit(0.0)).alias("cosine_sim")))
     w = Window.partitionBy("query_id").orderBy(

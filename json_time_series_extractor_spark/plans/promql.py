@@ -477,7 +477,21 @@ class Parser:
         if t.kind != "OP" or t.text not in ("=", "!=", "=~", "!~"):
             raise PromQLSyntaxError(f"bad matcher op {t.text!r} at {t.pos}")
         s = self.expect("STRING").text
-        value = s[1:-1].encode().decode("unicode_escape")
+        raw = s[1:-1]
+        # r8 (ADVICE): decode ONLY the escape sequences — the previous
+        # encode()/decode('unicode_escape') round-trip latin-1-mangled
+        # any non-ASCII label value (e.g. {series_key="café"}). Each
+        # escape pair is pure ASCII, so decoding it in isolation is
+        # safe and identical to the old behavior for ASCII strings.
+        if "\\" in raw:
+            import codecs
+            value = re.sub(
+                r"\\(?:u[0-9a-fA-F]{4}|U[0-9a-fA-F]{8}"
+                r"|x[0-9a-fA-F]{2}|.)",
+                lambda m: codecs.decode(m.group(0), "unicode_escape"),
+                raw)
+        else:
+            value = raw
         return Matcher(label, t.text, value)
 
 
@@ -578,12 +592,15 @@ class PromQLCompiler:
                     f"offset {sel.offset_s}s must be a multiple of the "
                     f"step {self.step_s}s (tumbling-grid evaluation)")
             # `m offset D` at bucket t reads samples from t - D: shift the
-            # sample timestamps forward by D before bucketing.
+            # sample timestamps forward by D before bucketing. Integer
+            # micros end to end (r8, ADVICE): the double round-trip sat
+            # at the edge of 2^53 for ~1.7e9s timestamps with microsecond
+            # fractions and could land a sample one bucket off.
             df = df.withColumn(
                 self.ts_col,
-                F.timestamp_seconds(
+                F.timestamp_micros(
                     F.unix_micros(F.col(self.ts_col).cast("timestamp"))
-                    / F.lit(1e6) + F.lit(float(sel.offset_s))))
+                    + F.lit(int(sel.offset_s) * 1_000_000)))
         return df
 
     def _routed_tier(self, sel: Selector, tier: str) -> Optional[DataFrame]:
@@ -620,11 +637,12 @@ class PromQLCompiler:
                     f"step {self.step_s}s (tumbling-grid evaluation)")
             # offset is a multiple of the step, hence of every dividing
             # tier's width — the shifted buckets stay grid-aligned.
+            # integer micros, same rationale as the raw-sample path (r8)
             df = df.withColumn(
                 "bucket_ts",
-                F.timestamp_seconds(
-                    F.unix_micros(F.col("bucket_ts")) / F.lit(1e6)
-                    + F.lit(float(sel.offset_s))))
+                F.timestamp_micros(
+                    F.unix_micros(F.col("bucket_ts"))
+                    + F.lit(int(sel.offset_s) * 1_000_000)))
         if src_s != t_s:
             df = rollup_cascade(df, tier)
         return df
@@ -964,12 +982,27 @@ class PromQLCompiler:
             # constant-fold through a literal-only plan is pointless to keep
             # lazy; evaluate eagerly via Python (same IEEE ops).
             import math  # noqa: F401  (documents the arithmetic domain)
+            def _pow(a: float, b: float) -> float:
+                # r8 (ADVICE): Python ** returns complex for a negative
+                # base with fractional exponent and raises on 0.0**-1;
+                # fold with IEEE pow semantics instead (NaN / ±inf),
+                # matching Prometheus' math.Pow.
+                if a == 0.0 and b < 0:
+                    return float("inf")
+                try:
+                    r = a ** b
+                except (ZeroDivisionError, OverflowError):
+                    return float("inf")
+                if isinstance(r, complex):
+                    return float("nan")
+                return float(r)
+
             return float(
                 {"+" : lhs + rhs, "-": lhs - rhs, "*": lhs * rhs,
                  "/": (lhs / rhs) if rhs != 0 else float("inf") if lhs > 0
                  else float("-inf") if lhs < 0 else float("nan"),
                  "%": math.fmod(lhs, rhs) if rhs != 0 else float("nan"),
-                 "^": lhs ** rhs}[node.op])
+                 "^": _pow(lhs, rhs)}[node.op])
 
         if isinstance(lhs, _Vec) and isinstance(rhs, _Vec):
             # vector (op) vector: one-to-one matching on the full label set
