@@ -627,9 +627,14 @@ def simhash64_agg(docs: DataFrame, *, text_col: str = "text",
     matching the expression path (all counters zero). ``hash_fn``: see
     :func:`_token_hash64`."""
     toks = tokens(F.lower(F.col(text_col)))
-    exploded = docs.select(F.col(id_col).alias("doc_id"),
-                           F.explode_outer(toks).alias("_t"))
-    h = _token_hash64(F.col("_t"), hash_fn)
+    # r8: hash each token ONCE in a projection — referencing the hash
+    # expression from all 64 sign-sums re-evaluated the md5/conv chain
+    # per bit (no cross-aggregate subexpression elimination).
+    exploded = (docs.select(F.col(id_col).alias("doc_id"),
+                            F.explode_outer(toks).alias("_t"))
+                .select("doc_id", "_t",
+                        _token_hash64(F.col("_t"), hash_fn).alias("_h")))
+    h = F.col("_h")
     sums = [F.sum(F.when(F.col("_t").isNull(), F.lit(0)).otherwise(
         F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"_s{j}")
         for j in range(64)]
