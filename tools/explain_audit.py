@@ -249,11 +249,11 @@ AUDITED = [
      "entirely; oversized groups window only rank-prefiltered "
      "survivors; starved-group fallback is a broadcast anti-join on a "
      "~always-empty side"),
-    ("doc_lang_id_trained", "one trigram explode + |L| fan-out + two "
-     "broadcast joins + integer hash agg; argmax is a struct-min over "
-     "|L| rows per doc — no Python, no log; the 1 nested-loop join is "
-     "the deliberate |L|-row broadcast langs-dimension cross join (the "
-     "ANN query-vector pattern)"),
+    ("doc_lang_id_trained", "one trigram explode, NO langs fan-out "
+     "(r8: per-lang tables pivoted into map<lang,lp> columns), two "
+     "broadcast map joins + one |L|-wide integer hash agg; argmax is "
+     "an array_min over |L| static structs per doc — no Python, no "
+     "log, no nested-loop join"),
     ("funnel_conversion", "k chained hash aggregates + user-keyed "
      "equi-joins on monotonically shrinking frames; no per-user sort, "
      "no window over raw events"),
