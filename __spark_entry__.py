@@ -4289,7 +4289,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _embeddings(spark, sf_dir)
     cents = semdedup_centroids(emb, n_centroids=8, sample_cap=256)
-    return semdedup(emb, cents, threshold=0.42)
+    # dim from the trained centroid matrix (same vectors) — skips the
+    # operator's _probe_dim first() job (r8).
+    return semdedup(emb, cents, threshold=0.42,
+                    dim=int(cents.shape[1]))
 
 
 def _oracle_semdedup() -> str:

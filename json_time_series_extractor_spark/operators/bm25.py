@@ -86,22 +86,34 @@ def bm25_scores(docs: DataFrame, query_terms: Sequence[str], *,
     # subplans re-execute per action.
     lens = materialize(lens.withColumn(
         "dl", F.when(F.col("dl") < 0, F.lit(0)).otherwise(F.col("dl"))))
-    stats = lens.agg(F.count(F.lit(1)).alias("n"),
-                     F.sum("dl").alias("t")).collect()[0]
-    n_docs, total = int(stats["n"]), int(stats["t"])
-    if total == 0:
-        raise ValueError("corpus has no tokens")
     tf = (docs.select(F.col(id_col).alias("doc_id"),
                       F.explode(toks).alias("term"))
           .where(F.col("term").isin(list(terms)))
           .groupBy("doc_id", "term")
           .agg(F.count(F.lit(1)).alias("tf")))
     tf = materialize(tf)
-    # bounded collect: one row per query term (df = distinct docs,
-    # free from the tf frame's key structure)
-    dfs = {r["term"]: int(r["df"]) for r in
-           tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-           .collect()}
+    # ONE bounded collect (r8): the corpus stats row (two int64s) and
+    # the per-term dfs (one row per query term) were two driver
+    # actions over the two persisted frames; a union of the two tiny
+    # aggregates collects both in a single job. Values identical.
+    summary = (lens.agg(F.count(F.lit(1)).alias("a"),
+                        F.sum("dl").alias("b"))
+               .select(F.lit(None).cast("string").alias("term"),
+                       "a", "b")
+               .unionByName(
+                   tf.groupBy("term")
+                   .agg(F.count(F.lit(1)).alias("a"),
+                        F.lit(0).cast("long").alias("b")))
+               .collect())
+    n_docs = total = 0
+    dfs = {}
+    for r in summary:
+        if r["term"] is None:
+            n_docs, total = int(r["a"]), int(r["b"])
+        else:
+            dfs[r["term"]] = int(r["a"])
+    if total == 0:
+        raise ValueError("corpus has no tokens")
     idf_rows = [(t, bm25_idf_fp6(n_docs, dfs.get(t, 0)))
                 for t in terms if t in dfs]
     if not idf_rows:
