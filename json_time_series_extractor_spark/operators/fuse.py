@@ -9,22 +9,25 @@ embedding ranker disagree usefully, and reciprocal-rank fusion
 Two exactness moves:
 
 - **rank without a global sort**: each ranking is first reduced to its
-  top-N candidates by thresholding at the exact N-th largest score —
-  :func:`rankselect.value_at_rank`, two counting aggregates — and only
-  the <= N + boundary-ties survivors enter a single-partition
-  row_number window (bounded by construction, the same summary-window
-  budget as the shard prefix scan). Scores must be int64 (fp6-quantize
-  first): integer ties broken by ``id`` make the rank total and
-  engine-independent.
+  top-N candidates — for retrieval-sized N a lazy distributed partial
+  top-k (TakeOrderedAndProject: bounded per-partition heaps, merged
+  once, never a full Sort stage; r8), for N past the window budget the
+  exact histogram threshold (:func:`rankselect.value_at_rank`, two
+  counting aggregates) — and only the <= N + boundary-ties survivors
+  enter a single-partition row_number window (bounded by construction,
+  the same summary-window budget as the shard prefix scan). Scores
+  must be int64 (fp6-quantize first): integer ties broken by ``id``
+  make the rank total and engine-independent.
 - **fusion without float accumulation**: each contribution
   1/(k + rank) is one IEEE division on small exact integers, quantized
   to fp6 int64 BEFORE summation, so the fused score is an
   order-independent integer sum (the bm25.py doctrine).
 
-Scale shape per ranking: the two rankselect counting passes + one
-map-only threshold filter + one bounded window; fusion is a union of
-top-N-sized frames and one hash aggregate. Nothing corpus-sized is
-sorted or shuffled beyond the rankers' own plans.
+Scale shape per ranking: one bounded partial top-k (or, for huge N,
+the two rankselect counting passes + a map-only threshold filter) +
+one bounded window; fusion is a union of top-N-sized frames and one
+hash aggregate. Nothing corpus-sized is fully sorted or shuffled
+beyond the rankers' own plans.
 """
 
 from __future__ import annotations
@@ -44,12 +47,32 @@ from json_time_series_extractor_spark.operators.rankselect import (
 def exact_top_n(df: DataFrame, n: int, *, score_col: str = "score",
                 id_col: str = "id",
                 coarse_bits: int = 20) -> DataFrame:
-    """Top ``n`` rows by (score DESC, id ASC) with rank — the
-    histogram threshold does the corpus-sized work; the window sees
-    only survivors. NULL scores never rank."""
+    """Top ``n`` rows by (score DESC, id ASC) with rank. NULL scores
+    never rank. Two physical routes, identical rows either way:
+
+    - ``n <= 2^coarse_bits`` (r8): one LAZY distributed partial top-k —
+      ``orderBy(...).limit(n)`` plans as TakeOrderedAndProject
+      (bounded per-partition heaps merged once; no full Sort stage —
+      the same bounded pattern as the trainer-sample collects), and
+      the rank window sees exactly those ``n`` rows. Zero driver
+      actions, so a multi-ranker consumer (:func:`rrf_fuse`) stays ONE
+      lazy plan instead of paying a persist + count + histogram
+      collect per ranker.
+    - larger ``n``: the sort-free histogram threshold
+      (:func:`~.rankselect.value_at_rank`, two counting passes) — at
+      ranks past the window budget a per-map-task heap of ``n`` rows
+      is no longer O(1) state, while the counting select stays two
+      map-side-combinable aggregates.
+    """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     v = F.col(score_col)
+    order = [F.desc(score_col), F.asc(id_col)]
+    w = Window.orderBy(*order)
+    if n <= (1 << coarse_bits):
+        return (df.where(v.isNotNull())
+                .orderBy(*order).limit(n)
+                .withColumn("rank", F.row_number().over(w)))
     # count + the two value_at_rank passes + the final window are
     # separate actions: persist or the ranker's whole plan re-executes
     # per action (bm25 inside rrf_hybrid measured 4x without this).
@@ -61,7 +84,6 @@ def exact_top_n(df: DataFrame, n: int, *, score_col: str = "score",
         t = value_at_rank(nn, score_col, cnt - n + 1,
                           coarse_bits=coarse_bits, n_rows=cnt)
         nn = nn.where(v.cast("long") >= F.lit(t))
-    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
     return (nn.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= n))
 

@@ -2694,6 +2694,36 @@ def test_exact_top_n_and_rrf_fuse(spark):
         rrf_fuse([("x", dfa), ("x", dfb)])
 
 
+def test_exact_top_n_routes_agree(spark):
+    """The r8 lazy partial-top-k route (n <= 2^coarse_bits) and the
+    histogram-threshold route (n above the gate) must both equal the
+    naive sorted head on tie-heavy and adversarial data — including
+    boundary ties straddling the threshold, negatives, and n >= N."""
+    from json_time_series_extractor_spark.operators.fuse import (
+        exact_top_n)
+
+    vals = ([(i, (i * 37) % 5) for i in range(300)]       # heavy ties
+            + [(1000 + i, -((i * 13) % 7)) for i in range(300)]
+            + [(2000, 1 << 40), (2001, -(1 << 40))])
+    df = spark.createDataFrame(vals, "id long, score long")
+    naive = sorted(vals, key=lambda t: (-t[1], t[0]))
+
+    def run(n, bits):
+        return sorted((r["id"], r["rank"]) for r in
+                      exact_top_n(df, n, score_col="score", id_col="id",
+                                  coarse_bits=bits).collect())
+
+    for n in (1, 7, 300, len(vals), len(vals) + 5):
+        expect = sorted((i, r + 1)
+                        for r, (i, s) in enumerate(naive[:n]))
+        # default bits: gate 2^20 >= every n here -> lazy route
+        assert run(n, 20) == expect, n
+        # bits=8: gate 256 < n for n >= 300 -> histogram route (the
+        # two-pass value_at_rank walk, since N=602 > 2^8); small n
+        # stays lazy, re-asserting the gate itself.
+        assert run(n, 8) == expect, n
+
+
 def test_pagerank_integer_exact(spark):
     """The integer recurrence must match a from-scratch Python replay
     on a hand graph with a hub, a dangling-ish sink (self-handled: no
