@@ -205,11 +205,14 @@ AUDITED = [
     ("quality_threshold", "two counting hash aggregates with "
      "driver-side walks locate the exact rank; the kept set is one "
      "map-only filter; NO Sort stage anywhere in the plan"),
-    ("rrf_hybrid", "each ranking reduced by the histogram threshold "
-     "before a bounded single-partition rank window (top-N-sized); "
-     "fusion = union of top-N frames + one hash aggregate; the 2 BNLJ "
-     "nodes are the deliberate 1-row broadcast cross join shipping "
-     "the query vector (the ANN queries' documented pattern)"),
+    ("rrf_hybrid", "each ranking reduced LAZILY by a bounded partial "
+     "top-k (TakeOrderedAndProject — per-partition heaps, no full "
+     "Sort stage; r8) before a bounded single-partition rank window "
+     "(top-N-sized); fusion = union of top-N frames + one hash "
+     "aggregate, ONE plan with zero per-ranker driver actions; the "
+     "2 BNLJ nodes are the deliberate 1-row broadcast cross join "
+     "shipping the query vector (the ANN queries' documented "
+     "pattern)"),
     ("pagerank", "Pregel shape: per iteration one equi-join vs "
      "once-materialized annotated edges + one dst hash aggregate + "
      "one left join; localCheckpoint per iteration truncates lineage "
