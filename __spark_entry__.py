@@ -257,6 +257,16 @@ def _local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
         spark.sparkContext.parallelize(rows, 1), schema)
 
 
+def _mat(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a multiply-referenced derived frame (r8):
+    see operators/_persist.py::materialize_eager for why eager
+    localCheckpoint and not a lazy persist."""
+    from json_time_series_extractor_spark.operators._persist import (
+        materialize_eager)
+
+    return materialize_eager(df)
+
+
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """The sf* test tables are single-row-group parquet files, so Spark
     scans them as ONE split — every downstream map runs single-threaded.
@@ -1473,6 +1483,13 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("series_key",
                     F.date_trunc("hour", "ts").alias("bucket_ts"),
                     "key").distinct())
+    # Round 8: examined and left in the two-reference union shape ON
+    # MEASUREMENT — a fused explode-to-both-probes variant was 1.9s
+    # SLOWER (collapsing the union into one double-Generate pipeline
+    # put the md5 probe expansion, join and partial aggregate into a
+    # single oversized codegen stage), and an eager materialize of
+    # `seen` also lost (~0.4s: the checkpoint barrier costs more than
+    # the duplicated distinct aggregate it saves).
     probe_keys = (seen.withColumn("expected", F.lit(True))
                   .unionByName(
                       seen.select("series_key", "bucket_ts",
@@ -1507,19 +1524,25 @@ def q_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("user_id").cast("string").alias("key")))
     regs = cm_cascade(cm_rollup(ev, "1 minute", key_col="key"),
                       "1 hour")
-    keys = (ev.select("series_key",
-                      F.window("ts", "1 hour")["start"].alias("bucket_ts"),
-                      "key").distinct())
-    est = cm_estimate(regs, keys)
-    exact = (ev.groupBy("series_key",
-                        F.window("ts", "1 hour")["start"]
-                        .alias("bucket_ts"), "key")
+    # Round 8 second pass (guide §2.4): the old probe-key frame was a
+    # SECOND full aggregate over events (distinct (series, hour, key))
+    # next to the exact-count aggregate over the same groups, and the
+    # estimate then re-joined the exact counts. One aggregate now
+    # serves both roles — its group keys ARE the distinct probe keys —
+    # and cm_estimate carries exact_cnt through its own aggregate.
+    # NULL-key groups never survived to the output before (cm_estimate
+    # drops NULL probes; the join was on key), so filtering them at
+    # the source leaves the row multiset unchanged.
+    exact = (ev.where(F.col("key").isNotNull())
+             .groupBy("series_key",
+                      F.window("ts", "1 hour")["start"]
+                      .alias("bucket_ts"), "key")
              .agg(F.count(F.lit(1)).alias("exact_cnt")))
-    return (est.join(exact, ["series_key", "bucket_ts", "key"])
-            .select("series_key", "bucket_ts", "key", "cm_est",
-                    "exact_cnt",
-                    (F.col("cm_est") >= F.col("exact_cnt"))
-                    .alias("one_sided_ok")))
+    est = cm_estimate(regs, exact, carry=("exact_cnt",))
+    return est.select("series_key", "bucket_ts", "key", "cm_est",
+                      "exact_cnt",
+                      (F.col("cm_est") >= F.col("exact_cnt"))
+                      .alias("one_sided_ok"))
 
 
 def _oracle_cm_frequency() -> str:
@@ -2360,18 +2383,32 @@ def q_frequency_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minute-tier register frame from a subtree this plan references
     # several times (the oracle builds at 1h directly too; unchanged).
     # The cascade path stays driver-exercised by cm_frequency.
-    regs = cm_rollup(ev, "1 hour", key_col="key")
+    # Optimization round 8, second pass (guide §2.4): the register
+    # subtree is materialized ONCE inside cm_over_time (this plan used
+    # to reference it ~6x — 72 static Exchanges, and whether AQE's
+    # runtime reuse deduped them was a stage race that made the row
+    # bimodal 3.3s vs 7-8s across sweeps), the present-bucket index is
+    # derived straight from the filtered events (identical to the
+    # register buckets: cm_rollup drops NULL keys), n_buckets rides
+    # the index (least(_i, 6) — exactly cm_over_time's definition) so
+    # the old roll-distinct + re-join is gone, and cm_estimate carries
+    # (n_buckets, exact_cnt) through its aggregate, dropping both
+    # post-estimate joins. Row multiset and types are unchanged:
+    # NULL-key rows never reached the output before (equi-joins on
+    # key), and the carried columns are functionally dependent on the
+    # (series, bucket, key) group.
+    evk = ev.where(F.col("key").isNotNull())
+    regs = cm_rollup(evk, "1 hour", key_col="key")
     roll = cm_over_time(regs, 6)
-    nb = roll.select("series_key", "bucket_ts", "n_buckets").distinct()
 
-    # Keys seen in each trailing window + the window-exact counts, via
-    # the same present-bucket-index fan-out the operator uses.
-    b = (regs.select("series_key", "bucket_ts").distinct()
+    b = (evk.select("series_key",
+                    F.window("ts", "1 hour")["start"].alias("bucket_ts"))
+         .distinct()
          .withColumn("_i", F.row_number().over(
              Window.partitionBy("series_key").orderBy("bucket_ts"))))
-    per_bucket = (ev.groupBy("series_key",
-                             F.window("ts", "1 hour")["start"]
-                             .alias("bucket_ts"), "key")
+    per_bucket = (evk.groupBy("series_key",
+                              F.window("ts", "1 hour")["start"]
+                              .alias("bucket_ts"), "key")
                   .agg(F.count(F.lit(1)).alias("exact_cnt")))
     fan = (per_bucket.join(b, ["series_key", "bucket_ts"])
            .select("series_key", "key", "exact_cnt",
@@ -2379,19 +2416,18 @@ def q_frequency_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         F.col("_i") + F.lit(5)))
                    .alias("_ti")))
     tgt = b.select("series_key", F.col("bucket_ts").alias("_tbt"),
-                   F.col("_i").alias("_ti"))
+                   F.col("_i").alias("_ti"),
+                   F.least(F.col("_i"), F.lit(6)).alias("n_buckets"))
     exwin = (fan.join(tgt, ["series_key", "_ti"])
              .groupBy("series_key", F.col("_tbt").alias("bucket_ts"),
-                      "key")
+                      "key", "n_buckets")
              .agg(F.sum("exact_cnt").alias("exact_cnt")))
-    est = cm_estimate(roll.drop("n_buckets"),
-                      exwin.select("series_key", "bucket_ts", "key"))
-    return (est.join(exwin, ["series_key", "bucket_ts", "key"])
-            .join(nb, ["series_key", "bucket_ts"])
-            .select("series_key", "bucket_ts", "key", "cm_est",
-                    "n_buckets", "exact_cnt",
-                    (F.col("cm_est") >= F.col("exact_cnt"))
-                    .alias("one_sided_ok")))
+    est = cm_estimate(roll.drop("n_buckets"), exwin,
+                      carry=("n_buckets", "exact_cnt"))
+    return est.select("series_key", "bucket_ts", "key", "cm_est",
+                      "n_buckets", "exact_cnt",
+                      (F.col("cm_est") >= F.col("exact_cnt"))
+                      .alias("one_sided_ok"))
 
 
 def q_distinct_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2415,9 +2451,12 @@ def q_distinct_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-exercised by hll_distinct_1h.
     regs = hll_rollup(ev, "1 hour", key_col="key")
     roll = hll_over_time(regs, 6)
-    nb = roll.select("series_key", "bucket_ts", "n_buckets").distinct()
-    est = hll_estimate(roll.drop("n_buckets"))
-    return _quant6(est.join(nb, ["series_key", "bucket_ts"]), "ndv_est")
+    # Round 8 second pass: n_buckets is functionally dependent on the
+    # (series, bucket) group, so it rides through hll_estimate's
+    # aggregate instead of the old roll-distinct + re-join (which read
+    # the rolling-merge subtree twice). Same rows, same column order.
+    est = hll_estimate(roll, carry=("n_buckets",))
+    return _quant6(est, "ndv_est")
 
 
 def _oracle_distinct_over_time() -> str:

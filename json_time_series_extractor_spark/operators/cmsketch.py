@@ -119,7 +119,8 @@ def cm_cascade(registers: DataFrame, tier: str) -> DataFrame:
 
 def cm_estimate(registers: DataFrame, keys: DataFrame, *,
                 key_col: str = "key", depth: int = 4,
-                width: int = 1024) -> DataFrame:
+                width: int = 1024,
+                carry: tuple = ()) -> DataFrame:
     """Point-query the sketch: for every (series_key, bucket_ts, key)
     row of *keys*, the Count-Min estimate min over rows of that key's
     counter (missing counter = 0). Output: keys columns + ``cm_est``
@@ -131,6 +132,14 @@ def cm_estimate(registers: DataFrame, keys: DataFrame, *,
     raises instead of silently returning non-one-sided estimates (the
     bucket indices would simply miss). NULL probe keys are dropped,
     mirroring the build side.
+
+    *carry* names extra columns of *keys* that are functionally
+    dependent on (series_key, bucket_ts, key) — e.g. the exact count
+    the caller wants next to the estimate. They ride through the probe
+    fan-out and the final aggregate as additional group keys (same
+    groups, since they add no distinctions), which saves the caller a
+    re-join of the estimate frame against *keys* (one shuffle per
+    avoided join; round-8 optimization, guide §2.4).
     """
     _check_params(depth, width)
     built_depth, built_width = _read_params(registers)
@@ -143,20 +152,21 @@ def cm_estimate(registers: DataFrame, keys: DataFrame, *,
             f"one-sided guarantee")
     key = F.col(key_col)
     keys = keys.where(key.isNotNull())
+    carry = tuple(carry)
     probes = keys.select(
-        "series_key", "bucket_ts", key.alias(key_col),
+        "series_key", "bucket_ts", key.alias(key_col), *carry,
         F.explode(F.array(*[
             F.struct(F.lit(j).alias("cm_row"),
                      _cm_bucket(key, j, width).alias("cm_bucket"))
             for j in range(depth)])).alias("_rb")) \
-        .select("series_key", "bucket_ts", key_col,
+        .select("series_key", "bucket_ts", key_col, *carry,
                 F.col("_rb.cm_row").alias("cm_row"),
                 F.col("_rb.cm_bucket").alias("cm_bucket"))
     joined = probes.join(
         registers, ["series_key", "bucket_ts", "cm_row", "cm_bucket"],
         "left")
     return (joined
-            .groupBy("series_key", "bucket_ts", key_col)
+            .groupBy("series_key", "bucket_ts", key_col, *carry)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .alias("cm_est")))
 
@@ -265,7 +275,19 @@ def cm_over_time(registers: DataFrame, k_buckets: int, *,
         raise ValueError(f"min_buckets must be >= 1, got {min_buckets}")
     from pyspark.sql import Window
 
+    from json_time_series_extractor_spark.operators._persist import (
+        materialize_eager)
+
     depth, width = _read_params(registers)
+    # The register frame feeds BOTH the present-bucket index and the
+    # fan-out below; without materialization the whole build subtree
+    # plans twice (and whether AQE's runtime exchange reuse dedups it
+    # is a stage race — round 7/8 measured the plan bimodal because of
+    # it). Registers are sketch-sized (<= depth x width rows per
+    # series/bucket), so one eager pass is the cheap side of the trade;
+    # see operators/_persist.py::materialize_eager for why eager, not
+    # a lazy persist.
+    registers = materialize_eager(registers)
     b = (registers.select("series_key", "bucket_ts").distinct()
          .withColumn("_i", F.row_number().over(
              Window.partitionBy("series_key").orderBy("bucket_ts"))))

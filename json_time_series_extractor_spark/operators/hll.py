@@ -121,20 +121,29 @@ def hll_cascade(registers: DataFrame, tier: str) -> DataFrame:
 
 
 def hll_estimate(registers: DataFrame, *,
-                 register_bits: int = 9) -> DataFrame:
+                 register_bits: int = 9,
+                 carry: tuple = ()) -> DataFrame:
     """Registers -> per-(series, window) distinct-count estimate.
 
     Output: (series_key, bucket_ts, n_zero, inv_fp40, ndv_est) where
     ``inv_fp40`` is the integer fixed-point harmonic sum (the oracle
     compares it exactly) and ``ndv_est`` applies the standard
     small-range linear-counting correction.
+
+    *carry* names extra register columns functionally dependent on
+    (series_key, bucket_ts) — e.g. ``n_buckets`` from
+    :func:`hll_over_time` — appended to the output after the estimate
+    columns. They join the aggregate's group keys (same groups, no new
+    distinctions), saving the caller a re-join against the register
+    frame (round-8 optimization, guide §2.4).
     """
     m = 1 << register_bits
+    carry = tuple(carry)
     term = F.when(F.col("max_rank") <= _FP,
                   F.pow(F.lit(2.0), _FP - F.col("max_rank"))
                   .cast("long")).otherwise(F.lit(0))
     grouped = (registers
-               .groupBy("series_key", "bucket_ts")
+               .groupBy("series_key", "bucket_ts", *carry)
                .agg(F.count(F.lit(1)).alias("_present"),
                     F.sum(term).alias("_inv_present")))
     n_zero = (F.lit(m) - F.col("_present")).cast("int")
@@ -150,7 +159,7 @@ def hll_estimate(registers: DataFrame, *,
         .otherwise(raw)
     return grouped.select(
         "series_key", "bucket_ts", n_zero.alias("n_zero"),
-        inv.alias("inv_fp40"), est.alias("ndv_est"))
+        inv.alias("inv_fp40"), est.alias("ndv_est"), *carry)
 
 
 def hll_registers_oracle_sql(table: str, *, key_expr: str,
@@ -256,6 +265,13 @@ def hll_over_time(registers: DataFrame, k_buckets: int, *,
         raise ValueError(f"min_buckets must be >= 1, got {min_buckets}")
     from pyspark.sql import Window
 
+    from json_time_series_extractor_spark.operators._persist import (
+        materialize_eager)
+
+    # Registers feed both the present-bucket index and the fan-out;
+    # materialize once (eager — see _persist.py for why a lazy persist
+    # loses here) so the register-build subtree never plans twice.
+    registers = materialize_eager(registers)
     b = (registers.select("series_key", "bucket_ts").distinct()
          .withColumn("_i", F.row_number().over(
              Window.partitionBy("series_key").orderBy("bucket_ts"))))

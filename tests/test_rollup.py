@@ -1004,6 +1004,52 @@ def test_hll_over_time_sliding_union(spark):
     assert {r["bucket_ts"].hour for r in gated.collect()} == {1, 3}
 
 
+def test_estimate_carry_columns_match_join(spark):
+    """Round-8 optimization: the `carry` kwarg on cm_estimate /
+    hll_estimate (extra group-dependent columns riding through the
+    aggregate) must reproduce exactly what the old estimate-then-join
+    shape produced — same rows, carried column included."""
+    from json_time_series_extractor_spark.operators.cmsketch import (
+        cm_estimate, cm_rollup)
+    from json_time_series_extractor_spark.operators.hll import (
+        hll_estimate, hll_over_time, hll_rollup)
+
+    rows = [("a", datetime(2024, 1, 1, 0, 5), "x")] * 3 \
+        + [("a", datetime(2024, 1, 1, 0, 7), "y"),
+           ("a", datetime(2024, 1, 1, 1, 5), "x"),
+           ("b", datetime(2024, 1, 1, 1, 6), "y")]
+    df = spark.createDataFrame(rows,
+                               "series_key string, ts timestamp, "
+                               "key string")
+
+    keys = (df.groupBy("series_key",
+                       F.date_trunc("hour", "ts").alias("bucket_ts"),
+                       "key")
+            .agg(F.count(F.lit(1)).alias("exact_cnt")))
+    regs = cm_rollup(df, "1 hour", key_col="key")
+    carried = cm_estimate(regs, keys, carry=("exact_cnt",))
+    joined = (cm_estimate(regs,
+                          keys.select("series_key", "bucket_ts", "key"))
+              .join(keys, ["series_key", "bucket_ts", "key"]))
+    assert sorted(
+        (r["series_key"], r["bucket_ts"], r["key"], r["cm_est"],
+         r["exact_cnt"]) for r in carried.collect()) == sorted(
+        (r["series_key"], r["bucket_ts"], r["key"], r["cm_est"],
+         r["exact_cnt"]) for r in joined.collect())
+
+    roll = hll_over_time(hll_rollup(df, "1 hour", key_col="key"), 2)
+    carried_h = hll_estimate(roll, carry=("n_buckets",))
+    nb = roll.select("series_key", "bucket_ts", "n_buckets").distinct()
+    joined_h = hll_estimate(roll.drop("n_buckets")) \
+        .join(nb, ["series_key", "bucket_ts"])
+    cols = ["series_key", "bucket_ts", "n_zero", "inv_fp40", "ndv_est",
+            "n_buckets"]
+    assert carried_h.columns == cols
+    assert sorted(tuple(r[c] for c in cols)
+                  for r in carried_h.collect()) == sorted(
+        tuple(r[c] for c in cols) for r in joined_h.collect())
+
+
 def test_tdigest_over_time_rolling_merge(spark):
     """quantile_over_time from sketches (r6): k=1 is the identity on
     digest rows; a k=3 rolling merge accumulates exact counts over
