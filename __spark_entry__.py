@@ -3517,30 +3517,45 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     paragraph. The signals then run over that structured text — so every
     fraction exercises real duplicate content, not degenerate zeros."""
     from json_time_series_extractor_spark.operators.textstats import (
-        with_repetition_signals)
+        _let, with_repetition_signals)
 
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
-    n = F.size(toks)
+    # Round 8: the structure expression references toks/lines/paras0
+    # several times each, and project collapsing inlines a fresh copy
+    # per reference — let-bind each level so it evaluates once per row
+    # (see textstats._let; the arithmetic inside is unchanged).
     empty = F.array().cast("array<string>")
-    lines0 = F.when(n >= 1, F.transform(
-        F.sequence(F.lit(0), F.ceil(n / F.lit(3.0)).cast("int") - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * 3 + 1, 3)))) \
-        .otherwise(empty)
-    lines = F.flatten(F.transform(
-        lines0,
-        lambda x: F.when(F.length(x) % 3 == 0,
-                         F.array(x, x)).otherwise(F.array(x))))
-    nl_count = F.size(lines)
-    paras0 = F.when(nl_count >= 1, F.transform(
-        F.sequence(F.lit(0),
-                   F.ceil(nl_count / F.lit(5.0)).cast("int") - 1),
-        lambda j: F.concat_ws("\n", F.slice(lines, j * 5 + 1, 5)))) \
-        .otherwise(empty)
-    paras = F.when((F.col("doc_id") % 4 == 0) & (F.size(paras0) > 0),
-                   F.concat(F.slice(paras0, 1, 1), paras0)) \
-        .otherwise(paras0)
+
+    def _lines(toks):
+        n = F.size(toks)
+        lines0 = F.when(n >= 1, F.transform(
+            F.sequence(F.lit(0), F.ceil(n / F.lit(3.0)).cast("int") - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * 3 + 1, 3)))) \
+            .otherwise(empty)
+        return F.flatten(F.transform(
+            lines0,
+            lambda x: F.when(F.length(x) % 3 == 0,
+                             F.array(x, x)).otherwise(F.array(x))))
+
+    def _paras0(lines):
+        nl_count = F.size(lines)
+        return F.when(nl_count >= 1, F.transform(
+            F.sequence(F.lit(0),
+                       F.ceil(nl_count / F.lit(5.0)).cast("int") - 1),
+            lambda j: F.concat_ws("\n", F.slice(lines, j * 5 + 1, 5)))) \
+            .otherwise(empty)
+
+    def _paras(paras0):
+        return F.when((F.col("doc_id") % 4 == 0) & (F.size(paras0) > 0),
+                      F.concat(F.slice(paras0, 1, 1), paras0)) \
+            .otherwise(paras0)
+
+    text = _let(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""),
+        lambda toks: _let(_lines(toks), lambda lines: _let(
+            _paras0(lines),
+            lambda p0: F.concat_ws("\n\n", _paras(p0)))))
     structured = _docs(spark, sf_dir).select(
-        "doc_id", F.concat_ws("\n\n", paras).alias("text"))
+        "doc_id", text.alias("text"))
     out = with_repetition_signals(structured).select(
         "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
         "dup_para_frac", "top_2gram_char_frac", "top_3gram_char_frac")

@@ -58,25 +58,41 @@ def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     t = F.col(text_col)
     n_chars = F.length(t)
-    n_tok = token_count(t)
-    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
-    n_stop = F.size(F.regexp_extract_all(
-        F.lower(t), F.lit(r"\b(the|and|of|to|a|in|is|it|that|for)\b"), 0))
-    mean_word_len = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
-    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
-    score = (
-        F.least(stop_ratio * 2.0, F.lit(1.0)) * 0.5
-        + F.when((mean_word_len >= 3.0) & (mean_word_len <= 10.0),
-                 F.lit(1.0)).otherwise(F.lit(0.0)) * 0.3
-        + F.when(punct_ratio < 0.1, F.lit(1.0)).otherwise(F.lit(0.0)) * 0.2)
-    return (docs
-            .withColumn("n_chars_calc", n_chars)
-            .withColumn("n_tokens", n_tok)
-            .withColumn("punct_ratio", F.round(punct_ratio, 6))
-            .withColumn("stopword_ratio", F.round(stop_ratio, 6))
-            .withColumn("mean_word_len", F.round(mean_word_len, 6))
-            .withColumn("quality_score", F.round(score, 6)))
+
+    # Round-8 optimization: same project-collapsing hazard as
+    # with_repetition_signals — the token count and the two regexp
+    # scans each fed several output columns, and every consumer got an
+    # inlined copy. Let-bind the three expensive counts once, keep
+    # each signal's arithmetic byte-identical, and emit through one
+    # inline generator (never collapsed into consumers).
+    def _sig(n_tok: Column, n_punct: Column, n_stop: Column) -> Column:
+        mean_word_len = F.when(n_tok > 0, n_chars / n_tok) \
+            .otherwise(F.lit(0.0))
+        punct_ratio = F.when(n_chars > 0, n_punct / n_chars) \
+            .otherwise(F.lit(0.0))
+        stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+        score = (
+            F.least(stop_ratio * 2.0, F.lit(1.0)) * 0.5
+            + F.when((mean_word_len >= 3.0) & (mean_word_len <= 10.0),
+                     F.lit(1.0)).otherwise(F.lit(0.0)) * 0.3
+            + F.when(punct_ratio < 0.1, F.lit(1.0)).otherwise(F.lit(0.0))
+            * 0.2)
+        return F.struct(
+            n_chars.alias("n_chars_calc"),
+            n_tok.alias("n_tokens"),
+            F.round(punct_ratio, 6).alias("punct_ratio"),
+            F.round(stop_ratio, 6).alias("stopword_ratio"),
+            F.round(mean_word_len, 6).alias("mean_word_len"),
+            F.round(score, 6).alias("quality_score"))
+
+    sig = _let(token_count(t), lambda n_tok: _let(
+        F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0)),
+        lambda n_punct: _let(
+            F.size(F.regexp_extract_all(
+                F.lower(t),
+                F.lit(r"\b(the|and|of|to|a|in|is|it|that|for)\b"), 0)),
+            lambda n_stop: _sig(n_tok, n_punct, n_stop))))
+    return docs.select("*", F.inline(F.array(sig)))
 
 
 def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -105,6 +121,16 @@ def _line_char_sum(lines: Column) -> Column:
     """Total characters across an array of strings (pure fold)."""
     return F.aggregate(lines, F.lit(0).cast("long"),
                        lambda acc, x: acc + F.length(x))
+
+
+def _let(value: Column, body) -> Column:
+    """Single-evaluation binding for expression trees: evaluate *value*
+    once and share it across every use inside *body* (a lambda over the
+    bound Column). Implemented as ``transform(array(v), x -> body(x))[0]``
+    — Catalyst has no rule that rewrites through a lambda function, so
+    the optimizer cannot inline a copy of *value* into each consumer
+    the way project collapsing does to ordinary column aliases."""
+    return F.transform(F.array(value), body).getItem(0)
 
 
 def _dup_fraction(parts: Column) -> Column:
@@ -136,7 +162,14 @@ def top_ngram_char_fraction(text: Column, n: int) -> Column:
     Pure expression: the gram array is sorted and a single ``aggregate``
     fold tracks the longest equal-run — no explode, no per-doc shuffle;
     at 10^12 docs this stays a map-only pass like the other signals."""
-    toks = tokens(F.lower(text))
+    return _top_ngram_from_toks(text, tokens(F.lower(text)), n)
+
+
+def _top_ngram_from_toks(text: Column, toks: Column, n: int) -> Column:
+    """:func:`top_ngram_char_fraction` over an already-tokenized
+    column, so callers computing several gram sizes (or other
+    token-derived signals) can bind the tokenization once via
+    :func:`_let` instead of re-splitting the text per signal."""
     grams = F.when(
         F.size(toks) >= n,
         F.transform(F.sequence(F.lit(0), F.size(toks) - n),
@@ -190,16 +223,39 @@ def with_repetition_signals(docs: DataFrame,
     paras = F.filter(
         F.transform(F.split(t, r"\n{2,}"), lambda x: F.trim(x)),
         lambda x: x != "")
-    return (docs
-            .withColumn("n_lines", F.size(lines))
-            .withColumn("dup_line_frac", F.round(_dup_fraction(lines), 6))
-            .withColumn("dup_line_char_frac",
-                        F.round(_dup_char_fraction(lines), 6))
-            .withColumn("dup_para_frac", F.round(_dup_fraction(paras), 6))
-            .withColumn("top_2gram_char_frac",
-                        F.round(top_ngram_char_fraction(t, 2), 6))
-            .withColumn("top_3gram_char_frac",
-                        F.round(top_ngram_char_fraction(t, 3), 6)))
+    # Round-8 optimization (guide §1.2 "per-task work"): the six
+    # signals used to be six withColumn expressions, and Catalyst's
+    # project collapsing inlined a fresh copy of `lines` / `paras` /
+    # the tokenization into each consumer — the higher-order signal
+    # expressions then evaluated the shared arrays several times per
+    # row (measured ~25% of the doc_repetition row). Let-bindings
+    # (`_let`: transform over a one-element array — no Catalyst rule
+    # rewrites through the lambda, so the optimizer cannot duplicate
+    # the bound value) evaluate each shared array once, and the struct
+    # is emitted through one `inline` generator, which — unlike a
+    # projection — is never collapsed into downstream consumers. Each
+    # signal's own arithmetic is byte-for-byte the expression it
+    # always was, so values (and the _quant6 oracle rows) are
+    # unchanged. Still zero Python, still map-only at any scale.
+    sig = _let(lines, lambda l: _let(paras, lambda p: _let(
+        tokens(F.lower(t)), lambda tk: _let(
+        F.array_distinct(l), lambda dl: F.struct(
+            F.size(l).alias("n_lines"),
+            F.round(F.when(F.size(l) > 0,
+                           (F.size(l) - F.size(dl))
+                           / F.size(l).cast("double"))
+                    .otherwise(F.lit(0.0)), 6).alias("dup_line_frac"),
+            F.round(F.when(_line_char_sum(l) > 0,
+                           (_line_char_sum(l) - _line_char_sum(dl))
+                           / _line_char_sum(l).cast("double"))
+                    .otherwise(F.lit(0.0)), 6)
+            .alias("dup_line_char_frac"),
+            F.round(_dup_fraction(p), 6).alias("dup_para_frac"),
+            F.round(_top_ngram_from_toks(t, tk, 2), 6)
+            .alias("top_2gram_char_frac"),
+            F.round(_top_ngram_from_toks(t, tk, 3), 6)
+            .alias("top_3gram_char_frac"))))))
+    return docs.select("*", F.inline(F.array(sig)))
 
 
 def normalized_fingerprint(text: Column) -> Column:

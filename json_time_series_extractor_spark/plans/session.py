@@ -58,6 +58,16 @@ def get_spark(
         # statistics instead of a full scan (Spark 3.3+; falls back
         # silently where stats don't apply).
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Driver-side plan-build cost (round 8; guide §5 — the driver
+        # should do almost no work): PySpark 4 captures the Python call
+        # site for DataFrame error context on EVERY API call — a Python
+        # stack walk plus extra py4j round trips per call, measured at
+        # 15-40% of this repo's per-query plan-construction wall (e.g.
+        # cm_frequency 0.45->0.36s, asof_join_nearest 0.33->0.20s,
+        # same-session best-of-2). Costs only error-message call-site
+        # context; plans and results are unchanged. Env-overridable.
+        .config("spark.python.sql.dataFrameDebugging.enabled",
+                os.environ.get("SPARK_GRAFT_DF_DEBUGGING", "false"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
