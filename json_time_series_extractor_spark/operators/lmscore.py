@@ -42,6 +42,15 @@ from pyspark.sql import Column, DataFrame, functions as F
 LmTable = Tuple[Dict[str, int], Dict[str, int], int, int]
 
 
+def _pdf(rows: list, *cols: str):
+    """Two-column pandas frame for the Arrow ``createDataFrame`` path
+    (guide §6): a plain Python list would be pickled into
+    defaultParallelism slices and re-collected for the broadcast."""
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=list(cols))
+
+
 def _normalize(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
@@ -111,10 +120,16 @@ def lm_quality_scores(docs: DataFrame, table: LmTable, *,
     """
     lp, lp_unseen, lp0, _ = table
     spark = docs.sparkSession
+    # r8: ship the trained tables through the Arrow createDataFrame
+    # path (guide §6) — a plain Python list is pickled into
+    # defaultParallelism slices and re-collected for the broadcast,
+    # ~0.3s per run even for small tables; a pandas frame crosses once
+    # as one Arrow batch.
     lp_df = F.broadcast(spark.createDataFrame(
-        list(lp.items()) or [("", 0)][:0], "gram string, lp long"))
+        _pdf(list(lp.items()), "gram", "lp"), "gram string, lp long"))
     ctx_df = F.broadcast(spark.createDataFrame(
-        list(lp_unseen.items()) or [("", 0)][:0], "ctx string, lpu long"))
+        _pdf(list(lp_unseen.items()), "ctx", "lpu"),
+        "ctx string, lpu long"))
     u = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(_char_trigrams(_normalize(F.col(text_col))))
@@ -288,10 +303,14 @@ def lang_id_scores(docs: DataFrame, profiles: Dict[str, LmTable], *,
         for c, v in profiles[lang][1].items():
             ctx_by_ctx.setdefault(c, {})[lang] = v
     lp0 = {lang: int(profiles[lang][2]) for lang in langs}
+    # r8: Arrow createDataFrame path for the profile tables (see
+    # lm_quality_scores) — map-valued cells cross as one Arrow batch.
     lp_df = F.broadcast(spark.createDataFrame(
-        list(lp_by_gram.items()), "gram string, lpm map<string,bigint>"))
+        _pdf(list(lp_by_gram.items()), "gram", "lpm"),
+        "gram string, lpm map<string,bigint>"))
     ctx_df = F.broadcast(spark.createDataFrame(
-        list(ctx_by_ctx.items()), "_ctx string, lpum map<string,bigint>"))
+        _pdf(list(ctx_by_ctx.items()), "_ctx", "lpum"),
+        "_ctx string, lpum map<string,bigint>"))
 
     u = docs.select(
         F.col(id_col).alias("doc_id"),
