@@ -257,16 +257,6 @@ def _local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
         spark.sparkContext.parallelize(rows, 1), schema)
 
 
-def _mat(df: DataFrame) -> DataFrame:
-    """Eagerly materialize a multiply-referenced derived frame (r8):
-    see operators/_persist.py::materialize_eager for why eager
-    localCheckpoint and not a lazy persist."""
-    from json_time_series_extractor_spark.operators._persist import (
-        materialize_eager)
-
-    return materialize_eager(df)
-
-
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """The sf* test tables are single-row-group parquet files, so Spark
     scans them as ONE split — every downstream map runs single-threaded.
