@@ -50,6 +50,20 @@ def _check_params(k: int, m: int) -> None:
         raise ValueError(f"m must be a power of two >= 64, got {m}")
 
 
+def _bits_array(key_col: str, k: int, m: int) -> Column:
+    """The k bit positions of `key_col` as ONE parsed SQL array
+    (r8 — the dot_flat_sql pattern; see cmsketch._cm_bucket_sql): the
+    identical md5hi64-and-mask recipe per bit, ~15x fewer py4j round
+    trips per plan build. Value-equality is test-asserted against
+    :func:`_bloom_bit`."""
+    from json_time_series_extractor_spark.operators.cmsketch import (
+        _cm_bucket_sql)
+
+    qk = f"`{key_col}`"
+    return F.expr("array(" + ",".join(
+        _cm_bucket_sql(qk, j, m) for j in range(k)) + ")")
+
+
 def _bloom_bit(key: Column, j: int, m: int) -> Column:
     """Bit position of hash j for *key* — md5hi64("<j>|<key>") masked
     to the power-of-two filter size, the Count-Min bucket construction
@@ -84,7 +98,7 @@ def bloom_rollup(df: DataFrame, tier: str, *, key_col: str,
     """
     _check_params(k, m)
     key = F.col(key_col)
-    bits = F.array(*[_bloom_bit(key, j, m) for j in range(k)])
+    bits = _bits_array(key_col, k, m)
     out = (df.where(key.isNotNull())
            .select(F.col(series_col).alias("series_key"),
                    _bucket(ts_col, tier).alias("bucket_ts"),
@@ -134,7 +148,7 @@ def bloom_probe(registers: DataFrame, keys: DataFrame, *,
             f"probe parameters (k={k}, m={m}) do not match the "
             f"registers' build parameters (k={bk}, m={bm})")
     key = F.col(key_col)
-    bits = F.array(*[_bloom_bit(key, j, m) for j in range(k)])
+    bits = _bits_array(key_col, k, m)
     probes = (keys
               .withColumn("_pb", F.explode(bits)))
     regs = registers.select("series_key", "bucket_ts",
@@ -169,7 +183,7 @@ def bloom_prefilter(new_df: DataFrame, registers: DataFrame, *,
             f"prefilter parameters (k={k}, m={m}) do not match the "
             f"registers' build parameters (k={bk}, m={bm})")
     key = F.col(key_col)
-    bits = F.array(*[_bloom_bit(key, j, m) for j in range(k)])
+    bits = _bits_array(key_col, k, m)
     flat = registers.select(F.col("bit").alias("_pb")).distinct()
     candidates = (new_df
                   .where(key.isNotNull())

@@ -1050,6 +1050,32 @@ def test_estimate_carry_columns_match_join(spark):
         tuple(r[c] for c in cols) for r in joined_h.collect())
 
 
+def test_sql_coordinate_arrays_match_column_builders(spark):
+    """Round-8 optimization: the one-parse SQL coordinate arrays
+    (cmsketch._rb_array / bloom._bits_array) must be value-identical
+    to the Column-built md5hi64 coordinates on adversarial keys
+    (unicode, the '|' separator itself, empty) across widths."""
+    from json_time_series_extractor_spark.operators.bloom import (
+        _bits_array, _bloom_bit)
+    from json_time_series_extractor_spark.operators.cmsketch import (
+        _cm_bucket, _rb_array)
+
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(64)]
+        + [("äöü-Ω",), ("a|b",), ("",), ("0|x",)], "key string")
+    for width in (64, 1024, 1 << 16):
+        cols = F.array(*[
+            F.struct(F.lit(j).alias("r"),
+                     _cm_bucket(F.col("key"), j, width).alias("b"))
+            for j in range(4)])
+        assert df.where(
+            cols != _rb_array("key", 4, width)).count() == 0
+        bits = F.array(*[_bloom_bit(F.col("key"), j, width)
+                         for j in range(3)])
+        assert df.where(
+            bits != _bits_array("key", 3, width)).count() == 0
+
+
 def test_tdigest_over_time_rolling_merge(spark):
     """quantile_over_time from sketches (r6): k=1 is the identity on
     digest rows; a k=3 rolling merge accumulates exact counts over
